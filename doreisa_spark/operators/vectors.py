@@ -1,0 +1,81 @@
+"""Vector math over `array<float>` embedding columns, cross-engine exact.
+
+Dot products / norms are expressed as *sequential left folds* in both
+engines (Spark `aggregate`, DuckDB `list_reduce`) with every element cast
+to DOUBLE first, so the floating-point result is bit-identical and
+similarity thresholds / rankings cannot diverge between the engine and its
+oracle.
+
+The JVM-side fold (whole-stage codegen over array expressions) is the
+default path; a vectorized Pandas-UDF variant exists in
+doreisa_spark.operators.ann for wide-batch numpy kernels.
+"""
+
+from __future__ import annotations
+
+# Deterministic integer hyperplane parameters for sign-LSH (see ann_lsh).
+LSH_PLANES = 8
+LSH_A = [379, 1031, 2243, 3793, 4621, 5857, 7333, 8647]
+LSH_B = [29, 157, 311, 487, 601, 757, 919, 1093]
+LSH_MOD = 1009  # weights in [-504, 504]
+
+
+# ---------------------------------------------------------------- Spark side
+def dot_expr(a: str, b: str) -> str:
+    """Sequential-fold dot product of two array<float> columns (Spark SQL)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> str:
+    return f"sqrt({dot_expr(a, a)})"
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
+
+
+def lsh_bucket_expr(a: str) -> str:
+    """Sign-LSH bucket id: bit k = (w_k · a > 0), integer hyperplane
+    weights w_k[i] = ((A_k*(i+1) + B_k) % MOD) - MOD//2 (Spark SQL)."""
+    bits = []
+    for k in range(LSH_PLANES):
+        w_i = f"CAST(((({LSH_A[k]} * (i + 1) + {LSH_B[k]}) % {LSH_MOD}) - {LSH_MOD // 2}) AS DOUBLE)"
+        proj = (
+            f"aggregate(zip_with({a}, sequence(0, size({a}) - 1), "
+            f"(x, i) -> CAST(x AS DOUBLE) * {w_i}), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {2**k} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+# --------------------------------------------------------------- DuckDB side
+def duck_dot(a: str, b: str) -> str:
+    n = f"len({a})"
+    return (
+        f"list_reduce(list_transform(range(1, {n} + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def duck_norm(a: str) -> str:
+    return f"sqrt({duck_dot(a, a)})"
+
+
+def duck_cosine(a: str, b: str) -> str:
+    return f"({duck_dot(a, b)} / ({duck_norm(a)} * {duck_norm(b)}))"
+
+
+def duck_lsh_bucket(a: str) -> str:
+    bits = []
+    for k in range(LSH_PLANES):
+        w_i = f"CAST(((({LSH_A[k]} * i + {LSH_B[k]}) % {LSH_MOD}) - {LSH_MOD // 2}) AS DOUBLE)"
+        proj = (
+            f"list_reduce(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * {w_i}), (x, y) -> x + y)"
+        )
+        bits.append(f"(CASE WHEN {proj} > 0 THEN {2**k} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"

@@ -1,0 +1,264 @@
+"""Aggregation coverage: hash agg (partial+final), distinct, approximate
+sketches, rollup/cube/grouping sets, pivot, statistical aggregates, exact
+percentiles, conditional aggregation, and Pandas-UDF grouped aggregation.
+
+All Catalyst hash aggregates are partial+final automatically (map-side
+combine), so at 100 TB the shuffle carries only group keys × partial states.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doreisa_spark.catalog import table
+from doreisa_spark.registry import register
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand+two-phase agg in Catalyst)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register("agg_approx_count_distinct", oracle=None)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct sketch — algorithm-specific output, so no SQL
+    oracle (driver records rows-only). The scale path for 100 TB distincts:
+    fixed-size sketch per partition, merged, no expand."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy: (flag, status), (flag), ()."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, round(avg(o_totalprice), 6) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 4 grouping-set combinations."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (via Spark SQL — same Catalyst Expand plan)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot orderstatus into columns (compiles to conditional aggregation)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT c_mktsegment,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(avg(c_acctbal), 6) AS avg_bal,
+       round(stddev_samp(c_acctbal), 6) AS std_bal,
+       round(var_samp(c_acctbal), 4) AS var_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (single-pass moment computation)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 6).alias("std_bal"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+       round(median(l_quantity), 6) AS med_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). The approx scale path is agg_approx_percentiles."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.median("l_quantity"), 6).alias("med_qty"),
+    )
+
+
+@register("agg_approx_percentiles", oracle=None)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles — sketch-based, no oracle.
+    Fixed-memory per partition + merge: the 100 TB path."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_p50")
+    )
+
+
+@register(
+    "agg_conditional",
+    oracle="""
+SELECT l_linestatus,
+       count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0.0 END), 2)
+         AS returned_price,
+       round(avg(CASE WHEN l_quantity >= 25 THEN l_extendedprice END), 6)
+         AS avg_price_bulk
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: FILTER / CASE-gated sums and avgs."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)),
+            2,
+        ).alias("returned_price"),
+        F.round(
+            F.avg(F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))), 6
+        ).alias("avg_price_bulk"),
+    )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+SELECT o_orderstatus,
+       arg_max(o_orderkey, o_totalprice) AS most_expensive_order,
+       arg_min(o_orderkey, o_totalprice) AS cheapest_order
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-max aggregation) — single-pass, no join-back.
+
+    Note: o_totalprice has no duplicate values per group in this dataset
+    (continuous doubles), so arg extremes are deterministic."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("most_expensive_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+    )
+
+
+@register(
+    "agg_pandas_udaf",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS weighted_avg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg Pandas UDF (Arrow-vectorized UDAF): weighted average.
+
+    Python is the slow path — this exists to prove the UDAF surface; the
+    oracle shows the built-in formulation Catalyst would prefer."""
+
+    @F.pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:  # type: ignore[misc]
+        return float((price * qty).sum() / qty.sum())
+
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(weighted_avg(F.col("l_extendedprice"), F.col("l_quantity")), 6).alias(
+            "weighted_avg_price"
+        )
+    )

@@ -1,0 +1,261 @@
+"""Deduplication operators over the documents table — a first-class
+training-data-pipeline capability.
+
+- exact dedup: hash-groupBy on content (or a content fingerprint).
+- n-gram Jaccard near-dup: blocked self-join + exact set similarity.
+- MinHash+LSH near-dup: shingle → minhash signature → band buckets →
+  candidate join → exact-Jaccard verification. The oracle runs the SAME
+  deterministic algorithm in DuckDB (shared constants in operators/text.py),
+  so the comparison checks the full pipeline, not just its happy path.
+- SimHash signatures + near-dup pairs by Hamming distance.
+
+Scale posture (100 TB): exact dedup and fingerprinting are single-shuffle
+hash aggregates; LSH turns the O(n²) similarity join into per-bucket joins
+(shuffle on band signature); the blocked Jaccard join exists as the exact
+verifier and for modest blocks only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doreisa_spark.catalog import table
+from doreisa_spark.operators import text as TX
+from doreisa_spark.registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS fingerprint,
+       count(*) AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct content,
+    keeping the smallest doc_id. The shuffle key is the 128-bit md5, not
+    the document body — at 100 TB only fingerprints move."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    return d.groupBy(fp.alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+SELECT doc_id, lang, source
+FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+""",
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based dedup keeping a deterministic representative per
+    (lang, source) — the `dropDuplicates` semantics made deterministic via
+    window rank (dropDuplicates itself keeps an arbitrary row)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_NGRAM_TAU = 0.12
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, lang, {TX.duck_shingles('text', 3)} AS shingles FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round({TX.duck_jaccard('a.shingles', 'b.shingles')}, 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE {TX.duck_jaccard('a.shingles', 'b.shingles')} >= {_NGRAM_TAU}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-gram Jaccard, blocked by lang.
+
+    Jaccard is an integer ratio → bit-identical across engines. The lang
+    blocking bounds the self-join; at 100 TB use dedup_minhash_lsh instead
+    (this operator is its exact verifier)."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "lang", F.expr(TX.shingles_expr("text", 3)).alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    jac = F.expr(TX.jaccard_expr("a.shingles", "b.shingles"))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(jac >= _NGRAM_TAU)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+def _lsh_oracle() -> str:
+    """DuckDB SQL running the identical minhash-LSH pipeline."""
+    mh_cols = ",\n         ".join(
+        f"{TX.duck_minhash('shingles', k)} AS mh{k}" for k in range(TX.N_BANDS * TX.BAND_ROWS)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {band} AS band_id, "
+        f"concat(mh{band * TX.BAND_ROWS}, '-', mh{band * TX.BAND_ROWS + 1}) AS sig FROM mh"
+        for band in range(TX.N_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {TX.duck_shingles('text', 3)} AS shingles FROM documents
+), mh AS (
+  SELECT doc_id, shingles,
+         {mh_cols}
+  FROM sh
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round({TX.duck_jaccard('sa.shingles', 'sb.shingles')}, 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE {TX.duck_jaccard('sa.shingles', 'sb.shingles')} >= {_NGRAM_TAU}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_lsh_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, fully deterministic.
+
+    Pipeline: distinct word-3-gram shingles → K=8 affine minhashes over a
+    28-bit md5-derived hash (constants in operators/text.py) → 4 bands of 2
+    → explode to (band_id, signature) → self-join per bucket → exact-Jaccard
+    verification at τ=0.12. The DuckDB oracle executes the same algorithm.
+
+    100 TB posture: the band join shuffles on (band_id, sig) — candidate
+    generation is linear in collisions, never O(n²); the verify join only
+    re-reads the candidate docs' shingle arrays.
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.expr(TX.shingles_expr("text", 3)).alias("shingles"))
+    mh = sh.select(
+        "doc_id",
+        "shingles",
+        *[
+            F.expr(TX.minhash_expr("shingles", k)).alias(f"mh{k}")
+            for k in range(TX.N_BANDS * TX.BAND_ROWS)
+        ],
+    )
+    bands = None
+    for band in range(TX.N_BANDS):
+        sel = mh.select(
+            "doc_id",
+            F.lit(band).alias("band_id"),
+            F.concat_ws(
+                "-",
+                F.col(f"mh{band * TX.BAND_ROWS}"),
+                F.col(f"mh{band * TX.BAND_ROWS + 1}"),
+            ).alias("sig"),
+        )
+        bands = sel if bands is None else bands.unionByName(sel)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.expr(TX.jaccard_expr("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= _NGRAM_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {TX.duck_shingles('text', 3)} AS shingles FROM documents
+)
+SELECT doc_id, {TX.duck_simhash('shingles')} AS simhash16
+FROM sh
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature per document ({TX.SIMHASH_BITS}-bit, majority-vote
+    bits over shingle hashes). Near-dup mining then pairs signatures within
+    small Hamming distance (see dedup_simhash_pairs)."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.expr(TX.shingles_expr("text", 3)).alias("shingles"))
+    return sh.select("doc_id", F.expr(TX.simhash_expr("shingles")).alias("simhash16"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, lang, {TX.duck_shingles('text', 3)} AS shingles FROM documents
+), sig AS (
+  SELECT doc_id, lang, {TX.duck_simhash('shingles')} AS sh16 FROM sh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh16, b.sh16)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh16, b.sh16)) <= 1
+""",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ 1 within a lang block.
+
+    At 100 TB: block on simhash bit-prefixes (pigeonhole: distance ≤ k ⇒
+    equal in one of k+1 prefix segments) instead of lang."""
+    d = table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        "lang",
+        F.expr(TX.simhash_expr(TX.shingles_expr("text", 3))).alias("sh16"),
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    hamming = F.bit_count(F.col("a.sh16").bitwiseXOR(F.col("b.sh16")))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(hamming <= 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+    )

@@ -1,0 +1,178 @@
+"""Similarity search over the embeddings table (array<float> vectors).
+
+- Brute-force cosine top-k: the exact baseline (query-set × corpus join).
+- Threshold similarity join blocked by label.
+- Sign-LSH (random hyperplane) bucketed ANN: the 100 TB scale path — one
+  shuffle on bucket id; candidates only within buckets.
+
+All cosines are sequential-fold doubles (operators/vectors.py) so Spark and
+the DuckDB oracle agree bit-for-bit, making rankings/thresholds stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from doreisa_spark.catalog import table
+from doreisa_spark.operators import vectors as V
+from doreisa_spark.registry import register
+
+_N_QUERIES = 8  # vec_id < 8 are the query vectors
+_TOP_K = 5
+_SIM_TAU = 0.8
+
+
+@register(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+     scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+         {V.duck_cosine('q.qe', 'c.embedding')} AS cos_sim
+  FROM q JOIN embeddings c ON c.vec_id <> q.qid
+)
+SELECT qid, cid, round(cos_sim, 6) AS cos_sim, rk FROM (
+  SELECT qid, cid, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rk
+  FROM scored)
+WHERE rk <= {_TOP_K}
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-{_TOP_K} for each query vector (brute force).
+
+    The query side is tiny (broadcast); the corpus streams through one pass;
+    the final rank is a per-query window over ≤ corpus rows — at 100 TB this
+    becomes TakeOrdered-per-query via the same plan."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    cos = F.expr(V.cosine_expr("qe", "ce"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", cos.alias("cos_sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )
+
+
+@register(
+    "sim_threshold_join",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({V.duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {V.duck_cosine('a.embedding', 'b.embedding')} >= {_SIM_TAU}
+""",
+)
+def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity join: same-label pairs with cosine ≥ τ (embedding
+    near-duplicate detection). Label blocking bounds the pair count; the
+    unblocked scale path is sim_ann_lsh."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.expr(V.cosine_expr("a.embedding", "b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .where(cos >= _SIM_TAU)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {V.duck_lsh_bucket('embedding')} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qe, bucket FROM bucketed WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+         {V.duck_cosine('q.qe', 'c.embedding')} AS cos_sim
+  FROM q JOIN bucketed c ON c.bucket = q.bucket AND c.vec_id <> q.qid
+)
+SELECT qid, cid, round(cos_sim, 6) AS cos_sim, rk FROM (
+  SELECT qid, cid, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rk
+  FROM scored)
+WHERE rk <= {_TOP_K}
+""",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-{_TOP_K} via sign-LSH bucketing: {V.LSH_PLANES} deterministic
+    integer hyperplanes → 2^{V.LSH_PLANES} buckets → exact cosine only
+    within the query's bucket.
+
+    100 TB posture: bucket assignment is a map-only pass; candidate
+    generation shuffles on bucket id (≈ n/256 per bucket, no O(n²));
+    multi-probe (flipping low-margin bits) raises recall without changing
+    the plan shape."""
+    e = table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "embedding", F.expr(V.lsh_bucket_expr("embedding")).alias("bucket")
+    )
+    q = bucketed.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("bucket").alias("cb")
+    )
+    cos = F.expr(V.cosine_expr("qe", "ce"))
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("cb") == F.col("bucket")) & (F.col("cid") != F.col("qid")))
+        .select("qid", "cid", cos.alias("cos_sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )
+
+
+@register(
+    "sim_centroids",
+    oracle="""
+SELECT label,
+       count(*) AS n_vectors,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS centroid_d1,
+       round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS centroid_d2,
+       round(min(CAST(embedding[1] AS DOUBLE)), 6) AS min_d1,
+       round(max(CAST(embedding[1] AS DOUBLE)), 6) AS max_d1
+FROM embeddings
+GROUP BY label
+""",
+)
+def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics (centroid components) — vector
+    aggregate over array elements.
+
+    avg of float32 values cast to double: the sum is exact-enough that
+    round(.,6) is stable (values are O(1), n ≤ 1e5 per label)."""
+    e = table(spark, sf_dir, "embeddings")
+    d1 = F.element_at("embedding", 1).cast("double")
+    d2 = F.element_at("embedding", 2).cast("double")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(d1), 6).alias("centroid_d1"),
+        F.round(F.avg(d2), 6).alias("centroid_d2"),
+        F.round(F.min(d1), 6).alias("min_d1"),
+        F.round(F.max(d1), 6).alias("max_d1"),
+    )

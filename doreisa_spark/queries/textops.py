@@ -1,0 +1,228 @@
+"""Text analysis over documents: token statistics, quality scoring,
+heuristic language-ID, and rolling-hash fingerprinting.
+
+Everything is built-in expression work (JVM-side, codegen) — no Python in
+the hot path. Where a fold is needed (rolling hash) it's `aggregate` /
+`list_reduce`, identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doreisa_spark.catalog import table
+from doreisa_spark.operators import text as TX
+from doreisa_spark.registry import register
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique,
+       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr,
+       CAST(length(text) AS INTEGER) AS n_chars_actual,
+       round(CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+         AS avg_token_len
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + type-token ratio + average token length.
+
+    Integer-ratio doubles → bit-identical across engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_chars = F.length("text")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique"),
+        F.round(n_uniq.cast("double") / n_tok.cast("double"), 6).alias("ttr"),
+        n_chars.cast("int").alias("n_chars_actual"),
+        F.round(n_chars.cast("double") / n_tok.cast("double"), 6).alias("avg_token_len"),
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS INTEGER) AS n_tokens,
+       round(CAST(len(list_filter(toks,
+                t -> list_contains({_STOPWORDS!r}, t))) AS DOUBLE)
+             / CAST(n_tok AS DOUBLE), 6) AS stopword_ratio,
+       round(CAST(len(list_filter(toks, t -> length(t) >= 4)) AS DOUBLE)
+             / CAST(n_tok AS DOUBLE), 6) AS long_token_ratio,
+       CASE WHEN n_tok >= 20
+              AND CAST(len(list_filter(toks,
+                    t -> list_contains({_STOPWORDS!r}, t))) AS DOUBLE)
+                  / CAST(n_tok AS DOUBLE) BETWEEN 0.05 AND 0.6
+            THEN 1 ELSE 0 END AS passes_quality
+FROM t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, long-token ratio, and a
+    pass/fail gate — the C4-style filter shape for pretraining pipelines."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    sw = F.array([F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_long = F.size(F.filter(toks, lambda t: F.length(t) >= 4))
+    stop_ratio = n_stop.cast("double") / n_tok.cast("double")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(n_long.cast("double") / n_tok.cast("double"), 6).alias("long_token_ratio"),
+        F.when((n_tok >= 20) & (stop_ratio >= 0.05) & (stop_ratio <= 0.6), 1)
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "la", "y", "los", "es"],
+}
+
+
+def _duck_lang_score(lang: str) -> str:
+    return (
+        f"len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains({_LANG_MARKERS[lang]!r}, t)))"
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {_duck_lang_score('en')} AS s_en,
+         {_duck_lang_score('de')} AS s_de,
+         {_duck_lang_score('fr')} AS s_fr,
+         {_duck_lang_score('es')} AS s_es
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_es THEN 'fr'
+         ELSE 'es'
+       END AS pred_lang,
+       CAST(s_en AS INTEGER) AS score_en
+FROM scored
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-marker language ID heuristic: count marker-word hits
+    per candidate language, argmax with a fixed precedence order (en > de >
+    fr > es on ties) — deterministic in both engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def score(lang: str):
+        markers = F.array([F.lit(m) for m in _LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+    s_en, s_de, s_fr, s_es = score("en"), score("de"), score("fr"), score("es")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when((s_en >= s_de) & (s_en >= s_fr) & (s_en >= s_es), "en")
+        .when((s_de >= s_fr) & (s_de >= s_es), "de")
+        .when(s_fr >= s_es, "fr")
+        .otherwise("es")
+        .alias("pred_lang"),
+        s_en.cast("int").alias("score_en"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5(lower(text)) AS md5_fp,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(lower(text), ' '),
+                          w -> {TX.duck_hash60('w')} % {TX.MERSENNE_P})),
+         (acc, h) -> (31 * acc + h) % {TX.MERSENNE_P}) AS rolling_fp
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text + a word-level
+    polynomial rolling hash (acc = 31·acc + h(w) mod p), folded
+    sequentially — identical in both engines."""
+    d = table(spark, sf_dir, "documents")
+    h_w = TX.hash60_expr("w")
+    rolling = (
+        f"aggregate(transform(split(lower(text), ' '), w -> {h_w} % {TX.MERSENNE_P}), "
+        f"CAST(0 AS BIGINT), (acc, h) -> (31L * acc + h) % {TX.MERSENNE_P})"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text")).cast("binary")).alias("md5_fp"),
+        F.expr(rolling).alias("rolling_fp"),
+    )
+
+
+@register(
+    "text_ngram_top",
+    oracle="""
+WITH grams AS (
+  SELECT lang, unnest(list_transform(range(1, len(string_split(text, ' '))),
+                 i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))) AS bigram
+  FROM documents
+), counted AS (
+  SELECT lang, bigram, count(*) AS n
+  FROM grams GROUP BY lang, bigram
+)
+SELECT lang, bigram, n, rk FROM (
+  SELECT lang, bigram, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk
+  FROM counted)
+WHERE rk <= 5
+""",
+)
+def text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language: n-gram explode → count → windowed
+    top-k. The heavy explode+count is a classic map-side-combine aggregate."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    bigrams = F.expr(
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> array_join(slice({toks}, i, 2), ' ')) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    counted = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return counted.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)

@@ -1,0 +1,70 @@
+"""Query registry: every operator we claim in SURVEY.md §2 registers here.
+
+Each entry pairs a Spark implementation ``(spark, sf_dir) -> DataFrame`` with
+an equivalent ANSI-SQL oracle string that DuckDB runs on the same parquet
+tables. The driver (and our own tests) execute both and compare
+row-count + schema + order-insensitive value hash.
+
+Registration is declarative::
+
+    @register("q1_pricing_summary", oracle=\"\"\"SELECT ...\"\"\")
+    def q1(spark, sf_dir):
+        ...
+
+Oracle-less entries (``oracle=None``) are allowed for genuinely
+non-SQL-expressible operators (approx sketches, stateful streaming); the
+driver records a weaker rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+_loaded = False
+
+
+def _ensure_loaded() -> None:
+    """Import every query module exactly once so decorators run."""
+    global _loaded
+    if _loaded:
+        return
+    import doreisa_spark.queries  # noqa: F401  (imports all submodules)
+
+    _loaded = True
