@@ -1,0 +1,80 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric", "value" (total sec), "unit", "queries"
+(per-query sec), "sf"}.
+
+Each query is fully executed with a `noop` sink (all partitions
+materialized on the executors, nothing funneled to the driver) — the same
+measurement posture you'd use on a cluster, where `collect` would time the
+driver link instead of the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from doreisa_spark.registry import queries as all_queries  # noqa: E402
+from doreisa_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # relational analytics (scan→join→agg→sort)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    # joins beyond equi
+    "join_asof_purchase_click",
+    "join_range_bands",
+    # agg + window surface
+    "agg_rollup",
+    "window_topk_per_group",
+    # event-time analytics
+    "stream_session_window",
+    # LLM-pipeline operators
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+    # chunked-tensor layer (doreisa core analog)
+    "tensor_global_sum",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # warm up the JVM + parquet footer cache outside the measurement
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -49,8 +49,26 @@ def hash60_expr(s: str) -> str:
     return f"CAST(conv(substring(md5(CAST({s} AS BINARY)), 1, 7), 16, 10) AS BIGINT)"
 
 
+def hashes_expr(shingle_array: str) -> str:
+    """Hash every shingle ONCE → array<bigint> of 28-bit hashes mod P.
+
+    All K minhashes and all SIMHASH_BITS votes derive from this single
+    md5 pass — materialize it as a column before fanning out (an md5 per
+    shingle per derived value is a 8-16× slowdown otherwise)."""
+    return f"transform({shingle_array}, s -> {hash60_expr('s')} % {MERSENNE_P})"
+
+
+def minhash_from_hashes_expr(hashes_array: str, k: int) -> str:
+    """k-th minhash from the precomputed hash array (Spark SQL text)."""
+    a, b = MINHASH_A[k], MINHASH_B[k]
+    return f"array_min(transform({hashes_array}, h -> ({a}L * h + {b}L) % {MERSENNE_P}))"
+
+
 def minhash_expr(shingle_array: str, k: int) -> str:
-    """k-th minhash over a shingle-array expression (Spark SQL text)."""
+    """k-th minhash over a shingle-array expression (Spark SQL text).
+
+    Prefer hashes_expr + minhash_from_hashes_expr in multi-minhash
+    pipelines; this form re-runs md5 per k."""
     a, b = MINHASH_A[k], MINHASH_B[k]
     h = hash60_expr("s")
     return (
@@ -59,14 +77,28 @@ def minhash_expr(shingle_array: str, k: int) -> str:
     )
 
 
+def simhash_from_hashes_expr(hashes_array: str) -> str:
+    """SimHash signature from the precomputed hash array: bit_j = 1 iff
+    majority of hashes have bit j set (votes ±1, sum > 0)."""
+    parts = []
+    for j in range(SIMHASH_BITS):
+        vote = (
+            f"aggregate(transform({hashes_array}, "
+            f"h -> CASE WHEN shiftright(h, {j}) % 2 = 1 THEN 1 ELSE -1 END), "
+            f"0, (acc, x) -> acc + x)"
+        )
+        parts.append(f"(CASE WHEN {vote} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0L END)")
+    return "(" + " + ".join(parts) + ")"
+
+
 def simhash_expr(shingle_array: str) -> str:
     """SimHash signature (SIMHASH_BITS wide) over a shingle array.
 
     bit_j = 1 iff sum over shingles of (±1 by hash bit j) > 0; the
     signature is the integer with those bits set. Expressed as a sum of
     per-bit votes folded with `aggregate` — identical in DuckDB via
-    list_sum/list_transform.
-    """
+    list_sum/list_transform. Prefer hashes_expr +
+    simhash_from_hashes_expr (single md5 pass)."""
     h = f"({hash60_expr('s')} % {MERSENNE_P})"
     parts = []
     for j in range(SIMHASH_BITS):

@@ -158,41 +158,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-reads the candidate docs' shingle arrays.
     """
     d = table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.expr(TX.shingles_expr("text", 3)).alias("shingles"))
-    mh = sh.select(
-        "doc_id",
-        "shingles",
+    # ONE pass computes shingles, per-shingle hashes (single md5 each), all
+    # K minhashes, and the band signature array; persisted so the candidate
+    # and verification stages never re-run the text pipeline.
+    band_sigs = F.array(
         *[
-            F.expr(TX.minhash_expr("shingles", k)).alias(f"mh{k}")
-            for k in range(TX.N_BANDS * TX.BAND_ROWS)
-        ],
-    )
-    bands = None
-    for band in range(TX.N_BANDS):
-        sel = mh.select(
-            "doc_id",
-            F.lit(band).alias("band_id"),
             F.concat_ws(
                 "-",
-                F.col(f"mh{band * TX.BAND_ROWS}"),
-                F.col(f"mh{band * TX.BAND_ROWS + 1}"),
-            ).alias("sig"),
-        )
-        bands = sel if bands is None else bands.unionByName(sel)
-    a = bands.alias("a")
-    b = bands.alias("b")
+                F.expr(TX.minhash_from_hashes_expr("hashes", band * TX.BAND_ROWS)),
+                F.expr(TX.minhash_from_hashes_expr("hashes", band * TX.BAND_ROWS + 1)),
+            )
+            for band in range(TX.N_BANDS)
+        ]
+    )
+    sig = (
+        d.select("doc_id", F.expr(TX.shingles_expr("text", 3)).alias("shingles"))
+        .withColumn("hashes", F.expr(TX.hashes_expr("shingles")))
+        .select("doc_id", "shingles", band_sigs.alias("band_sigs"))
+        .persist()
+    )
+    # candidate generation: explode to (band_id, sig), bucket by groupBy,
+    # emit ordered in-bucket pairs — one shuffle of (long, int, string)
+    # rows, never a self-join (no O(n²) and no pipeline re-execution).
+    bands = sig.select(
+        "doc_id", F.posexplode("band_sigs").alias("band_id", "sig")
+    )
+    buckets = (
+        bands.groupBy("band_id", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS a, y AS b))))"
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.expr(TX.jaccard_expr("sh_a", "sh_b"))
     return (
         cand.join(sa, "doc_a")
@@ -218,7 +224,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     small Hamming distance (see dedup_simhash_pairs)."""
     d = table(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.expr(TX.shingles_expr("text", 3)).alias("shingles"))
-    return sh.select("doc_id", F.expr(TX.simhash_expr("shingles")).alias("simhash16"))
+    hashed = sh.select("doc_id", F.expr(TX.hashes_expr("shingles")).alias("hashes"))
+    return hashed.select(
+        "doc_id", F.expr(TX.simhash_from_hashes_expr("hashes")).alias("simhash16")
+    )
 
 
 @register(
@@ -245,8 +254,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = d.select(
         "doc_id",
         "lang",
-        F.expr(TX.simhash_expr(TX.shingles_expr("text", 3))).alias("sh16"),
-    )
+        F.expr(TX.hashes_expr(TX.shingles_expr("text", 3))).alias("hashes"),
+    ).select("doc_id", "lang", F.expr(TX.simhash_from_hashes_expr("hashes")).alias("sh16"))
     a = sig.alias("a")
     b = sig.alias("b")
     hamming = F.bit_count(F.col("a.sh16").bitwiseXOR(F.col("b.sh16")))

@@ -1,0 +1,97 @@
+"""Event-time analytics on Structured Streaming — watermarks, windowed
+aggregations, and micro-batch sinks.
+
+This is the genuinely-streaming counterpart of queries/events_stream.py
+(whose batch-SQL versions exist so the DuckDB oracle can check the same
+semantics). The reference's streaming layer is timestep-synchronous with
+no late data (SURVEY.md §2C); the event-time surface here is the Spark
+superset: watermarks bound state, late rows beyond the watermark drop.
+
+Scale posture: a file/Kafka source partitioned by arrival; windowed aggs
+shuffle once on (window, key); state store size is bounded by
+watermark horizon × key cardinality, independent of total history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_DDL = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of event rows: producers drop parquet files into
+    ``source_dir``; each trigger consumes ``max_files_per_trigger`` files
+    (the backpressure knob — doreisa's max_pending_arrays analog)."""
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def tumbling_counts(events: DataFrame, *, minutes: int = 60, watermark: str = "2 hours") -> DataFrame:
+    """Per-hour per-type counts with a watermark bounding agg state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_avg(
+    events: DataFrame, *, length_min: int = 30, slide_min: int = 10, watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{length_min} minutes", f"{slide_min} minutes").alias("w"))
+        .agg(F.avg("value").alias("avg_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "avg_value", "n_events")
+    )
+
+
+def session_windows(events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows: a session extends while events arrive
+    within ``gap`` (F.session_window keeps state per open session only)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_memory(
+    stream: DataFrame, query_name: str, *, output_mode: str = "append", timeout_sec: float = 120
+):
+    """Execute a streaming plan to completion against a finite source,
+    returning the in-memory sink table name. Test/driver harness only —
+    production sinks are parquet/Kafka via the same writeStream call."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return query_name

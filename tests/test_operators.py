@@ -1,0 +1,74 @@
+"""Composite-operator unit tests against independent oracles (pandas)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from doreisa_spark.operators.asof import asof_join
+from doreisa_spark.operators.topk import topk_per_group
+
+
+def test_asof_join_matches_merge_asof(spark):
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "lt": rng.integers(0, 1000, 200),
+            "lid": range(200),
+        }
+    ).astype({"lt": "int64"})
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 150),
+            "rt": rng.integers(0, 1000, 150),
+            "val": rng.normal(size=150).round(3),
+        }
+    ).astype({"rt": "int64"})
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"],
+            left_ts="lt",
+            right_ts="rt",
+            value_cols=["val"],
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+
+    expect = pd.merge_asof(
+        left.sort_values("lt", kind="stable"),
+        right.sort_values("rt", kind="stable"),
+        left_on="lt",
+        right_on="rt",
+        by="k",
+        direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+
+    # merge_asof picks the LAST among equal rt rows, as does last() over
+    # the union window; compare the attached value nullwise
+    got_vals = got["val_asof"].where(got["val_asof"].notna(), None)
+    exp_vals = expect["val"].where(expect["val"].notna(), None)
+    mism = [
+        (i, a, b)
+        for i, (a, b) in enumerate(zip(got_vals, exp_vals))
+        if (a is None) != (b is None) or (a is not None and abs(a - b) > 1e-12)
+    ]
+    assert not mism, mism[:5]
+
+
+def test_topk_per_group(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v")
+    )
+    out = topk_per_group(df, ["g"], [F.desc("v")], 3).toPandas()
+    assert len(out) == 21
+    for g, grp in out.groupby("g"):
+        top = sorted(x for x in range(100) if x % 7 == g)[-3:]
+        assert sorted(grp["v"]) == top

@@ -1,0 +1,60 @@
+"""Registry integrity + a fast differential sample against DuckDB.
+
+The full 82-query differential runs via tools/check_oracle.py (and the
+round driver); here a representative fast subset guards refactors."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from check_oracle import normalize, value_hash  # noqa: E402
+
+from doreisa_spark.catalog import TABLES
+from doreisa_spark.registry import oracles, queries
+
+from conftest import SF_SMALL
+
+SAMPLE = [
+    "q1_pricing_summary",
+    "join_left_anti",
+    "agg_grouping_sets",
+    "window_ranking",
+    "setop_except",
+    "func_string",
+    "subq_correlated_agg",
+    "text_token_stats",
+    "dedup_exact",
+]
+
+
+def test_registry_shape():
+    qs, os_ = queries(), oracles()
+    assert len(qs) >= 82
+    assert set(os_) <= set(qs)
+    # every non-oracle entry is a deliberate weak check (approx sketches)
+    assert all(n.startswith(("agg_approx",)) for n in set(qs) - set(os_))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_differential_sample(spark, duck, name):
+    sdf = queries()[name](spark, SF_SMALL).toPandas()
+    odf = duck.execute(oracles()[name]).fetchdf()
+    assert len(sdf) == len(odf)
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert value_hash(normalize(sdf)) == value_hash(normalize(odf))

@@ -1,0 +1,165 @@
+"""run_simulation analog tests — mirror the reference's e2e scenarios:
+core loop (tests/test_doreisa.py:30-53), sliding window
+(tests/test_sliding_window.py:17-35), several arrays
+(tests/test_several_arrays.py:17-40), preprocess callback
+(tests/test_preprocessing_callback.py:17-26), plan-ahead
+(tests/test_prepare_iteration.py:17-35). Oracles are closed-form sums of
+known chunk grids, exactly as the reference asserts inside callbacks."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from doreisa_spark.streaming import ArrayDefinition, run_simulation
+from doreisa_spark.streaming.simulation import PreparedIteration
+
+GRID = (2, 2)
+CHUNK = (4, 4)
+CHUNK_SUM = CHUNK[0] * CHUNK[1]  # sum of a chunk of ones
+
+
+def _produce(ingest, *, name="temps", steps=5, factor=1):
+    """4 ranks each push (rank+1)·t·ones chunks per timestep
+    (reference: tests/utils.py:26-47)."""
+    for t in range(steps):
+        for rank, pos in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            chunk = float(factor * (rank + 1) * t) * np.ones(CHUNK)
+            ingest.add_chunk(name, pos, GRID, t, chunk)
+
+
+def expected_total(t: int, factor: int = 1) -> float:
+    # sum over ranks of (rank+1)·t·CHUNK_SUM = 10·t·CHUNK_SUM·factor
+    return float(10 * t * CHUNK_SUM * factor)
+
+
+def test_core_loop(spark):
+    seen = []
+
+    def callback(temps, timestep):
+        seen.append((timestep, temps.sum().collect()[0]["total"]))
+
+    run_simulation(
+        spark,
+        callback,
+        [ArrayDefinition("temps")],
+        max_iterations=5,
+        producers=lambda ing: _produce(ing, steps=5),
+    )
+    assert seen == [(t, expected_total(t)) for t in range(5)]
+
+
+def test_sliding_window(spark):
+    lengths, diffs = [], []
+
+    def callback(temps, timestep):
+        lengths.append(len(temps))
+        if len(temps) == 2:
+            diffs.append(temps[1].zip_with(temps[0], "-").sum().collect()[0]["total"])
+
+    run_simulation(
+        spark,
+        callback,
+        [ArrayDefinition("temps", window_size=2)],
+        max_iterations=4,
+        producers=lambda ing: _produce(ing, steps=4),
+    )
+    # short window at stream start (window_api.py:91-97)
+    assert lengths == [1, 2, 2, 2]
+    # (a[t] - a[t-1]).sum() == 10·CHUNK_SUM  (test_sliding_window.py:27)
+    assert diffs == [float(10 * CHUNK_SUM)] * 3
+
+
+def test_several_arrays_and_preprocess(spark):
+    got = []
+
+    def callback(a, b, timestep):
+        got.append(
+            (
+                timestep,
+                a.sum().collect()[0]["total"],
+                b[-1].sum().collect()[0]["total"],
+            )
+        )
+
+    def producers(ing):
+        _produce(ing, name="a", steps=3)
+        _produce(ing, name="b", steps=3)
+
+    run_simulation(
+        spark,
+        callback,
+        [
+            ArrayDefinition("a"),
+            # preprocess 2x on one array (test_several_arrays.py:37)
+            ArrayDefinition("b", window_size=2, preprocess=lambda x: 2 * x),
+        ],
+        max_iterations=3,
+        producers=producers,
+    )
+    assert got == [(t, expected_total(t), 2 * expected_total(t)) for t in range(3)]
+
+
+def test_out_of_order_timesteps(spark):
+    """Chunks for t=1 arrive before t=0 — buffered, callback still in order
+    (window_api.py:75-85)."""
+    seen = []
+
+    def producers(ing):
+        for t in (1, 0, 2):
+            for rank, pos in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+                ing.add_chunk("x", pos, GRID, t, float(t) * np.ones(CHUNK))
+
+    def callback(x, timestep):
+        seen.append((timestep, x.sum().collect()[0]["total"]))
+
+    run_simulation(
+        spark, callback, [ArrayDefinition("x")], max_iterations=3, producers=producers
+    )
+    assert [s[0] for s in seen] == [0, 1, 2]
+    assert seen[2][1] == 2.0 * 4 * CHUNK_SUM
+
+
+def test_prepare_iteration(spark):
+    """Plan-ahead runs before data exists and its result reaches the
+    callback (window_api.py:58-72, preparation_advance=2)."""
+    prepared, received = [], []
+
+    def prepare(desc: PreparedIteration):
+        prepared.append(desc.timestep)
+        return ("plan", desc.timestep)
+
+    def callback(temps, timestep, preparation_result):
+        received.append(preparation_result)
+
+    run_simulation(
+        spark,
+        callback,
+        [ArrayDefinition("temps")],
+        max_iterations=3,
+        producers=lambda ing: _produce(ing, steps=3),
+        prepare_iteration=prepare,
+        preparation_advance=2,
+    )
+    assert received == [("plan", 0), ("plan", 1), ("plan", 2)]
+    assert set(prepared) >= {0, 1, 2}
+
+
+def test_grid_change_rejected(spark):
+    import pytest
+
+    def producers(ing):
+        ing.add_chunk("y", (0,), (2,), 0, np.ones(4))
+        ing.add_chunk("y", (1,), (2,), 0, np.ones(4))
+        with pytest.raises(ValueError, match="grid changed"):
+            ing.add_chunk("y", (0,), (3,), 1, np.ones(4))
+        # recover: push the real t=1 grid so the driver loop finishes
+        ing.add_chunk("y", (0,), (2,), 1, np.ones(4))
+        ing.add_chunk("y", (1,), (2,), 1, np.ones(4))
+
+    run_simulation(
+        spark,
+        lambda y, timestep: None,
+        [ArrayDefinition("y")],
+        max_iterations=2,
+        producers=producers,
+    )
