@@ -32,16 +32,26 @@ def asof_join(
 
     Single shuffle: both sides are unioned and window-partitioned by ``on``;
     ties at equal timestamps resolve right-before-left so a right row at
-    exactly ``left_ts`` is visible (<= semantics).
+    exactly ``left_ts`` is visible (<= semantics). When several RIGHT rows
+    share the same (on, right_ts), the one with the greatest ``value_cols``
+    tuple (struct ordering, field by field) wins — a total order, so the
+    result is deterministic across runs/partitionings
+    (``last(..., ignorenulls=True)`` alone would pick an arbitrary row of
+    the tie group).
     """
     marker = "__asof_is_left"
     ts = "__asof_ts"
+    seq = "__asof_seq"
 
     lcols = [F.col(c) for c in left.columns]
     l_tagged = left.select(
         *lcols,
         F.col(left_ts).alias(ts),
         F.lit(1).alias(marker),
+        # left rows never compete on seq (marker already separates them)
+        F.struct(
+            *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols]
+        ).alias(seq),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in value_cols],
     )
     r_tagged = right.select(
@@ -49,13 +59,15 @@ def asof_join(
         *[F.col(c) for c in on],
         F.col(right_ts).alias(ts),
         F.lit(0).alias(marker),
+        # deterministic right-side tiebreak: total order over the value tuple
+        F.struct(*[F.col(c) for c in value_cols]).alias(seq),
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
     ).select(*[c for c in l_tagged.columns])
 
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(*[F.col(c) for c in on])
-        .orderBy(F.col(ts), F.col(marker))
+        .orderBy(F.col(ts), F.col(marker), F.col(seq).asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled: list[Column] = [

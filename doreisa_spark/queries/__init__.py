@@ -13,6 +13,10 @@ Modules group the SURVEY.md §2 inventory:
 - ``dedup``       — exact / minhash-LSH / simhash / n-gram-jaccard dedup.
 - ``similarity``  — embedding cosine top-k ANN (brute-force + LSH-bucketed).
 - ``textops``     — language-ID, quality scoring, token counts, fingerprinting.
+- ``multimodal``  — binary payload columns: metadata extraction, decode/feature kernels.
+
+Each module registers its queries as primary (driver-checked, budgeted at
+50) or extended (oracle-verified by our own gate) — see registry.py.
 """
 
 from doreisa_spark.queries import (  # noqa: F401
@@ -20,6 +24,7 @@ from doreisa_spark.queries import (  # noqa: F401
     dedup,
     events_stream,
     joins,
+    multimodal,
     scalar_funcs,
     setops,
     similarity,

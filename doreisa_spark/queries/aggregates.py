@@ -38,7 +38,7 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct", oracle=None)
+@register("agg_approx_count_distinct", extended=True, oracle=None)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct sketch — algorithm-specific output, so no SQL
     oracle (driver records rows-only). The scale path for 100 TB distincts:
@@ -69,7 +69,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_cube",
+    "agg_cube", extended=True,
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        count(*) AS n_orders, round(avg(o_totalprice), 6) AS avg_price
@@ -87,7 +87,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_grouping_sets",
+    "agg_grouping_sets", extended=True,
     oracle="""
 SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price
 FROM lineitem
@@ -129,7 +129,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_stats",
+    "agg_stats", extended=True,
     oracle="""
 SELECT c_mktsegment,
        round(min(c_acctbal), 2) AS min_bal,
@@ -154,7 +154,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_percentiles",
+    "agg_percentiles", extended=True,
     oracle="""
 SELECT l_returnflag,
        round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
@@ -177,7 +177,7 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentiles", oracle=None)
+@register("agg_approx_percentiles", extended=True, oracle=None)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate quantiles — sketch-based, no oracle.
     Fixed-memory per partition + merge: the 100 TB path."""
@@ -188,7 +188,7 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_conditional",
+    "agg_conditional", extended=True,
     oracle="""
 SELECT l_linestatus,
        count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
@@ -216,7 +216,7 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_min_max_by",
+    "agg_min_max_by", extended=True,
     oracle="""
 SELECT o_orderstatus,
        arg_max(o_orderkey, o_totalprice) AS most_expensive_order,

@@ -48,7 +48,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_exact_keep_first",
+    "dedup_exact_keep_first", extended=True,
     oracle="""
 SELECT doc_id, lang, source
 FROM (
@@ -78,7 +78,7 @@ _NGRAM_TAU = 0.12
 
 
 @register(
-    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard", extended=True,
     oracle=f"""
 WITH sh AS (
   SELECT doc_id, lang, {TX.duck_shingles('text', 3)} AS shingles FROM documents
@@ -230,8 +230,82 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HAM_K = 1  # max Hamming distance for near-dup pairs
+_SEG_BITS = TX.SIMHASH_BITS // (_HAM_K + 1)  # pigeonhole: k+1 segments
+
+
 @register(
-    "dedup_simhash_pairs",
+    "dedup_simhash_blocked",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {TX.duck_shingles('text', 3)} AS shingles FROM documents
+), sig AS (
+  SELECT doc_id, {TX.duck_simhash('shingles')} AS sh16 FROM sh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh16, b.sh16)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh16, b.sh16)) <= {_HAM_K}
+""",
+)
+def dedup_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via bit-prefix pigeonhole blocking — the
+    100 TB scale path (no O(n²) self-join anywhere).
+
+    Hamming distance ≤ k implies the two signatures are EQUAL on at least
+    one of k+1 disjoint bit segments, so candidate pairs are generated only
+    inside (segment_id, segment_value) buckets: explode each signature into
+    its k+1 segments, group, emit ordered in-bucket pairs, verify exact
+    Hamming ≤ k. The DuckDB oracle is the all-pairs SEMANTIC spec, so a
+    green row proves the blocking loses nothing. Segment width scales with
+    signature width (here {TX.SIMHASH_BITS}-bit/{_HAM_K + 1} segments); at
+    a larger corpus use a 64-bit simhash and k+1 16-bit segments — the plan
+    shape (map-explode → bucket groupBy → verify join) is unchanged.
+    """
+    d = table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id",
+        F.expr(TX.hashes_expr(TX.shingles_expr("text", 3))).alias("hashes"),
+    ).select("doc_id", F.expr(TX.simhash_from_hashes_expr("hashes")).alias("sh16"))
+    segs = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(sh16 DIV {2 ** (i * _SEG_BITS)}) % {2 ** _SEG_BITS}")
+                    for i in range(_HAM_K + 1)
+                ]
+            )
+        ).alias("seg_id", "seg_val"),
+    )
+    # bounded fan-out: sorted bucket membership, ordered pairs (a < b)
+    buckets = (
+        segs.groupBy("seg_id", "seg_val")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+    )
+    pairs = F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds) - i - 1), y -> struct(x AS a, y AS b))))"
+    )
+    cand = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh16").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh16").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(hamming <= _HAM_K)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
+
+
+@register(
+    "dedup_simhash_pairs", extended=True,
     oracle=f"""
 WITH sh AS (
   SELECT doc_id, lang, {TX.duck_shingles('text', 3)} AS shingles FROM documents

@@ -39,7 +39,7 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_left_outer",
+    "join_left_outer", extended=True,
     oracle="""
 SELECT o_orderkey, o_orderstatus, count(l_orderkey) AS n_items,
        round(coalesce(sum(l_quantity), 0.0), 2) AS total_qty
@@ -64,7 +64,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_right_outer",
+    "join_right_outer", extended=True,
     oracle="""
 SELECT p_partkey, p_brand, count(l_orderkey) AS n_lineitems
 FROM lineitem
@@ -115,7 +115,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_left_semi",
+    "join_left_semi", extended=True,
     oracle="""
 SELECT c_custkey, c_name
 FROM customer
@@ -147,7 +147,7 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_cross",
+    "join_cross", extended=True,
     oracle="""
 SELECT r_name, x.o_orderstatus
 FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) x
@@ -161,7 +161,7 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_theta_inequality",
+    "join_theta_inequality", extended=True,
     oracle="""
 SELECT n1.n_regionkey AS regionkey, count(*) AS n_pairs
 FROM nation n1

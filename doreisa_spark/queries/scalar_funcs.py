@@ -59,7 +59,7 @@ def func_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "func_date",
+    "func_date", extended=True,
     oracle="""
 SELECT o_orderkey,
        CAST(year(o_orderdate) AS INTEGER) AS yr,
@@ -99,7 +99,7 @@ def func_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "func_math",
+    "func_math", extended=True,
     oracle="""
 SELECT l_orderkey, l_linenumber,
        round(abs(l_extendedprice - 30000.0), 2) AS abs_diff,
@@ -137,7 +137,7 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "func_array",
+    "func_array", extended=True,
     oracle="""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -250,7 +250,7 @@ def func_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "func_hash_binary",
+    "func_hash_binary", extended=True,
     oracle="""
 SELECT doc_id,
        md5(text) AS text_md5,

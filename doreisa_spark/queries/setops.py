@@ -49,7 +49,7 @@ def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "setop_union_distinct",
+    "setop_union_distinct", extended=True,
     oracle="""
 SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
 UNION
@@ -88,7 +88,7 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "setop_except_all",
+    "setop_except_all", extended=True,
     oracle="""
 SELECT nationkey, count(*) AS n FROM (
   SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
@@ -109,7 +109,7 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "setop_intersect_all",
+    "setop_intersect_all", extended=True,
     oracle="""
 SELECT nationkey, count(*) AS n FROM (
   SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer

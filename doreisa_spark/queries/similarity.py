@@ -66,7 +66,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sim_threshold_join",
+    "sim_threshold_join", extended=True,
     oracle=f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({V.duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
@@ -148,7 +148,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sim_centroids",
+    "sim_centroids", extended=True,
     oracle="""
 SELECT label,
        count(*) AS n_vectors,

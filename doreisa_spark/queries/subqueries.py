@@ -33,7 +33,7 @@ def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "subq_not_exists",
+    "subq_not_exists", extended=True,
     oracle="""
 SELECT p_partkey, p_brand
 FROM part
@@ -94,7 +94,7 @@ def subq_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "subq_in_spark_sql",
+    "subq_in_spark_sql", extended=True,
     oracle="""
 SELECT c_custkey, c_name
 FROM customer

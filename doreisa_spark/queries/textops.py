@@ -189,7 +189,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_ngram_top",
+    "text_ngram_top", extended=True,
     oracle="""
 WITH grams AS (
   SELECT lang, unnest(list_transform(range(1, len(string_split(text, ' '))),

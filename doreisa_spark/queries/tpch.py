@@ -127,7 +127,7 @@ GROUP BY n_name
 """
 
 
-@register("q5_local_supplier_volume", oracle=Q5_ORACLE)
+@register("q5_local_supplier_volume", extended=True, oracle=Q5_ORACLE)
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: 6-way join through the full star schema.
 
@@ -172,7 +172,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
-@register("q6_forecast_revenue", oracle=Q6_ORACLE)
+@register("q6_forecast_revenue", extended=True, oracle=Q6_ORACLE)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure scan+filter+scalar-agg — the pushdown benchmark.
 
@@ -212,7 +212,7 @@ LIMIT 20
 """
 
 
-@register("q10_returned_items", oracle=Q10_ORACLE)
+@register("q10_returned_items", extended=True, oracle=Q10_ORACLE)
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: returned-item revenue per customer, top-20."""
     c = table(spark, sf_dir, "customer")

@@ -44,7 +44,7 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_running_sum",
+    "window_running_sum", extended=True,
     oracle="""
 SELECT o_custkey, o_orderkey,
        round(sum(o_totalprice) OVER (
@@ -102,7 +102,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_moving_avg",
+    "window_moving_avg", extended=True,
     oracle="""
 SELECT user_id, event_id,
        round(avg(value) OVER (
@@ -158,7 +158,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_distribution",
+    "window_distribution", extended=True,
     oracle="""
 SELECT c_custkey, c_mktsegment,
        ntile(4)       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile,
@@ -183,7 +183,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_first_last",
+    "window_first_last", extended=True,
     oracle="""
 SELECT o_custkey, o_orderkey,
        first_value(o_orderkey) OVER (

@@ -14,6 +14,18 @@ Registration is declarative::
 Oracle-less entries (``oracle=None``) are allowed for genuinely
 non-SQL-expressible operators (approx sketches, stateful streaming); the
 driver records a weaker rows-only check for those.
+
+Two tiers:
+
+- **primary** (default) — the curated set exposed through ``queries()`` /
+  ``oracle_sql()`` to the external driver, sized to its 50-query
+  correctness budget and covering every SURVEY.md §2 operator family.
+- **extended** (``extended=True``) — additional variants of already-covered
+  operators (e.g. right outer next to full outer, cube next to rollup).
+  These are NOT in ``queries()``; they are oracle-verified by our own
+  differential gate (``tools/check_oracle.py --extended`` and
+  ``tests/test_extended_oracles.py``) so they stay green without spending
+  driver budget.
 """
 
 from __future__ import annotations
@@ -35,13 +47,17 @@ class Query:
 
 
 REGISTRY: dict[str, Query] = {}
+EXTENDED: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str, oracle: str | None = None, *, extended: bool = False
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        if name in REGISTRY:
+        if name in REGISTRY or name in EXTENDED:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip())
+        target = EXTENDED if extended else REGISTRY
+        target[name] = Query(name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip())
         return fn
 
     return deco
@@ -55,6 +71,16 @@ def queries() -> dict[str, QueryFn]:
 def oracles() -> dict[str, str]:
     _ensure_loaded()
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+def extended_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: q.fn for name, q in EXTENDED.items()}
+
+
+def extended_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.oracle for name, q in EXTENDED.items() if q.oracle is not None}
 
 
 _loaded = False

@@ -164,7 +164,7 @@ class SimulationDriver:
         *,
         max_pending_arrays: int | None = None,
         prepare_iteration: Callable[[PreparedIteration], object] | None = None,
-        preparation_advance: int = 0,
+        preparation_advance: int = 3,
     ):
         if max_pending_arrays is None:
             # reference default: 2 arrays in flight per definition
@@ -204,10 +204,16 @@ class SimulationDriver:
                 desc = PreparedIteration(first_name, ts)
                 prepared[ts] = self._pool.submit(self._prepare, desc)
 
+        # seed iterations 0..advance-1 before any data exists
+        # (window_api.py:58-64); iteration i then launches i+advance at its
+        # TOP — before consuming i — so every iteration's preparation is
+        # launched ahead of its consumption even when advance == 0
+        # (window_api.py:66-72 launches before the ray.get of iteration i).
         for ts in range(min(self._advance, max_iterations)):
             launch_prepare(ts)
 
         for it in range(max_iterations):
+            launch_prepare(it + self._advance)
             while it not in by_iteration or len(by_iteration[it]) < len(self.definitions):
                 # timeout guards against a dead producer (a raise in the
                 # producer thread) deadlocking the loop
@@ -227,7 +233,6 @@ class SimulationDriver:
             if self._prepare is not None:
                 fut = prepared.pop(it, None)
                 kwargs["preparation_result"] = fut.result() if fut is not None else None
-                launch_prepare(it + self._advance)
 
             callback(**kwargs)
 

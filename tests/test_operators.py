@@ -42,17 +42,24 @@ def test_asof_join_matches_merge_asof(spark):
         .reset_index(drop=True)
     )
 
+    # asof_join's documented tie rule: among right rows equal on (k, rt),
+    # the greatest value tuple wins. Collapse ties to that row first so
+    # merge_asof (which picks last-in-input-order) computes the same spec.
+    right_dedup = (
+        right.sort_values(["k", "rt", "val"])
+        .groupby(["k", "rt"], as_index=False)
+        .last()
+    )
     expect = pd.merge_asof(
         left.sort_values("lt", kind="stable"),
-        right.sort_values("rt", kind="stable"),
+        right_dedup.sort_values("rt", kind="stable"),
         left_on="lt",
         right_on="rt",
         by="k",
         direction="backward",
     ).sort_values("lid").reset_index(drop=True)
 
-    # merge_asof picks the LAST among equal rt rows, as does last() over
-    # the union window; compare the attached value nullwise
+    # compare the attached value nullwise
     got_vals = got["val_asof"].where(got["val_asof"].notna(), None)
     exp_vals = expect["val"].where(expect["val"].notna(), None)
     mism = [
@@ -61,6 +68,20 @@ def test_asof_join_matches_merge_asof(spark):
         if (a is None) != (b is None) or (a is not None and abs(a - b) > 1e-12)
     ]
     assert not mism, mism[:5]
+
+
+def test_asof_join_tie_is_deterministic(spark):
+    """Several right rows at the same (key, ts): the greatest value tuple
+    is attached, on every run and partitioning."""
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "lt": [10], "lid": [0]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1, 1], "rt": [10, 10, 5], "val": [1.5, 2.5, 9.0]})
+    )
+    for _ in range(3):
+        got = asof_join(
+            left, right, on=["k"], left_ts="lt", right_ts="rt", value_cols=["val"]
+        ).collect()
+        assert len(got) == 1 and got[0]["val_asof"] == 2.5
 
 
 def test_topk_per_group(spark):

@@ -23,22 +23,24 @@ from conftest import SF_SMALL
 SAMPLE = [
     "q1_pricing_summary",
     "join_left_anti",
-    "agg_grouping_sets",
+    "agg_rollup",
     "window_ranking",
     "setop_except",
     "func_string",
     "subq_correlated_agg",
     "text_token_stats",
     "dedup_exact",
+    "mm_meta_extract",
 ]
 
 
 def test_registry_shape():
     qs, os_ = queries(), oracles()
-    assert len(qs) >= 82
-    assert set(os_) <= set(qs)
-    # every non-oracle entry is a deliberate weak check (approx sketches)
-    assert all(n.startswith(("agg_approx",)) for n in set(qs) - set(os_))
+    # primary tier = the driver's 50-query correctness budget, all
+    # oracle-backed (extended variants live in registry.EXTENDED — see
+    # tests/test_extended_oracles.py)
+    assert len(qs) == 50
+    assert set(os_) == set(qs)
 
 
 @pytest.fixture(scope="module")

@@ -144,6 +144,30 @@ def test_prepare_iteration(spark):
     assert set(prepared) >= {0, 1, 2}
 
 
+def test_prepare_iteration_zero_advance(spark):
+    """advance=0: iteration i's preparation is launched at the top of the
+    loop, BEFORE i is consumed (window_api.py:66-72 ordering), so every
+    result reaches the callback — no unconsumed futures accumulate."""
+    received = []
+
+    def prepare(desc: PreparedIteration):
+        return ("plan", desc.timestep)
+
+    def callback(temps, timestep, preparation_result):
+        received.append(preparation_result)
+
+    run_simulation(
+        spark,
+        callback,
+        [ArrayDefinition("temps")],
+        max_iterations=3,
+        producers=lambda ing: _produce(ing, steps=3),
+        prepare_iteration=prepare,
+        preparation_advance=0,
+    )
+    assert received == [("plan", 0), ("plan", 1), ("plan", 2)]
+
+
 def test_grid_change_rejected(spark):
     import pytest
 

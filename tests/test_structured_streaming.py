@@ -1,11 +1,20 @@
 """Structured Streaming event-time layer: the streaming plans must produce
 exactly what the equivalent batch aggregation produces once the finite
-source is drained (availableNow trigger)."""
+source is drained (availableNow trigger).
+
+The source is staged as THREE time-ordered parquet files with strictly
+increasing mtimes, so the file source consumes them oldest-first (one per
+trigger) and the watermark advances monotonically — the arrival model of a
+well-behaved producer. Append mode only emits a window once the watermark
+passes its end, so the deterministic expectation is: everything emitted
+matches batch exactly, and every batch window that ended at least
+`watermark` before the second file's max event time (the watermark floor
+going into the final trigger) must have been emitted.
+"""
 
 from __future__ import annotations
 
-import glob
-import shutil
+import os
 
 import pytest
 
@@ -16,48 +25,102 @@ from doreisa_spark.streaming import structured as S
 
 from conftest import SF_SMALL
 
+WATERMARK = "2 hours"
+WATERMARK_SEC = 2 * 3600
+
 
 @pytest.fixture(scope="module")
 def event_source(spark, tmp_path_factory):
-    """Stage the sf0.001 events table as a 3-file parquet directory —
-    producers dropping files is the streaming arrival model."""
+    """Stage sf0.001 events as 3 single-file parquets split by time range,
+    with increasing mtimes — producers dropping one file per micro-batch,
+    in event-time order."""
     src = tmp_path_factory.mktemp("events_stream")
-    table(spark, SF_SMALL, "events").repartition(3).write.mode("overwrite").parquet(str(src / "in"))
-    # leave only data files; _SUCCESS etc. are fine for the file source
-    return str(src / "in")
+    in_dir = src / "in"
+    in_dir.mkdir()
+    ev = table(spark, SF_SMALL, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds()
+    bounds = [lo, *(lo + type(hi - lo)(seconds=span * f) for f in (1 / 3, 2 / 3)), hi]
+    file2_max = None
+    for i in range(3):
+        part = ev.where(
+            (F.col("ts") >= F.lit(bounds[i]))
+            & (F.col("ts") <= F.lit(bounds[i + 1]) if i == 2 else F.col("ts") < F.lit(bounds[i + 1]))
+        )
+        if i == 1:
+            file2_max = part.agg(F.max("ts")).first()[0]
+        tmp = str(src / f"tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        data_file = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = str(in_dir / f"{i:05d}.parquet")
+        os.rename(os.path.join(tmp, data_file), dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    return str(in_dir), file2_max
 
 
 def test_tumbling_counts_match_batch(spark, event_source):
-    stream = S.tumbling_counts(S.read_event_stream(spark, event_source))
+    source_dir, file2_max = event_source
+    stream = S.tumbling_counts(
+        S.read_event_stream(spark, source_dir), watermark=WATERMARK
+    )
     name = S.run_to_memory(stream, "t_tumbling", output_mode="append")
     got = spark.table(name)
 
     batch = (
-        spark.read.parquet(event_source)
+        spark.read.parquet(source_dir)
         .groupBy(F.window("ts", "60 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
     )
     g = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
     b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
-    # watermark may hold back the tail windows in append mode; everything
-    # emitted must match batch exactly and cover most of the stream
+    # exactness: every emitted window equals its batch counterpart
     assert g.items() <= b.items()
-    assert len(g) >= 0.8 * len(b)
+    # completeness up to the watermark floor of the final trigger
+    import datetime as dt
+
+    horizon = file2_max - dt.timedelta(seconds=WATERMARK_SEC)
+    must_emit = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in batch.where(F.col("window_end") <= F.lit(horizon)).collect()
+    }
+    assert must_emit.items() <= g.items()
+    assert len(must_emit) > 0  # the bound is not vacuous on this data
 
 
 def test_session_windows_match_batch(spark, event_source):
-    stream = S.session_windows(S.read_event_stream(spark, event_source), gap="30 minutes")
+    source_dir, file2_max = event_source
+    stream = S.session_windows(
+        S.read_event_stream(spark, source_dir), gap="30 minutes", watermark=WATERMARK
+    )
     name = S.run_to_memory(stream, "t_sessions", output_mode="append")
     got = spark.table(name)
 
     batch = (
-        spark.read.parquet(event_source)
+        spark.read.parquet(source_dir)
         .groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select("user_id", F.col("s.start").alias("session_start"), "n_events")
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
     )
     g = {(r["user_id"], r["session_start"]): r["n_events"] for r in got.collect()}
     b = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()}
     assert g.items() <= b.items()
-    assert len(g) >= 0.8 * len(b)
+    import datetime as dt
+
+    horizon = file2_max - dt.timedelta(seconds=WATERMARK_SEC)
+    must_emit = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in batch.where(F.col("session_end") <= F.lit(horizon)).collect()
+    }
+    assert must_emit.items() <= g.items()
+    assert len(must_emit) > 0

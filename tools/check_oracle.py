@@ -6,7 +6,8 @@ an order-insensitive value hash. Usage:
 
     python tools/check_oracle.py [sf_dir] [query_name ...]
 
-Exit code 0 iff everything matches.
+Checks BOTH registry tiers (primary + extended) by default; restrict with
+explicit query names. Exit code 0 iff everything matches.
 """
 
 from __future__ import annotations
@@ -22,7 +23,7 @@ import pandas as pd
 sys.path.insert(0, ".")
 
 from doreisa_spark.catalog import TABLES  # noqa: E402
-from doreisa_spark.registry import REGISTRY, _ensure_loaded  # noqa: E402
+from doreisa_spark.registry import EXTENDED, REGISTRY, _ensure_loaded  # noqa: E402
 from doreisa_spark.session import get_spark  # noqa: E402
 
 
@@ -63,7 +64,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures, passes, weak = [], [], []
-    for name, q in sorted(REGISTRY.items()):
+    for name, q in sorted({**REGISTRY, **EXTENDED}.items()):
         if only and name not in only:
             continue
         t0 = time.time()
