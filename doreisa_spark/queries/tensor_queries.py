@@ -3,12 +3,23 @@
 reductions over a distributed chunk grid) exposed through the driver's
 correctness gate.
 
-The grid is generated ON THE EXECUTORS from a closed-form function
+The grid is generated ON THE EXECUTORS from a closed-form expression
 (A[r, c] = r + c, integer-valued → exact in float64), and each DuckDB
 oracle recomputes the same quantity independently over `range()` series —
 so these check the entire distributed tensor pipeline (generation,
 chunk kernels, position joins, partial+final reduction) against an
 engine that never saw a chunk.
+
+Generation is JVM-side (`sequence` + `transform` inside whole-stage
+codegen, ChunkedArray.from_sql_expr) so the benchmark measures tensor
+throughput, not Python-worker spin-up; `tensor_preprocess_chain` keeps
+the numpy `mapInPandas` path because a user-supplied preprocess kernel
+is exactly what that path is for (simulation_node.py:57).
+
+Grid sizing: at correctness scale (sf < 0.05) a 4×4 grid of 64×64
+chunks matches the DuckDB oracle's range() extent; at bench scale the
+grid grows to 16×16 chunks of 512×512 float64 ≈ 537 MB so the reported
+time reflects data volume, not per-stage fixed cost.
 
 Mirrors the reference's exercised dask.array surface: sum / mean /
 elementwise subtract between timesteps / scalar multiply
@@ -17,6 +28,9 @@ test_preprocessing_callback.py:24, docs/analytics.md:30).
 """
 
 from __future__ import annotations
+
+import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,28 +41,33 @@ from doreisa_spark.registry import register
 _GRID = (4, 4)
 _CHUNK = (64, 64)
 _META = GridMeta("grid", _GRID, _CHUNK)
+_BENCH_META = GridMeta("grid", (16, 16), (512, 512))
 _ROWS = _GRID[0] * _CHUNK[0]
 _COLS = _GRID[1] * _CHUNK[1]
 
-# DuckDB series over the same global index space.
+# DuckDB series over the same global index space (correctness scale).
 _DUCK_GRID = (
     f"(SELECT r.range AS r, c.range AS c FROM range(0, {_ROWS}) r, range(0, {_COLS}) c)"
 )
 
 
-def _ramp(spark: SparkSession, timestep: int = 0, scale_t: bool = False) -> ChunkedArray:
+def _meta_for(sf_dir: str) -> GridMeta:
+    """Correctness runs (sf ≤ 0.01) use the oracle-matched small grid;
+    bench runs (sf ≥ 0.05) use the ~537 MB grid so timings mean
+    throughput."""
+    m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.0
+    return _BENCH_META if sf >= 0.05 else _META
+
+
+def _ramp(spark: SparkSession, sf_dir: str, timestep: int = 0, scale_t: bool = False) -> ChunkedArray:
     """A[r,c] = r + c (or (t+1)·(r+c) when scale_t, emulating per-timestep
-    simulation output as in the reference's tests, tests/utils.py:26-47)."""
-    t = timestep
-
-    if scale_t:
-
-        def fn(pos, shape):
-            return (t + 1) * ramp_chunk(pos, shape)
-
-    else:
-        fn = ramp_chunk
-    return ChunkedArray.from_function(spark, _META, fn, timestep=t)
+    simulation output as in the reference's tests, tests/utils.py:26-47).
+    Built entirely JVM-side — no Python worker in the pipeline."""
+    expr = f"{timestep + 1} * (g0 + g1)" if scale_t else "g0 + g1"
+    return ChunkedArray.from_sql_expr(
+        spark, _meta_for(sf_dir), expr, timestep=timestep
+    )
 
 
 @register(
@@ -56,10 +75,10 @@ def _ramp(spark: SparkSession, timestep: int = 0, scale_t: bool = False) -> Chun
     oracle=f"SELECT CAST(sum(r + c) AS DOUBLE) AS total FROM {_DUCK_GRID}",
 )
 def tensor_global_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """array.sum() over a {_GRID} grid of {_CHUNK} chunks: per-chunk
-    sequential fold (JVM) + final 1-row aggregate — partial+final, no
-    driver materialization (reference analog: tests/test_doreisa.py:20)."""
-    return _ramp(spark).sum()
+    """array.sum(): per-chunk sequential fold (JVM) + final 1-row
+    aggregate — partial+final, no driver materialization (reference
+    analog: tests/test_doreisa.py:20)."""
+    return _ramp(spark, sf_dir).sum()
 
 
 @register(
@@ -70,7 +89,7 @@ def tensor_global_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array.mean() = sum+count partials (docs/analytics.md:30 analog).
 
     Mean of integers: exact sum / exact count → bit-identical division."""
-    return _ramp(spark).mean()
+    return _ramp(spark, sf_dir).mean()
 
 
 @register(
@@ -81,7 +100,7 @@ def tensor_scalar_mul_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(10 * A).sum(): scalar broadcast via JVM `transform` on the chunk
     payload (reference analog: the 10·x preprocess,
     tests/test_preprocessing_callback.py:24)."""
-    return _ramp(spark).scale(10.0).sum()
+    return _ramp(spark, sf_dir).scale(10.0).sum()
 
 
 @register(
@@ -92,8 +111,8 @@ def tensor_elementwise_sub_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(A[t=1] - A[t=0]).sum() with A_t = (t+1)·ramp → difference equals the
     ramp. Elementwise op across timesteps = position join + zip_with
     (reference analog: tests/test_sliding_window.py:27)."""
-    a0 = _ramp(spark, timestep=0, scale_t=True)
-    a1 = _ramp(spark, timestep=1, scale_t=True)
+    a0 = _ramp(spark, sf_dir, timestep=0, scale_t=True)
+    a1 = _ramp(spark, sf_dir, timestep=1, scale_t=True)
     return a1.zip_with(a0, "-").sum()
 
 
@@ -107,9 +126,11 @@ GROUP BY c
 )
 def tensor_axis_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-0 reduction: per-chunk numpy partial (Arrow batch) → shuffle of
-    reduced vectors only → per-column totals ({_COLS} rows out)."""
-    df = _ramp(spark).axis_sum(axis=0)
-    return df.select(F.col("idx").alias("idx"), F.col("total"))
+    reduced vectors only → per-column totals."""
+    df = _ramp(spark, sf_dir).axis_sum(axis=0)
+    return df.select(
+        F.col("coords")[0].cast("bigint").alias("idx"), F.col("total")
+    )
 
 
 @register(
@@ -120,8 +141,10 @@ def tensor_preprocess_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chained elementwise ops WITHOUT intermediate shuffles: numpy
     preprocess at generation (2·x, the ingest-side callback analog,
     simulation_node.py:57) then JVM shift (+5), then reduce. The whole
-    chain is one narrow pipeline per chunk — fused, never materialized."""
+    chain is one narrow pipeline per chunk — fused, never materialized.
+    Keeps the `mapInPandas` generation path: this is the genuine
+    user-kernel route the JVM generator can't replace."""
     arr = ChunkedArray.from_function(
-        spark, _META, ramp_chunk, preprocess=lambda a: 2.0 * a
+        spark, _meta_for(sf_dir), ramp_chunk, preprocess=lambda a: 2.0 * a
     )
     return arr.shift(5.0).sum()

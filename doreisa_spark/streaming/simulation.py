@@ -107,14 +107,13 @@ class Ingest:
             # All validation happens BEFORE any state mutation so a
             # rejected chunk leaves the ingest consistent.
             meta = self._metas.get(array_name)
-            if meta is None:
-                meta = GridMeta(
-                    array_name, tuple(nb_chunks_per_dim), chunk.shape, str(chunk.dtype)
-                )
-            else:
+            if meta is not None:
+                # frozen after the first completed timestep; tiling may be
+                # ragged (head_node.py:53,157-162), so the expected shape is
+                # looked up per grid position
                 if meta.nb_chunks_per_dim != tuple(nb_chunks_per_dim):
                     raise ValueError(f"{array_name}: grid changed across timesteps")
-                if meta.chunk_shape != chunk.shape:
+                if meta.shape_of(tuple(chunk_position)) != chunk.shape:
                     raise ValueError(f"{array_name}: chunk shape changed")
                 if meta.dtype != str(chunk.dtype):
                     raise ValueError(f"{array_name}: dtype changed")
@@ -126,13 +125,16 @@ class Ingest:
                 raise ValueError(f"{key}: inconsistent grid {nb_chunks_per_dim}")
             if chunk_position in pend.chunks:
                 raise ValueError(f"{key}: duplicate chunk at {chunk_position}")
-            self._metas[array_name] = meta
             self._pending[key] = pend
             pend.chunks[chunk_position] = chunk
             if len(pend.chunks) == pend.nb_chunks:
+                # from_numpy_chunks infers (possibly ragged) tiling and
+                # validates within-timestep consistency; freeze it for all
+                # later timesteps (head_node.py:80-100 infer-then-enforce)
                 arr = ChunkedArray.from_numpy_chunks(
                     self._spark, array_name, pend.chunks, timestep=timestep
                 )
+                self._metas.setdefault(array_name, arr.meta)
                 del self._pending[key]
                 complete = arr
         if complete is not None:

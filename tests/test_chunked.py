@@ -1,6 +1,10 @@
 """Chunked-tensor layer tests — closed-form oracles in the style of the
 reference's tests (reference: tests/test_doreisa.py:18-21 asserts
-``array.sum().compute() == 10 * timestep`` on known grids)."""
+``array.sum().compute() == 10 * timestep`` on known grids).
+
+Dtype preservation mirrors reference tests/test_dtype.py:17-39 (int8 in
+→ int8 out); ragged tiling mirrors the dask list-of-lists ``chunks``
+convention the reference accepts (head_node.py:53,157-162)."""
 
 from __future__ import annotations
 
@@ -24,6 +28,13 @@ def _ramp(spark, timestep=0):
 def test_global_sum_closed_form(spark):
     total = _ramp(spark).sum().collect()[0]["total"]
     assert total == expected_sum_arithmetic(META)
+
+
+def test_sql_expr_generation_matches_numpy(spark):
+    jvm = ChunkedArray.from_sql_expr(spark, META, "g0 + g1")
+    assert jvm.sum().collect()[0]["total"] == expected_sum_arithmetic(META)
+    # whole grids identical, not just the sums
+    assert np.array_equal(jvm.to_numpy(), _ramp(spark).to_numpy())
 
 
 def test_mean(spark):
@@ -54,10 +65,29 @@ def test_zip_with_grid_mismatch(spark):
 
 
 def test_axis_sum(spark):
-    rows = {r["idx"]: r["total"] for r in _ramp(spark).axis_sum(axis=0).collect()}
+    rows = {
+        r["coords"][0]: r["total"] for r in _ramp(spark).axis_sum(axis=0).collect()
+    }
     nrows, ncols = META.global_shape
     for c in range(ncols):
         assert rows[c] == sum(r + c for r in range(nrows))
+
+
+def test_axis_sum_3d(spark):
+    # 3-D grid, reduce the middle axis; oracle = numpy on the assembled array
+    chunks = {
+        (i, j, k): np.arange(24, dtype=np.float64).reshape(2, 3, 4) * (i + 2 * j + 4 * k + 1)
+        for i in range(2)
+        for j in range(2)
+        for k in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "cube", chunks)
+    expect = arr.to_numpy().sum(axis=1)
+    got = np.zeros_like(expect)
+    for row in arr.axis_sum(axis=1).collect():
+        i, k = row["coords"]
+        got[i, k] = row["total"]
+    assert np.array_equal(got, expect)
 
 
 def test_map_numpy_kernel(spark):
@@ -81,10 +111,106 @@ def test_from_numpy_chunks_roundtrip(spark):
     assert arr.count_chunks() == 4
 
 
-def test_irregular_chunk_rejected(spark):
-    chunks = {(0,): np.ones(4), (1,): np.ones(5)}
-    with pytest.raises(ValueError, match="irregular"):
+# ------------------------------------------------------------- dtype parity
+def test_int8_dtype_preserved(spark):
+    # reference tests/test_dtype.py:17-39 pushes int8 chunks end to end
+    chunks = {
+        (0,): np.array([1, 2, 3], dtype=np.int8),
+        (1,): np.array([4, 5, 6], dtype=np.int8),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "i8", chunks)
+    assert arr.meta.dtype == "int8"
+    out = arr.to_numpy()
+    assert out.dtype == np.int8
+    assert out.tolist() == [1, 2, 3, 4, 5, 6]
+    total = arr.sum().collect()[0]["total"]
+    assert isinstance(total, int) and total == 21
+
+
+def test_int64_sum_exact_beyond_float53(spark):
+    # 2^53 + 1 is not representable in float64; an exact BIGINT fold must
+    # keep the +1 and +2
+    big = 2**53
+    chunks = {
+        (0,): np.array([big, 1], dtype=np.int64),
+        (1,): np.array([1, 0], dtype=np.int64),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "i64", chunks)
+    total = arr.sum().collect()[0]["total"]
+    assert total == big + 2  # float64 would round this to 2**53
+
+
+def test_scalar_op_promotes_like_numpy(spark):
+    chunks = {(0,): np.array([1, 2], dtype=np.int32)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "p", chunks)
+    assert arr.scale(2).meta.dtype == "int32"  # int * int stays int
+    scaled = arr.scale(2.5)  # int * float → float64
+    assert scaled.meta.dtype == "float64"
+    assert scaled.to_numpy().tolist() == [2.5, 5.0]
+
+
+def test_zip_with_divide_promotes_float(spark):
+    chunks = {(0,): np.array([7, 8], dtype=np.int64)}
+    a = ChunkedArray.from_numpy_chunks(spark, "d1", chunks)
+    b = ChunkedArray.from_numpy_chunks(spark, "d2", {(0,): np.array([2, 2], dtype=np.int64)})
+    out = a.zip_with(b, "/")
+    assert out.meta.dtype == "float64"
+    assert out.to_numpy().tolist() == [3.5, 4.0]
+
+
+def test_unsupported_dtype_rejected(spark):
+    with pytest.raises(TypeError, match="unsupported chunk dtype"):
+        ChunkedArray.from_numpy_chunks(
+            spark, "u", {(0,): np.array([1], dtype=np.uint32)}
+        )
+
+
+# ------------------------------------------------------------ ragged tiling
+def test_ragged_tiling_accepted(spark):
+    # dask chunks=((4, 5),): ragged edge like a real MPI decomposition
+    chunks = {(0,): np.arange(4, dtype=np.float64), (1,): np.arange(5, dtype=np.float64)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "ragged", chunks)
+    assert arr.meta.chunks == ((4, 5),)
+    assert arr.meta.global_shape == (9,)
+    assert arr.sum().collect()[0]["total"] == 6 + 10
+    out = arr.to_numpy()
+    assert out.tolist() == [0, 1, 2, 3, 0, 1, 2, 3, 4]
+
+
+def test_ragged_2d_sum_and_axis(spark):
+    # 2×2 grid, row heights (2, 3), col widths (4, 1)
+    heights, widths = (2, 3), (4, 1)
+    rng = np.random.default_rng(7)
+    chunks = {
+        (i, j): rng.integers(0, 100, size=(heights[i], widths[j])).astype(np.float64)
+        for i in range(2)
+        for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "r2", chunks)
+    full = arr.to_numpy()
+    assert full.shape == (5, 5)
+    assert arr.sum().collect()[0]["total"] == full.sum()
+    col_totals = {r["coords"][0]: r["total"] for r in arr.axis_sum(axis=0).collect()}
+    for c in range(5):
+        assert col_totals[c] == full[:, c].sum()
+
+
+def test_inconsistent_ragged_sizes_rejected(spark):
+    # (0,0) says row-block 0 has height 2; (0,1) says 3 → dask-invalid
+    chunks = {
+        (0, 0): np.ones((2, 4)),
+        (0, 1): np.ones((3, 1)),
+        (1, 0): np.ones((3, 4)),
+        (1, 1): np.ones((3, 1)),
+    }
+    with pytest.raises(ValueError, match="conflicts"):
         ChunkedArray.from_numpy_chunks(spark, "bad", chunks)
+
+
+def test_incomplete_grid_rejected(spark):
+    chunks = {(0, 0): np.ones((2, 2)), (1, 1): np.ones((2, 2))}
+    with pytest.raises(ValueError, match="incomplete grid"):
+        ChunkedArray.from_numpy_chunks(spark, "holes", chunks)
 
 
 def test_preprocess_at_generation(spark):
