@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from doreisa_spark.registry import queries as all_queries  # noqa: E402
+from doreisa_spark.registry import extended_queries, queries  # noqa: E402
 from doreisa_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -50,7 +50,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
     spark = get_spark("bench")
-    qs = all_queries()
+    qs = {**extended_queries(), **queries()}  # headline picks from both tiers
 
     # warm up the JVM + parquet footer cache outside the measurement
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()

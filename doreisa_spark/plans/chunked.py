@@ -12,22 +12,34 @@ Reference semantics being mirrored (for parity checking):
 - element dtype is preserved end to end (reference: dtype captured at
   head_node.py:84, exercised with int8 in tests/test_dtype.py:17-39);
 - chunk sizes may vary per dimension — dask's list-of-lists ``chunks``
-  convention (reference: head_node.py:53,157-162).
+  convention (reference: head_node.py:53,157-162);
+- analytics expressions stay LAZY until compute/persist, and chained
+  per-chunk operations fuse into one task (reference: Dask graph built
+  lazily, executed once by the scheduler, _scheduler.py:57-125).
 
 Spark design: one DataFrame row per chunk —
 ``(name string, timestep long, pos array<int>, chunk_shape array<int>,
-data array<T>)`` with ``data`` flattened row-major and ``T`` the Spark
-element type matching the numpy dtype (int8→tinyint … float64→double),
-so integer arrays stay exact (int64 sums fold into BIGINT, not a float).
-Rows live distributed across executors; per-chunk kernels run as
-Arrow-batched numpy via mapInPandas (the Pandas-UDF analog of doreisa's
-per-chunk Dask tasks); cross-chunk algebra joins on ``pos``
-(co-partitioned, so the join is shuffle-once then local); global
-reductions are per-chunk partials + one tiny final aggregate — the same
-partial/final shape Catalyst gives relational aggregates. Elementwise
-arithmetic on the payload runs JVM-side (``transform``/``zip_with``
-inside whole-stage codegen); numpy kernels are reserved for genuine user
-callbacks.
+data binary)`` with ``data`` the raw C-order buffer of the chunk
+(``ndarray.tobytes()``; dtype lives in the grid metadata). Rows live
+distributed across executors; every numeric kernel runs as Arrow-batched
+numpy (``mapInPandas`` / ``applyInPandas``), and elementwise chains FUSE:
+an op only appends a numpy closure to the pipeline, and the whole chain
+executes in a single Python stage at the next materialization boundary
+(reduction, join, persist). Arrays created by ``from_function`` are
+*virtual* — only their positions exist as rows — so pipelines like
+``generate → preprocess → scale → sum`` ship one double per chunk to the
+JVM and the bulk data never crosses a process boundary at all, exactly
+like doreisa chunks living their whole life inside one Ray worker.
+
+Why binary payload + numpy, not ``array<double>`` columns + Catalyst
+higher-order functions: measured on this container (local[32], 537 MB
+grid), ``transform``/``aggregate`` lambdas are interpreted per element
+(no whole-stage codegen) and JVM→Arrow serialization of list columns is
+per-element too — the HOF pipeline ran 234 s and an array-column numpy
+pipeline 53 s, while the fused binary pipeline runs the same reduction in
+a few seconds (memcpy across Arrow + vectorized numpy). BinaryType is a
+single buffer copy at every boundary. UDF-wise this follows the standard
+guidance: Arrow-batched pandas kernels, never row-at-a-time Python.
 
 The driver never materializes array data (`to_numpy` exists for tests
 only) — at 100 TB the grid is just a big DataFrame.
@@ -47,38 +59,29 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# numpy dtype name → Spark SQL element type. Unsigned/complex dtypes are
-# rejected (Spark has no unsigned integers; silently widening would break
-# the reference's exactness contract).
-_SPARK_ELEM = {
-    "int8": "tinyint",
-    "int16": "smallint",
-    "int32": "int",
-    "int64": "bigint",
-    "float32": "float",
-    "float64": "double",
-}
+# numpy dtypes supported end-to-end. Unsigned/complex dtypes are rejected
+# (silently widening would break the reference's exactness contract).
+_SUPPORTED = {"int8", "int16", "int32", "int64", "float32", "float64"}
+
+CHUNK_SCHEMA = (
+    "name string, timestep bigint, pos array<int>, chunk_shape array<int>, data binary"
+)
+POS_SCHEMA = "pos array<int>"
 
 
-def spark_elem_type(dtype: str) -> str:
-    try:
-        return _SPARK_ELEM[str(np.dtype(dtype))]
-    except KeyError:
-        raise TypeError(
-            f"unsupported chunk dtype {dtype!r}; supported: {sorted(_SPARK_ELEM)}"
-        ) from None
+def _check_dtype(dtype: str) -> str:
+    s = str(np.dtype(dtype))
+    if s not in _SUPPORTED:
+        raise TypeError(f"unsupported chunk dtype {dtype!r}; supported: {sorted(_SUPPORTED)}")
+    return s
 
 
-def chunk_schema(dtype: str = "float64") -> str:
-    return (
-        "name string, timestep bigint, pos array<int>, chunk_shape array<int>, "
-        f"data array<{spark_elem_type(dtype)}>"
-    )
-
-
-# float folds accumulate in DOUBLE; integer folds in BIGINT (exact)
-def _acc_type(dtype: str) -> str:
-    return "DOUBLE" if np.dtype(dtype).kind == "f" else "BIGINT"
+# float folds accumulate in float64/DOUBLE; integer folds in int64/BIGINT
+# (exact — an int64 sum past 2^53 must not round)
+def _acc(dtype: str) -> tuple[np.dtype, str]:
+    if np.dtype(dtype).kind == "f":
+        return np.dtype(np.float64), "double"
+    return np.dtype(np.int64), "bigint"
 
 
 def _normalize_chunks(
@@ -95,9 +98,7 @@ def _normalize_chunks(
         else:
             sizes = tuple(int(s) for s in spec)
             if len(sizes) != n:
-                raise ValueError(
-                    f"dim {d}: {len(sizes)} chunk sizes for {n} chunks"
-                )
+                raise ValueError(f"dim {d}: {len(sizes)} chunk sizes for {n} chunks")
             out.append(sizes)
     return tuple(out)
 
@@ -118,10 +119,8 @@ class GridMeta:
     dtype: str = "float64"
 
     def __post_init__(self):
-        spark_elem_type(self.dtype)  # validate eagerly
-        object.__setattr__(
-            self, "chunk_shape", tuple(self.chunk_shape)
-        )
+        _check_dtype(self.dtype)
+        object.__setattr__(self, "chunk_shape", tuple(self.chunk_shape))
 
     @property
     def chunks(self) -> tuple[tuple[int, ...], ...]:
@@ -136,7 +135,7 @@ class GridMeta:
         return tuple(self.chunks[d][p] for d, p in enumerate(pos))
 
     def offset_of(self, pos: tuple[int, ...]) -> tuple[int, ...]:
-        return tuple(sum(self.chunks[d][: p]) for d, p in enumerate(pos))
+        return tuple(sum(self.chunks[d][:p]) for d, p in enumerate(pos))
 
     @property
     def ndim(self) -> int:
@@ -152,25 +151,114 @@ class GridMeta:
 
     @property
     def schema(self) -> str:
-        return chunk_schema(self.dtype)
+        return CHUNK_SCHEMA
+
+    def _replaced(self, **kw) -> "GridMeta":
+        d = {
+            "name": self.name,
+            "nb_chunks_per_dim": self.nb_chunks_per_dim,
+            "chunk_shape": self.chunk_shape,
+            "dtype": self.dtype,
+        }
+        d.update(kw)
+        return GridMeta(**d)
+
+
+def _decoder(
+    gen: Callable | None,
+    xform: Callable | None,
+    source_dtype: str | None,
+    out_dtype: str,
+):
+    """Build the picklable per-row decode pipeline shared by every Python
+    stage: pos (+ raw buffer for materialized arrays) → post-pipeline
+    ndarray in the array's logical dtype. This closure captures ONLY numpy
+    state, so Spark ships it to executors cheaply."""
+    out = np.dtype(out_dtype)
+    if gen is not None:
+
+        def rows(pdf: pd.DataFrame):
+            for pos in pdf["pos"]:
+                p = tuple(int(x) for x in pos)
+                yield p, np.asarray(gen(p)).astype(out, copy=False)
+
+        return rows
+
+    src = np.dtype(source_dtype)
+
+    def rows(pdf: pd.DataFrame):
+        for pos, shape, buf in zip(pdf["pos"], pdf["chunk_shape"], pdf["data"]):
+            p = tuple(int(x) for x in pos)
+            arr = np.frombuffer(buf, dtype=src).reshape(tuple(int(s) for s in shape))
+            if xform is not None:
+                arr = xform(p, arr)
+            yield p, np.asarray(arr).astype(out, copy=False)
+
+    return rows
 
 
 class ChunkedArray:
     """A distributed dense array for one (name, timestep): a DataFrame of
-    chunk rows plus frozen grid metadata."""
+    chunk rows plus frozen grid metadata, with a LAZY per-chunk pipeline.
 
-    def __init__(self, df: DataFrame, meta: GridMeta, timestep: int = 0):
+    Two storage modes:
+
+    - **virtual** (``gen`` set): ``df`` holds only ``pos`` rows; chunks are
+      produced on the executors by ``gen(pos)`` when first needed. The
+      analog of simulation ranks materializing chunks in place
+      (simulation_node.py:35-74).
+    - **materialized**: ``df`` holds binary chunk rows; ``xform(pos, arr)``
+      is the fused chain of pending per-chunk ops (identity when None).
+
+    ``meta`` always describes the POST-pipeline logical array (dtype after
+    promotions, tiling after slicing)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        meta: GridMeta,
+        timestep: int = 0,
+        *,
+        gen: Callable[[tuple[int, ...]], np.ndarray] | None = None,
+        xform: Callable[[tuple[int, ...], np.ndarray], np.ndarray] | None = None,
+        source_dtype: str | None = None,
+    ):
         self.df = df
         self.meta = meta
         self.timestep = timestep
+        self._gen = gen
+        self._xform = xform
+        self._source_dtype = source_dtype or meta.dtype
+
+    def _rows_fn(self):
+        return _decoder(self._gen, self._xform, self._source_dtype, self.meta.dtype)
+
+    def _derive(self, **kw) -> "ChunkedArray":
+        base = dict(
+            df=self.df,
+            meta=self.meta,
+            timestep=self.timestep,
+            gen=self._gen,
+            xform=self._xform,
+            source_dtype=self._source_dtype,
+        )
+        base.update(kw)
+        df = base.pop("df")
+        meta = base.pop("meta")
+        ts = base.pop("timestep")
+        return ChunkedArray(df, meta, ts, **base)
+
+    @property
+    def is_virtual(self) -> bool:
+        return self._gen is not None
 
     # ------------------------------------------------------------ creation
     @classmethod
     def _pos_df(cls, spark: SparkSession, meta: GridMeta) -> DataFrame:
         positions = [list(p) for p in product(*(range(n) for n in meta.nb_chunks_per_dim))]
-        return spark.createDataFrame(
-            [(p,) for p in positions], "pos array<int>"
-        ).repartition(min(meta.n_chunks, spark.sparkContext.defaultParallelism))
+        return spark.createDataFrame([(p,) for p in positions], POS_SCHEMA).repartition(
+            min(meta.n_chunks, spark.sparkContext.defaultParallelism)
+        )
 
     @classmethod
     def from_function(
@@ -182,99 +270,30 @@ class ChunkedArray:
         timestep: int = 0,
         preprocess: Callable[[np.ndarray], np.ndarray] | None = None,
     ) -> "ChunkedArray":
-        """Generate chunks ON THE EXECUTORS from a position→ndarray function.
+        """A VIRTUAL array: chunks are generated on the executors from a
+        position→ndarray function, lazily — only the chunk positions (a few
+        ints each) exist as rows until a materialization boundary, and a
+        following reduction fuses generation + pipeline + partial-reduce
+        into one Python stage (no bulk data ever crosses Arrow).
 
-        Only the chunk positions (a few ints each) leave the driver; the
-        data itself is born distributed — the analog of simulation ranks
-        producing chunks in place (simulation_node.py:35-74). ``preprocess``
-        mirrors the reference's per-chunk ingest callback
+        ``preprocess`` mirrors the reference's per-chunk ingest callback
         (simulation_node.py:57: applied on the producing node, before
-        anything else sees the chunk).
-        """
-        name, ts, dtype = meta.name, timestep, np.dtype(meta.dtype)
+        anything else sees the chunk)."""
+        dtype = np.dtype(meta.dtype)
         shapes = {  # small dict, shipped in the closure
-            p: meta.shape_of(p)
-            for p in product(*(range(n) for n in meta.nb_chunks_per_dim))
+            p: meta.shape_of(p) for p in product(*(range(n) for n in meta.nb_chunks_per_dim))
         }
 
-        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                rows = []
-                for pos in pdf["pos"]:
-                    pos_t = tuple(int(x) for x in pos)
-                    shape = shapes[pos_t]
-                    arr = np.asarray(fn(pos_t, shape), dtype=dtype)
-                    if arr.shape != shape:
-                        raise ValueError(f"chunk {pos_t}: shape {arr.shape} != {shape}")
-                    if preprocess is not None:
-                        arr = np.asarray(preprocess(arr), dtype=dtype)
-                    rows.append(
-                        {
-                            "name": name,
-                            "timestep": ts,
-                            "pos": list(pos_t),
-                            "chunk_shape": list(shape),
-                            "data": arr.ravel(),
-                        }
-                    )
-                yield pd.DataFrame(rows)
+        def gen(pos: tuple[int, ...]) -> np.ndarray:
+            shape = shapes[pos]
+            arr = np.asarray(fn(pos, shape), dtype=dtype)
+            if arr.shape != shape:
+                raise ValueError(f"chunk {pos}: shape {arr.shape} != {shape}")
+            if preprocess is not None:
+                arr = np.asarray(preprocess(arr), dtype=dtype)
+            return arr
 
-        return cls(pos_df := cls._pos_df(spark, meta), meta, ts)._replace_df(
-            pos_df.mapInPandas(gen, schema=meta.schema)
-        )
-
-    def _replace_df(self, df: DataFrame) -> "ChunkedArray":
-        return ChunkedArray(df, self.meta, self.timestep)
-
-    @classmethod
-    def from_sql_expr(
-        cls,
-        spark: SparkSession,
-        meta: GridMeta,
-        value_expr: str,
-        *,
-        timestep: int = 0,
-    ) -> "ChunkedArray":
-        """Generate chunks entirely JVM-SIDE from a SQL expression of the
-        global coordinates — no Python worker in the pipeline at all, so
-        downstream reductions measure tensor throughput, not Arrow/worker
-        overhead. ``value_expr`` may reference ``g0..g{ndim-1}`` (global
-        coordinates, BIGINT). Requires a uniform grid (the generation
-        arithmetic needs constant chunk strides).
-
-        Example: ``from_sql_expr(spark, meta, "g0 + g1")`` builds the test
-        ramp A[r, c] = r + c with `sequence`+`transform` inside whole-stage
-        codegen.
-        """
-        if not meta.is_uniform:
-            raise ValueError("from_sql_expr requires a uniform grid")
-        shape = meta.shape_of((0,) * meta.ndim)
-        n_elems = reduce(mul, shape, 1)
-        # row-major linear index i → per-dim local coords; + pos*size → global
-        strides = []
-        acc = 1
-        for s in reversed(shape):
-            strides.append(acc)
-            acc *= s
-        strides = list(reversed(strides))  # strides[d] in elements
-        coord_defs = ", ".join(
-            f"CAST(pos[{d}] AS BIGINT) * {shape[d]} + (i DIV {strides[d]}) % {shape[d]} AS g{d}"
-            for d in range(meta.ndim)
-        )
-        elem = spark_elem_type(meta.dtype)
-        data_expr = (
-            f"transform(sequence(0, {n_elems - 1}), i -> "
-            f"CAST(({_with_coords(value_expr, coord_defs)}) AS {elem}))"
-        )
-        pos_df = cls._pos_df(spark, meta)
-        df = pos_df.select(
-            F.lit(meta.name).alias("name"),
-            F.lit(timestep).cast("bigint").alias("timestep"),
-            "pos",
-            F.array(*[F.lit(s) for s in shape]).alias("chunk_shape"),
-            F.expr(data_expr).alias("data"),
-        )
-        return cls(df, meta, timestep)
+        return cls(cls._pos_df(spark, meta), meta, timestep, gen=gen)
 
     @classmethod
     def from_numpy_chunks(
@@ -294,7 +313,7 @@ class ChunkedArray:
         every chunk sharing a grid index along a dimension must agree on
         its size there (dask ``chunks`` consistency)."""
         first = next(iter(chunks.values()))
-        dtype = str(first.dtype)
+        dtype = _check_dtype(str(first.dtype))
         ndim = first.ndim
         grid = tuple(1 + max(p[d] for p in chunks) for d in range(ndim))
         sizes: list[dict[int, int]] = [dict() for _ in range(ndim)]
@@ -312,72 +331,82 @@ class ChunkedArray:
                     )
         if len(chunks) != reduce(mul, grid, 1):
             raise ValueError(f"incomplete grid: {len(chunks)} chunks for {grid}")
-        tiling = tuple(
-            tuple(sizes[d][i] for i in range(grid[d])) for d in range(ndim)
-        )
+        tiling = tuple(tuple(sizes[d][i] for i in range(grid[d])) for d in range(ndim))
         meta = GridMeta(name, grid, tiling, dtype)
         rows = [
-            (name, timestep, list(p), list(a.shape), a.ravel().tolist())
+            (name, timestep, list(p), list(a.shape), np.ascontiguousarray(a).tobytes())
             for p, a in chunks.items()
         ]
-        return cls(spark.createDataFrame(rows, meta.schema), meta, timestep)
+        return cls(spark.createDataFrame(rows, CHUNK_SCHEMA), meta, timestep)
+
+    # -------------------------------------------------------- materialization
+    def materialize(self) -> "ChunkedArray":
+        """Flush the pending pipeline into binary chunk rows (one fused
+        Python stage). No-op if nothing is pending."""
+        if self._gen is None and self._xform is None:
+            return self
+        rows_fn = self._rows_fn()
+        name, ts = self.meta.name, self.timestep
+
+        def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"name": [], "timestep": [], "pos": [], "chunk_shape": [], "data": []}
+                for pos, arr in rows_fn(pdf):
+                    out["name"].append(name)
+                    out["timestep"].append(ts)
+                    out["pos"].append(list(pos))
+                    out["chunk_shape"].append(list(arr.shape))
+                    out["data"].append(arr.tobytes())
+                yield pd.DataFrame(out)
+
+        df = self.df.mapInPandas(emit, schema=CHUNK_SCHEMA)
+        return ChunkedArray(df, self.meta, ts)
 
     # ---------------------------------------------------------- elementwise
     def map_numpy(self, fn: Callable[[np.ndarray], np.ndarray]) -> "ChunkedArray":
-        """Per-chunk numpy kernel (Arrow-batched, runs where the chunk
-        lives) — the analog of arbitrary Dask blockwise ops on chunks.
-        The kernel must preserve shape; dtype is coerced back to the
-        array's dtype (matching the reference where preprocess output
+        """Per-chunk numpy kernel — the analog of arbitrary Dask blockwise
+        ops. LAZY: appends to the fused pipeline; dtype is coerced back to
+        the array's dtype (matching the reference where preprocess output
         becomes the registered chunk, simulation_node.py:57)."""
-        dtype = np.dtype(self.meta.dtype)
+        return self._compose(lambda pos, arr: fn(arr))
 
-        def apply(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = pdf.copy()
-                out["data"] = [
-                    np.asarray(fn(np.asarray(d, dtype=dtype).reshape(tuple(shape))))
-                    .astype(dtype)
-                    .ravel()
-                    for shape, d in zip(pdf["chunk_shape"], pdf["data"])
-                ]
-                yield out
+    def _compose(self, step: Callable, new_meta: GridMeta | None = None) -> "ChunkedArray":
+        meta = new_meta or self.meta
+        if self._gen is not None:
+            g = self._gen
+            return self._derive(meta=meta, gen=lambda pos: step(pos, g(pos)))
+        xf = self._xform
+        if xf is None:
+            return self._derive(meta=meta, xform=step)
+        return self._derive(meta=meta, xform=lambda pos, arr: step(pos, xf(pos, arr)))
 
-        return self._replace_df(self.df.mapInPandas(apply, schema=self.meta.schema))
-
-    def _promote(self, k) -> tuple[str, "GridMeta"]:
-        """numpy-style dtype promotion for scalar ops."""
+    def _scalar_op(self, k, op: str) -> "ChunkedArray":
         # np.result_type with the raw scalar gives NEP-50 weak promotion
         # (int8 * 10 stays int8; int * 2.5 promotes to float64) — numpy's
         # own semantics, which the reference inherits through dask
-        out_dtype = str(np.result_type(np.dtype(self.meta.dtype), k))
-        if out_dtype == self.meta.dtype:
-            return out_dtype, self.meta
-        meta = GridMeta(
-            self.meta.name, self.meta.nb_chunks_per_dim, self.meta.chunk_shape, out_dtype
-        )
-        return out_dtype, meta
-
-    def _scalar_op(self, k, op: str) -> "ChunkedArray":
-        out_dtype, meta = self._promote(k)
-        elem = spark_elem_type(out_dtype)
-        lit = repr(float(k)) if np.dtype(out_dtype).kind == "f" else repr(int(k))
-        df = self.df.withColumn(
-            "data",
-            F.expr(f"transform(data, x -> CAST(x {op} {lit} AS {elem}))"),
-        )
-        return ChunkedArray(df, meta, self.timestep)
+        out_dtype = _check_dtype(str(np.result_type(np.dtype(self.meta.dtype), k)))
+        fn = {
+            "*": lambda pos, a: a * k,
+            "+": lambda pos, a: a + k,
+        }[op]
+        return self._compose(fn, self.meta._replaced(dtype=out_dtype))
 
     def scale(self, k) -> "ChunkedArray":
-        """Scalar multiply — JVM-side `transform`, no Python at all."""
+        """Scalar multiply — lazy, fused into the chunk pipeline."""
         return self._scalar_op(k, "*")
 
     def shift(self, k) -> "ChunkedArray":
         return self._scalar_op(k, "+")
 
     def zip_with(self, other: "ChunkedArray", op: str) -> "ChunkedArray":
-        """Elementwise binary op between two same-grid arrays: equi-join on
-        chunk position + JVM `zip_with` kernel. One shuffle (none if both
-        sides already share partitioning on pos).
+        """Elementwise binary op between two same-grid arrays.
+
+        Fast path: when BOTH sides are virtual (same grid), the result is
+        virtual too — the op composes into one generation closure, zero
+        shuffles (the Dask-style operator-fusion rewrite SURVEY §4 scoped).
+        Otherwise: materialize both sides, equi-join the binary rows on
+        chunk position (one shuffle; none if co-partitioned), and combine
+        in an Arrow-batched numpy kernel.
 
         op ∈ {'+', '-', '*', '/'}; '/' promotes to float64 (numpy true
         division), others follow numpy dtype promotion.
@@ -386,63 +415,405 @@ class ChunkedArray:
             raise ValueError("grid mismatch")
         if op not in {"+", "-", "*", "/"}:
             raise ValueError(f"unsupported op {op}")
+        np_op = {"+": np.add, "-": np.subtract, "*": np.multiply, "/": np.true_divide}[op]
         if op == "/":
             out_dtype = "float64"
         else:
-            out_dtype = str(
-                np.result_type(np.dtype(self.meta.dtype), np.dtype(other.meta.dtype))
+            out_dtype = _check_dtype(
+                str(np.result_type(np.dtype(self.meta.dtype), np.dtype(other.meta.dtype)))
             )
-        elem = spark_elem_type(out_dtype)
-        meta = GridMeta(
-            self.meta.name, self.meta.nb_chunks_per_dim, self.meta.chunk_shape, out_dtype
+        meta = self.meta._replaced(dtype=out_dtype)
+        out_np = np.dtype(out_dtype)
+
+        if self._gen is not None and other._gen is not None:
+            ga, gb = self._gen, other._gen
+            return ChunkedArray(
+                self.df,
+                meta,
+                self.timestep,
+                gen=lambda pos: np_op(ga(pos), gb(pos)).astype(out_np, copy=False),
+            )
+
+        a = self.materialize().df.select(
+            "pos", F.col("chunk_shape").alias("sh"), F.col("data").alias("__a")
         )
-        a = self.df.select(
-            F.col("pos"), F.col("chunk_shape"), F.col("data").alias("__a")
+        b = other.materialize().df.select(
+            F.col("pos").alias("__bpos"), F.col("data").alias("__b")
         )
-        b = other.df.select(F.col("pos").alias("__bpos"), F.col("data").alias("__b"))
         joined = a.join(b, a["pos"] == b["__bpos"], "inner")
-        zip_body = "zip_with(__a, __b, (x, y) -> " + (
-            f"CAST(CAST(x AS DOUBLE) {op} CAST(y AS DOUBLE) AS {elem}))"
-            if op == "/"
-            else f"CAST(x {op} y AS {elem}))"
+        name, ts = self.meta.name, self.timestep
+        dt_a, dt_b = np.dtype(self.meta.dtype), np.dtype(other.meta.dtype)
+
+        def combine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"name": [], "timestep": [], "pos": [], "chunk_shape": [], "data": []}
+                for pos, sh, ba, bb in zip(pdf["pos"], pdf["sh"], pdf["__a"], pdf["__b"]):
+                    shape = tuple(int(s) for s in sh)
+                    va = np.frombuffer(ba, dtype=dt_a).reshape(shape)
+                    vb = np.frombuffer(bb, dtype=dt_b).reshape(shape)
+                    res = np_op(va, vb).astype(out_np, copy=False)
+                    out["name"].append(name)
+                    out["timestep"].append(ts)
+                    out["pos"].append(list(pos))
+                    out["chunk_shape"].append(list(shape))
+                    out["data"].append(res.tobytes())
+                yield pd.DataFrame(out)
+
+        df = joined.mapInPandas(combine, schema=CHUNK_SCHEMA)
+        return ChunkedArray(df, meta, ts)
+
+    # -------------------------------------------------- structural operators
+    def slice(self, region: "tuple[tuple[int | None, int | None], ...]") -> "ChunkedArray":
+        """Region selection ``arr[a0:b0, a1:b1, ...]`` — the tensor analog of
+        partition pruning + filter pushdown:
+
+        1. chunks wholly outside the region are PRUNED by a Catalyst filter
+           on ``pos`` (never generated/read at scale);
+        2. boundary trimming is a LAZY numpy view composed into the fused
+           pipeline (a contiguous sub-box of a row-major chunk is just a
+           slice — no re-layout).
+
+        Reference parity: user callbacks index assembled arrays
+        (tests/test_sliding_window.py:27); dask's ``array[slices]`` is the
+        API being mirrored."""
+        chunks = self.meta.chunks
+        ndim = self.meta.ndim
+        if len(region) != ndim:
+            raise ValueError(f"region has {len(region)} dims, array has {ndim}")
+        gshape = self.meta.global_shape
+        bounds = []
+        for d, (a, b) in enumerate(region):
+            a = 0 if a is None else int(a)
+            b = gshape[d] if b is None else int(b)
+            if not (0 <= a < b <= gshape[d]):
+                raise ValueError(f"dim {d}: empty or out-of-range slice [{a}, {b})")
+            bounds.append((a, b))
+        offs = [np.concatenate([[0], np.cumsum(chunks[d])]).astype(int) for d in range(ndim)]
+        lo_idx, hi_idx, new_sizes = [], [], []
+        for d, (a, b) in enumerate(bounds):
+            lo = int(np.searchsorted(offs[d], a, side="right") - 1)
+            hi = int(np.searchsorted(offs[d], b, side="left") - 1)
+            lo_idx.append(lo)
+            hi_idx.append(hi)
+            new_sizes.append(
+                tuple(
+                    min(b, int(offs[d][p + 1])) - max(a, int(offs[d][p]))
+                    for p in range(lo, hi + 1)
+                )
+            )
+        pruned = self.df
+        for d in range(ndim):
+            pruned = pruned.where(
+                (F.col("pos")[d] >= lo_idx[d]) & (F.col("pos")[d] <= hi_idx[d])
+            )
+        # rebase pos to the new grid (JVM select keeps every other column)
+        rebased = pruned.withColumn(
+            "pos", F.expr("array(" + ", ".join(f"pos[{d}] - {lo_idx[d]}" for d in range(ndim)) + ")")
         )
-        out = joined.select(
-            F.lit(self.meta.name).alias("name"),
-            F.lit(self.timestep).cast("bigint").alias("timestep"),
-            "pos",
-            "chunk_shape",
-            F.expr(zip_body).alias("data"),
+        lo_t, bounds_t = tuple(lo_idx), tuple(bounds)
+        offs_t = tuple(tuple(int(x) for x in o) for o in offs)
+
+        def trim(pos: tuple[int, ...], arr: np.ndarray) -> np.ndarray:
+            sel = []
+            for d in range(len(pos)):
+                orig = pos[d] + lo_t[d]
+                base = offs_t[d][orig]
+                sel.append(
+                    slice(
+                        max(bounds_t[d][0] - base, 0),
+                        min(bounds_t[d][1] - base, arr.shape[d]),
+                    )
+                )
+            return arr[tuple(sel)]
+
+        meta = self.meta._replaced(
+            nb_chunks_per_dim=tuple(h - l + 1 for l, h in zip(lo_idx, hi_idx)),
+            chunk_shape=tuple(new_sizes),
         )
-        return ChunkedArray(out, meta, self.timestep)
+        # compose on the ORIGINAL pipeline, translating new pos → old pos
+        if self._gen is not None:
+            g = self._gen
+            gen2 = lambda pos: trim(pos, g(tuple(p + l for p, l in zip(pos, lo_t))))  # noqa: E731
+            return ChunkedArray(rebased, meta, self.timestep, gen=gen2)
+        xf = self._xform
+        if xf is None:
+            xform2 = trim
+        else:
+            xform2 = lambda pos, arr: trim(  # noqa: E731
+                pos, xf(tuple(p + l for p, l in zip(pos, lo_t)), arr)
+            )
+        return ChunkedArray(
+            rebased,
+            meta,
+            self.timestep,
+            xform=xform2,
+            source_dtype=self._source_dtype,
+        )
+
+    @staticmethod
+    def stack(arrays: "list[ChunkedArray]") -> "ChunkedArray":
+        """dask.array.stack analog: N same-grid arrays → one array with a new
+        leading axis of extent N (one chunk per slot). Pure union + pos
+        prefix — no shuffle. All-virtual inputs stay virtual."""
+        if not arrays:
+            raise ValueError("stack of nothing")
+        base = arrays[0].meta
+        for a in arrays[1:]:
+            if a.meta.chunks != base.chunks:
+                raise ValueError("grid mismatch")
+            if a.meta.dtype != base.dtype:
+                raise ValueError("dtype mismatch")
+        meta = GridMeta(
+            base.name,
+            (len(arrays),) + base.nb_chunks_per_dim,
+            ((1,) * len(arrays),) + base.chunks,
+            base.dtype,
+        )
+        ts = arrays[0].timestep
+        if all(a._gen is not None for a in arrays):
+            gens = [a._gen for a in arrays]
+            parts = [
+                a.df.select(F.expr(f"array({i}) || pos").alias("pos"))
+                for i, a in enumerate(arrays)
+            ]
+            df = reduce(DataFrame.unionAll, parts)
+            gen = lambda pos: np.expand_dims(gens[pos[0]](tuple(pos[1:])), 0)  # noqa: E731
+            return ChunkedArray(df, meta, ts, gen=gen)
+        parts = [
+            a.materialize().df.select(
+                "name",
+                "timestep",
+                F.expr(f"array({i}) || pos").alias("pos"),
+                F.expr("array(1) || chunk_shape").cast("array<int>").alias("chunk_shape"),
+                "data",
+            )
+            for i, a in enumerate(arrays)
+        ]
+        df = reduce(DataFrame.unionAll, parts)
+        return ChunkedArray(df, meta, ts)
+
+    def rechunk(self, new_chunks) -> "ChunkedArray":
+        """Re-tile the array to a new chunk decomposition (dask
+        ``rechunk``). One fused Python stage splits every source chunk into
+        the sub-blocks that land in each target chunk; one groupBy shuffle
+        brings each target's pieces together; applyInPandas assembles.
+        The shuffle moves each element exactly once — the minimum any
+        repartitioning can do."""
+        meta = self._rechunk_meta(new_chunks)
+        if meta.global_shape != self.meta.global_shape:
+            raise ValueError(
+                f"rechunk changes global shape {self.meta.global_shape} -> "
+                f"{meta.global_shape}"
+            )
+        ndim = self.meta.ndim
+        dtype = np.dtype(self.meta.dtype)
+        src_offs = [
+            np.concatenate([[0], np.cumsum(self.meta.chunks[d])]).astype(int)
+            for d in range(ndim)
+        ]
+        dst_offs = [
+            np.concatenate([[0], np.cumsum(meta.chunks[d])]).astype(int) for d in range(ndim)
+        ]
+        rows_fn = self._rows_fn()
+
+        def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"pos": [], "piece_off": [], "piece_shape": [], "piece": []}
+                for pos, arr in rows_fn(pdf):
+                    g0 = [int(src_offs[d][pos[d]]) for d in range(ndim)]
+                    windows = []
+                    for d in range(ndim):
+                        a, b = g0[d], g0[d] + arr.shape[d]
+                        lo = int(np.searchsorted(dst_offs[d], a, side="right") - 1)
+                        hi = int(np.searchsorted(dst_offs[d], b, side="left") - 1)
+                        windows.append(range(lo, hi + 1))
+                    for tgt in product(*windows):
+                        loc = tuple(
+                            slice(
+                                max(int(dst_offs[d][tgt[d]]), g0[d]) - g0[d],
+                                min(int(dst_offs[d][tgt[d] + 1]), g0[d] + arr.shape[d])
+                                - g0[d],
+                            )
+                            for d in range(ndim)
+                        )
+                        sub = np.ascontiguousarray(arr[loc])
+                        place = [
+                            max(int(dst_offs[d][tgt[d]]), g0[d]) - int(dst_offs[d][tgt[d]])
+                            for d in range(ndim)
+                        ]
+                        out["pos"].append(list(tgt))
+                        out["piece_off"].append(place)
+                        out["piece_shape"].append(list(sub.shape))
+                        out["piece"].append(sub.tobytes())
+                yield pd.DataFrame(out)
+
+        pieces = self.df.mapInPandas(
+            split,
+            schema="pos array<int>, piece_off array<int>, piece_shape array<int>, piece binary",
+        )
+        name, ts = self.meta.name, self.timestep
+        shape_of = {
+            p: meta.shape_of(p)
+            for p in product(*(range(n) for n in meta.nb_chunks_per_dim))
+        }
+
+        def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pos = tuple(int(x) for x in key[0])
+            tgt = np.zeros(shape_of[pos], dtype=dtype)
+            for off, shp, piece in zip(pdf["piece_off"], pdf["piece_shape"], pdf["piece"]):
+                shape = tuple(int(s) for s in shp)
+                loc = tuple(slice(int(o), int(o) + s) for o, s in zip(off, shape))
+                tgt[loc] = np.frombuffer(piece, dtype=dtype).reshape(shape)
+            return pd.DataFrame(
+                {
+                    "name": [name],
+                    "timestep": [ts],
+                    "pos": [list(pos)],
+                    "chunk_shape": [list(tgt.shape)],
+                    "data": [tgt.tobytes()],
+                }
+            )
+
+        df = pieces.groupBy("pos").applyInPandas(assemble, schema=CHUNK_SCHEMA)
+        return ChunkedArray(df, meta, ts)
+
+    def _rechunk_meta(self, new_chunks) -> GridMeta:
+        """Normalize a rechunk spec (uniform ints or per-dim size lists) to
+        a GridMeta covering this array's global shape."""
+        gshape = self.meta.global_shape
+        grid, tiling = [], []
+        for d, spec in enumerate(new_chunks):
+            if isinstance(spec, (int, np.integer)):
+                s = int(spec)
+                n = (gshape[d] + s - 1) // s
+                sizes = tuple(min(s, gshape[d] - i * s) for i in range(n))
+            else:
+                sizes = tuple(int(x) for x in spec)
+            grid.append(len(sizes))
+            tiling.append(sizes)
+        return GridMeta(self.meta.name, tuple(grid), tuple(tiling), self.meta.dtype)
+
+    def matmul(self, other: "ChunkedArray") -> "ChunkedArray":
+        """Distributed block matrix multiply (dask ``a @ b``) for 2-D
+        arrays. Classic SUMMA-style plan, all standard Spark primitives:
+
+        - equi-join the chunk grids on the contracted index k
+          (A[i,k] ⨝ B[k,j] — Catalyst picks broadcast when one side is
+          small);
+        - per joined pair, one BLAS ``a @ b`` block product in an
+          Arrow-batched kernel (the genuinely-numeric inner kernel Python
+          is *for*);
+        - groupBy target position (i,j) and sum the ≤ gk partial blocks
+          (applyInPandas — the shuffle carries exactly the partial
+          products, the textbook block-matmul volume)."""
+        if self.meta.ndim != 2 or other.meta.ndim != 2:
+            raise ValueError("matmul is defined for 2-D arrays")
+        if self.meta.chunks[1] != other.meta.chunks[0]:
+            raise ValueError(
+                f"inner tiling mismatch: {self.meta.chunks[1]} vs {other.meta.chunks[0]}"
+            )
+        out_dtype = _check_dtype(
+            str(np.result_type(np.dtype(self.meta.dtype), np.dtype(other.meta.dtype)))
+        )
+        dtype = np.dtype(out_dtype)
+        meta = GridMeta(
+            self.meta.name,
+            (self.meta.nb_chunks_per_dim[0], other.meta.nb_chunks_per_dim[1]),
+            (self.meta.chunks[0], other.meta.chunks[1]),
+            out_dtype,
+        )
+        dt_a, dt_b = np.dtype(self.meta.dtype), np.dtype(other.meta.dtype)
+        a = self.materialize().df.select(
+            F.col("pos")[0].alias("i"),
+            F.col("pos")[1].alias("k"),
+            F.col("chunk_shape").alias("sh_a"),
+            F.col("data").alias("da"),
+        )
+        b = other.materialize().df.select(
+            F.col("pos")[0].alias("bk"),
+            F.col("pos")[1].alias("j"),
+            F.col("chunk_shape").alias("sh_b"),
+            F.col("data").alias("db"),
+        )
+        joined = a.join(b, a["k"] == b["bk"], "inner")
+
+        def block_mul(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                prods = []
+                for sa, da_, sb, db_ in zip(pdf["sh_a"], pdf["da"], pdf["sh_b"], pdf["db"]):
+                    ma = np.frombuffer(da_, dtype=dt_a).reshape(tuple(int(x) for x in sa))
+                    mb = np.frombuffer(db_, dtype=dt_b).reshape(tuple(int(x) for x in sb))
+                    prods.append((ma.astype(dtype, copy=False) @ mb.astype(dtype, copy=False)).tobytes())
+                yield pd.DataFrame({"i": pdf["i"], "j": pdf["j"], "part": prods})
+
+        partials = joined.mapInPandas(block_mul, schema="i int, j int, part binary")
+        name, ts = self.meta.name, self.timestep
+        shape_of = {
+            (i, j): (meta.chunks[0][i], meta.chunks[1][j])
+            for i in range(meta.nb_chunks_per_dim[0])
+            for j in range(meta.nb_chunks_per_dim[1])
+        }
+
+        def reduce_blocks(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            i, j = int(key[0]), int(key[1])
+            shp = shape_of[(i, j)]
+            acc = np.zeros(shp[0] * shp[1], dtype=dtype)
+            for part in pdf["part"]:
+                acc += np.frombuffer(part, dtype=dtype)
+            return pd.DataFrame(
+                {
+                    "name": [name],
+                    "timestep": [ts],
+                    "pos": [[i, j]],
+                    "chunk_shape": [list(shp)],
+                    "data": [acc.tobytes()],
+                }
+            )
+
+        df = partials.groupBy("i", "j").applyInPandas(reduce_blocks, schema=CHUNK_SCHEMA)
+        return ChunkedArray(df, meta, ts)
 
     # ----------------------------------------------------------- reductions
     def sum(self) -> DataFrame:
-        """Global sum: per-chunk sequential fold (JVM) → final agg.
-        One row, column `total` — BIGINT for integer arrays (exact, the
-        reference's int chunks sum exactly), DOUBLE for float arrays."""
-        acc = _acc_type(self.meta.dtype)
-        partial = self.df.select(
-            F.expr(
-                f"aggregate(data, CAST(0 AS {acc}), (acc, x) -> acc + x)"
-            ).alias("__p")
-        )
-        return partial.agg(F.sum("__p").cast(acc.lower()).alias("total"))
+        """Global sum: fused pipeline + per-chunk numpy partial in ONE
+        Python stage → tiny final agg. One row, column `total` — BIGINT for
+        integer arrays (exact past 2^53), DOUBLE for float arrays."""
+        np_acc, sql_acc = _acc(self.meta.dtype)
+        rows_fn = self._rows_fn()
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vals = [arr.sum(dtype=np_acc) for _, arr in rows_fn(pdf)]
+                yield pd.DataFrame({"__p": pd.Series(vals, dtype=np_acc)})
+
+        partials = self.df.mapInPandas(partial, schema=f"__p {sql_acc}")
+        return partials.agg(F.sum("__p").cast(sql_acc).alias("total"))
 
     def mean(self) -> DataFrame:
         """Global mean via sum + count partials (never collects data)."""
-        acc = _acc_type(self.meta.dtype)
-        partial = self.df.select(
-            F.expr(f"aggregate(data, CAST(0 AS {acc}), (acc, x) -> acc + x)").alias("__s"),
-            F.size("data").cast("bigint").alias("__n"),
-        )
-        return partial.agg(
+        np_acc, sql_acc = _acc(self.meta.dtype)
+        rows_fn = self._rows_fn()
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ss, ns = [], []
+                for _, arr in rows_fn(pdf):
+                    ss.append(arr.sum(dtype=np_acc))
+                    ns.append(arr.size)
+                yield pd.DataFrame(
+                    {"__s": pd.Series(ss, dtype=np_acc), "__n": pd.Series(ns, dtype="int64")}
+                )
+
+        partials = self.df.mapInPandas(partial, schema=f"__s {sql_acc}, __n bigint")
+        return partials.agg(
             (F.sum("__s").cast("double") / F.sum("__n").cast("double")).alias("mean_value")
         )
 
     def axis_sum(self, axis: int) -> DataFrame:
-        """Reduce along one axis of an N-d grid: per-chunk numpy partial
-        reduction → explode to (global coords of kept dims, partial) →
-        groupBy-sum. The shuffle carries only reduced vectors, not chunks.
+        """Reduce along one axis of an N-d grid: fused pipeline + per-chunk
+        numpy partial reduction → explode to (global coords of kept dims,
+        partial) → groupBy-sum. The shuffle carries only reduced vectors,
+        never chunks.
 
         Output: one row per surviving global coordinate:
         ``(coords array<int>, total bigint|double)`` — ``coords`` are the
@@ -451,9 +822,9 @@ class ChunkedArray:
         if not (0 <= axis < ndim):
             raise ValueError(f"axis {axis} out of range for ndim {ndim}")
         kept = [d for d in range(ndim) if d != axis]
-        dtype = np.dtype(self.meta.dtype)
-        np_acc = np.int64 if dtype.kind != "f" else np.float64
+        np_acc, sql_acc = _acc(self.meta.dtype)
         chunks = self.meta.chunks  # for global offsets (ragged-safe)
+        rows_fn = self._rows_fn()
 
         def offset(d: int, p: int) -> int:
             return sum(chunks[d][:p])
@@ -462,32 +833,27 @@ class ChunkedArray:
             for pdf in batches:
                 coords_out: list[list[int]] = []
                 val_out: list = []
-                for pos, shape, d in zip(pdf["pos"], pdf["chunk_shape"], pdf["data"]):
-                    shape = tuple(int(s) for s in shape)
-                    arr = np.asarray(d, dtype=dtype).reshape(shape)
+                for pos, arr in rows_fn(pdf):
                     red = arr.sum(axis=axis, dtype=np_acc)
-                    kept_shape = red.shape
-                    # vectorized global-coordinate construction
-                    grids = np.indices(kept_shape).reshape(len(kept), -1)
+                    grids = np.indices(red.shape).reshape(len(kept), -1)
                     for j, d_ in enumerate(kept):
-                        grids[j] += offset(d_, int(pos[d_]))
+                        grids[j] += offset(d_, pos[d_])
                     coords_out.extend(grids.T.tolist())
-                    val_out.extend(red.ravel().tolist())
-                yield pd.DataFrame({"coords": coords_out, "partial": val_out})
+                    val_out.extend(red.ravel())
+                yield pd.DataFrame(
+                    {"coords": coords_out, "partial": pd.Series(val_out, dtype=np_acc)}
+                )
 
-        acc_sql = "bigint" if np_acc is np.int64 else "double"
-        partials = self.df.mapInPandas(
-            partial, schema=f"coords array<int>, partial {acc_sql}"
-        )
-        return partials.groupBy("coords").agg(
-            F.sum("partial").cast(acc_sql).alias("total")
-        )
+        partials = self.df.mapInPandas(partial, schema=f"coords array<int>, partial {sql_acc}")
+        return partials.groupBy("coords").agg(F.sum("partial").cast(sql_acc).alias("total"))
 
     # -------------------------------------------------------------- utility
     def persist(self) -> "ChunkedArray":
         """Async materialization analog of doreisa's ray_persist
-        (_scheduler.py:114-117): lazy until first action, then cached."""
-        return self._replace_df(self.df.persist())
+        (_scheduler.py:114-117): flushes the pending pipeline so the cached
+        bytes are post-kernel, then lazy until first action."""
+        m = self.materialize()
+        return ChunkedArray(m.df.persist(), m.meta, m.timestep)
 
     def unpersist(self) -> "ChunkedArray":
         self.df.unpersist()
@@ -495,59 +861,26 @@ class ChunkedArray:
 
     def to_numpy(self) -> np.ndarray:
         """TEST-ONLY driver materialization of the full array."""
-        out = np.zeros(self.meta.global_shape, dtype=np.dtype(self.meta.dtype))
-        for row in self.df.collect():
+        m = self.materialize()
+        dtype = np.dtype(m.meta.dtype)
+        out = np.zeros(m.meta.global_shape, dtype=dtype)
+        for row in m.df.collect():
             pos = tuple(row["pos"])
-            off = self.meta.offset_of(pos)
+            off = m.meta.offset_of(pos)
             shape = tuple(row["chunk_shape"])
             slices = tuple(slice(o, o + s) for o, s in zip(off, shape))
-            out[slices] = np.asarray(row["data"], dtype=out.dtype).reshape(shape)
+            out[slices] = np.frombuffer(row["data"], dtype=dtype).reshape(shape)
         return out
 
     def count_chunks(self) -> int:
         return self.df.count()
 
 
-def _with_coords(value_expr: str, coord_defs: str) -> str:
-    """Inline named global-coordinate bindings into a SQL scalar expr via a
-    one-row lateral-style struct (works inside lambda scope)."""
-    # named_struct is overkill here; simple textual substitution keeps the
-    # expression inside the lambda's codegen. coord_defs is "expr AS gN, ..."
-    bindings = {}
-    for part in _split_top_level(coord_defs):
-        expr, alias = part.rsplit(" AS ", 1)
-        bindings[alias.strip()] = f"({expr.strip()})"
-    out = value_expr
-    # longest names first so g10 is not clobbered by g1
-    for alias in sorted(bindings, key=len, reverse=True):
-        out = out.replace(alias, bindings[alias])
-    return out
-
-
-def _split_top_level(s: str) -> list[str]:
-    parts, depth, cur = [], 0, []
-    for ch in s:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur))
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        parts.append("".join(cur))
-    return parts
-
-
 def expected_sum_arithmetic(meta: GridMeta) -> float:
     """Closed-form oracle helper for the r+c test grid (tests use this the
     way the reference uses closed-form sums, tests/test_doreisa.py:18-21)."""
     rows, cols = meta.global_shape
-    return float(
-        cols * (rows * (rows - 1)) / 2 + rows * (cols * (cols - 1)) / 2
-    )
+    return float(cols * (rows * (rows - 1)) / 2 + rows * (cols * (cols - 1)) / 2)
 
 
 def ramp_chunk(pos: tuple[int, ...], shape: tuple[int, ...]) -> np.ndarray:

@@ -10,11 +10,12 @@ so these check the entire distributed tensor pipeline (generation,
 chunk kernels, position joins, partial+final reduction) against an
 engine that never saw a chunk.
 
-Generation is JVM-side (`sequence` + `transform` inside whole-stage
-codegen, ChunkedArray.from_sql_expr) so the benchmark measures tensor
-throughput, not Python-worker spin-up; `tensor_preprocess_chain` keeps
-the numpy `mapInPandas` path because a user-supplied preprocess kernel
-is exactly what that path is for (simulation_node.py:57).
+Generation is lazy/virtual (plans/chunked.py): a reduction over a
+generated grid fuses generate → elementwise chain → per-chunk partial
+into ONE Arrow-batched numpy stage, so only one partial value per chunk
+ever reaches the JVM. (Catalyst higher-order functions were measured
+interpreted per-element — 234 s for a 537 MB fold vs seconds fused — see
+the chunked.py module docstring.)
 
 Grid sizing: at correctness scale (sf < 0.05) a 4×4 grid of 64×64
 chunks matches the DuckDB oracle's range() extent; at bench scale the
@@ -63,11 +64,17 @@ def _meta_for(sf_dir: str) -> GridMeta:
 def _ramp(spark: SparkSession, sf_dir: str, timestep: int = 0, scale_t: bool = False) -> ChunkedArray:
     """A[r,c] = r + c (or (t+1)·(r+c) when scale_t, emulating per-timestep
     simulation output as in the reference's tests, tests/utils.py:26-47).
-    Built entirely JVM-side — no Python worker in the pipeline."""
-    expr = f"{timestep + 1} * (g0 + g1)" if scale_t else "g0 + g1"
-    return ChunkedArray.from_sql_expr(
-        spark, _meta_for(sf_dir), expr, timestep=timestep
-    )
+    Virtual: chunks are generated on the executors and fuse with the
+    downstream reduction into a single Python stage."""
+    if scale_t:
+        k = float(timestep + 1)
+
+        def fn(pos, shape):
+            return k * ramp_chunk(pos, shape)
+
+    else:
+        fn = ramp_chunk
+    return ChunkedArray.from_function(spark, _meta_for(sf_dir), fn, timestep=timestep)
 
 
 @register(

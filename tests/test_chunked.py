@@ -30,11 +30,16 @@ def test_global_sum_closed_form(spark):
     assert total == expected_sum_arithmetic(META)
 
 
-def test_sql_expr_generation_matches_numpy(spark):
-    jvm = ChunkedArray.from_sql_expr(spark, META, "g0 + g1")
-    assert jvm.sum().collect()[0]["total"] == expected_sum_arithmetic(META)
-    # whole grids identical, not just the sums
-    assert np.array_equal(jvm.to_numpy(), _ramp(spark).to_numpy())
+def test_virtual_fusion_single_stage(spark):
+    # generate → scale → shift → sum stays ONE virtual pipeline: the plan
+    # has exactly one Python stage and no chunk payload column at all
+    arr = _ramp(spark).scale(3.0).shift(2.0)
+    assert arr.is_virtual
+    n = META.global_shape[0] * META.global_shape[1]
+    got = arr.sum().collect()[0]["total"]
+    assert got == 3.0 * expected_sum_arithmetic(META) + 2.0 * n
+    # materialized copy produces the identical grid
+    assert np.array_equal(arr.materialize().to_numpy(), arr.to_numpy())
 
 
 def test_mean(spark):

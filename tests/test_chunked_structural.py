@@ -1,0 +1,191 @@
+"""Structural chunk-grid operators — slice / stack / rechunk / matmul —
+against numpy oracles (the dask.array surface beyond what the reference's
+own tests exercise; dask ``array[...]``, ``stack``, ``rechunk``, ``@``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from doreisa_spark.plans.chunked import ChunkedArray, GridMeta, ramp_chunk
+
+
+def _grid(spark, grid=(2, 2), chunk=(4, 4), dtype="float64", seed=0):
+    rng = np.random.default_rng(seed)
+    chunks = {
+        (i, j): rng.integers(0, 50, size=chunk).astype(dtype)
+        for i in range(grid[0])
+        for j in range(grid[1])
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "g", chunks)
+    return arr, arr.to_numpy()
+
+
+# ------------------------------------------------------------------- slice
+@pytest.mark.parametrize(
+    "region",
+    [
+        ((2, 6), (1, 7)),  # crosses chunk borders both dims
+        ((0, 8), (0, 8)),  # identity
+        ((5, 6), (3, 4)),  # single element
+        ((0, 4), (4, 8)),  # exactly one chunk
+        ((None, 3), (5, None)),  # open ends
+    ],
+)
+def test_slice_matches_numpy(spark, region):
+    arr, full = _grid(spark)
+    sl = arr.slice(region)
+    a0, b0 = region[0][0] or 0, full.shape[0] if region[0][1] is None else region[0][1]
+    a1, b1 = region[1][0] or 0, full.shape[1] if region[1][1] is None else region[1][1]
+    assert np.array_equal(sl.to_numpy(), full[a0:b0, a1:b1])
+
+
+def test_slice_prunes_chunks(spark):
+    arr, _ = _grid(spark)
+    sl = arr.slice(((0, 3), (0, 3)))  # only chunk (0,0) survives
+    assert sl.count_chunks() == 1
+    assert sl.meta.global_shape == (3, 3)
+
+
+def test_slice_ragged(spark):
+    heights, widths = (2, 3), (4, 1)
+    rng = np.random.default_rng(3)
+    chunks = {
+        (i, j): rng.integers(0, 9, size=(heights[i], widths[j])).astype(np.int32)
+        for i in range(2)
+        for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "rg", chunks)
+    full = arr.to_numpy()
+    sl = arr.slice(((1, 4), (2, 5)))
+    out = sl.to_numpy()
+    assert out.dtype == np.int32
+    assert np.array_equal(out, full[1:4, 2:5])
+
+
+def test_slice_1d_and_3d(spark):
+    c1 = {(0,): np.arange(4.0), (1,): np.arange(4.0, 9.0)}
+    a1 = ChunkedArray.from_numpy_chunks(spark, "s1", c1)
+    assert a1.slice(((2, 7),)).to_numpy().tolist() == [2, 3, 4, 5, 6]
+    c3 = {
+        (i, j, k): np.arange(8.0).reshape(2, 2, 2) + 10 * (i + j + k)
+        for i in range(2)
+        for j in range(2)
+        for k in range(2)
+    }
+    a3 = ChunkedArray.from_numpy_chunks(spark, "s3", c3)
+    full = a3.to_numpy()
+    assert np.array_equal(a3.slice(((1, 3), (0, 2), (2, 4))).to_numpy(), full[1:3, 0:2, 2:4])
+
+
+def test_slice_empty_rejected(spark):
+    arr, _ = _grid(spark)
+    with pytest.raises(ValueError, match="empty or out-of-range"):
+        arr.slice(((4, 4), (0, 8)))
+
+
+# ------------------------------------------------------------------- stack
+def test_stack_matches_numpy(spark):
+    a, fa = _grid(spark, seed=1)
+    b, fb = _grid(spark, seed=2)
+    st = ChunkedArray.stack([a, b])
+    assert st.meta.global_shape == (2,) + fa.shape
+    assert np.array_equal(st.to_numpy(), np.stack([fa, fb]))
+    # stacked arrays reduce like any other grid
+    assert st.sum().collect()[0]["total"] == fa.sum() + fb.sum()
+
+
+def test_stack_then_axis_sum(spark):
+    a, fa = _grid(spark, seed=4)
+    b, fb = _grid(spark, seed=5)
+    st = ChunkedArray.stack([a, b])
+    # reducing the stacked axis == elementwise sum of members
+    got = np.zeros(fa.shape)
+    for row in st.axis_sum(axis=0).collect():
+        got[tuple(row["coords"])] = row["total"]
+    assert np.array_equal(got, fa + fb)
+
+
+def test_stack_mismatch_rejected(spark):
+    a, _ = _grid(spark)
+    c = ChunkedArray.from_numpy_chunks(spark, "c", {(0, 0): np.ones((3, 3))})
+    with pytest.raises(ValueError, match="grid mismatch"):
+        ChunkedArray.stack([a, c])
+
+
+# ----------------------------------------------------------------- rechunk
+@pytest.mark.parametrize(
+    "spec",
+    [
+        (2, 2),  # finer
+        (8, 8),  # single chunk
+        (3, 5),  # misaligned with source tiling
+        ((5, 3), (1, 7)),  # explicit ragged target
+    ],
+)
+def test_rechunk_preserves_values(spark, spec):
+    arr, full = _grid(spark)
+    rc = arr.rechunk(spec)
+    assert np.array_equal(rc.to_numpy(), full)
+    assert rc.sum().collect()[0]["total"] == full.sum()
+
+
+def test_rechunk_dtype_preserved(spark):
+    chunks = {(0,): np.array([1, 2, 3, 4], dtype=np.int16), (1,): np.array([5, 6], dtype=np.int16)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "i", chunks)
+    rc = arr.rechunk((3,))
+    assert rc.meta.dtype == "int16"
+    assert rc.to_numpy().tolist() == [1, 2, 3, 4, 5, 6]
+    assert rc.meta.chunks == ((3, 3),)
+
+
+def test_rechunk_shape_change_rejected(spark):
+    arr, _ = _grid(spark)
+    with pytest.raises(ValueError, match="changes global shape"):
+        arr.rechunk(((4, 4), (4, 3)))
+
+
+# ------------------------------------------------------------------ matmul
+def test_matmul_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    a_chunks = {
+        (i, k): rng.standard_normal((3, 4)) for i in range(2) for k in range(3)
+    }
+    b_chunks = {
+        (k, j): rng.standard_normal((4, 5)) for k in range(3) for j in range(2)
+    }
+    A = ChunkedArray.from_numpy_chunks(spark, "A", a_chunks)
+    B = ChunkedArray.from_numpy_chunks(spark, "B", b_chunks)
+    C = A.matmul(B)
+    assert C.meta.global_shape == (6, 10)
+    assert np.allclose(C.to_numpy(), A.to_numpy() @ B.to_numpy())
+
+
+def test_matmul_int_exact(spark):
+    a = ChunkedArray.from_numpy_chunks(
+        spark, "A", {(0, 0): np.arange(4, dtype=np.int64).reshape(2, 2)}
+    )
+    b = ChunkedArray.from_numpy_chunks(
+        spark, "B", {(0, 0): np.arange(4, 8, dtype=np.int64).reshape(2, 2)}
+    )
+    C = a.matmul(b)
+    assert C.meta.dtype == "int64"
+    assert np.array_equal(C.to_numpy(), a.to_numpy() @ b.to_numpy())
+
+
+def test_matmul_inner_mismatch_rejected(spark):
+    a = ChunkedArray.from_numpy_chunks(spark, "A", {(0, 0): np.ones((2, 3))})
+    b = ChunkedArray.from_numpy_chunks(spark, "B", {(0, 0): np.ones((4, 2))})
+    with pytest.raises(ValueError, match="inner tiling mismatch"):
+        a.matmul(b)
+
+
+def test_matmul_ragged_inner(spark):
+    # inner dim tiled (2, 3) on both sides
+    rng = np.random.default_rng(21)
+    widths = (2, 3)
+    a_chunks = {(0, k): rng.standard_normal((3, widths[k])) for k in range(2)}
+    b_chunks = {(k, 0): rng.standard_normal((widths[k], 4)) for k in range(2)}
+    A = ChunkedArray.from_numpy_chunks(spark, "A", a_chunks)
+    B = ChunkedArray.from_numpy_chunks(spark, "B", b_chunks)
+    assert np.allclose(A.matmul(B).to_numpy(), A.to_numpy() @ B.to_numpy())
