@@ -71,3 +71,36 @@ def cosine_topk(
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def lsh_bucket_udf(planes_a: list[int], planes_b: list[int], mod: int):
+    """Sign-LSH bucket assignment as ONE BLAS matmul per Arrow batch:
+    bucket bit k = (w_k · v > 0) with integer hyperplane weights
+    w_k[i] = ((A_k·(i+1) + B_k) mod M) − M÷2 — the same constants as the
+    SQL fold in operators/vectors.py, so buckets agree with the DuckDB
+    oracle (projections are O(100); a sign flip would need |proj| ≲ 1e-12,
+    far below the integer-weight grid).
+
+    Returns a pandas UDF: array<float> column → int bucket id."""
+    import pandas as pd  # noqa: F811  (keep closure self-contained)
+
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = len(planes_a)
+    powers = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("int")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int32")
+        c = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        dim = c.shape[1]
+        i = np.arange(1, dim + 1)
+        w = np.stack(
+            [(a * i + b) % mod - mod // 2 for a, b in zip(planes_a, planes_b)]
+        ).astype(np.float64)  # (planes × dim)
+        proj = c @ w.T  # (batch × planes)
+        ids = ((proj > 0).astype(np.int64) @ powers).astype(np.int32)
+        return pd.Series(ids)
+
+    return bucket
