@@ -255,10 +255,18 @@ class ChunkedArray:
     # ------------------------------------------------------------ creation
     @classmethod
     def _pos_df(cls, spark: SparkSession, meta: GridMeta) -> DataFrame:
-        positions = [list(p) for p in product(*(range(n) for n in meta.nb_chunks_per_dim))]
-        return spark.createDataFrame([(p,) for p in positions], POS_SCHEMA).repartition(
-            min(meta.n_chunks, spark.sparkContext.defaultParallelism)
+        """Chunk-position rows generated ENTIRELY on the executors:
+        ``spark.range`` (already split into numPartitions, no shuffle) +
+        a JVM row-major id→pos decode. No driver-held list, so a
+        billion-chunk grid costs the driver nothing."""
+        n = meta.n_chunks
+        parts = max(1, min(n, spark.sparkContext.defaultParallelism))
+        dims = meta.nb_chunks_per_dim
+        strides = [reduce(mul, dims[d + 1 :], 1) for d in range(len(dims))]
+        pos = ", ".join(
+            f"CAST((id DIV {strides[d]}) % {dims[d]} AS INT)" for d in range(len(dims))
         )
+        return spark.range(0, n, 1, parts).selectExpr(f"array({pos}) AS pos")
 
     @classmethod
     def from_function(
@@ -888,8 +896,7 @@ def ramp_chunk(pos: tuple[int, ...], shape: tuple[int, ...]) -> np.ndarray:
     (for 2-D: A[r, c] = r + c). Deterministic, integer-valued → exact in
     float64 and in any SQL oracle. Uniform grids only (global offset =
     pos * shape); ragged tests build chunks explicitly."""
-    grids = np.meshgrid(
-        *[np.arange(p * s, (p + 1) * s, dtype=np.float64) for p, s in zip(pos, shape)],
-        indexing="ij",
+    grids = np.ix_(
+        *[np.arange(p * s, (p + 1) * s, dtype=np.float64) for p, s in zip(pos, shape)]
     )
-    return sum(grids)
+    return sum(grids)  # open (broadcasting) grids: one output allocation

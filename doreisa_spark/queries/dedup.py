@@ -177,6 +177,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shingles", band_sigs.alias("band_sigs"))
         .persist()
     )
+    # EAGER materialization: three downstream subtrees (bands, verify-a,
+    # verify-b) read this cache, and AQE launches them concurrently — on a
+    # lazy persist their ~3×32 tasks convoy on the same uncomputed cache
+    # partitions (measured 20-45 s vs ~3 s; block-lock waits, not compute).
+    sig.count()
     # candidate generation: explode to (band_id, sig), bucket by groupBy,
     # emit ordered in-bucket pairs — one shuffle of (long, int, string)
     # rows, never a self-join (no O(n²) and no pipeline re-execution).

@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # pre-size the heap and JIT code cache: lazy heap growth causes
+        # repeated full GCs at small committed sizes during the first
+        # CPU-dense queries, and the md5/HOF-heavy generated code is large
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms4g -XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.spill.compress", "true")
     )
