@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from doreisa_spark.catalog import table
 from doreisa_spark.operators import text as TX
@@ -111,6 +112,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Degenerate-bucket guard: a signature shared by huge numbers of documents
+# (empty/boilerplate text) would otherwise make one bucket's pair fan-out
+# quadratic. Both engines keep the MAX_BUCKET smallest doc_ids per bucket,
+# so the candidate sets still agree exactly. 64 is ~6x the largest bucket
+# observed at sf0.1; overflow means near-identical boilerplate, where the
+# kept 64 still link the duplicate cluster transitively.
+_MAX_BUCKET = 64
+
+
 def _lsh_oracle() -> str:
     """DuckDB SQL running the identical minhash-LSH pipeline."""
     mh_cols = ",\n         ".join(
@@ -130,9 +140,12 @@ WITH sh AS (
   FROM sh
 ), bands AS (
   {band_selects}
+), capped AS (
+  SELECT doc_id, band_id, sig FROM bands
+  QUALIFY row_number() OVER (PARTITION BY band_id, sig ORDER BY doc_id) <= {_MAX_BUCKET}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.sig = b.sig
+  FROM capped a JOIN capped b ON a.band_id = b.band_id AND a.sig = b.sig
   WHERE a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
@@ -185,11 +198,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate generation: explode to (band_id, sig), bucket by groupBy,
     # emit ordered in-bucket pairs — one shuffle of (long, int, string)
     # rows, never a self-join (no O(n²) and no pipeline re-execution).
+    # The collect_list is bounded: ranks over the same (band_id, sig)
+    # partitioning cap each bucket at _MAX_BUCKET docs first (the window
+    # and the groupBy reuse one shuffle), so a degenerate signature can
+    # never materialize an unbounded bucket row.
     bands = sig.select(
         "doc_id", F.posexplode("band_sigs").alias("band_id", "sig")
     )
+    wb = W.partitionBy("band_id", "sig").orderBy("doc_id")
+    capped = (
+        bands.withColumn("__r", F.row_number().over(wb))
+        .where(F.col("__r") <= _MAX_BUCKET)
+        .drop("__r")
+    )
     buckets = (
-        bands.groupBy("band_id", "sig")
+        capped.groupBy("band_id", "sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .where(F.size("ds") > 1)
     )

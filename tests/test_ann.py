@@ -5,11 +5,27 @@ from __future__ import annotations
 
 import numpy as np
 
+from pyspark.sql import functions as F
+
 from doreisa_spark.catalog import table
-from doreisa_spark.operators.ann import cosine_topk
+from doreisa_spark.operators import vectors as V
+from doreisa_spark.operators.ann import cosine_topk, lsh_bucket_udf
 from doreisa_spark.queries.similarity import sim_topk_bruteforce
 
 from conftest import SF_SMALL
+
+
+def test_lsh_bucket_udf_matches_sql_fold(spark):
+    """The BLAS bucket UDF (scale path) must assign every vector to the
+    same bucket as the sequential-fold SQL expression (oracle path)."""
+    e = table(spark, SF_SMALL, "embeddings")
+    both = e.select(
+        "vec_id",
+        F.expr(V.lsh_bucket_expr("embedding")).alias("sql_bucket"),
+        lsh_bucket_udf(V.LSH_A, V.LSH_B, V.LSH_MOD)("embedding").alias("np_bucket"),
+    )
+    mismatches = both.where(F.col("sql_bucket") != F.col("np_bucket")).count()
+    assert mismatches == 0
 
 
 def test_cosine_topk_matches_jvm_bruteforce(spark):
