@@ -14,6 +14,7 @@ Modules group the SURVEY.md §2 inventory:
 - ``similarity``  — embedding cosine top-k ANN (brute-force + LSH-bucketed).
 - ``textops``     — language-ID, quality scoring, token counts, fingerprinting.
 - ``multimodal``  — binary payload columns: metadata extraction, decode/feature kernels.
+- ``sources_io``  — csv/json/partitioned-parquet sink→source round trips.
 
 Each module registers its queries as primary (driver-checked, budgeted at
 50) or extended (oracle-verified by our own gate) — see registry.py.
@@ -28,6 +29,7 @@ from doreisa_spark.queries import (  # noqa: F401
     scalar_funcs,
     setops,
     similarity,
+    sources_io,
     subqueries,
     tensor_queries,
     textops,

@@ -1,0 +1,104 @@
+"""Source/sink round-trip queries — §2C row 1 (scans/sources/sinks).
+
+Each query WRITES a benchmark table through a sink, reads it back through
+the matching schema-explicit source, and aggregates; the DuckDB oracle
+computes the same aggregate from the original parquet. A hash match
+therefore proves the entire sink→source path is lossless, not just that
+the reader parses.
+
+Reference parity: the reference's only storage surface is the
+``store_externally`` stub (doreisa/simulation_node.py:43,55); this is the
+Spark-native realization SURVEY §2C scoped.
+
+Sinks land under ``.tmp_io/`` inside the repo (gitignored) — one
+directory per scale factor so concurrent gates at different SFs don't
+clobber each other.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doreisa_spark.catalog import table
+from doreisa_spark.registry import register
+from doreisa_spark.sources import files as IO
+
+_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp_io")
+
+_NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
+
+
+def _sink(sf_dir: str, name: str) -> str:
+    return os.path.join(_TMP, os.path.basename(sf_dir.rstrip("/")), name)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → CSV sink → schema-explicit CSV source → aggregate.
+
+    Exercises the text-format edge cases (string quoting, int parsing)
+    against the original data: a value mangled anywhere in the round trip
+    breaks the oracle hash."""
+    n = table(spark, sf_dir, "nation")
+    path = _sink(sf_dir, "nation_csv")
+    IO.write_csv(n.select("n_nationkey", "n_name", "n_regionkey"), path)
+    back = IO.read_csv(spark, path, _NATION_SCHEMA)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    extended=True,
+    oracle="""
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → JSON-lines sink → schema-explicit JSON source → aggregate."""
+    n = table(spark, sf_dir, "nation")
+    path = _sink(sf_dir, "nation_json")
+    IO.write_json(n.select("n_nationkey", "n_name", "n_regionkey"), path)
+    back = IO.read_json(spark, path, _NATION_SCHEMA)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+@register(
+    "sink_partitioned_parquet",
+    extended=True,
+    oracle="""
+SELECT o_orderstatus, count(*) AS n_orders, sum(o_totalprice) AS revenue
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+""",
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-PRUNED read-back.
+
+    orders is laid out by o_orderpriority (low cardinality); the read-back
+    filter on that column prunes directories at file-listing time — the
+    scan plan shows PartitionFilters, and at 100 TB the excluded
+    partitions cost zero I/O."""
+    o = table(spark, sf_dir, "orders")
+    path = _sink(sf_dir, "orders_by_priority")
+    IO.write_parquet_partitioned(o, path, "o_orderpriority")
+    back = IO.read_parquet(spark, path).where(F.col("o_orderpriority") == "1-URGENT")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("revenue")
+    )

@@ -90,6 +90,8 @@ def tensor_global_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tensor_global_mean",
+    extended=True,  # sum+count variant of tensor_global_sum; keeps the
+    # primary tier at the driver's 50-query budget
     oracle=f"SELECT CAST(avg(r + c) AS DOUBLE) AS mean_value FROM {_DUCK_GRID}",
 )
 def tensor_global_mean(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,9 +23,9 @@ Two tiers:
 - **extended** (``extended=True``) — additional variants of already-covered
   operators (e.g. right outer next to full outer, cube next to rollup).
   These are NOT in ``queries()``; they are oracle-verified by our own
-  differential gate (``tools/check_oracle.py --extended`` and
-  ``tests/test_extended_oracles.py``) so they stay green without spending
-  driver budget.
+  differential gate (``tools/check_oracle.py``, which checks both tiers,
+  and ``tests/test_extended_oracles.py``) so they stay green without
+  spending driver budget.
 """
 
 from __future__ import annotations
