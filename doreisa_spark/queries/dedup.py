@@ -23,6 +23,7 @@ from pyspark.sql.window import Window as W
 
 from doreisa_spark.catalog import table
 from doreisa_spark.operators import text as TX
+from doreisa_spark.operators import vectors as V
 from doreisa_spark.registry import register
 
 
@@ -238,6 +239,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
+    extended=True,  # signature map-pass; dedup_simhash_blocked is the
+    # interesting (pairing) variant and holds the family's primary slot
     oracle=f"""
 WITH sh AS (
   SELECT doc_id, {TX.duck_shingles('text', 3)} AS shingles FROM documents
@@ -368,5 +371,59 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
+        )
+    )
+
+
+_EMB_TAU = 0.4  # calibrated to this synthetic corpus: random 64-dim
+# vectors top out at cosine ~0.43 in-bucket, so 0.4 captures the closest
+# ~1% of pairs; a real near-dup corpus would use 0.9+ with the same plan
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {V.duck_lsh_bucket('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       round({V.duck_cosine('a.embedding', 'c.embedding')}, 6) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {V.duck_cosine('a.embedding', 'c.embedding')} >= {_EMB_TAU}
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs with sign-LSH blocking — the
+    semantic-dedup pass of an LLM data pipeline (docs whose EMBEDDINGS
+    nearly coincide are duplicates even when their text differs).
+
+    Plan: map-only bucket assignment ({V.LSH_PLANES} deterministic integer
+    hyperplanes, operators/vectors.py) → self-join ON bucket equality →
+    exact cosine filter. The join shuffles on bucket id, candidates are
+    ~n²/2^{V.LSH_PLANES} per bucket, never all-pairs; at 100 TB raise the
+    plane count so buckets stay bounded (each +1 plane halves bucket
+    size), and multi-probe neighboring buckets for recall.
+
+    The same kept-pair rule as the text dedups applies downstream: keep
+    min(vec_id) per connected component."""
+    e = table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "embedding", F.expr(V.lsh_bucket_expr("embedding")).alias("bucket")
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    cos = F.expr(V.cosine_expr("a.embedding", "c.embedding"))
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .where(cos >= _EMB_TAU)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
         )
     )

@@ -80,6 +80,42 @@ def session_windows(events: DataFrame, *, gap: str = "30 minutes", watermark: st
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """CUSTOM stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum) maintained across micro-batches — the pattern for
+    any accumulator Spark's built-in windowed aggs can't express (session
+    ML features, CUSUM/anomaly scores, per-entity model state).
+
+    Each trigger receives only that batch's rows per key plus the key's
+    GroupState; it emits the updated running totals (``update`` output
+    mode). State is one (bigint, double) pair per user — size is bounded
+    by key cardinality, never by history length; with event-time bounds a
+    ``GroupStateTimeout.EventTimeTimeout`` would expire idle keys.
+
+    The reference's analog is the user callback owning state across
+    iterations of ``run_simulation`` (doreisa/window_api.py:66-119)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, s double"
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_to_memory(
     stream: DataFrame, query_name: str, *, output_mode: str = "append", timeout_sec: float = 120
 ):

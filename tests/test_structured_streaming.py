@@ -93,6 +93,36 @@ def test_tumbling_counts_match_batch(spark, event_source):
     assert len(must_emit) > 0  # the bound is not vacuous on this data
 
 
+def test_stateful_user_totals_match_batch(spark, event_source):
+    """The custom applyInPandasWithState accumulator, drained over the
+    finite source, must end at exactly the batch per-user totals (update
+    mode re-emits per trigger; the LAST emission per user is the final
+    state)."""
+    source_dir, _ = event_source
+    stream = S.stateful_user_totals(S.read_event_stream(spark, source_dir))
+    name = S.run_to_memory(stream, "t_stateful", output_mode="update")
+    got = spark.table(name)
+
+    # last emission per user = row with the max n_events (monotone counter)
+    final = {}
+    for r in got.collect():
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    batch = {
+        r["user_id"]: (r["n"], r["s"])
+        for r in spark.read.parquet(source_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(final) == set(batch)
+    for uid, (n, s) in final.items():
+        assert n == batch[uid][0]
+        assert s == pytest.approx(batch[uid][1], rel=1e-9)
+
+
 def test_session_windows_match_batch(spark, event_source):
     source_dir, file2_max = event_source
     stream = S.session_windows(
