@@ -817,6 +817,44 @@ class ChunkedArray:
             (F.sum("__s").cast("double") / F.sum("__n").cast("double")).alias("mean_value")
         )
 
+    def std(self) -> DataFrame:
+        """Population standard deviation via (sum, sum-of-squares, count)
+        partials — one fused Python stage, three numbers per chunk to the
+        JVM. The final expression is written as explicit divide/multiply/
+        subtract (no pow/stddev builtins) so any engine computing from the
+        same exact partials produces the identical IEEE double."""
+        np_acc, sql_acc = _acc(self.meta.dtype)
+        rows_fn = self._rows_fn()
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ss, qq, ns = [], [], []
+                for _, arr in rows_fn(pdf):
+                    ss.append(arr.sum(dtype=np_acc))
+                    qq.append((arr.astype(np_acc) ** 2).sum(dtype=np_acc))
+                    ns.append(arr.size)
+                yield pd.DataFrame(
+                    {
+                        "__s": pd.Series(ss, dtype=np_acc),
+                        "__q": pd.Series(qq, dtype=np_acc),
+                        "__n": pd.Series(ns, dtype="int64"),
+                    }
+                )
+
+        partials = self.df.mapInPandas(
+            partial, schema=f"__s {sql_acc}, __q {sql_acc}, __n bigint"
+        )
+        totals = partials.agg(
+            F.sum("__s").alias("s"), F.sum("__q").alias("q"), F.sum("__n").alias("n")
+        )
+        return totals.select(
+            F.expr(
+                "sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE) "
+                "- (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+                "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+            ).alias("std_value")
+        )
+
     def axis_sum(self, axis: int) -> DataFrame:
         """Reduce along one axis of an N-d grid: fused pipeline + per-chunk
         numpy partial reduction → explode to (global coords of kept dims,

@@ -187,3 +187,75 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(d1), 6).alias("min_d1"),
         F.round(F.max(d1), 6).alias("max_d1"),
     )
+
+
+def _probe_exprs() -> tuple[str, str]:
+    """(Spark, DuckDB) expressions for the multi-probe bucket list: the
+    query's own bucket plus every bucket at Hamming distance 1 — the
+    standard multi-probe LSH recall boost with no extra corpus passes."""
+    flips = [str(1 << k) for k in range(V.LSH_PLANES)]
+    spark = "array(bucket, " + ", ".join(f"bucket ^ {f}" for f in flips) + ")"
+    duck = "[bucket, " + ", ".join(f"xor(bucket, {f})" for f in flips) + "]"
+    return spark, duck
+
+
+_SPARK_PROBES, _DUCK_PROBES = _probe_exprs()
+
+
+@register(
+    "sim_ann_multiprobe",
+    extended=True,
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {V.duck_lsh_bucket('embedding')} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qe, unnest({_DUCK_PROBES}) AS pb
+  FROM bucketed WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+         {V.duck_cosine('q.qe', 'c.embedding')} AS cos_sim
+  FROM q JOIN bucketed c ON c.bucket = q.pb AND c.vec_id <> q.qid
+)
+SELECT qid, cid, round(cos_sim, 6) AS cos_sim, rk FROM (
+  SELECT qid, cid, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rk
+  FROM scored)
+WHERE rk <= {_TOP_K}
+""",
+)
+def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each query searches its own bucket AND the
+    {V.LSH_PLANES} buckets one bit-flip away (the planes most likely to
+    have mis-hashed a near neighbor), recovering most of the recall a
+    single-bucket probe loses — with the SAME plan shape as sim_ann_lsh:
+    the corpus is bucketed once (map-only), the probe fan-out lives
+    entirely on the tiny broadcast query side, and each candidate belongs
+    to exactly one bucket so no post-join dedup is needed."""
+    e = table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "embedding", F.expr(V.lsh_bucket_expr("embedding")).alias("bucket")
+    )
+    q = (
+        bucketed.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.explode(F.expr(_SPARK_PROBES)).alias("pb"),
+        )
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"), F.col("bucket").alias("cb")
+    )
+    cos = F.expr(V.cosine_expr("qe", "ce"))
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("cb") == F.col("pb")) & (F.col("cid") != F.col("qid")))
+        .select("qid", "cid", cos.alias("cos_sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )

@@ -102,6 +102,30 @@ def tensor_global_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tensor_global_std",
+    extended=True,
+    oracle=f"""
+WITH t AS (
+  SELECT CAST(sum(CAST((r + c) * (r + c) AS BIGINT)) AS BIGINT) AS q,
+         CAST(sum(r + c) AS BIGINT) AS s,
+         count(*) AS n
+  FROM {_DUCK_GRID}
+)
+SELECT sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE)
+       - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS std_value
+FROM t
+""",
+)
+def tensor_global_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array.std(): (sum, sum-of-squares, count) partials per chunk → one
+    final row. Integer-valued grid → partials exact, and the final
+    expression uses the same explicit IEEE operation order in both
+    engines, so the doubles agree bit-for-bit."""
+    return _ramp(spark, sf_dir).std()
+
+
+@register(
     "tensor_scalar_mul_sum",
     oracle=f"SELECT CAST(sum(10 * (r + c)) AS DOUBLE) AS total FROM {_DUCK_GRID}",
 )
