@@ -80,6 +80,43 @@ def session_windows(events: DataFrame, *, gap: str = "30 minutes", watermark: st
     )
 
 
+def stream_stream_purchase_clicks(
+    events: DataFrame, *, horizon_min: int = 60, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: each purchase matched to the
+    same user's clicks within the preceding ``horizon_min`` minutes —
+    attribution while both streams are still flowing.
+
+    Both sides carry watermarks and the join predicate bounds their
+    event-time distance, so the state store retains only rows inside
+    watermark + horizon; older state is dropped. At 100 TB/day this is the
+    only viable shape — an unbounded-state stream join never survives.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"), "value")
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (purchases["user_id"] == clicks["c_user"])
+        & (clicks["click_ts"] <= purchases["purchase_ts"])
+        & (clicks["click_ts"] >= purchases["purchase_ts"] - F.expr(f"INTERVAL {horizon_min} MINUTES"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        "user_id", "purchase_id", "purchase_ts", "click_id", "click_ts", "value"
+    )
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """CUSTOM stateful operator via ``applyInPandasWithState``: per-user
     running (count, sum) maintained across micro-batches — the pattern for

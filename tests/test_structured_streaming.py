@@ -123,6 +123,36 @@ def test_stateful_user_totals_match_batch(spark, event_source):
         assert s == pytest.approx(batch[uid][1], rel=1e-9)
 
 
+def test_stream_stream_join_matches_batch(spark, event_source):
+    """The watermarked stream-stream purchase←clicks join, drained over the
+    finite time-ordered source, must emit exactly the batch join's pairs:
+    the 60-minute join horizon is far inside the 2-hour watermark, so no
+    matching row is ever state-evicted before its partner arrives."""
+    source_dir, _ = event_source
+    stream = S.stream_stream_purchase_clicks(S.read_event_stream(spark, source_dir))
+    name = S.run_to_memory(stream, "t_ssjoin", output_mode="append")
+    got = {(r["purchase_id"], r["click_id"]) for r in spark.table(name).collect()}
+
+    ev = spark.read.parquet(source_dir)
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    batch = {
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (p["user_id"] == c["cu"])
+            & (c["cts"] <= p["pts"])
+            & (c["cts"] >= p["pts"] - F.expr("INTERVAL 60 MINUTES")),
+        ).collect()
+    }
+    assert got == batch
+    assert len(batch) > 0
+
+
 def test_session_windows_match_batch(spark, event_source):
     source_dir, file2_max = event_source
     stream = S.session_windows(
