@@ -368,3 +368,38 @@ def func_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.groupBy("l_returnflag").applyInPandas(
         demean, schema="l_orderkey bigint, l_linenumber int, qty_demeaned double"
     )
+
+
+@register(
+    "func_udtf_tokens",
+    extended=True,
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ')[1:5] AS toks FROM documents)
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos,
+       unnest(toks) AS token
+FROM t
+""",
+)
+def func_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) in a LATERAL join: each document row
+    expands to its first 5 (pos, token) rows — the UDTF leg of the
+    UDF/UDAF/UDTF surface (§2C), distinct from the grouped-map and
+    map-in-pandas variants: arbitrary rows OUT per row IN, composable in
+    SQL FROM clauses.
+
+    At scale a UDTF is a narrow per-partition transform — no shuffle; the
+    lateral join is flatMap-shaped, never a cartesian."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class FirstTokens:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")[:5]):
+                yield i, tok
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        "SELECT doc_id, pos, token FROM __docs_udtf, LATERAL first_tokens(text)"
+    )

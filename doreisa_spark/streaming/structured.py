@@ -153,6 +153,32 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def run_foreach_batch(
+    stream: DataFrame,
+    batch_fn,
+    *,
+    timeout_sec: float = 120,
+) -> None:
+    """Drive a stream through ``foreachBatch`` — the sink that hands each
+    micro-batch to arbitrary user code as a plain DataFrame (doreisa's
+    consumption loop handing assembled arrays to the callback,
+    window_api.py:101-103). Used for sinks Spark lacks natively (JDBC
+    upsert, dedup-merge, multi-table fan-out); the batch DataFrame can be
+    written with the full batch API, transactionally per epoch."""
+    import tempfile
+
+    # a fresh checkpoint per run: a reused one makes availableNow skip
+    # offsets already processed by a previous invocation
+    ckpt = tempfile.mkdtemp(prefix="doreisa_fb_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+
+
 def run_to_memory(
     stream: DataFrame, query_name: str, *, output_mode: str = "append", timeout_sec: float = 120
 ):

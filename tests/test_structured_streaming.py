@@ -153,6 +153,26 @@ def test_stream_stream_join_matches_batch(spark, event_source):
     assert len(batch) > 0
 
 
+def test_foreach_batch_sink(spark, event_source, tmp_path):
+    """foreachBatch: every micro-batch lands in user code as a plain
+    DataFrame; appending each to a parquet sink and draining the finite
+    source must reproduce the full input exactly."""
+    source_dir, _ = event_source
+    out = str(tmp_path / "fb_out")
+    seen_epochs = []
+
+    def sink(df, epoch_id):
+        seen_epochs.append(epoch_id)
+        df.write.mode("append").parquet(out)
+
+    S.run_foreach_batch(S.read_event_stream(spark, source_dir), sink)
+    assert len(seen_epochs) >= 2  # one per staged file (3), at least two
+
+    got = {r["event_id"] for r in spark.read.parquet(out).collect()}
+    want = {r["event_id"] for r in spark.read.parquet(source_dir).collect()}
+    assert got == want
+
+
 def test_session_windows_match_batch(spark, event_source):
     source_dir, file2_max = event_source
     stream = S.session_windows(
