@@ -1,0 +1,41 @@
+"""Custom Python DataSource: chunk grids read via format("doreisa_chunks")
+must carry one Spark partition per chunk and reduce to the closed-form
+oracle through the normal ChunkedArray path."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from doreisa_spark.plans.chunked import ChunkedArray, GridMeta, expected_sum_arithmetic
+from doreisa_spark.sources import chunk_source
+
+
+def _load(spark, grid, chunk, **opts):
+    chunk_source.register(spark)
+    r = spark.read.format("doreisa_chunks").option(
+        "grid", ",".join(map(str, grid))
+    ).option("chunk", ",".join(map(str, chunk)))
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_one_partition_per_chunk(spark):
+    df = _load(spark, (3, 2), (8, 8))
+    assert df.rdd.getNumPartitions() == 6
+    assert df.count() == 6
+
+
+def test_sum_matches_closed_form(spark):
+    meta = GridMeta("grid", (4, 4), (16, 16))
+    arr = ChunkedArray(_load(spark, (4, 4), (16, 16)), meta)
+    assert arr.sum().first()["total"] == expected_sum_arithmetic(meta)
+
+
+def test_dtype_option(spark):
+    meta = GridMeta("grid", (2, 2), (8, 8), dtype="int32")
+    df = _load(spark, (2, 2), (8, 8), dtype="int32")
+    arr = ChunkedArray(df, meta)
+    out = arr.to_numpy()
+    assert out.dtype == np.int32
+    assert out[3, 5] == 8  # ramp: global r + c

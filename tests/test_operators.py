@@ -93,3 +93,30 @@ def test_topk_per_group(spark):
     for g, grp in out.groupby("g"):
         top = sorted(x for x in range(100) if x % 7 == g)[-3:]
         assert sorted(grp["v"]) == top
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change the join result multiset, including under
+    heavy key skew and big-side rows with duplicate content."""
+    from doreisa_spark.operators.salted import salted_join
+
+    rng = np.random.default_rng(11)
+    # 90% of rows on one hot key; some fully-duplicated rows
+    keys = np.where(rng.random(2000) < 0.9, 0, rng.integers(1, 20, 2000))
+    big = spark.createDataFrame(
+        pd.DataFrame({"k": keys, "v": rng.integers(0, 50, 2000)})
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame({"k": range(0, 15), "label": [f"L{i}" for i in range(15)]})
+    )
+
+    for how in ("inner", "left"):
+        got = (
+            salted_join(big, small, "k", n_salts=8, how=how)
+            .groupBy("k", "v", "label").count().collect()
+        )
+        want = (
+            big.join(small, "k", how)
+            .groupBy("k", "v", "label").count().collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
