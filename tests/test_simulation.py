@@ -227,3 +227,26 @@ def test_memory_release_bounded(spark):
             break
         time.sleep(0.25)
     assert cached_rdds() <= baseline + 1
+
+
+def test_staged_timestep_reader(spark, tmp_path):
+    """Scale-path ingest: producers drop one parquet of chunk rows per
+    timestep under ts=<N>/; the reader yields complete timesteps in order
+    and stops after the last one."""
+    from doreisa_spark.plans.chunked import ChunkedArray, GridMeta
+    from doreisa_spark.streaming.simulation import staged_timestep_reader
+
+    staging = str(tmp_path / "staging")
+    meta = GridMeta("temps", GRID, CHUNK)
+    for t in range(3):
+        chunks = {
+            pos: float((rank + 1) * t) * np.ones(CHUNK)
+            for rank, pos in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)])
+        }
+        arr = ChunkedArray.from_numpy_chunks(spark, "temps", chunks, timestep=t)
+        arr.df.write.mode("overwrite").parquet(f"{staging}/ts={t}")
+
+    seen = []
+    for ts, arr in staged_timestep_reader(spark, staging, meta):
+        seen.append((ts, arr.sum().first()["total"]))
+    assert seen == [(t, expected_total(t)) for t in range(3)]
