@@ -242,3 +242,73 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+Q14_ORACLE = """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-03-01 00:00:00'
+"""
+
+
+@register("q14_promo_effect", extended=True, oracle=Q14_ORACLE)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio after a broadcast join.
+
+    part broadcasts; the shipdate range predicate pushes into the lineitem
+    scan, so the join input is already pruned at the file reader."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, o_orderkey, o_orderdate, round(total_qty, 2) AS total_qty
+FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_orderdate,
+         sum(l_quantity) AS total_qty
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, o_orderkey, o_orderdate
+)
+WHERE total_qty > 150
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("q18_large_orders", extended=True, oracle=Q18_ORACLE)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-filter (HAVING) + global top-N.
+
+    The HAVING threshold filters AFTER the hash aggregate (Catalyst keeps
+    the agg partial+final); the final LIMIT is TakeOrderedAndProject —
+    no global sort materializes at scale."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_orderdate"
+        )
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+        .select("c_custkey", "o_orderkey", "o_orderdate", F.round("total_qty", 2).alias("total_qty"))
+    )
