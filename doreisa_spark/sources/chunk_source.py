@@ -24,7 +24,12 @@ from itertools import product
 
 import numpy as np
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from doreisa_spark.plans.chunked import CHUNK_SCHEMA
 
@@ -71,8 +76,63 @@ class ChunkGridReader(DataSourceReader):
         )
 
 
+class ChunkStreamReader(DataSourceStreamReader):
+    """Streaming variant: ONE micro-batch per simulation timestep — the
+    reference's array-completion barrier (doreisa/head_node.py:102-118)
+    expressed as a Structured Streaming source. Offsets are timestep
+    numbers, so restart/recovery replays exactly the timesteps after the
+    checkpointed offset; ``max_timesteps`` bounds the stream for
+    availableNow drains."""
+
+    def __init__(self, options):
+        self._inner = ChunkGridReader(options)
+        self.max_timesteps = int(options.get("max_timesteps", "3"))
+        # backpressure knob (maxFilesPerTrigger analog; doreisa's
+        # max_pending_arrays): how many timesteps each trigger may admit.
+        # 0 = unbounded (availableNow drains everything in one batch).
+        self.per_trigger = int(options.get("timesteps_per_trigger", "0"))
+        self._latest = 0
+
+    def initialOffset(self):
+        return {"timestep": 0}
+
+    def latestOffset(self):
+        if self.per_trigger <= 0:
+            self._latest = self.max_timesteps
+        else:
+            self._latest = min(self._latest + self.per_trigger, self.max_timesteps)
+        return {"timestep": self._latest}
+
+    def partitions(self, start, end):
+        # one micro-batch per timestep: [start, end) timesteps, each with
+        # one InputPartition per chunk (same granularity as batch)
+        parts = []
+        for ts in range(start["timestep"], end["timestep"]):
+            for pos in product(*(range(n) for n in self._inner.grid)):
+                parts.append(ChunkInputPartition((ts,) + pos))
+        return parts
+
+    def read(self, partition: ChunkInputPartition):
+        # per-timestep content: (t+1)·ramp — matches the reference's tests
+        # where chunk values scale with the iteration (tests/utils.py:26-47)
+        ts, pos = partition.pos[0], partition.pos[1:]
+        inner = self._inner
+        dtype = np.dtype(inner.dtype)
+        grids = np.ix_(
+            *[
+                np.arange(p * s, (p + 1) * s, dtype=np.float64)
+                for p, s in zip(pos, inner.chunk)
+            ]
+        )
+        arr = (float(ts + 1) * sum(grids)).astype(dtype, copy=False)
+        yield (inner.name, ts, list(pos), list(arr.shape), arr.tobytes())
+
+    def commit(self, end):
+        pass
+
+
 class ChunkDataSource(DataSource):
-    """format("doreisa_chunks") entry point."""
+    """format("doreisa_chunks") entry point (batch + streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -83,6 +143,9 @@ class ChunkDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return ChunkGridReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return ChunkStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -39,3 +39,40 @@ def test_dtype_option(spark):
     out = arr.to_numpy()
     assert out.dtype == np.int32
     assert out[3, 5] == 8  # ramp: global r + c
+
+
+def test_stream_reader_one_batch_per_timestep(spark, tmp_path):
+    """timesteps_per_trigger=1 must deliver exactly one timestep per
+    micro-batch (the reference's per-iteration barrier), each summing to
+    (t+1) x the ramp total."""
+    import time
+
+    chunk_source.register(spark)
+    meta = GridMeta("grid", (2, 2), (8, 8))
+    stream = (
+        spark.readStream.format("doreisa_chunks")
+        .option("grid", "2,2").option("chunk", "8,8")
+        .option("max_timesteps", "3")
+        .option("timesteps_per_trigger", "1")
+        .load()
+    )
+    batches = []
+
+    def sink(df, epoch):
+        arr = ChunkedArray(df, meta)
+        ts = sorted(r["timestep"] for r in df.select("timestep").distinct().collect())
+        batches.append((ts, arr.sum().first()["total"]))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    deadline = time.time() + 90
+    while len(batches) < 3 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+
+    base = expected_sum_arithmetic(meta)
+    assert batches[:3] == [([t], (t + 1) * base) for t in range(3)]
