@@ -427,3 +427,73 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
         )
     )
+
+
+@register(
+    "dedup_components",
+    extended=True,
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_lsh_oracle()})
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+), nodes AS (
+  SELECT DISTINCT u FROM edges
+), walk(u, v) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+)
+SELECT u AS doc_id, min(v) AS component FROM walk GROUP BY u
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the near-dup pair
+    graph — the step that turns pairwise matches into keep/drop decisions
+    (keep min(doc_id) per component; everything else is a duplicate).
+
+    ITERATIVE algorithm (min-label propagation): each round every node
+    takes the min of its own and its neighbors' labels; converges in
+    graph-diameter rounds (near-dup clusters are shallow — boilerplate
+    families, not long chains). Each round is one join + one groupBy;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 0..N-1 — the standard Spark iterative pattern
+    (same shape as GraphFrames/Pregel). The DuckDB oracle computes the
+    same components via a recursive transitive closure.
+
+    At 100 TB the pair graph is tiny relative to the corpus (pairs only
+    exist where LSH found candidates), so the iteration runs on the
+    residual graph, never the full dataset."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    pairs.count()  # eager: every iteration reads this, compute once
+    half = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = half.union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = edges.select("u").distinct().select("u", F.col("u").alias("component"))
+    for _ in range(20):  # diameter bound; real clusters converge in 2-4
+        nbr = (
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
+            .groupBy(F.col("e.u").alias("u"))
+            .agg(F.min("l.component").alias("nb_min"))
+        )
+        merged = labels.join(nbr, "u", "left").select(
+            "u",
+            F.col("component").alias("old_component"),
+            F.least(
+                "component", F.coalesce("nb_min", F.col("component"))
+            ).alias("component"),
+        )
+        merged = merged.localCheckpoint()  # truncate iterative lineage
+        changed = merged.where(
+            F.col("component") != F.col("old_component")
+        ).count()
+        labels = merged.select("u", "component")
+        if changed == 0:
+            break
+    pairs.unpersist()
+    edges.unpersist()
+    return labels.select(F.col("u").alias("doc_id"), "component")
