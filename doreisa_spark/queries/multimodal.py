@@ -113,3 +113,59 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         schema="doc_id bigint, n_bytes bigint, mean_byte double, max_byte int, n_frames int",
     )
+
+
+_FRAME = 64  # bytes per "frame" — stand-in for a video frame / audio window
+
+
+@register(
+    "mm_frame_sample",
+    extended=True,
+    oracle=f"""
+WITH codes AS (
+  SELECT doc_id, list_transform(range(1, strlen(text) + 1), i -> ascii(text[i:i])) AS cs
+  FROM documents
+), frames AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST((len(cs)+{_FRAME - 1})//{_FRAME} AS INTEGER)),
+                f -> struct_pack(frame_no := f,
+                                 fr := cs[(CAST(f AS INTEGER)*{_FRAME}+1):least((CAST(f AS INTEGER)+1)*{_FRAME}, len(cs))]))) AS s
+  FROM codes
+)
+SELECT doc_id, CAST(s.frame_no AS INTEGER) AS frame_no,
+       CAST(len(s.fr) AS INTEGER) AS frame_bytes,
+       CAST(list_sum(s.fr) AS DOUBLE) / len(s.fr) AS mean_byte
+FROM frames
+""",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: each payload splits into
+    {_FRAME}-byte frames, one OUTPUT ROW PER FRAME with its byte stats —
+    the row-expanding shape of video frame extraction / audio windowing
+    (decode swaps in for the byte-slicing when media libs exist; schema,
+    batching, and fan-out are the real thing).
+
+    Fan-out is payload_size/{_FRAME} rows per input row, produced inside
+    the Arrow batch — no shuffle, no driver involvement; exact integer
+    sums so the oracle matches bit-for-bit."""
+    d = table(spark, sf_dir, "documents")
+    payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, sizes, means = [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                px = np.frombuffer(bytes(raw), dtype=np.uint8)
+                for f in range(0, (len(px) + _FRAME - 1) // _FRAME):
+                    fr = px[f * _FRAME : (f + 1) * _FRAME]
+                    ids.append(doc_id)
+                    nos.append(f)
+                    sizes.append(len(fr))
+                    means.append(float(fr.astype(np.int64).sum()) / len(fr))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame_bytes": sizes, "mean_byte": means}
+            )
+
+    return payload.mapInPandas(
+        frames, schema="doc_id bigint, frame_no int, frame_bytes int, mean_byte double"
+    )
