@@ -43,3 +43,34 @@ def test_cosine_topk_matches_jvm_bruteforce(spark):
     f = {(r["qid"], r["rk"]): r["cid"] for r in fast.collect()}
     r = {(r["qid"], r["rk"]): r["cid"] for r in ref.collect()}
     assert f == r
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Recall@5 vs the exact brute force: probing the Hamming-1 buckets
+    must never lose candidates relative to single-bucket LSH (same plan,
+    superset of probes). Everything is deterministic, so this is a fixed
+    property of the corpus, not a statistical bound."""
+    from doreisa_spark.queries.similarity import (
+        sim_ann_lsh,
+        sim_ann_multiprobe,
+        sim_topk_bruteforce,
+    )
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["qid"], set()).add(r["cid"])
+        return out
+
+    exact = topk_sets(sim_topk_bruteforce(spark, SF_SMALL))
+    single = topk_sets(sim_ann_lsh(spark, SF_SMALL))
+    multi = topk_sets(sim_ann_multiprobe(spark, SF_SMALL))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & s) for q, s in exact.items())
+        total = sum(len(s) for s in exact.values())
+        return hits / total
+
+    r1, rm = recall(single), recall(multi)
+    assert rm >= r1
+    assert rm > 0  # the probe set finds at least some true neighbors
