@@ -181,3 +181,42 @@ def tensor_preprocess_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _meta_for(sf_dir), ramp_chunk, preprocess=lambda a: 2.0 * a
     )
     return arr.shift(5.0).sum()
+
+
+@register(
+    "tensor_rechunk_sum",
+    extended=True,
+    oracle=f"SELECT CAST(sum(r + c) AS DOUBLE) AS total FROM {_DUCK_GRID}",
+)
+def tensor_rechunk_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rechunk (re-tiling shuffle) then reduce: content is invariant, so
+    the oracle is the plain global sum — a wrong split/assemble in the
+    rechunk path shows up as a hash mismatch. Uses an uneven target tiling
+    to exercise the ragged-boundary piece logic."""
+    arr = _ramp(spark, sf_dir)
+    rows, cols = arr.meta.global_shape
+    # deliberately unaligned target tiles (ragged last tile per dim)
+    return arr.rechunk((max(rows // 3, 1), max(cols // 5, 1))).sum()
+
+
+@register(
+    "tensor_matmul_sum",
+    extended=True,
+    oracle=f"""
+WITH a AS (SELECT c AS k, sum(r + c) AS colsum FROM {_DUCK_GRID} GROUP BY c),
+     b AS (SELECT r AS k, sum(r + c) AS rowsum FROM {_DUCK_GRID} GROUP BY r)
+SELECT CAST(sum(a.colsum * b.rowsum) AS DOUBLE) AS total
+FROM a JOIN b USING (k)
+""",
+)
+def tensor_matmul_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(A @ A) for the square ramp grid via the distributed block
+    matmul (SUMMA-style join-on-k + per-pair BLAS + groupBy-sum of partial
+    blocks). Oracle identity: sum(A@B) = Σ_k colsum_A(k)·rowsum_B(k).
+
+    Exactness: at gate scale (≤ 1024²) every accumulation stays below
+    2^53, so float64 partials are exact and summation order is
+    irrelevant. (At the bench grid the total would exceed 2^53 — this is
+    a correctness-gate entry, not a bench entry.)"""
+    a = _ramp(spark, sf_dir)
+    return a.matmul(a).sum()
