@@ -25,20 +25,35 @@ TABLES = (
     "embeddings",
 )
 
-# Tables whose downstream pipelines are CPU-dense (shingling, minhash,
-# cosine folds) rather than scan-bound. At small SF these arrive as a
-# single parquet row-group = 1 input split, which would serialize all the
-# per-row compute onto one core; spread them across the cluster up front.
-# On a real cluster the inputs arrive as many files and the repartition is
-# a no-op (guarded below); Catalyst still pushes filters/pruning through
-# the Repartition node.
-_CPU_DENSE = frozenset({"documents", "embeddings", "events"})
-
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Memoized input-split counts, keyed by (app_id, sf_dir, table). The probe
+# (df.rdd.getNumPartitions) forces a DataFrame→RDD plan conversion, so it
+# must run at most once per table per session, not once per table() call.
+_SPLITS_CACHE: dict[tuple[str, str, str], int] = {}
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+
+def _input_splits(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _SPLITS_CACHE:
+        _SPLITS_CACHE[key] = df.rdd.getNumPartitions()
+    return _SPLITS_CACHE[key]
+
+
+def table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = False
+) -> DataFrame:
     """Load one table. Column pruning + filter pushdown happen downstream.
+
+    ``spread=True`` is for CPU-dense downstream pipelines (shingling,
+    minhash, cosine folds): at small SF a table arrives as one parquet
+    row-group = 1 input split, which would serialize all the per-row
+    compute onto one core, so the caller asks for an up-front repartition
+    to cluster width. Scan-bound queries must NOT ask for it — the extra
+    shuffle of raw bodies costs more than it buys (measured 3.8× on
+    dedup_exact). On a real cluster inputs arrive as many splits and the
+    repartition is skipped by the guard below; Catalyst still pushes
+    filters/pruning through a Repartition node when it does fire.
 
     ``events.ts`` is TIMESTAMP(NANOS) in the files; Spark rejects that
     physical type unless ``spark.sql.legacy.parquet.nanosAsLong`` is set —
@@ -47,7 +62,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session.py. The long is then converted to a microsecond timestamp —
     lossless for this data (whole-microsecond values) and identical to what
     DuckDB's oracle sees."""
-    if name == "events":
+    if name == "events" and (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true"
+    ):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -55,9 +72,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         # integer division — double division drifts ±1µs at 1e18 magnitudes
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    if name in _CPU_DENSE:
+    if spread:
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        if _input_splits(spark, sf_dir, name, df) < target:
             df = df.repartition(target)
     return df
 

@@ -97,7 +97,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is an integer ratio → bit-identical across engines. The lang
     blocking bounds the self-join; at 100 TB use dedup_minhash_lsh instead
     (this operator is its exact verifier)."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     sh = d.select("doc_id", "lang", F.expr(TX.shingles_expr("text", 3)).alias("shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -171,7 +171,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is linear in collisions, never O(n²); the verify join only
     re-reads the candidate docs' shingle arrays.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     # ONE pass computes shingles, per-shingle hashes (single md5 each), all
     # K minhashes, and the band signature array; persisted so the candidate
     # and verification stages never re-run the text pipeline.
@@ -253,7 +253,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signature per document ({TX.SIMHASH_BITS}-bit, majority-vote
     bits over shingle hashes). Near-dup mining then pairs signatures within
     small Hamming distance (see dedup_simhash_pairs)."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     sh = d.select("doc_id", F.expr(TX.shingles_expr("text", 3)).alias("shingles"))
     hashed = sh.select("doc_id", F.expr(TX.hashes_expr("shingles")).alias("hashes"))
     return hashed.select(
@@ -293,7 +293,7 @@ def dedup_simhash_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     a larger corpus use a 64-bit simhash and k+1 16-bit segments — the plan
     shape (map-explode → bucket groupBy → verify join) is unchanged.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     sig = d.select(
         "doc_id",
         F.expr(TX.hashes_expr(TX.shingles_expr("text", 3))).alias("hashes"),
@@ -355,7 +355,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: block on simhash bit-prefixes (pigeonhole: distance ≤ k ⇒
     equal in one of k+1 prefix segments) instead of lang."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     sig = d.select(
         "doc_id",
         "lang",
@@ -407,7 +407,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The same kept-pair rule as the text dedups applies downstream: keep
     min(vec_id) per connected component."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings", spread=True)
     b = e.select(
         "vec_id", "embedding", F.expr(V.lsh_bucket_expr("embedding")).alias("bucket")
     )

@@ -89,7 +89,7 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact in float64 and the DuckDB oracle (per-character codes over the
     same ASCII payload) matches bit-for-bit.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -148,7 +148,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fan-out is payload_size/{_FRAME} rows per input row, produced inside
     the Arrow batch — no shuffle, no driver involvement; exact integer
     sums so the oracle matches bit-for-bit."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

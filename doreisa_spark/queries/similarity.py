@@ -56,7 +56,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from doreisa_spark.operators import ann
 
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings", spread=True)
     qrows = (
         e.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
     )  # the query set: a handful of vectors, driver-held by design
@@ -90,7 +90,7 @@ def sim_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity join: same-label pairs with cosine ≥ τ (embedding
     near-duplicate detection). Label blocking bounds the pair count; the
     unblocked scale path is sim_ann_lsh."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings", spread=True)
     a = e.alias("a")
     b = e.alias("b")
     cos = F.expr(V.cosine_expr("a.embedding", "b.embedding"))
@@ -134,7 +134,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation shuffles on bucket id (≈ n/256 per bucket, no O(n²));
     multi-probe (flipping low-margin bits) raises recall without changing
     the plan shape."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings", spread=True)
     bucketed = e.select(
         "vec_id", "embedding", F.expr(V.lsh_bucket_expr("embedding")).alias("bucket")
     )
@@ -177,7 +177,7 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     avg of float32 values cast to double: the sum is exact-enough that
     round(.,6) is stable (values are O(1), n ≤ 1e5 per label)."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings", spread=True)
     d1 = F.element_at("embedding", 1).cast("double")
     d2 = F.element_at("embedding", 2).cast("double")
     return e.groupBy("label").agg(
@@ -232,7 +232,7 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is bucketed once (map-only), the probe fan-out lives
     entirely on the tiny broadcast query side, and each candidate belongs
     to exactly one bucket so no post-join dedup is needed."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings", spread=True)
     bucketed = e.select(
         "vec_id", "embedding", F.expr(V.lsh_bucket_expr("embedding")).alias("bucket")
     )

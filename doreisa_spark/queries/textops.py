@@ -34,7 +34,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + type-token ratio + average token length.
 
     Integer-ratio doubles → bit-identical across engines."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
@@ -79,7 +79,7 @@ FROM t
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality scoring: stopword ratio, long-token ratio, and a
     pass/fail gate — the C4-style filter shape for pretraining pipelines."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
     sw = F.array([F.lit(s) for s in _STOPWORDS])
@@ -138,7 +138,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/stopword-marker language ID heuristic: count marker-word hits
     per candidate language, argmax with a fixed precedence order (en > de >
     fr > es on ties) — deterministic in both engines."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     toks = F.split(F.col("text"), " ")
 
     def score(lang: str):
@@ -175,7 +175,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of normalized text + a word-level
     polynomial rolling hash (acc = 31·acc + h(w) mod p), folded
     sequentially — identical in both engines."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     h_w = TX.hash60_expr("w")
     rolling = (
         f"aggregate(transform(split(lower(text), ' '), w -> {h_w} % {TX.MERSENNE_P}), "
@@ -211,7 +211,7 @@ def text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k. The heavy explode+count is a classic map-side-combine aggregate."""
     from pyspark.sql import Window as W
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", spread=True)
     toks = "split(text, ' ')"
     bigrams = F.expr(
         f"CASE WHEN size({toks}) >= 2 THEN "
