@@ -143,17 +143,37 @@ WHERE o_orderstatus = 'P'
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame over a numeric ordering: orders within $1000 below.
 
-    Unpartitioned window — fine here because the 'P' filter keeps it small;
-    a global RANGE frame at 100 TB would need pre-bucketing by value range.
+    A naive ``W.orderBy(price)`` is unpartitioned — WindowExec moves ALL
+    rows to one task, a scale-killer. Instead the ordering axis is cut
+    into frame-width buckets (``floor(price/1000)``): a trailing frame of
+    width 1000 can only reach into the row's own bucket and the one below,
+    so each row is shuffled to its own bucket and to bucket+1 (as frame
+    context), the window runs partitioned by bucket, and only the home
+    copy is emitted. 2× the rows through the shuffle, but every partition
+    is bounded by the value-density of one $1000 band — the same plan
+    works unchanged at 100 TB (and generalizes: bucket width = frame
+    width for any trailing RANGE frame).
     """
-    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
-    # integral bounds: py4j only routes (long, long); Spark widens to the
-    # double ordering column, same value-range semantics as the oracle
-    w = W.orderBy("o_totalprice").rangeBetween(-1000, W.currentRow)
-    return o.select(
-        "o_orderkey",
-        F.round("o_totalprice", 2).alias("totalprice"),
-        F.count(F.lit(1)).over(w).alias("n_within_1k_below"),
+    o = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_totalprice")
+    )
+    b = o.withColumn("bucket", F.floor(F.col("o_totalprice") / F.lit(1000.0)))
+    home = b.withColumn("part", F.col("bucket"))
+    ctx = b.withColumn("part", F.col("bucket") + F.lit(1))
+    # integral frame bounds: py4j only routes (long, long); Spark widens to
+    # the double ordering column, same value-range semantics as the oracle
+    w = W.partitionBy("part").orderBy("o_totalprice").rangeBetween(-1000, W.currentRow)
+    return (
+        home.unionAll(ctx)
+        .withColumn("n_within_1k_below", F.count(F.lit(1)).over(w))
+        .where(F.col("part") == F.col("bucket"))
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "n_within_1k_below",
+        )
     )
 
 
