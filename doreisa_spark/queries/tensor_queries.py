@@ -36,7 +36,12 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from doreisa_spark.plans.chunked import ChunkedArray, GridMeta, ramp_chunk
+from doreisa_spark.plans.chunked import (
+    ChunkedArray,
+    GridMeta,
+    expected_sum_arithmetic,
+    ramp_chunk,
+)
 from doreisa_spark.registry import register
 
 _GRID = (4, 4)
@@ -181,6 +186,32 @@ def tensor_preprocess_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _meta_for(sf_dir), ramp_chunk, preprocess=lambda a: 2.0 * a
     )
     return arr.shift(5.0).sum()
+
+
+@register(
+    "tensor_bench_grid_sum",
+    extended=True,
+    # Closed-form oracle: sum over the BENCH grid of A[r,c] = r + c is
+    # R·C·(R+C-2)/2 — computed by the same helper the pytest suite trusts
+    # (expected_sum_arithmetic), emitted as a constant so DuckDB verifies
+    # the exact 16×16×512×512 tiling the bench runs, not the small gate
+    # grid. Total ≈ 5.5e11 < 2^53, so float64 partials are exact at any
+    # summation order.
+    oracle=(
+        "SELECT CAST("
+        f"{expected_sum_arithmetic(_BENCH_META)!r}"
+        " AS DOUBLE) AS total"
+    ),
+)
+def tensor_bench_grid_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sum over the BENCH-SCALE grid meta, independent of sf_dir.
+
+    Every other tensor oracle pins the 256×256 gate grid, so a
+    stride/offset bug that only manifests on the 16×16×512×512 tiling
+    (the one bench.py times) would pass the gate while shipping wrong
+    bench numbers. This entry closes that hole: same generator, same
+    fused reduce path, bench meta, closed-form expected value."""
+    return ChunkedArray.from_function(spark, _BENCH_META, ramp_chunk).sum()
 
 
 @register(
