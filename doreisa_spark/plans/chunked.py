@@ -59,9 +59,16 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# numpy dtypes supported end-to-end. Unsigned/complex dtypes are rejected
-# (silently widening would break the reference's exactness contract).
-_SUPPORTED = {"int8", "int16", "int32", "int64", "float32", "float64"}
+# numpy dtypes supported end-to-end (reference accepts any numpy dtype,
+# head_node.py:84; uint8 volumes are the common HPC/multimodal payload).
+# uint64 and complex stay rejected: the exact int64/BIGINT accumulator
+# cannot hold uint64 sums, and silent float widening would break the
+# exactness contract. uint8-uint32 sums are exact in int64.
+_SUPPORTED = {
+    "int8", "int16", "int32", "int64",
+    "uint8", "uint16", "uint32",
+    "float32", "float64",
+}
 
 CHUNK_SCHEMA = (
     "name string, timestep bigint, pos array<int>, chunk_shape array<int>, data binary"
@@ -881,6 +888,14 @@ class ChunkedArray:
                 val_out: list = []
                 for pos, arr in rows_fn(pdf):
                     red = arr.sum(axis=axis, dtype=np_acc)
+                    if not kept:
+                        # 1-D array reduced over its only axis: a 0-d
+                        # partial with no surviving coordinates — one row
+                        # with empty coords per chunk, all grouped into a
+                        # single global total (np.indices(()) would raise)
+                        coords_out.append([])
+                        val_out.append(np_acc.type(red))
+                        continue
                     grids = np.indices(red.shape).reshape(len(kept), -1)
                     for j, d_ in enumerate(kept):
                         grids[j] += offset(d_, pos[d_])

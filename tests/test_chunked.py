@@ -95,6 +95,20 @@ def test_axis_sum_3d(spark):
     assert np.array_equal(got, expect)
 
 
+def test_axis_sum_1d(spark):
+    # reducing a 1-D array's only axis leaves no coordinates: one row,
+    # empty coords, global total (regression: np.indices(()) crash)
+    chunks = {
+        (0,): np.array([1, 2, 3], dtype=np.int64),
+        (1,): np.array([4, 5, 6], dtype=np.int64),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "flat", chunks)
+    rows = arr.axis_sum(axis=0).collect()
+    assert len(rows) == 1
+    assert list(rows[0]["coords"]) == []
+    assert rows[0]["total"] == 21
+
+
 def test_map_numpy_kernel(spark):
     got = _ramp(spark).map_numpy(lambda a: a * a).sum().collect()[0]["total"]
     nrows, ncols = META.global_shape
@@ -163,10 +177,38 @@ def test_zip_with_divide_promotes_float(spark):
     assert out.to_numpy().tolist() == [3.5, 4.0]
 
 
+def test_uint8_roundtrip_and_exact_sum(spark):
+    # uint8 volumes are the common HPC/multimodal payload (reference
+    # accepts any numpy dtype, head_node.py:84). Values near the 255 cap
+    # must survive the binary round-trip and sum exactly in int64.
+    chunks = {
+        (0,): np.array([250, 251, 252], dtype=np.uint8),
+        (1,): np.array([253, 254, 255], dtype=np.uint8),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "u8", chunks)
+    assert arr.meta.dtype == "uint8"
+    out = arr.to_numpy()
+    assert out.dtype == np.uint8
+    assert out.tolist() == [250, 251, 252, 253, 254, 255]
+    total = arr.sum().collect()[0]["total"]
+    assert isinstance(total, int) and total == 1515
+
+
+def test_uint32_sum_exact_beyond_float53(spark):
+    # sums of large uint32 values must hit the exact BIGINT fold, not a
+    # float64 path that would round away low bits
+    big = np.uint32(2**32 - 1)
+    chunks = {(0,): np.full(2**21, big, dtype=np.uint32)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "u32", chunks)
+    total = arr.sum().collect()[0]["total"]
+    assert total == (2**32 - 1) * 2**21  # > 2^53; exact only via int64
+
+
 def test_unsupported_dtype_rejected(spark):
+    # uint64 stays rejected: the exact int64 accumulator cannot hold it
     with pytest.raises(TypeError, match="unsupported chunk dtype"):
         ChunkedArray.from_numpy_chunks(
-            spark, "u", {(0,): np.array([1], dtype=np.uint32)}
+            spark, "u", {(0,): np.array([1], dtype=np.uint64)}
         )
 
 
