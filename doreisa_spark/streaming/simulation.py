@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from collections.abc import Callable, Iterator, Mapping
+from collections.abc import Callable, Hashable, Iterator, Mapping
 from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -44,6 +44,15 @@ import numpy as np
 from pyspark.sql import SparkSession
 
 from doreisa_spark.plans.chunked import ChunkedArray, GridMeta
+
+# Timesteps are opaque hashable keys, as in the reference
+# (doreisa/__init__.py:1-5 ``Timestep = Hashable``): ints, floats, tuples
+# like (run_id, t) — anything a simulation keys its steps by. Internally
+# each key maps to an integer ORDINAL (ints map to themselves, preserving
+# out-of-order buffering by value; other keys get arrival order), which is
+# what the chunk rows' bigint ``timestep`` column and the driver's
+# iteration loop use; callbacks receive the original key.
+Timestep = Hashable
 
 
 @dataclass(frozen=True)
@@ -77,12 +86,28 @@ class Ingest:
     def __init__(self, spark: SparkSession, *, max_pending_arrays: int = 4):
         self._spark = spark
         self._lock = threading.Lock()
-        self._pending: dict[tuple[str, int], _PendingTimestep] = {}
+        self._pending: dict[tuple[str, Timestep], _PendingTimestep] = {}
         self._metas: dict[str, GridMeta] = {}
-        self._ready: queue.Queue[tuple[str, int, ChunkedArray]] = queue.Queue(
+        self._ready: queue.Queue[tuple[str, Timestep, ChunkedArray]] = queue.Queue(
             maxsize=max_pending_arrays
         )
         self._preprocess: dict[str, Callable[[np.ndarray], np.ndarray]] = {}
+        self._ordinals: dict[Timestep, int] = {}
+        self._next_ordinal = 0
+
+    def ordinal_of(self, timestep: Timestep) -> int:
+        """Integer ordinal for an opaque timestep key. Int keys are their
+        own ordinal (out-of-order arrivals buffer by value, matching the
+        reference's per-iteration dict); any other hashable is numbered in
+        first-arrival order, shared across arrays so one iteration's
+        arrays line up. A simulation should use one key style, not mix."""
+        if isinstance(timestep, (int, np.integer)) and not isinstance(timestep, bool):
+            return int(timestep)
+        with self._lock:
+            if timestep not in self._ordinals:
+                self._ordinals[timestep] = self._next_ordinal
+                self._next_ordinal += 1
+            return self._ordinals[timestep]
 
     def set_preprocess(self, name: str, fn: Callable[[np.ndarray], np.ndarray]) -> None:
         self._preprocess[name] = fn
@@ -92,7 +117,7 @@ class Ingest:
         array_name: str,
         chunk_position: tuple[int, ...],
         nb_chunks_per_dim: tuple[int, ...],
-        timestep: int,
+        timestep: Timestep,
         chunk: np.ndarray,
     ) -> None:
         """Contribute one chunk; blocks if analytics is behind
@@ -100,6 +125,7 @@ class Ingest:
         fn = self._preprocess.get(array_name)
         if fn is not None:
             chunk = np.asarray(fn(chunk))
+        ordinal = self.ordinal_of(timestep)  # before _lock: takes _lock itself
         complete: ChunkedArray | None = None
         with self._lock:
             key = (array_name, timestep)
@@ -132,7 +158,7 @@ class Ingest:
                 # validates within-timestep consistency; freeze it for all
                 # later timesteps (head_node.py:80-100 infer-then-enforce)
                 arr = ChunkedArray.from_numpy_chunks(
-                    self._spark, array_name, pend.chunks, timestep=timestep
+                    self._spark, array_name, pend.chunks, timestep=ordinal
                 )
                 self._metas.setdefault(array_name, arr.meta)
                 del self._pending[key]
@@ -141,7 +167,9 @@ class Ingest:
             # blocks when max_pending_arrays grids await consumption
             self._ready.put((array_name, timestep, complete))
 
-    def get_next_array(self, timeout: float | None = None) -> tuple[str, int, ChunkedArray]:
+    def get_next_array(
+        self, timeout: float | None = None
+    ) -> tuple[str, Timestep, ChunkedArray]:
         """FIFO of completed grids (head_node.py:313-316)."""
         return self._ready.get(timeout=timeout)
 
@@ -196,8 +224,11 @@ class SimulationDriver:
         when preparation is enabled, ``preparation_result=``.
         """
         windows: dict[str, list[ChunkedArray]] = {n: [] for n in self.definitions}
-        # out-of-order arrival buffer (window_api.py:75-85)
+        # out-of-order arrival buffer (window_api.py:75-85), keyed by the
+        # integer ordinal; the original (possibly opaque) timestep key is
+        # kept alongside and handed to the callback
         by_iteration: dict[int, dict[str, ChunkedArray]] = {}
+        keys: dict[int, Timestep] = {}
         prepared: dict[int, Future] = {}
 
         def launch_prepare(ts: int) -> None:
@@ -220,10 +251,12 @@ class SimulationDriver:
                 # timeout guards against a dead producer (a raise in the
                 # producer thread) deadlocking the loop
                 name, ts, arr = self.ingest.get_next_array(timeout=iteration_timeout)
-                by_iteration.setdefault(ts, {})[name] = arr
+                o = self.ingest.ordinal_of(ts)
+                keys[o] = ts
+                by_iteration.setdefault(o, {})[name] = arr
             arrays = by_iteration.pop(it)
 
-            kwargs: dict[str, object] = {"timestep": it}
+            kwargs: dict[str, object] = {"timestep": keys.pop(it, it)}
             for name, d in self.definitions.items():
                 arr = arrays[name].persist()
                 if d.window_size is None:

@@ -250,3 +250,30 @@ def test_staged_timestep_reader(spark, tmp_path):
     for ts, arr in staged_timestep_reader(spark, staging, meta):
         seen.append((ts, arr.sum().first()["total"]))
     assert seen == [(t, expected_total(t)) for t in range(3)]
+
+
+def test_hashable_timestep_keys(spark):
+    """Timesteps are opaque Hashable keys (reference doreisa/__init__.py:
+    Timestep = Hashable): a simulation keying steps by (run_id, t) tuples
+    runs through run_simulation; callbacks receive the original key and
+    iterations fire in first-arrival order."""
+    steps = [("runA", 0), ("runA", 1), ("runB", 0)]
+    seen = []
+
+    def produce(ingest):
+        for t, key in enumerate(steps):
+            for rank, pos in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+                chunk = float((rank + 1) * t) * np.ones(CHUNK)
+                ingest.add_chunk("temps", pos, GRID, key, chunk)
+
+    def callback(temps, timestep):
+        seen.append((timestep, temps.sum().collect()[0]["total"]))
+
+    run_simulation(
+        spark,
+        callback,
+        [ArrayDefinition("temps")],
+        max_iterations=3,
+        producers=produce,
+    )
+    assert seen == [(key, expected_total(t)) for t, key in enumerate(steps)]
