@@ -12,14 +12,23 @@ per-chunk tasks (reference: one Ray task per chunk,
 doreisa/_scheduling_actor.py:149-171), and `spark.read` parallelism equals
 the grid size with zero driver-side data.
 
+Chunk content comes from a named KERNEL registry: a producer registers a
+``(pos, shape, timestep) -> ndarray`` callable under a name and selects
+it with ``option("expr", name)`` — the callable is resolved driver-side
+at plan time and shipped to executors inside the (cloudpickled) reader,
+so ``spark.read.format("doreisa_chunks")`` can expose a real producer's
+generator, not just the built-in demo ramp.
+
 Supported options: ``grid`` ("4,4"), ``chunk`` ("64,64"), ``dtype``
 (numpy name), ``timestep`` (int), ``name`` (array name), ``expr``
-(chunk content: only "ramp" — element = sum of global coordinates —
-matching ramp_chunk; user kernels belong in ChunkedArray.map_numpy).
+(kernel name; built-ins: "ramp" — element = sum of global coordinates —
+and "ramp_t" — (t+1)·ramp). Streaming adds ``max_timesteps`` and
+``timesteps_per_trigger`` and defaults ``expr`` to "ramp_t".
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from itertools import product
 
 import numpy as np
@@ -31,7 +40,63 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from doreisa_spark.plans.chunked import CHUNK_SCHEMA
+from doreisa_spark.plans.chunked import CHUNK_SCHEMA, ramp_chunk
+
+# kernel: (pos, shape, timestep) -> ndarray of the chunk's content.
+ChunkKernel = Callable[[tuple[int, ...], tuple[int, ...], int], np.ndarray]
+
+KERNELS: dict[str, ChunkKernel] = {}
+
+
+def register_kernel(name: str, fn: ChunkKernel) -> None:
+    """Expose a producer's chunk generator to format("doreisa_chunks").
+
+    A plain ``option("expr", name)`` resolves in the Python data-source
+    worker process, so it only finds kernels this module registers at
+    import time (built-ins, or a producer package imported on every
+    node). For a kernel registered dynamically in the driver process,
+    pass ``option("expr", kernel_expr(name))`` — the callable travels
+    cloudpickled inside the option string."""
+    KERNELS[name] = fn
+
+
+def kernel_expr(name: str) -> str:
+    """Self-contained ``expr`` option value for a driver-registered
+    kernel: "pickle:<base64 cloudpickle>". Use when the kernel is not
+    importable on the worker side (e.g. defined in a script/test)."""
+    import base64
+
+    from pyspark import cloudpickle
+
+    return "pickle:" + base64.b64encode(cloudpickle.dumps(KERNELS[name])).decode()
+
+
+def _resolve_kernel(expr: str) -> ChunkKernel:
+    if expr.startswith("pickle:"):
+        import base64
+
+        from pyspark import cloudpickle
+
+        return cloudpickle.loads(base64.b64decode(expr[len("pickle:"):]))
+    if expr not in KERNELS:
+        raise ValueError(
+            f"unknown chunk kernel {expr!r}; registered: {sorted(KERNELS)}"
+        )
+    return KERNELS[expr]
+
+
+def _ramp(pos: tuple[int, ...], shape: tuple[int, ...], ts: int) -> np.ndarray:
+    return ramp_chunk(pos, shape)
+
+
+def _ramp_t(pos: tuple[int, ...], shape: tuple[int, ...], ts: int) -> np.ndarray:
+    # per-timestep content scaling with the iteration, as in the
+    # reference's tests (tests/utils.py:26-47)
+    return float(ts + 1) * ramp_chunk(pos, shape)
+
+
+register_kernel("ramp", _ramp)
+register_kernel("ramp_t", _ramp_t)
 
 
 class ChunkInputPartition(InputPartition):
@@ -40,7 +105,7 @@ class ChunkInputPartition(InputPartition):
 
 
 class ChunkGridReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, *, default_expr: str = "ramp"):
         self.grid = tuple(int(x) for x in options.get("grid", "4,4").split(","))
         self.chunk = tuple(int(x) for x in options.get("chunk", "64,64").split(","))
         if len(self.grid) != len(self.chunk):
@@ -48,9 +113,19 @@ class ChunkGridReader(DataSourceReader):
         self.dtype = options.get("dtype", "float64")
         self.timestep = int(options.get("timestep", "0"))
         self.name = options.get("name", "grid")
-        expr = options.get("expr", "ramp")
-        if expr != "ramp":
-            raise ValueError(f"unknown chunk expr {expr!r}")
+        # resolved at plan time so the callable rides to the executors
+        # inside the pickled reader
+        self.kernel: ChunkKernel = _resolve_kernel(options.get("expr", default_expr))
+
+    def _chunk_bytes(self, pos: tuple[int, ...], ts: int) -> tuple[tuple[int, ...], bytes]:
+        arr = np.asarray(self.kernel(pos, self.chunk, ts)).astype(
+            np.dtype(self.dtype), copy=False
+        )
+        if arr.shape != self.chunk:
+            raise ValueError(
+                f"kernel returned shape {arr.shape} for chunk shape {self.chunk}"
+            )
+        return arr.shape, arr.tobytes()
 
     def partitions(self):
         return [
@@ -59,21 +134,8 @@ class ChunkGridReader(DataSourceReader):
 
     def read(self, partition: ChunkInputPartition):
         pos = partition.pos
-        dtype = np.dtype(self.dtype)
-        grids = np.ix_(
-            *[
-                np.arange(p * s, (p + 1) * s, dtype=np.float64)
-                for p, s in zip(pos, self.chunk)
-            ]
-        )
-        arr = sum(grids).astype(dtype, copy=False)
-        yield (
-            self.name,
-            self.timestep,
-            list(pos),
-            list(arr.shape),
-            arr.tobytes(),
-        )
+        shape, data = self._chunk_bytes(pos, self.timestep)
+        yield (self.name, self.timestep, list(pos), list(shape), data)
 
 
 class ChunkStreamReader(DataSourceStreamReader):
@@ -85,13 +147,22 @@ class ChunkStreamReader(DataSourceStreamReader):
     availableNow drains."""
 
     def __init__(self, options):
-        self._inner = ChunkGridReader(options)
+        self._inner = ChunkGridReader(options, default_expr="ramp_t")
         self.max_timesteps = int(options.get("max_timesteps", "3"))
         # backpressure knob (maxFilesPerTrigger analog; doreisa's
         # max_pending_arrays): how many timesteps each trigger may admit.
         # 0 = unbounded (availableNow drains everything in one batch).
         self.per_trigger = int(options.get("timesteps_per_trigger", "0"))
         self._latest = 0
+        # highest offset the ENGINE has revealed (planned batch start/end
+        # or committed end). On restart from a checkpoint this snaps to
+        # the checkpoint position at the first partitions() call, so
+        # latestOffset can never keep offering offsets below the restored
+        # start (which showed up as stalled empty batches). The advance in
+        # latestOffset stays monotone-per-trigger so a restart where
+        # everything was committed (engine reveals nothing) still catches
+        # up instead of stalling.
+        self._floor = 0
 
     def initialOffset(self):
         return {"timestep": 0}
@@ -100,10 +171,14 @@ class ChunkStreamReader(DataSourceStreamReader):
         if self.per_trigger <= 0:
             self._latest = self.max_timesteps
         else:
-            self._latest = min(self._latest + self.per_trigger, self.max_timesteps)
+            self._latest = min(
+                max(self._latest, self._floor) + self.per_trigger,
+                self.max_timesteps,
+            )
         return {"timestep": self._latest}
 
     def partitions(self, start, end):
+        self._floor = max(self._floor, start["timestep"], end["timestep"])
         # one micro-batch per timestep: [start, end) timesteps, each with
         # one InputPartition per chunk (same granularity as batch)
         parts = []
@@ -113,22 +188,12 @@ class ChunkStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: ChunkInputPartition):
-        # per-timestep content: (t+1)·ramp — matches the reference's tests
-        # where chunk values scale with the iteration (tests/utils.py:26-47)
         ts, pos = partition.pos[0], partition.pos[1:]
-        inner = self._inner
-        dtype = np.dtype(inner.dtype)
-        grids = np.ix_(
-            *[
-                np.arange(p * s, (p + 1) * s, dtype=np.float64)
-                for p, s in zip(pos, inner.chunk)
-            ]
-        )
-        arr = (float(ts + 1) * sum(grids)).astype(dtype, copy=False)
-        yield (inner.name, ts, list(pos), list(arr.shape), arr.tobytes())
+        shape, data = self._inner._chunk_bytes(pos, ts)
+        yield (self._inner.name, ts, list(pos), list(shape), data)
 
     def commit(self, end):
-        pass
+        self._floor = max(self._floor, end["timestep"])
 
 
 class ChunkDataSource(DataSource):

@@ -76,3 +76,51 @@ def test_stream_reader_one_batch_per_timestep(spark, tmp_path):
 
     base = expected_sum_arithmetic(meta)
     assert batches[:3] == [([t], (t + 1) * base) for t in range(3)]
+
+
+def test_custom_kernel_batch_and_stream(spark, tmp_path):
+    """A producer-registered kernel (option expr=<name>) must drive both
+    the batch and the streaming read — the DataSource exposing a real
+    generator, not just the built-in ramp."""
+    import time
+
+    def checker(pos, shape, ts):
+        # constant chunk = 3·(t+1), position-independent → closed-form sum
+        return float(3 * (ts + 1)) * np.ones(shape)
+
+    chunk_source.register_kernel("checker", checker)
+
+    df = _load(spark, (2, 2), (4, 4), expr=chunk_source.kernel_expr("checker"), timestep=2)
+    meta = GridMeta("grid", (2, 2), (4, 4))
+    total = ChunkedArray(df, meta).sum().first()["total"]
+    assert total == 3 * 3 * 8 * 8  # 9 per element × 64 elements
+
+    chunk_source.register(spark)
+    stream = (
+        spark.readStream.format("doreisa_chunks")
+        .option("grid", "2,2").option("chunk", "4,4")
+        .option("expr", chunk_source.kernel_expr("checker"))
+        .option("max_timesteps", "2")
+        .load()
+    )
+    batches = []
+
+    def sink(bdf, epoch):
+        for r in bdf.groupBy("timestep").count().collect():
+            batches.append(int(r["timestep"]))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+    assert sorted(batches) == [0, 1]
+
+
+def test_unknown_kernel_rejected(spark):
+    import pytest
+
+    with pytest.raises(Exception, match="unknown chunk kernel"):
+        _load(spark, (2, 2), (4, 4), expr="nope").count()
