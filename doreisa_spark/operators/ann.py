@@ -41,19 +41,30 @@ def cosine_topk(
     """
     q = np.asarray(queries, dtype=np.float64)
     qid = np.asarray(query_ids, dtype=np.int64)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qnorm = np.linalg.norm(q, axis=1, keepdims=True)
+    # zero-norm queries have no defined cosine: the guarded divide keeps
+    # them NaN-free (all sims 0 → arbitrary but stable k rows, never
+    # contaminating other queries' rankings). Tie-precision note: top-k
+    # membership is decided on these BLAS doubles; displayed cos_sim from
+    # the SQL fold could disagree on exact k-boundary ties, which the
+    # synthetic corpus (no ties, no zero vectors) never produces.
+    qn = q / np.where(qnorm > 0, qnorm, 1.0)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             c = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+            cnorm = np.linalg.norm(c, axis=1)
+            cn = c / np.where(cnorm > 0, cnorm, 1.0)[:, None]
             sims = qn @ cn.T  # (n_queries × batch)
             cids = pdf[id_col].to_numpy(dtype=np.int64)
-            # mask self-matches BEFORE the per-batch top-k so dropping them
-            # can never evict a true top-k candidate
+            # mask self-matches and zero-norm corpus vectors BEFORE the
+            # per-batch top-k: a NaN cosine would sort ABOVE all doubles in
+            # Spark and occupy top-k slots ahead of real neighbors, and
+            # dropping masked rows later could evict a true candidate
             sims[qid[:, None] == cids[None, :]] = -np.inf
+            sims[:, cnorm == 0] = -np.inf
             # per-batch top-k per query bounds the emitted rows
             kk = min(k, sims.shape[1])
             top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
@@ -88,18 +99,26 @@ def lsh_bucket_udf(planes_a: list[int], planes_b: list[int], mod: int):
 
     n_planes = len(planes_a)
     powers = (2 ** np.arange(n_planes)).astype(np.int64)
+    # hyperplane matrix cache: dim is only known from the first batch, so
+    # build W once per (executor, dim) and reuse across Arrow batches
+    w_by_dim: dict[int, np.ndarray] = {}
+
+    def planes_for(dim: int) -> np.ndarray:
+        w = w_by_dim.get(dim)
+        if w is None:
+            i = np.arange(1, dim + 1)
+            w = np.stack(
+                [(a * i + b) % mod - mod // 2 for a, b in zip(planes_a, planes_b)]
+            ).astype(np.float64)  # (planes × dim)
+            w_by_dim[dim] = w
+        return w
 
     @pandas_udf("int")
     def bucket(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
             return pd.Series([], dtype="int32")
         c = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        dim = c.shape[1]
-        i = np.arange(1, dim + 1)
-        w = np.stack(
-            [(a * i + b) % mod - mod // 2 for a, b in zip(planes_a, planes_b)]
-        ).astype(np.float64)  # (planes × dim)
-        proj = c @ w.T  # (batch × planes)
+        proj = c @ planes_for(c.shape[1]).T  # (batch × planes)
         ids = ((proj > 0).astype(np.int64) @ powers).astype(np.int32)
         return pd.Series(ids)
 

@@ -74,3 +74,19 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     r1, rm = recall(single), recall(multi)
     assert rm >= r1
     assert rm > 0  # the probe set finds at least some true neighbors
+
+
+def test_zero_norm_corpus_vectors_never_rank(spark):
+    """A zero-norm corpus embedding has no defined cosine; it must be
+    masked to -inf (NaN would sort ABOVE every double in Spark and steal
+    top-k slots from real neighbors)."""
+    rows = [(100 + i, [float(i + 1), 1.0, 0.0]) for i in range(6)]
+    rows.append((999, [0.0, 0.0, 0.0]))  # the hazard
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = cosine_topk(
+        corpus, np.array([[1.0, 0.0, 0.0]]), np.array([1]), k=5
+    ).collect()
+    got = {r["cid"] for r in out}
+    assert len(out) == 5
+    assert 999 not in got
+    assert all(np.isfinite(r["cos_sim"]) for r in out)
