@@ -446,7 +446,9 @@ WITH RECURSIVE pairs AS (
   UNION
   SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
 )
-SELECT u AS doc_id, min(v) AS component FROM walk GROUP BY u
+SELECT u AS doc_id, min(v) AS component,
+       (u = min(v)) AS keep
+FROM walk GROUP BY u
 """,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,4 +498,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     pairs.unpersist()
     edges.unpersist()
-    return labels.select(F.col("u").alias("doc_id"), "component")
+    # min-label propagation converges to component == min(doc_id) of the
+    # component, so the keep/drop decision is a pure projection: keep the
+    # representative, drop every other member — the actionable drop-list
+    # that ends the dedup pipeline.
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        "component",
+        (F.col("u") == F.col("component")).alias("keep"),
+    )
