@@ -10,14 +10,21 @@ Reference parity: the reference's only storage surface is the
 ``store_externally`` stub (doreisa/simulation_node.py:43,55); this is the
 Spark-native realization SURVEY §2C scoped.
 
-Sinks land under ``.tmp_io/`` inside the repo (gitignored) — one
-directory per scale factor so concurrent gates at different SFs don't
-clobber each other.
+Sinks land in a PROCESS-LIFETIME temp directory (one per interpreter,
+removed at exit): the written files must outlive the query function —
+the returned read-back DataFrame is lazy and scans them at collect time
+— so cleanup is tied to process exit, not query return. Separate
+processes get separate directories, so concurrent gates at different
+SFs never clobber each other, and repeated gate runs leave nothing
+behind in the repo tree.
 """
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,7 +33,8 @@ from doreisa_spark.catalog import table
 from doreisa_spark.registry import register
 from doreisa_spark.sources import files as IO
 
-_TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".tmp_io")
+_TMP = tempfile.mkdtemp(prefix="doreisa_io_")
+atexit.register(shutil.rmtree, _TMP, ignore_errors=True)
 
 _NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
 

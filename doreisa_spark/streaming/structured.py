@@ -165,6 +165,7 @@ def run_foreach_batch(
     window_api.py:101-103). Used for sinks Spark lacks natively (JDBC
     upsert, dedup-merge, multi-table fan-out); the batch DataFrame can be
     written with the full batch API, transactionally per epoch."""
+    import shutil
     import tempfile
 
     # a fresh checkpoint per run: a reused one makes availableNow skip
@@ -176,7 +177,13 @@ def run_foreach_batch(
         .option("checkpointLocation", ckpt)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    try:
+        if not q.awaitTermination(timeout_sec):
+            # timed out: don't leave the query running in the background
+            q.stop()
+    finally:
+        # the per-run checkpoint is garbage once the query is finished
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def run_to_memory(
