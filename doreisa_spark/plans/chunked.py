@@ -47,6 +47,7 @@ only) — at 100 TB the grid is just a big DataFrame.
 
 from __future__ import annotations
 
+from bisect import bisect_right
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 from functools import reduce
@@ -605,6 +606,117 @@ class ChunkedArray:
             for i, a in enumerate(arrays)
         ]
         df = reduce(DataFrame.unionAll, parts)
+        return ChunkedArray(df, meta, ts)
+
+    def transpose(self, axes: "tuple[int, ...] | None" = None) -> "ChunkedArray":
+        """dask.array.transpose analog: permute the array's dimensions.
+
+        MAP-ONLY — no shuffle: the chunk grid permutes with the axes, so
+        each chunk's new position is a JVM array reorder of ``pos`` and
+        the payload permutation is a lazy numpy ``transpose`` composed
+        into the fused pipeline (a view until the next materialization).
+        """
+        ndim = self.meta.ndim
+        perm = tuple(range(ndim))[::-1] if axes is None else tuple(int(a) for a in axes)
+        if sorted(perm) != list(range(ndim)):
+            raise ValueError(f"axes {perm} is not a permutation of 0..{ndim - 1}")
+        if perm == tuple(range(ndim)):
+            return self
+        inv = [0] * ndim
+        for d, p in enumerate(perm):
+            inv[p] = d
+        inv_t = tuple(inv)
+        permuted = self.df.withColumn(
+            "pos", F.expr("array(" + ", ".join(f"pos[{p}]" for p in perm) + ")")
+        )
+        meta = self.meta._replaced(
+            nb_chunks_per_dim=tuple(self.meta.nb_chunks_per_dim[p] for p in perm),
+            chunk_shape=tuple(self.meta.chunks[p] for p in perm),
+        )
+        # compose on the ORIGINAL pipeline, translating new pos → old pos
+        if self._gen is not None:
+            g = self._gen
+            gen2 = lambda pos: g(tuple(pos[d] for d in inv_t)).transpose(perm)  # noqa: E731
+            return ChunkedArray(permuted, meta, self.timestep, gen=gen2)
+        xf = self._xform
+        if xf is None:
+            xform2 = lambda pos, arr: arr.transpose(perm)  # noqa: E731
+        else:
+            xform2 = lambda pos, arr: xf(  # noqa: E731
+                tuple(pos[d] for d in inv_t), arr
+            ).transpose(perm)
+        return ChunkedArray(
+            permuted,
+            meta,
+            self.timestep,
+            xform=xform2,
+            source_dtype=self._source_dtype,
+        )
+
+    @staticmethod
+    def concatenate(arrays: "list[ChunkedArray]", axis: int = 0) -> "ChunkedArray":
+        """dask.array.concatenate analog: join arrays along an EXISTING
+        axis (``stack`` adds a new one). Pure union + pos shift on the
+        concat axis — no shuffle, no payload movement; all-virtual inputs
+        stay virtual. Tilings must agree on every other axis (the concat
+        axis may be ragged across inputs)."""
+        if not arrays:
+            raise ValueError("concatenate of nothing")
+        base = arrays[0].meta
+        ndim = base.ndim
+        if not (0 <= axis < ndim):
+            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
+        for a in arrays[1:]:
+            if a.meta.dtype != base.dtype:
+                raise ValueError("dtype mismatch")
+            for d in range(ndim):
+                if d != axis and a.meta.chunks[d] != base.chunks[d]:
+                    raise ValueError(f"tiling mismatch on dim {d}")
+        counts = [a.meta.nb_chunks_per_dim[axis] for a in arrays]
+        starts = tuple(int(s) for s in np.concatenate([[0], np.cumsum(counts)])[:-1])
+        meta = base._replaced(
+            nb_chunks_per_dim=base.nb_chunks_per_dim[:axis]
+            + (sum(counts),)
+            + base.nb_chunks_per_dim[axis + 1 :],
+            chunk_shape=base.chunks[:axis]
+            + (tuple(c for a in arrays for c in a.meta.chunks[axis]),)
+            + base.chunks[axis + 1 :],
+        )
+        ts = arrays[0].timestep
+
+        def shifted(df: DataFrame, off: int) -> DataFrame:
+            if off == 0:
+                return df
+            expr = ", ".join(
+                f"pos[{d}] + {off}" if d == axis else f"pos[{d}]" for d in range(ndim)
+            )
+            return df.withColumn("pos", F.expr(f"array({expr})"))
+
+        if all(a._gen is not None for a in arrays):
+            gens = [a._gen for a in arrays]
+            df = reduce(
+                DataFrame.unionAll,
+                [shifted(a.df.select("pos"), starts[i]) for i, a in enumerate(arrays)],
+            )
+
+            def gen(pos: tuple[int, ...]) -> np.ndarray:
+                i = bisect_right(starts, pos[axis]) - 1
+                local = pos[:axis] + (pos[axis] - starts[i],) + pos[axis + 1 :]
+                return gens[i](local)
+
+            return ChunkedArray(df, meta, ts, gen=gen)
+        df = reduce(
+            DataFrame.unionAll,
+            [
+                shifted(
+                    a.materialize().df.select(
+                        "name", "timestep", "pos", "chunk_shape", "data"
+                    ),
+                    starts[i],
+                )
+                for i, a in enumerate(arrays)
+            ],
+        )
         return ChunkedArray(df, meta, ts)
 
     def rechunk(self, new_chunks) -> "ChunkedArray":

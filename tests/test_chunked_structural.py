@@ -189,3 +189,86 @@ def test_matmul_ragged_inner(spark):
     A = ChunkedArray.from_numpy_chunks(spark, "A", a_chunks)
     B = ChunkedArray.from_numpy_chunks(spark, "B", b_chunks)
     assert np.allclose(A.matmul(B).to_numpy(), A.to_numpy() @ B.to_numpy())
+
+
+# --------------------------------------------------------------- transpose
+def test_transpose_matches_numpy(spark):
+    arr, full = _grid(spark, grid=(2, 3), chunk=(4, 5))
+    t = arr.transpose()
+    assert t.meta.global_shape == full.T.shape
+    assert np.array_equal(t.to_numpy(), full.T)
+
+
+def test_transpose_3d_axes(spark):
+    rng = np.random.default_rng(7)
+    chunks = {
+        (i, j, k): rng.integers(0, 9, size=(2, 3, 4)).astype("float64")
+        for i in range(2)
+        for j in range(2)
+        for k in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "t3", chunks)
+    full = arr.to_numpy()
+    perm = (2, 0, 1)
+    t = arr.transpose(perm)
+    assert np.array_equal(t.to_numpy(), full.transpose(perm))
+    # sum is layout-invariant — catches pos/payload divergence cheaply
+    assert t.sum().first()["total"] == full.sum()
+
+
+def test_transpose_virtual_stays_virtual(spark):
+    meta = GridMeta("v", (2, 2), (4, 4))
+    arr = ChunkedArray.from_function(spark, meta, ramp_chunk)
+    t = arr.transpose()
+    assert t.is_virtual  # no materialization: still fused generation
+    # ramp is symmetric in (r, c) so the transpose equals the original
+    assert t.sum().first()["total"] == arr.sum().first()["total"]
+
+
+def test_transpose_bad_axes_rejected(spark):
+    arr, _ = _grid(spark)
+    with pytest.raises(ValueError, match="permutation"):
+        arr.transpose((0, 0))
+
+
+def test_transpose_after_scale_composes(spark):
+    arr, full = _grid(spark)
+    out = arr.scale(3.0).transpose()
+    assert np.array_equal(out.to_numpy(), (3.0 * full).T)
+
+
+# ------------------------------------------------------------- concatenate
+def test_concatenate_matches_numpy(spark):
+    a, fa = _grid(spark, grid=(2, 2), chunk=(3, 4), seed=1)
+    b, fb = _grid(spark, grid=(1, 2), chunk=(3, 4), seed=2)
+    cat = ChunkedArray.concatenate([a, b], axis=0)
+    assert np.array_equal(cat.to_numpy(), np.concatenate([fa, fb], axis=0))
+
+
+def test_concatenate_axis1_ragged_on_axis(spark):
+    # concat axis may be ragged ACROSS inputs: 2-wide + 3-wide columns
+    a, fa = _grid(spark, grid=(2, 1), chunk=(4, 2), seed=3)
+    b, fb = _grid(spark, grid=(2, 1), chunk=(4, 3), seed=4)
+    cat = ChunkedArray.concatenate([a, b], axis=1)
+    assert np.array_equal(cat.to_numpy(), np.concatenate([fa, fb], axis=1))
+
+
+def test_concatenate_virtual_stays_virtual(spark):
+    m1 = GridMeta("c1", (2, 2), (4, 4))
+    m2 = GridMeta("c2", (1, 2), (4, 4))
+    a = ChunkedArray.from_function(spark, m1, ramp_chunk)
+    b = ChunkedArray.from_function(spark, m2, ramp_chunk)
+    cat = ChunkedArray.concatenate([a, b], axis=0)
+    assert cat.is_virtual
+    assert cat.meta.global_shape == (12, 8)
+    # closed form: rows 0..7 are the ramp; rows 8..11 repeat ramp rows 0..3
+    full = np.add.outer(np.arange(8.0), np.arange(8.0))
+    expect = np.concatenate([full, full[:4]], axis=0).sum()
+    assert cat.sum().first()["total"] == expect
+
+
+def test_concatenate_mismatch_rejected(spark):
+    a, _ = _grid(spark, grid=(2, 2), chunk=(4, 4))
+    b, _ = _grid(spark, grid=(2, 2), chunk=(4, 5))
+    with pytest.raises(ValueError, match="tiling mismatch"):
+        ChunkedArray.concatenate([a, b], axis=0)
