@@ -916,6 +916,32 @@ class ChunkedArray:
         partials = self.df.mapInPandas(partial, schema=f"__p {sql_acc}")
         return partials.agg(F.sum("__p").cast(sql_acc).alias("total"))
 
+    def _extreme(self, which: str) -> DataFrame:
+        """Shared min/max plan: per-chunk numpy partial in the fused
+        Python stage → one tiny final agg row. Exact: no accumulation,
+        only comparisons, so the SQL type mirrors the array's kind."""
+        np_acc, sql_acc = _acc(self.meta.dtype)
+        rows_fn = self._rows_fn()
+        np_red = np.min if which == "min" else np.max
+        alias = f"{which}_value"
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vals = [np_red(arr) for _, arr in rows_fn(pdf)]
+                yield pd.DataFrame({"__p": pd.Series(vals, dtype=np_acc)})
+
+        partials = self.df.mapInPandas(partial, schema=f"__p {sql_acc}")
+        agg = F.min("__p") if which == "min" else F.max("__p")
+        return partials.agg(agg.cast(sql_acc).alias(alias))
+
+    def min(self) -> DataFrame:
+        """Global minimum — one row, column ``min_value``."""
+        return self._extreme("min")
+
+    def max(self) -> DataFrame:
+        """Global maximum — one row, column ``max_value``."""
+        return self._extreme("max")
+
     def mean(self) -> DataFrame:
         """Global mean via sum + count partials (never collects data)."""
         np_acc, sql_acc = _acc(self.meta.dtype)

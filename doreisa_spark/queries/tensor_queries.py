@@ -188,6 +188,78 @@ def tensor_preprocess_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.shift(5.0).sum()
 
 
+def _asym_chunk(pos: tuple[int, ...], shape: tuple[int, ...]):
+    """A[r, c] = r + 2c — asymmetric on purpose: the symmetric ramp would
+    make a transpose bug invisible."""
+    import numpy as np
+
+    r = np.arange(pos[0] * shape[0], (pos[0] + 1) * shape[0], dtype=np.float64)
+    c = np.arange(pos[1] * shape[1], (pos[1] + 1) * shape[1], dtype=np.float64)
+    return r[:, None] + 2.0 * c[None, :]
+
+
+@register(
+    "tensor_transpose_axis_sum",
+    extended=True,
+    oracle=f"""
+SELECT r AS idx, CAST(sum(r + 2 * c) AS DOUBLE) AS total
+FROM {_DUCK_GRID}
+GROUP BY r
+""",
+)
+def tensor_transpose_axis_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transpose then axis-reduce: B = Aᵀ with A[r,c] = r + 2c, axis-0 sum
+    of B = per-row sums of A. Transpose is map-only (pos reorder + lazy
+    numpy view); a wrong payload/pos permutation breaks the hash. Uses the
+    gate grid at every sf — a correctness entry, not a bench entry."""
+    arr = ChunkedArray.from_function(spark, _META, _asym_chunk)
+    df = arr.transpose().axis_sum(axis=0)
+    return df.select(F.col("coords")[0].cast("bigint").alias("idx"), F.col("total"))
+
+
+_CONCAT_ROWS = 2 * _CHUNK[0]  # a 2×4-chunk second block stacked below
+
+
+@register(
+    "tensor_concat_sum",
+    extended=True,
+    oracle=f"""
+SELECT CAST(
+  (SELECT sum(r + c) FROM {_DUCK_GRID})
+  + (SELECT sum(r.range + c.range)
+     FROM range(0, {_CONCAT_ROWS}) r, range(0, {_COLS}) c)
+  AS DOUBLE) AS total
+""",
+)
+def tensor_concat_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concatenate along an existing axis then reduce: the full gate ramp
+    with a half-height ramp appended below (each block generated with its
+    own local coordinates). Union + pos shift only — a wrong offset or a
+    dropped block breaks the closed-form total."""
+    top = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    bottom = ChunkedArray.from_function(
+        spark, GridMeta("grid", (2, _GRID[1]), _CHUNK), ramp_chunk
+    )
+    return ChunkedArray.concatenate([top, bottom], axis=0).sum()
+
+
+@register(
+    "tensor_minmax",
+    extended=True,
+    oracle=f"""
+SELECT CAST(min(r + c) AS DOUBLE) AS min_value,
+       CAST(max(r + c) AS DOUBLE) AS max_value
+FROM {_DUCK_GRID}
+""",
+)
+def tensor_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global min/max reductions — comparison-only partials per chunk,
+    one row out of each, joined into a single (min_value, max_value)
+    row."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.min().crossJoin(arr.max())
+
+
 @register(
     "tensor_bench_grid_sum",
     extended=True,

@@ -264,3 +264,20 @@ def test_preprocess_at_generation(spark):
     # preprocess 10x at ingest (reference: tests/test_preprocessing_callback.py)
     arr = ChunkedArray.from_function(spark, META, ramp_chunk, preprocess=lambda a: 10 * a)
     assert arr.sum().collect()[0]["total"] == 10 * expected_sum_arithmetic(META)
+
+
+def test_min_max_closed_form(spark):
+    arr = _ramp(spark)
+    assert arr.min().first()["min_value"] == 0.0
+    rows, cols = arr.meta.global_shape
+    assert arr.max().first()["max_value"] == float(rows + cols - 2)
+
+
+def test_min_max_int_dtype(spark):
+    chunks = {
+        (0,): np.array([-7, 2], dtype=np.int32),
+        (1,): np.array([5, 11], dtype=np.int32),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "mm", chunks)
+    lo, hi = arr.min().first()["min_value"], arr.max().first()["max_value"]
+    assert isinstance(lo, int) and (lo, hi) == (-7, 11)
