@@ -12,7 +12,8 @@ Modules group the SURVEY.md §2 inventory:
 - ``tensor_queries`` — chunk-grid tensor reductions & elementwise algebra (doreisa core).
 - ``dedup``       — exact / minhash-LSH / simhash / n-gram-jaccard dedup.
 - ``similarity``  — embedding cosine top-k ANN (brute-force + LSH-bucketed).
-- ``textops``     — language-ID, quality scoring, token counts, fingerprinting.
+- ``textops``     — language-ID, quality scoring, token counts, fingerprinting, TF-IDF.
+- ``sampling``    — deterministic hash-based stratified sampling / mixture audit.
 - ``multimodal``  — binary payload columns: metadata extraction, decode/feature kernels.
 - ``sources_io``  — csv/json/partitioned-parquet sink→source round trips.
 
@@ -26,6 +27,7 @@ from doreisa_spark.queries import (  # noqa: F401
     events_stream,
     joins,
     multimodal,
+    sampling,
     scalar_funcs,
     setops,
     similarity,

@@ -1,0 +1,82 @@
+"""Deterministic sampling operators — the downsampling/mixing step of a
+training-data pipeline (rebalance languages/sources before training).
+
+Spark's ``sample()``/``sampleBy()`` are seeded-RNG based: resilient but
+not reproducible across engines or partitionings. These operators sample
+by a content hash instead — ``keep iff h(doc_id) mod 1000 < rate[stratum]``
+— which is (a) exactly reproducible anywhere (the DuckDB oracle runs the
+identical predicate), (b) stable under re-partitioning/retries, and
+(c) a pure map: no shuffle, no state, trivially parallel at 100 TB.
+The hash is the same 28-bit md5-derived ``hash60`` the dedup family uses
+(operators/text.py), so one constant set drives both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doreisa_spark.catalog import table
+from doreisa_spark.operators import text as TX
+from doreisa_spark.registry import register
+
+# per-language keep rates in permille: downsample the dominant language,
+# keep the tail languages whole-ish — the usual rebalancing shape
+_PERMILLE = {"en": 400, "de": 800, "es": 800, "fr": 800, "zh": 800}
+_DEFAULT_PERMILLE = 1000  # unknown strata pass through
+
+
+def _rate_case_sql(lang: str) -> str:
+    arms = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_PERMILLE.items()))
+    return f"CASE {lang} {arms} ELSE {_DEFAULT_PERMILLE} END"
+
+
+@register(
+    "sample_stratified",
+    extended=True,
+    oracle=f"""
+SELECT doc_id, lang, source,
+       ({TX.duck_hash60('CAST(doc_id AS VARCHAR)')} % 1000) AS sample_bucket
+FROM documents
+WHERE ({TX.duck_hash60('CAST(doc_id AS VARCHAR)')} % 1000)
+      < {_rate_case_sql('lang')}
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsampling by language.
+
+    Map-only plan: hash predicate evaluated per row at the scan, no
+    shuffle, no driver state; rates are a literal CASE, so there is no
+    dimension join at all. Changing the rate table re-samples
+    consistently (a document kept at 400‰ is still kept at 800‰ —
+    nested samples, the property seeded RNG cannot give)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.expr(TX.hash60_expr("CAST(doc_id AS STRING)")) % 1000
+    rate = F.expr(_rate_case_sql("lang"))
+    return (
+        d.select("doc_id", "lang", "source", bucket.alias("sample_bucket"), rate.alias("__r"))
+        .where(F.col("sample_bucket") < F.col("__r"))
+        .drop("__r")
+    )
+
+
+@register(
+    "sample_mixture_counts",
+    extended=True,
+    oracle=f"""
+SELECT lang, count(*) AS n_kept
+FROM documents
+WHERE ({TX.duck_hash60('CAST(doc_id AS VARCHAR)')} % 1000)
+      < {_rate_case_sql('lang')}
+GROUP BY lang
+""",
+)
+def sample_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture audit: per-language kept counts of the stratified sample —
+    the control report a pipeline emits to confirm the realized mixture
+    matches the target rates. Same predicate, one tiny groupBy."""
+    return (
+        sample_stratified(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )

@@ -226,3 +226,57 @@ def text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
     return counted.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 5)
+
+
+@register(
+    "text_tfidf_top", extended=True,
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+), idf AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, term, score, rk FROM (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (1000000 // idf.df) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (1000000 // idf.df) DESC, tf.term) AS rk
+  FROM tf JOIN idf USING (term)
+  WHERE tf.doc_id % 97 = 0)
+WHERE rk <= 3
+""",
+)
+def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (output bounded to every 97th doc;
+    term statistics computed over the FULL corpus).
+
+    Two-level aggregation + join + windowed top-k: token explode →
+    (doc, term) counts (map-side combine) → document frequency per term
+    → score join → per-doc top-3. The idf is the integer surrogate
+    ``1e6 div df`` so both engines rank on exact integers — a float
+    ``ln(N/df)`` would hash-diverge on libm differences; a real pipeline
+    swaps the expression, not the plan. At 100 TB both aggregations are
+    single-shuffle hash aggs on their natural keys and the score join
+    shuffles on term (the window then re-shuffles only the candidate
+    subset by doc)."""
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    score = (F.col("tf") * F.expr("1000000 DIV df")).alias("score")
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        tf.join(idf, "term")
+        .where(F.col("doc_id") % 97 == 0)
+        .select("doc_id", "term", score)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )
