@@ -414,6 +414,51 @@ class ChunkedArray:
     def shift(self, k) -> "ChunkedArray":
         return self._scalar_op(k, "+")
 
+    _UFUNCS = {
+        "abs": "abs",
+        "negative": "negative",
+        "sqrt": "sqrt",
+        "exp": "exp",
+        "log": "log",
+        "log1p": "log1p",
+        "square": "square",
+    }
+
+    def ufunc(self, name: str) -> "ChunkedArray":
+        """Named elementwise ufunc (dask ``da.sqrt(a)`` etc.), LAZY in the
+        fused pipeline. Output dtype follows numpy promotion, except that
+        a result dtype outside the supported set (e.g. numpy's float16
+        for sqrt(uint8)) computes and stores in float64 instead."""
+        if name not in self._UFUNCS:
+            raise ValueError(f"unsupported ufunc {name!r}; supported: {sorted(self._UFUNCS)}")
+        fn = getattr(np, self._UFUNCS[name])
+        probe = str(fn(np.empty(0, dtype=self.meta.dtype)).dtype)
+        if probe in _SUPPORTED:
+            step = lambda pos, arr: fn(arr)  # noqa: E731
+            out_dtype = probe
+        else:
+            step = lambda pos, arr: fn(arr.astype(np.float64))  # noqa: E731
+            out_dtype = "float64"
+        return self._compose(step, self.meta._replaced(dtype=out_dtype))
+
+    def abs(self) -> "ChunkedArray":
+        return self.ufunc("abs")
+
+    def clip(self, lo, hi) -> "ChunkedArray":
+        """Elementwise clamp to [lo, hi] — dtype-preserving (the uint8
+        image-range clamp of a multimodal pipeline)."""
+        return self._compose(lambda pos, arr: np.clip(arr, lo, hi))
+
+    def astype(self, dtype) -> "ChunkedArray":
+        """Dtype conversion (dask ``.astype``), lazy in the pipeline."""
+        s = _check_dtype(dtype)
+        if s == self.meta.dtype:
+            return self
+        return self._compose(
+            lambda pos, arr: arr.astype(s, copy=False),
+            self.meta._replaced(dtype=s),
+        )
+
     def zip_with(self, other: "ChunkedArray", op: str) -> "ChunkedArray":
         """Elementwise binary op between two same-grid arrays.
 

@@ -244,6 +244,21 @@ def tensor_concat_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tensor_ufunc_chain",
+    extended=True,
+    oracle=f"SELECT CAST(sum(r + c) AS DOUBLE) AS total FROM {_DUCK_GRID}",
+)
+def tensor_ufunc_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt(square(A)).sum() == A.sum() for the non-negative ramp: the
+    chained ufuncs stay one fused Python stage (no materialization
+    between them) and must recover the identity exactly — ramp values are
+    integers whose squares are exact in float64, and sqrt of an exact
+    square is correctly rounded to the integer."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.ufunc("square").ufunc("sqrt").sum()
+
+
+@register(
     "tensor_minmax",
     extended=True,
     oracle=f"""

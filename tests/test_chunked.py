@@ -281,3 +281,48 @@ def test_min_max_int_dtype(spark):
     arr = ChunkedArray.from_numpy_chunks(spark, "mm", chunks)
     lo, hi = arr.min().first()["min_value"], arr.max().first()["max_value"]
     assert isinstance(lo, int) and (lo, hi) == (-7, 11)
+
+
+# ---------------------------------------------------------------- ufuncs
+def test_ufunc_sqrt_of_square_recovers_ramp(spark):
+    arr = _ramp(spark)
+    got = arr.ufunc("square").ufunc("sqrt").sum().first()["total"]
+    assert got == expected_sum_arithmetic(META)
+
+
+def test_abs_negative_roundtrip(spark):
+    chunks = {(0,): np.array([-3.0, 4.0, -5.0])}
+    arr = ChunkedArray.from_numpy_chunks(spark, "ab", chunks)
+    assert arr.ufunc("negative").abs().to_numpy().tolist() == [3.0, 4.0, 5.0]
+    assert arr.abs().meta.dtype == "float64"
+
+
+def test_clip_preserves_dtype(spark):
+    chunks = {(0,): np.array([0, 100, 255], dtype=np.uint8)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "cl", chunks)
+    out = arr.clip(10, 200)
+    assert out.meta.dtype == "uint8"
+    assert out.to_numpy().tolist() == [10, 100, 200]
+
+
+def test_sqrt_uint8_widens_to_float64(spark):
+    # numpy would give float16 (unsupported); the engine computes in f64
+    chunks = {(0,): np.array([4, 9, 16], dtype=np.uint8)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "sq", chunks)
+    out = arr.ufunc("sqrt")
+    assert out.meta.dtype == "float64"
+    assert out.to_numpy().tolist() == [2.0, 3.0, 4.0]
+
+
+def test_astype_lazy_conversion(spark):
+    chunks = {(0,): np.array([1.5, 2.5], dtype=np.float64)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "at", chunks)
+    out = arr.astype("int32")
+    assert out.meta.dtype == "int32"
+    assert out.to_numpy().tolist() == [1, 2]
+    assert out.sum().first()["total"] == 3
+
+
+def test_unknown_ufunc_rejected(spark):
+    with pytest.raises(ValueError, match="unsupported ufunc"):
+        _ramp(spark).ufunc("tanh")
