@@ -1,0 +1,102 @@
+"""Physical-plan shape assertions — the 100 TB scale posture, pinned.
+
+Correctness gates prove values; these prove the PLAN stays the one that
+survives a 1000-executor cluster: filters reach the parquet scan, small
+dimensions broadcast, windows are partitioned (never single-partition),
+top-k never sorts globally, and map-only operators stay shuffle-free.
+A regression here is invisible at sf0.01 and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    from doreisa_spark.registry import extended_queries, queries
+
+    qs = {**extended_queries(), **queries()}
+    df = qs[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q3_uses_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_small_dim_joins_broadcast(spark):
+    plan = _plan(spark, "join_inner_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_exact_single_shuffle_on_fingerprint(spark):
+    plan = _plan(spark, "dedup_exact")
+    assert plan.count("Exchange") == 1  # one md5-keyed shuffle, nothing else
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_count" in plan
+
+
+def test_range_frame_window_is_partitioned(spark):
+    plan = _plan(spark, "window_range_frame")
+    assert "Window" in plan
+    # the value-bucket partitioning must reach the Window operator: its
+    # required distribution is hashpartitioning on `part`, never all-to-one
+    assert "hashpartitioning(part" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_all_primary_windows_are_partitioned(spark):
+    for name in (
+        "window_ranking",
+        "window_lag_lead",
+        "window_range_frame",
+        "window_topk_per_group",
+    ):
+        plan = _plan(spark, name)
+        assert "SinglePartition" not in plan, f"{name} windows on a single partition"
+
+
+def test_text_scan_prunes_columns(spark):
+    # quality scoring needs doc_id + text (+ n_chars): the scan must not
+    # drag lang/source along
+    plan = _plan(spark, "text_quality_score")
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "lang" not in scan and "source" not in scan
+
+
+def test_meta_extract_is_map_only(spark):
+    # metadata extraction is a pure map: no exchange anywhere in the plan
+    plan = _plan(spark, "mm_meta_extract")
+    assert "Exchange" not in plan
+
+
+def test_sample_stratified_is_map_only(spark):
+    plan = _plan(spark, "sample_stratified")
+    assert "Exchange" not in plan
+
+
+def test_range_band_join_broadcasts_tiny_dim(spark):
+    plan = _plan(spark, "join_range_bands")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_tensor_sum_fuses_to_one_python_stage(spark):
+    # generation + kernel chain + partial reduce must be ONE Arrow stage
+    assert _plan(spark, "tensor_global_sum").count("MapInPandas") == 1
+
+
+def test_tensor_minmax_one_python_stage_per_branch(spark):
+    # min().crossJoin(max()): exactly one fused Arrow stage per reduction
+    # branch, joined broadcast (two 1-row sides), never a shuffle join
+    plan = _plan(spark, "tensor_minmax")
+    assert plan.count("MapInPandas") == 2
+    assert "SortMergeJoin" not in plan
