@@ -117,6 +117,28 @@ def stream_stream_purchase_clicks(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: "list[str]" = None,
+    *,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAMING exact dedup — the streaming face of queries/dedup.py:
+    each key combination is emitted once; re-arrivals within the
+    watermark horizon are dropped by the state store, and the watermark
+    lets Spark EVICT keys older than the horizon, so state is bounded by
+    (horizon × key arrival rate), never by stream history.
+
+    ``dropDuplicates`` on a stream would keep every key forever (state
+    grows without bound — dead at 100 TB/day);
+    ``dropDuplicatesWithinWatermark`` is the only shape that survives.
+    Exactly-once per key holds for duplicates arriving within the
+    horizon of the first occurrence — the contract an ingest pipeline
+    (at-least-once delivery, bounded redelivery lag) actually needs."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """CUSTOM stateful operator via ``applyInPandasWithState``: per-user
     running (count, sum) maintained across micro-batches — the pattern for

@@ -204,3 +204,46 @@ def test_session_windows_match_batch(spark, event_source):
     }
     assert must_emit.items() <= g.items()
     assert len(must_emit) > 0
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a second file redelivering half of
+    the first file's event_ids (an at-least-once producer retry) must
+    add only the genuinely-new ids to the output."""
+    import pandas as pd
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def rows(ids, minute0):
+        return pd.DataFrame(
+            {
+                "event_id": pd.array(ids, dtype="int64"),
+                "ts": [base + pd.Timedelta(minutes=minute0 + i) for i in range(len(ids))],
+                "user_id": pd.array([i % 3 for i in ids], dtype="int64"),
+                "event_type": ["click"] * len(ids),
+                "value": [float(i) for i in ids],
+                "props": ["{}"] * len(ids),
+            }
+        )
+
+    # file 1: ids 0..9; file 2 (later mtime): ids 5..14 → 5 retries, 5 new
+    for i, ids in enumerate([range(10), range(5, 15)]):
+        f = str(src / f"{i:05d}.parquet")
+        spark.createDataFrame(rows(list(ids), i * 30)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"tmp{i}"))
+        import os as _os
+
+        data = next(
+            x for x in _os.listdir(str(src / f"tmp{i}")) if x.endswith(".parquet")
+        )
+        _os.rename(str(src / f"tmp{i}" / data), f)
+        _os.utime(f, (1_700_000_000 + i * 10,) * 2)
+
+    stream = S.read_event_stream(spark, str(src))
+    out = S.dedup_stream(stream, ["event_id"])
+    name = S.run_to_memory(out, "dedup_stream_t", output_mode="append")
+    got = sorted(r["event_id"] for r in spark.sql(f"SELECT event_id FROM {name}").collect())
+    assert got == list(range(15))  # each id exactly once, retries dropped
