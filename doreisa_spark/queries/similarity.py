@@ -189,6 +189,113 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CENT_LO = 8  # centroid vectors: vec_id in [_IVF_CENT_LO, _IVF_CENT_LO + _IVF_CELLS)
+_IVF_CELLS = 16
+_IVF_NPROBE = 2
+
+
+@register(
+    "sim_ann_ivf",
+    extended=True,
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id - {_IVF_CENT_LO} AS cell, embedding AS cemb
+  FROM embeddings WHERE vec_id >= {_IVF_CENT_LO} AND vec_id < {_IVF_CENT_LO + _IVF_CELLS}
+), corpus AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+), assigned AS (
+  SELECT cid, cell FROM (
+    SELECT c.cid, cent.cell,
+           row_number() OVER (
+             PARTITION BY c.cid
+             ORDER BY {V.duck_cosine('c.ce', 'cent.cemb')} DESC, cent.cell) AS arnk
+    FROM corpus c CROSS JOIN cent)
+  WHERE arnk = 1
+), q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}
+), probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, cent.cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {V.duck_cosine('q.qe', 'cent.cemb')} DESC, cent.cell) AS prnk
+    FROM q CROSS JOIN cent)
+  WHERE prnk <= {_IVF_NPROBE}
+), scored AS (
+  SELECT p.qid, a.cid, {V.duck_cosine('q.qe', 'c.ce')} AS cos_sim
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell AND a.cid <> p.qid
+  JOIN corpus c ON c.cid = a.cid
+  JOIN q ON q.qid = p.qid
+)
+SELECT qid, cid, round(cos_sim, 6) AS cos_sim, rk FROM (
+  SELECT qid, cid, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rk
+  FROM scored)
+WHERE rk <= {_TOP_K}
+""",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: a deterministic {_IVF_CELLS}-centroid coarse
+    quantizer partitions the corpus into Voronoi cells (inverted lists);
+    each query probes its {_IVF_NPROBE} nearest cells and runs exact cosine
+    only over those lists — the classic IVF-Flat layout, next to the
+    sign-LSH family as the second standard ANN index shape.
+
+    Centroids are corpus vectors from a fixed vec_id range (a k-means||
+    seed set stand-in), so both engines derive identical cells with no
+    trained state. Cell assignment and probe selection use the same
+    row_number-over-cosine pattern in Spark and DuckDB, making tie
+    semantics identical; cosines are the sequential-fold doubles of
+    operators/vectors.py, so the whole index is bit-reproducible.
+
+    100 TB posture: the centroid table is broadcast (assignment join and
+    probe join never shuffle the corpus); the assignment window shuffles a
+    NARROW (cid, cell, cos) projection — embeddings stay in the scan until
+    the final per-cell scoring join. At production scale the per-row argmax
+    would fold into one Arrow-batched BLAS kernel (operators/ann.py) making
+    assignment fully map-side; the fold-expression form here is what keeps
+    the oracle exact. nprobe trades recall for candidate volume without
+    changing the plan shape."""
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    cent = e.where(
+        (F.col("vec_id") >= _IVF_CENT_LO) & (F.col("vec_id") < _IVF_CENT_LO + _IVF_CELLS)
+    ).select((F.col("vec_id") - _IVF_CENT_LO).alias("cell"), F.col("embedding").alias("cemb"))
+    corpus = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    aw = W.partitionBy("cid").orderBy(F.col("a_cos").desc(), F.col("cell"))
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("cid", "cell", F.expr(V.cosine_expr("ce", "cemb")).alias("a_cos"))
+        .withColumn("arnk", F.row_number().over(aw))
+        .where(F.col("arnk") == 1)
+        .select("cid", "cell")
+    )
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pw = W.partitionBy("qid").orderBy(F.col("p_cos").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "cell", F.expr(V.cosine_expr("qe", "cemb")).alias("p_cos"))
+        .withColumn("prnk", F.row_number().over(pw))
+        .where(F.col("prnk") <= _IVF_NPROBE)
+        .select("qid", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("cid") != F.col("qid"))
+        .join(corpus, "cid")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "cid", F.expr(V.cosine_expr("qe", "ce")).alias("cos_sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )
+
+
 def _probe_exprs() -> tuple[str, str]:
     """(Spark, DuckDB) expressions for the multi-probe bucket list: the
     query's own bucket plus every bucket at Hamming distance 1 — the
