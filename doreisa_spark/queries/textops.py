@@ -280,3 +280,41 @@ def text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
     )
+
+
+# BPE-ish pre-tokenization pattern (GPT-2 style, simplified): letter runs
+# are one token each, every DIGIT is its own token, punctuation runs split
+# per char. Same regex dialect subset works in Java (Spark) and RE2 (DuckDB).
+_BPE_PAT = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@register(
+    "text_bpe_token_count",
+    extended=True,
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS INTEGER) AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       round(CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS fertility
+FROM documents
+""",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenization regex (letter
+    runs | single digits | punctuation chars) estimates subword token cost
+    per document, next to the whitespace word count; ``fertility`` =
+    tokens-per-word, the standard tokenizer-efficiency metric used for
+    corpus budgeting.
+
+    Pure JVM regex work (codegen, no Python); the integer-ratio double is
+    bit-identical across engines. At 100 TB this is a map-only pass."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PAT), F.lit(0)))
+    ws = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        F.round(bpe.cast("double") / ws.cast("double"), 6).alias("fertility"),
+    )
