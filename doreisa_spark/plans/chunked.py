@@ -469,14 +469,22 @@ class ChunkedArray:
         chunk position (one shuffle; none if co-partitioned), and combine
         in an Arrow-batched numpy kernel.
 
-        op ∈ {'+', '-', '*', '/'}; '/' promotes to float64 (numpy true
-        division), others follow numpy dtype promotion.
+        op ∈ {'+', '-', '*', '/', 'max', 'min'}; '/' promotes to float64
+        (numpy true division), others follow numpy dtype promotion.
         """
         if self.meta.chunks != other.meta.chunks:
             raise ValueError("grid mismatch")
-        if op not in {"+", "-", "*", "/"}:
+        ops = {
+            "+": np.add,
+            "-": np.subtract,
+            "*": np.multiply,
+            "/": np.true_divide,
+            "max": np.maximum,
+            "min": np.minimum,
+        }
+        if op not in ops:
             raise ValueError(f"unsupported op {op}")
-        np_op = {"+": np.add, "-": np.subtract, "*": np.multiply, "/": np.true_divide}[op]
+        np_op = ops[op]
         if op == "/":
             out_dtype = "float64"
         else:
@@ -487,7 +495,7 @@ class ChunkedArray:
         out_np = np.dtype(out_dtype)
 
         if self._gen is not None and other._gen is not None:
-            ga, gb = self._gen, other._gen
+            ga, gb = self._gen, other._gen  # virtual-virtual: fuse, zero shuffles
             return ChunkedArray(
                 self.df,
                 meta,
@@ -522,6 +530,14 @@ class ChunkedArray:
 
         df = joined.mapInPandas(combine, schema=CHUNK_SCHEMA)
         return ChunkedArray(df, meta, ts)
+
+    def maximum(self, other: "ChunkedArray") -> "ChunkedArray":
+        """Elementwise max of two same-grid arrays (dask ``da.maximum``)."""
+        return self.zip_with(other, "max")
+
+    def minimum(self, other: "ChunkedArray") -> "ChunkedArray":
+        """Elementwise min of two same-grid arrays (dask ``da.minimum``)."""
+        return self.zip_with(other, "min")
 
     # -------------------------------------------------- structural operators
     def slice(self, region: "tuple[tuple[int | None, int | None], ...]") -> "ChunkedArray":
@@ -1045,15 +1061,15 @@ class ChunkedArray:
             ).alias("std_value")
         )
 
-    def axis_sum(self, axis: int) -> DataFrame:
-        """Reduce along one axis of an N-d grid: fused pipeline + per-chunk
-        numpy partial reduction → explode to (global coords of kept dims,
-        partial) → groupBy-sum. The shuffle carries only reduced vectors,
-        never chunks.
+    def _axis_reduce(self, axis: int, np_red: Callable, final_agg, out_col: str) -> DataFrame:
+        """Shared shape of every single-axis reduction: fused pipeline +
+        per-chunk numpy partial reduction → explode to (global coords of
+        kept dims, partial) → groupBy + final aggregate. The shuffle
+        carries only reduced vectors, never chunks.
 
         Output: one row per surviving global coordinate:
-        ``(coords array<int>, total bigint|double)`` — ``coords`` are the
-        global indices of the kept dimensions, in dimension order."""
+        ``(coords array<int>, <out_col> bigint|double)`` — ``coords`` are
+        the global indices of the kept dimensions, in dimension order."""
         ndim = self.meta.ndim
         if not (0 <= axis < ndim):
             raise ValueError(f"axis {axis} out of range for ndim {ndim}")
@@ -1070,12 +1086,12 @@ class ChunkedArray:
                 coords_out: list[list[int]] = []
                 val_out: list = []
                 for pos, arr in rows_fn(pdf):
-                    red = arr.sum(axis=axis, dtype=np_acc)
+                    red = np_red(arr.astype(np_acc, copy=False), axis)
                     if not kept:
                         # 1-D array reduced over its only axis: a 0-d
                         # partial with no surviving coordinates — one row
                         # with empty coords per chunk, all grouped into a
-                        # single global total (np.indices(()) would raise)
+                        # single global value (np.indices(()) would raise)
                         coords_out.append([])
                         val_out.append(np_acc.type(red))
                         continue
@@ -1089,7 +1105,33 @@ class ChunkedArray:
                 )
 
         partials = self.df.mapInPandas(partial, schema=f"coords array<int>, partial {sql_acc}")
-        return partials.groupBy("coords").agg(F.sum("partial").cast(sql_acc).alias("total"))
+        return partials.groupBy("coords").agg(
+            final_agg("partial").cast(sql_acc).alias(out_col)
+        )
+
+    def axis_sum(self, axis: int) -> DataFrame:
+        """Sum along one axis of an N-d grid → (coords, total)."""
+        return self._axis_reduce(axis, lambda a, ax: a.sum(axis=ax), F.sum, "total")
+
+    def axis_min(self, axis: int) -> DataFrame:
+        """Min along one axis → (coords, value). Partial min per chunk,
+        final min across the chunk row of the reduced axis — exact (ints
+        widen to int64, float32 to float64, both order-free)."""
+        return self._axis_reduce(axis, lambda a, ax: a.min(axis=ax), F.min, "value")
+
+    def axis_max(self, axis: int) -> DataFrame:
+        """Max along one axis → (coords, value)."""
+        return self._axis_reduce(axis, lambda a, ax: a.max(axis=ax), F.max, "value")
+
+    def axis_mean(self, axis: int) -> DataFrame:
+        """Mean along one axis → (coords, value double): the exact axis_sum
+        divided by the (constant) global extent of the reduced axis — one
+        IEEE division per output element, so integer grids stay
+        cross-engine exact."""
+        n = self.meta.global_shape[axis]
+        return self.axis_sum(axis).select(
+            "coords", (F.col("total").cast("double") / F.lit(float(n))).alias("value")
+        )
 
     # -------------------------------------------------------------- utility
     def persist(self) -> "ChunkedArray":

@@ -326,3 +326,71 @@ def test_astype_lazy_conversion(spark):
 def test_unknown_ufunc_rejected(spark):
     with pytest.raises(ValueError, match="unsupported ufunc"):
         _ramp(spark).ufunc("tanh")
+
+
+def test_maximum_minimum_elementwise(spark):
+    chunks_a = {
+        (0,): np.array([1, 9, 3], dtype=np.int32),
+        (1,): np.array([7, 2, 8], dtype=np.int32),
+    }
+    chunks_b = {
+        (0,): np.array([4, 5, 6], dtype=np.int32),
+        (1,): np.array([1, 9, 9], dtype=np.int32),
+    }
+    a = ChunkedArray.from_numpy_chunks(spark, "ma", chunks_a)
+    b = ChunkedArray.from_numpy_chunks(spark, "mb", chunks_b)
+    assert a.maximum(b).sum().collect()[0]["total"] == 4 + 9 + 6 + 7 + 9 + 9
+    assert a.minimum(b).sum().collect()[0]["total"] == 1 + 5 + 3 + 1 + 2 + 8
+    assert a.maximum(b).meta.dtype == "int32"  # numpy promotion, no widening
+
+
+def test_maximum_virtual_fuses(spark):
+    # virtual-virtual maximum stays virtual: zero-shuffle fusion path
+    a = _ramp(spark).scale(2)
+    b = _ramp(spark).shift(100)
+    fused = a.maximum(b)
+    assert fused.is_virtual
+    ref_a = np.concatenate(
+        [np.concatenate([ramp_chunk((i, j), (8, 8)) * 2 for j in range(2)], axis=1) for i in range(2)],
+        axis=0,
+    )
+    ref_b = np.concatenate(
+        [np.concatenate([ramp_chunk((i, j), (8, 8)) + 100 for j in range(2)], axis=1) for i in range(2)],
+        axis=0,
+    )
+    assert fused.sum().collect()[0]["total"] == np.maximum(ref_a, ref_b).sum()
+
+
+def test_axis_min_max_mean_3d(spark):
+    chunks = {
+        (i, j, k): np.arange(24, dtype=np.int64).reshape(2, 3, 4) * (i + 2 * j + 4 * k + 1)
+        - 10 * i
+        for i in range(2)
+        for j in range(2)
+        for k in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "mm3", chunks)
+    dense = arr.to_numpy()
+    for axis in range(3):
+        for method, np_red in (
+            ("axis_min", np.min),
+            ("axis_max", np.max),
+            ("axis_mean", np.mean),
+        ):
+            expect = np_red(dense, axis=axis)
+            got = np.zeros_like(expect, dtype=np.float64)
+            for row in getattr(arr, method)(axis).collect():
+                got[tuple(row["coords"])] = row["value"]
+            assert np.array_equal(got, expect.astype(np.float64)), (method, axis)
+
+
+def test_axis_min_1d(spark):
+    chunks = {
+        (0,): np.array([5, 2, 9], dtype=np.int64),
+        (1,): np.array([4, 8, 1], dtype=np.int64),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "mm1", chunks)
+    rows = arr.axis_min(axis=0).collect()
+    assert len(rows) == 1 and rows[0]["value"] == 1
+    rows = arr.axis_max(axis=0).collect()
+    assert len(rows) == 1 and rows[0]["value"] == 9
