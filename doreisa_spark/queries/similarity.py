@@ -189,6 +189,64 @@ def sim_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ann_recall",
+    extended=True,
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+     bf_scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+         {V.duck_cosine('q.qe', 'c.embedding')} AS cos_sim
+  FROM q JOIN embeddings c ON c.vec_id <> q.qid
+), bf AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rk
+    FROM bf_scored)
+  WHERE rk <= {_TOP_K}
+), bucketed AS (
+  SELECT vec_id, embedding, {V.duck_lsh_bucket('embedding')} AS bucket FROM embeddings
+), lsh_scored AS (
+  SELECT b.qid, c.vec_id AS cid,
+         {V.duck_cosine('b.qe', 'c.embedding')} AS cos_sim
+  FROM (SELECT q.qid, q.qe, bk.bucket
+        FROM q JOIN bucketed bk ON bk.vec_id = q.qid) b
+  JOIN bucketed c ON c.bucket = b.bucket AND c.vec_id <> b.qid
+), lsh AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rk
+    FROM lsh_scored)
+  WHERE rk <= {_TOP_K}
+)
+SELECT bf.qid,
+       count(lsh.cid) AS n_hits,
+       count(lsh.cid) / {_TOP_K}.0 AS recall
+FROM bf LEFT JOIN lsh ON lsh.qid = bf.qid AND lsh.cid = bf.cid
+GROUP BY bf.qid
+""",
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOP_K} of the sign-LSH index against exact brute force,
+    per query — index-quality evaluation AS a query, composing the two
+    registered pipelines (sim_topk_bruteforce ∩ sim_ann_lsh).
+
+    The ground-truth side and the candidate side each end in ≤
+    n_queries × k rows, so the final join/agg is trivially small; total
+    cost is one brute-force pass + one bucketed pass, both already
+    scale-shaped. Recall is an exact integer ratio — no float noise."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("qid", "cid")
+    lsh = sim_ann_lsh(spark, sf_dir).select(
+        F.col("qid").alias("lq"), F.col("cid").alias("lc")
+    )
+    return (
+        bf.join(lsh, (bf["qid"] == lsh["lq"]) & (bf["cid"] == lsh["lc"]), "left")
+        .groupBy("qid")
+        .agg(
+            F.count("lc").alias("n_hits"),
+            (F.count("lc") / float(_TOP_K)).alias("recall"),
+        )
+    )
+
+
 _IVF_CENT_LO = 8  # centroid vectors: vec_id in [_IVF_CENT_LO, _IVF_CENT_LO + _IVF_CELLS)
 _IVF_CELLS = 16
 _IVF_NPROBE = 2
