@@ -100,3 +100,53 @@ def test_tensor_minmax_one_python_stage_per_branch(spark):
     plan = _plan(spark, "tensor_minmax")
     assert plan.count("MapInPandas") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_q7_broadcasts_all_dims(spark):
+    # only lineitem⨝orders may shuffle (at tiny SF it broadcasts too);
+    # supplier/customer/nation always broadcast — never a sort-merge join
+    plan = _plan(spark, "q7_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_never_shuffles_the_fact_table(spark):
+    # both the threshold build and the probe side join via broadcast;
+    # the only exchanges feed aggregates, not sort-merge joins
+    plan = _plan(spark, "q17_small_quantity")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q19_pushes_common_residuals_to_scans(spark):
+    # the OR-of-brackets keeps a common quantity envelope that must reach
+    # the lineitem scan, and the join stays broadcast on partkey
+    plan = _plan(spark, "q19_bracket_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters" in plan
+
+
+def test_ivf_assignment_shuffles_narrow_rows_only(spark):
+    # the centroid cross join must broadcast; the assignment window must
+    # partition by cid (never single-partition)
+    plan = _plan(spark, "sim_ann_ivf")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_bpe_token_count_no_key_shuffle(spark):
+    # the only exchange is the intentional CPU-spread round-robin
+    # repartition (regex work over a single input split); no data ever
+    # shuffles on a key
+    plan = _plan(spark, "text_bpe_token_count")
+    assert plan.count("Exchange") == 1
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_curation_pipeline_single_corpus_shuffle(spark):
+    # the keeper build is the ONLY full-corpus shuffle: md5 fingerprints,
+    # never bodies; the semi join broadcasts the keeper side or shuffles
+    # narrow ids — either way no document body moves twice
+    plan = _plan(spark, "pipeline_corpus_curation")
+    assert "LeftSemi" in plan
+    assert "partial_min" in plan  # map-side combine under the keeper agg
