@@ -80,3 +80,51 @@ def sample_mixture_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+
+
+# per-language repeat weights in permille (>= 1000: pure upsampling) —
+# the "epochs per source" mixing knob of a pretraining run
+_UPWEIGHT_PERMILLE = {"de": 2400, "fr": 1500, "zh": 3000}
+_DEFAULT_UPWEIGHT = 1000
+
+
+def _upweight_case_sql(lang: str) -> str:
+    arms = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_UPWEIGHT_PERMILLE.items()))
+    return f"CASE {lang} {arms} ELSE {_DEFAULT_UPWEIGHT} END"
+
+
+@register(
+    "sample_upweight",
+    extended=True,
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         ({_upweight_case_sql('lang')}) // 1000
+         + CASE WHEN ({TX.duck_hash60('CAST(doc_id AS VARCHAR)')} % 1000)
+                     < ({_upweight_case_sql('lang')}) % 1000
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents
+)
+SELECT doc_id, lang, CAST(unnest(range(0, n_copies)) AS INTEGER) AS copy_no
+FROM w
+""",
+)
+def sample_upweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fractional upsampling — the repeat-factor half of
+    source mixing (downsampling is sample_stratified). A 2.4× language
+    weight emits 2 copies of every document plus a 3rd for the
+    hash-selected 40% — exactly 2.4× in expectation, reproducible
+    anywhere, and nested (raising a weight only ever ADDS copies).
+
+    Map-only row expansion: the copy fan-out happens inside the scan
+    stage via explode(sequence); no shuffle, no RNG state, no driver.
+    Downstream training shards shuffle-read the expanded stream once."""
+    d = table(spark, sf_dir, "documents")
+    w = F.expr(_upweight_case_sql("lang"))
+    bucket = F.expr(TX.hash60_expr("CAST(doc_id AS STRING)")) % 1000
+    copies = (w / 1000).cast("int") + F.when(bucket < w % 1000, 1).otherwise(0)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), copies - 1)).alias("copy_no"),
+    )
