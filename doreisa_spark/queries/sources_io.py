@@ -110,3 +110,30 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("revenue")
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    extended=True,
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → ORC sink → native ORC source → aggregate.
+
+    The second columnar format next to parquet: same vectorized reader
+    interface, pushdown, and pruning. The oracle aggregates the ORIGINAL
+    parquet, so a value or type mangled anywhere in the ORC round trip
+    (decimal/timestamp encoding differences are the classic hazards)
+    breaks the hash."""
+    c = table(spark, sf_dir, "customer")
+    path = _sink(sf_dir, "customer_orc")
+    IO.write_orc(c, path)
+    back = IO.read_orc(spark, path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

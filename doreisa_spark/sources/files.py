@@ -56,3 +56,13 @@ def write_parquet_partitioned(df: DataFrame, path: str, *cols: str) -> None:
     excluded files). Choose low-cardinality columns; high-cardinality
     partitioning creates a small-file explosion at scale."""
     df.write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan: columnar like parquet, with the same pushdown/pruning
+    behavior in Spark's native vectorized ORC reader."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
