@@ -1133,6 +1133,97 @@ class ChunkedArray:
             "coords", (F.col("total").cast("double") / F.lit(float(n))).alias("value")
         )
 
+    def axis_cumsum(self, axis: int) -> "ChunkedArray":
+        """Cumulative sum along one axis — the classic two-pass distributed
+        scan, returning a ChunkedArray on the SAME grid (dask
+        ``da.cumsum``; accumulator dtype per _acc, so integer grids stay
+        exact past 2^53 would-be float rounding).
+
+        Pass 1 (map-only): each chunk emits its axis-total — a reduced
+        array of the chunk's CROSS shape, ~1/chunk_extent of the data.
+        Pass 2 (tiny shuffle): totals group by cross chunk position —
+        groups of nb_chunks[axis] reduced arrays — and an exclusive
+        running sum yields each chunk's offset.
+        Pass 3: offsets join back to the chunks on pos (the single
+        full-data shuffle) and a fused kernel adds local-cumsum + offset.
+        At 100×, passes 1-2 move only reduced cross-sections; chunk bodies
+        move once, same as any non-co-partitioned binary chunk op."""
+        ndim = self.meta.ndim
+        if not (0 <= axis < ndim):
+            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
+        np_acc, _sql_acc = _acc(self.meta.dtype)
+        out_dtype = str(np_acc)
+        meta = self.meta._replaced(dtype=out_dtype)
+        m = self.materialize()
+        src = np.dtype(m.meta.dtype)
+        name, ts = self.meta.name, self.timestep
+
+        def totals(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"cross": [], "k": [], "pos": [], "tshape": [], "tot": []}
+                for pos, sh, raw in zip(pdf["pos"], pdf["chunk_shape"], pdf["data"]):
+                    shape = tuple(int(s) for s in sh)
+                    arr = np.frombuffer(raw, dtype=src).reshape(shape)
+                    t = arr.sum(axis=axis, dtype=np_acc)
+                    out["cross"].append([int(p) for d, p in enumerate(pos) if d != axis])
+                    out["k"].append(int(pos[axis]))
+                    out["pos"].append(list(pos))
+                    out["tshape"].append(list(t.shape))
+                    out["tot"].append(t.tobytes())
+                yield pd.DataFrame(out)
+
+        tot_df = m.df.mapInPandas(
+            totals,
+            schema="cross array<int>, k int, pos array<int>, tshape array<int>, tot binary",
+        )
+
+        def prefix(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            # chunks at one cross position share their cross shape by grid
+            # construction; running-sum their totals in axis order
+            pdf = pdf.sort_values("k")
+            acc = None
+            poss, offs = [], []
+            for _, r in pdf.iterrows():
+                shape = tuple(int(s) for s in r["tshape"])
+                cur = np.frombuffer(bytes(r["tot"]), dtype=np_acc).reshape(shape)
+                if acc is None:
+                    acc = np.zeros(shape, dtype=np_acc)
+                poss.append(list(r["pos"]))
+                offs.append(acc.tobytes())
+                acc = acc + cur
+            return pd.DataFrame({"pos": poss, "off": offs})
+
+        off_df = tot_df.groupBy("cross").applyInPandas(
+            prefix, schema="pos array<int>, off binary"
+        )
+
+        joined = m.df.join(
+            off_df.select(F.col("pos").alias("__opos"), "off"),
+            m.df["pos"] == F.col("__opos"),
+        )
+
+        def final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"name": [], "timestep": [], "pos": [], "chunk_shape": [], "data": []}
+                for pos, sh, raw, offb in zip(
+                    pdf["pos"], pdf["chunk_shape"], pdf["data"], pdf["off"]
+                ):
+                    shape = tuple(int(s) for s in sh)
+                    arr = np.frombuffer(raw, dtype=src).reshape(shape)
+                    local = arr.cumsum(axis=axis, dtype=np_acc)
+                    cross_shape = tuple(s for d, s in enumerate(shape) if d != axis)
+                    off = np.frombuffer(bytes(offb), dtype=np_acc).reshape(cross_shape)
+                    res = local + np.expand_dims(off, axis)
+                    out["name"].append(name)
+                    out["timestep"].append(ts)
+                    out["pos"].append(list(pos))
+                    out["chunk_shape"].append(list(shape))
+                    out["data"].append(res.astype(np_acc, copy=False).tobytes())
+                yield pd.DataFrame(out)
+
+        df = joined.mapInPandas(final, schema=CHUNK_SCHEMA)
+        return ChunkedArray(df, meta, ts)
+
     # -------------------------------------------------------------- utility
     def persist(self) -> "ChunkedArray":
         """Async materialization analog of doreisa's ray_persist

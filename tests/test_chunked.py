@@ -394,3 +394,55 @@ def test_axis_min_1d(spark):
     assert len(rows) == 1 and rows[0]["value"] == 1
     rows = arr.axis_max(axis=0).collect()
     assert len(rows) == 1 and rows[0]["value"] == 9
+
+
+def test_axis_cumsum_1d_across_chunks(spark):
+    chunks = {
+        (0,): np.array([1, 2, 3], dtype=np.int32),
+        (1,): np.array([4, 5, 6], dtype=np.int32),
+        (2,): np.array([7, 8, 9], dtype=np.int32),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "cs1", chunks)
+    out = arr.axis_cumsum(axis=0)
+    assert out.meta.dtype == "int64"  # exact accumulator
+    dense = out.to_numpy()
+    assert np.array_equal(dense, np.concatenate([chunks[(i,)] for i in range(3)]).cumsum())
+
+
+def test_axis_cumsum_3d_every_axis(spark):
+    chunks = {
+        (i, j, k): np.arange(24, dtype=np.float64).reshape(2, 3, 4) * (i + 2 * j + 4 * k + 1)
+        for i in range(2)
+        for j in range(2)
+        for k in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "cs3", chunks)
+    dense = arr.to_numpy()
+    for axis in range(3):
+        got = arr.axis_cumsum(axis).to_numpy()
+        assert np.array_equal(got, dense.cumsum(axis=axis)), axis
+
+
+def test_axis_cumsum_ragged(spark):
+    chunks = {
+        (0, 0): np.ones((2, 3), dtype=np.int64),
+        (0, 1): 2 * np.ones((2, 2), dtype=np.int64),
+        (1, 0): 3 * np.ones((1, 3), dtype=np.int64),
+        (1, 1): 4 * np.ones((1, 2), dtype=np.int64),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "csr", chunks)
+    dense = arr.to_numpy()
+    for axis in range(2):
+        got = arr.axis_cumsum(axis).to_numpy()
+        assert np.array_equal(got, dense.cumsum(axis=axis)), axis
+
+
+def test_axis_cumsum_composes_with_sum(spark):
+    # result is a first-class ChunkedArray: reductions chain onto it
+    chunks = {
+        (0,): np.array([1, 2], dtype=np.int64),
+        (1,): np.array([3, 4], dtype=np.int64),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "csc", chunks)
+    total = arr.axis_cumsum(0).sum().collect()[0]["total"]
+    assert total == np.array([1, 2, 3, 4]).cumsum().sum()  # 1+3+6+10
