@@ -338,3 +338,21 @@ def tensor_matmul_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     a correctness-gate entry, not a bench entry.)"""
     a = _ramp(spark, sf_dir)
     return a.matmul(a).sum()
+
+
+@register(
+    "tensor_cumsum_sum",
+    extended=True,
+    # cumsum along axis 0 then total: element (r,c) of the cumsum grid is
+    # counted once for every row >= r, so the total is Σ (R - r)·(r + c) —
+    # an independent closed form the two-pass distributed scan must hit.
+    oracle=f"SELECT CAST(sum(({_ROWS} - r) * (r + c)) AS DOUBLE) AS total FROM {_DUCK_GRID}",
+)
+def tensor_cumsum_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumsum(axis=0).sum(): the two-pass distributed prefix scan (local
+    cumsum + per-chunk totals → exclusive prefix per cross position →
+    offset add) followed by the global reduce. A wrong offset, a skipped
+    chunk, or a mis-sorted prefix group all shift the closed-form total.
+    Integer-valued float64 grid → every partial < 2^53, exact."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.axis_cumsum(axis=0).sum()
