@@ -137,3 +137,43 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "source_bucketed_groupby",
+    extended=True,
+    oracle="""
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def source_bucketed_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table layout: orders written ``bucketBy(8, o_custkey)``,
+    read back through the catalog, aggregated on the bucket key.
+
+    The payoff is the PLAN: a scan of a bucketed table already satisfies
+    hash-distribution on the bucket key, so the groupBy runs with NO
+    shuffle exchange (asserted in test_plan_shapes) — the pre-shuffled
+    layout that makes repeated aggs/joins on the same key free at 100 TB.
+    A second table bucketed the same way co-locates its join. The oracle
+    aggregates the original parquet, proving the bucketed round trip
+    lossless as well as shuffle-free."""
+    import re as _re
+
+    o = table(spark, sf_dir, "orders")
+    tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
+    name = f"orders_bucketed_{tag}_{os.getpid()}"
+    if not spark.catalog.tableExists(name):
+        (
+            o.write.mode("overwrite")
+            .bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", _sink(sf_dir, "orders_bucketed"))
+            .saveAsTable(name)
+        )
+    back = spark.table(name)
+    return back.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

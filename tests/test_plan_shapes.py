@@ -150,3 +150,11 @@ def test_curation_pipeline_single_corpus_shuffle(spark):
     plan = _plan(spark, "pipeline_corpus_curation")
     assert "LeftSemi" in plan
     assert "partial_min" in plan  # map-side combine under the keeper agg
+
+
+def test_bucketed_groupby_has_no_shuffle(spark):
+    # the bucketed layout satisfies the agg's required distribution: the
+    # scan reads 8 pre-hashed buckets and the HashAggregate runs in place
+    plan = _plan(spark, "source_bucketed_groupby")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Bucketed: true" in plan
