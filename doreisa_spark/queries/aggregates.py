@@ -262,3 +262,27 @@ def agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_avg_price"
         )
     )
+
+
+@register(
+    "agg_unpivot",
+    extended=True,
+    oracle="""
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+""",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of agg_pivot: wide numeric columns to
+    long (key, metric, value) rows, the shape feature stores and metric
+    pipelines ingest. Spark compiles ``unpivot`` to a map-only Expand
+    (each input row emits one row per value column) — no shuffle, no
+    UNION-induced double scan; values coerce to the common double type."""
+    p = table(spark, sf_dir, "part")
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
