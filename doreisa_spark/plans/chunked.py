@@ -1003,6 +1003,47 @@ class ChunkedArray:
         """Global maximum — one row, column ``max_value``."""
         return self._extreme("max")
 
+    def _arg_extreme(self, which: str) -> DataFrame:
+        """Shared argmin/argmax plan: each chunk emits its own extreme and
+        that element's GLOBAL coordinates (one tiny row per chunk); the
+        final winner is a 1-row sort over n_chunks rows. Ties resolve to
+        the lowest coordinate tuple — numpy's own first-occurrence rule,
+        made global by ordering on coords."""
+        np_acc, sql_acc = _acc(self.meta.dtype)
+        chunks = self.meta.chunks
+        rows_fn = self._rows_fn()
+        best = np.argmin if which == "min" else np.argmax
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vals, coords = [], []
+                for pos, arr in rows_fn(pdf):
+                    flat = int(best(arr))
+                    local = np.unravel_index(flat, arr.shape)
+                    vals.append(np_acc.type(arr.flat[flat]))
+                    coords.append(
+                        [int(sum(chunks[d][: pos[d]]) + local[d]) for d in range(arr.ndim)]
+                    )
+                yield pd.DataFrame(
+                    {"__v": pd.Series(vals, dtype=np_acc), "coords": coords}
+                )
+
+        partials = self.df.mapInPandas(partial, schema=f"__v {sql_acc}, coords array<int>")
+        order = F.col("__v").asc() if which == "min" else F.col("__v").desc()
+        return (
+            partials.orderBy(order, F.col("coords").asc())
+            .limit(1)
+            .select("coords", F.col("__v").cast(sql_acc).alias("value"))
+        )
+
+    def argmin(self) -> DataFrame:
+        """Coordinates of the global minimum → one row (coords, value)."""
+        return self._arg_extreme("min")
+
+    def argmax(self) -> DataFrame:
+        """Coordinates of the global maximum → one row (coords, value)."""
+        return self._arg_extreme("max")
+
     def mean(self) -> DataFrame:
         """Global mean via sum + count partials (never collects data)."""
         np_acc, sql_acc = _acc(self.meta.dtype)

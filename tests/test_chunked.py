@@ -446,3 +446,30 @@ def test_axis_cumsum_composes_with_sum(spark):
     arr = ChunkedArray.from_numpy_chunks(spark, "csc", chunks)
     total = arr.axis_cumsum(0).sum().collect()[0]["total"]
     assert total == np.array([1, 2, 3, 4]).cumsum().sum()  # 1+3+6+10
+
+
+def test_argmin_argmax(spark):
+    chunks = {
+        (0, 0): np.array([[5, 2], [9, 1]], dtype=np.int64),
+        (0, 1): np.array([[7, 0], [3, 4]], dtype=np.int64),
+        (1, 0): np.array([[8, 8], [8, 12]], dtype=np.int64),
+        (1, 1): np.array([[6, 6], [6, 6]], dtype=np.int64),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "ag", chunks)
+    dense = arr.to_numpy()
+    lo = arr.argmin().collect()[0]
+    hi = arr.argmax().collect()[0]
+    assert tuple(lo["coords"]) == np.unravel_index(dense.argmin(), dense.shape)
+    assert lo["value"] == dense.min()
+    assert tuple(hi["coords"]) == np.unravel_index(dense.argmax(), dense.shape)
+    assert hi["value"] == dense.max()
+
+
+def test_argmax_tie_takes_first_occurrence(spark):
+    chunks = {
+        (0,): np.array([1, 7, 3], dtype=np.int64),
+        (1,): np.array([7, 2, 7], dtype=np.int64),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "agt", chunks)
+    row = arr.argmax().collect()[0]
+    assert tuple(row["coords"]) == (1,) and row["value"] == 7
