@@ -245,3 +245,32 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=["ts"]
     )
+
+
+@register(
+    "join_salted_skew",
+    extended=True,
+    oracle="""
+WITH dim AS (
+  SELECT event_type, count(*) AS type_total FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, d.type_total
+FROM events e JOIN dim d USING (event_type)
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a pathologically hot key: event_type has a handful of
+    distinct values, so EVERY row of the big side competes for ~5 hash
+    partitions — the worst case AQE's skew splitting can't always save
+    (one key, one partition, one task). ``salted_join`` spreads each hot
+    key across 8 content-derived salts and replicates the (tiny) dim side
+    8×, so the join parallelism is keys×salts while the result multiset is
+    IDENTICAL to the plain join — which is exactly what the oracle runs."""
+    from doreisa_spark.operators.salted import salted_join
+
+    e = table(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    big = e.select("event_id", "event_type")
+    return salted_join(big, dim, "event_type", n_salts=8).select(
+        "event_id", "event_type", "type_total"
+    )
