@@ -539,6 +539,71 @@ class ChunkedArray:
         """Elementwise min of two same-grid arrays (dask ``da.minimum``)."""
         return self.zip_with(other, "min")
 
+    def where(self, cond: "ChunkedArray", other: "ChunkedArray") -> "ChunkedArray":
+        """Ternary select (dask ``da.where(cond, self, other)``): element
+        from ``self`` where ``cond`` is nonzero, else from ``other``.
+
+        All-virtual inputs fuse into one generation closure (zero
+        shuffles); otherwise the three chunk frames equi-join on position
+        (one shuffle each when not co-partitioned) and a single Arrow
+        kernel applies ``np.where`` — the same join-then-kernel plan as
+        zip_with, widened to three sides. NaN-safe: unselected lanes are
+        never arithmetically combined (unlike a mask-multiply encoding)."""
+        if self.meta.chunks != cond.meta.chunks or self.meta.chunks != other.meta.chunks:
+            raise ValueError("grid mismatch")
+        out_dtype = _check_dtype(
+            str(np.result_type(np.dtype(self.meta.dtype), np.dtype(other.meta.dtype)))
+        )
+        meta = self.meta._replaced(dtype=out_dtype)
+        out_np = np.dtype(out_dtype)
+
+        if self._gen is not None and cond._gen is not None and other._gen is not None:
+            ga, gc, gb = self._gen, cond._gen, other._gen
+            return ChunkedArray(
+                self.df,
+                meta,
+                self.timestep,
+                gen=lambda pos: np.where(gc(pos) != 0, ga(pos), gb(pos)).astype(
+                    out_np, copy=False
+                ),
+            )
+
+        a = self.materialize().df.select(
+            "pos", F.col("chunk_shape").alias("sh"), F.col("data").alias("__a")
+        )
+        c = cond.materialize().df.select(
+            F.col("pos").alias("__cpos"), F.col("data").alias("__c")
+        )
+        b = other.materialize().df.select(
+            F.col("pos").alias("__bpos"), F.col("data").alias("__b")
+        )
+        joined = a.join(c, a["pos"] == c["__cpos"]).join(b, a["pos"] == b["__bpos"])
+        name, ts = self.meta.name, self.timestep
+        dt_a = np.dtype(self.meta.dtype)
+        dt_c = np.dtype(cond.meta.dtype)
+        dt_b = np.dtype(other.meta.dtype)
+
+        def combine3(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"name": [], "timestep": [], "pos": [], "chunk_shape": [], "data": []}
+                for pos, sh, ba, bc, bb in zip(
+                    pdf["pos"], pdf["sh"], pdf["__a"], pdf["__c"], pdf["__b"]
+                ):
+                    shape = tuple(int(s) for s in sh)
+                    va = np.frombuffer(ba, dtype=dt_a).reshape(shape)
+                    vc = np.frombuffer(bc, dtype=dt_c).reshape(shape)
+                    vb = np.frombuffer(bb, dtype=dt_b).reshape(shape)
+                    res = np.where(vc != 0, va, vb).astype(out_np, copy=False)
+                    out["name"].append(name)
+                    out["timestep"].append(ts)
+                    out["pos"].append(list(pos))
+                    out["chunk_shape"].append(list(shape))
+                    out["data"].append(res.tobytes())
+                yield pd.DataFrame(out)
+
+        df = joined.mapInPandas(combine3, schema=CHUNK_SCHEMA)
+        return ChunkedArray(df, meta, ts)
+
     # -------------------------------------------------- structural operators
     def slice(self, region: "tuple[tuple[int | None, int | None], ...]") -> "ChunkedArray":
         """Region selection ``arr[a0:b0, a1:b1, ...]`` — the tensor analog of

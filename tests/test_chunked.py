@@ -473,3 +473,39 @@ def test_argmax_tie_takes_first_occurrence(spark):
     arr = ChunkedArray.from_numpy_chunks(spark, "agt", chunks)
     row = arr.argmax().collect()[0]
     assert tuple(row["coords"]) == (1,) and row["value"] == 7
+
+
+def test_where_ternary(spark):
+    chunks_a = {(0,): np.array([1.0, 2.0, 3.0]), (1,): np.array([4.0, 5.0, 6.0])}
+    chunks_c = {(0,): np.array([1.0, 0.0, 1.0]), (1,): np.array([0.0, 0.0, 1.0])}
+    chunks_b = {(0,): np.array([-1.0, -2.0, -3.0]), (1,): np.array([-4.0, -5.0, -6.0])}
+    a = ChunkedArray.from_numpy_chunks(spark, "wa", chunks_a)
+    c = ChunkedArray.from_numpy_chunks(spark, "wc", chunks_c)
+    b = ChunkedArray.from_numpy_chunks(spark, "wb", chunks_b)
+    got = a.where(c, b).to_numpy()
+    assert np.array_equal(got, np.array([1.0, -2.0, 3.0, -4.0, -5.0, 6.0]))
+
+
+def test_where_nan_safe(spark):
+    # unselected NaN lanes must not leak through (mask-multiply would)
+    chunks_a = {(0,): np.array([np.nan, 2.0])}
+    chunks_c = {(0,): np.array([0.0, 1.0])}
+    chunks_b = {(0,): np.array([9.0, np.nan])}
+    a = ChunkedArray.from_numpy_chunks(spark, "na", chunks_a)
+    c = ChunkedArray.from_numpy_chunks(spark, "nc", chunks_c)
+    b = ChunkedArray.from_numpy_chunks(spark, "nb", chunks_b)
+    assert np.array_equal(a.where(c, b).to_numpy(), np.array([9.0, 2.0]))
+
+
+def test_where_virtual_fuses(spark):
+    a = _ramp(spark).scale(1.0)
+    cond = _ramp(spark).shift(-15.0)  # nonzero except where r+c == 15
+    b = _ramp(spark).scale(-1.0)
+    fused = a.where(cond, b)
+    assert fused.is_virtual
+    ref = np.concatenate(
+        [np.concatenate([ramp_chunk((i, j), (8, 8)) for j in range(2)], axis=1) for i in range(2)],
+        axis=0,
+    )
+    expect = np.where(ref - 15.0 != 0, ref, -ref).sum()
+    assert fused.sum().collect()[0]["total"] == expect
