@@ -1330,6 +1330,88 @@ class ChunkedArray:
         df = joined.mapInPandas(final, schema=CHUNK_SCHEMA)
         return ChunkedArray(df, meta, ts)
 
+    def axis_diff(self, axis: int) -> "ChunkedArray":
+        """First difference along one axis (numpy ``np.diff`` / the
+        finite-difference stencil of in-situ HPC analytics) — a halo
+        exchange over the chunk grid.
+
+        Each chunk diffs internally (map-only) and needs exactly ONE halo
+        hyperplane — the first slice of its axis-successor — to compute
+        its boundary differences. Halos are emitted keyed to the
+        predecessor position (a narrow frame: 1/chunk_extent of the data)
+        and LEFT-joined back; chunk bodies themselves never move twice.
+        Output dtype follows numpy (diff of intN stays intN, wrap
+        semantics included); the axis extent shrinks by one, absorbed by
+        the last chunk (which drops out entirely when its extent was 1)."""
+        ndim = self.meta.ndim
+        if not (0 <= axis < ndim):
+            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
+        if self.meta.global_shape[axis] < 2:
+            raise ValueError("axis extent must be >= 2 to diff")
+        old_sizes = self.meta.chunks[axis]
+        n_axis = len(old_sizes)
+        new_sizes = old_sizes[:-1] + (old_sizes[-1] - 1,)
+        drop_last = new_sizes[-1] == 0
+        if drop_last:
+            new_sizes = new_sizes[:-1]
+        new_chunks = tuple(
+            new_sizes if d == axis else sizes for d, sizes in enumerate(self.meta.chunks)
+        )
+        nb = tuple(
+            len(new_sizes) if d == axis else n
+            for d, n in enumerate(self.meta.nb_chunks_per_dim)
+        )
+        meta = self.meta._replaced(nb_chunks_per_dim=nb, chunk_shape=new_chunks)
+        m = self.materialize()
+        src = np.dtype(m.meta.dtype)
+        name, ts = self.meta.name, self.timestep
+
+        def halos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"hpos": [], "halo": []}
+                for pos, sh, raw in zip(pdf["pos"], pdf["chunk_shape"], pdf["data"]):
+                    k = int(pos[axis])
+                    if k == 0:
+                        continue
+                    shape = tuple(int(s) for s in sh)
+                    arr = np.frombuffer(raw, dtype=src).reshape(shape)
+                    first = np.take(arr, [0], axis=axis)  # successor's leading plane
+                    prev = [int(p) - (1 if d == axis else 0) for d, p in enumerate(pos)]
+                    out["hpos"].append(prev)
+                    out["halo"].append(np.ascontiguousarray(first).tobytes())
+                if out["hpos"]:  # an empty frame's columns would arrive
+                    yield pd.DataFrame(out)  # float64-typed and break Arrow
+
+        halo_df = m.df.mapInPandas(halos, schema="hpos array<int>, halo binary")
+        joined = m.df.join(halo_df, m.df["pos"] == halo_df["hpos"], "left")
+
+        def stencil(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"name": [], "timestep": [], "pos": [], "chunk_shape": [], "data": []}
+                for pos, sh, raw, hb in zip(
+                    pdf["pos"], pdf["chunk_shape"], pdf["data"], pdf["halo"]
+                ):
+                    shape = tuple(int(s) for s in sh)
+                    arr = np.frombuffer(raw, dtype=src).reshape(shape)
+                    d = np.diff(arr, axis=axis)
+                    if hb is not None:
+                        hshape = tuple(1 if i == axis else s for i, s in enumerate(shape))
+                        halo = np.frombuffer(bytes(hb), dtype=src).reshape(hshape)
+                        boundary = halo - np.take(arr, [-1], axis=axis)
+                        d = np.concatenate([d, boundary], axis=axis)
+                    elif d.shape[axis] == 0:
+                        continue  # trailing size-1 chunk: nothing to emit
+                    out["name"].append(name)
+                    out["timestep"].append(ts)
+                    out["pos"].append(list(pos))
+                    out["chunk_shape"].append(list(d.shape))
+                    out["data"].append(np.ascontiguousarray(d).tobytes())
+                if out["pos"]:
+                    yield pd.DataFrame(out)
+
+        df = joined.mapInPandas(stencil, schema=CHUNK_SCHEMA)
+        return ChunkedArray(df, meta, ts)
+
     # -------------------------------------------------------------- utility
     def persist(self) -> "ChunkedArray":
         """Async materialization analog of doreisa's ray_persist

@@ -356,3 +356,24 @@ def tensor_cumsum_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-valued float64 grid → every partial < 2^53, exact."""
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
     return arr.axis_cumsum(axis=0).sum()
+
+
+@register(
+    "tensor_diff_sum",
+    extended=True,
+    # d/dr of (r+c)^2 is 2(r+c)+1 on the (ROWS-1)×COLS output grid — the
+    # finite-difference stencil must reproduce the derivative exactly
+    # (integer-valued squares < 2^53 stay exact in float64).
+    oracle=(
+        f"SELECT CAST(sum(2 * (r.range + c.range) + 1) AS DOUBLE) AS total "
+        f"FROM range(0, {_ROWS - 1}) r, range(0, {_COLS}) c"
+    ),
+)
+def tensor_diff_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diff(A², axis=0).sum(): square fuses into the chunk pipeline, then
+    the halo-exchange stencil (each chunk pulls ONE hyperplane from its
+    axis-successor — a narrow frame, never chunk bodies twice), then the
+    global reduce. A wrong halo, offset, or dropped boundary plane shifts
+    the closed-form derivative total."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.ufunc("square").axis_diff(axis=0).sum()

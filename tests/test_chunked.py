@@ -509,3 +509,46 @@ def test_where_virtual_fuses(spark):
     )
     expect = np.where(ref - 15.0 != 0, ref, -ref).sum()
     assert fused.sum().collect()[0]["total"] == expect
+
+
+def test_axis_diff_1d_across_chunks(spark):
+    chunks = {
+        (0,): np.array([1, 4, 9], dtype=np.int64),
+        (1,): np.array([16, 25, 36], dtype=np.int64),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "df1", chunks)
+    out = arr.axis_diff(axis=0)
+    assert out.meta.global_shape == (5,)
+    assert np.array_equal(out.to_numpy(), np.diff(np.array([1, 4, 9, 16, 25, 36])))
+
+
+def test_axis_diff_2d_both_axes(spark):
+    rng = np.arange(48, dtype=np.float64).reshape(6, 8) ** 2
+    chunks = {
+        (i, j): rng[i * 3 : (i + 1) * 3, j * 4 : (j + 1) * 4]
+        for i in range(2)
+        for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "df2", chunks)
+    for axis in range(2):
+        got = arr.axis_diff(axis).to_numpy()
+        assert np.array_equal(got, np.diff(rng, axis=axis)), axis
+
+
+def test_axis_diff_trailing_singleton_chunk(spark):
+    chunks = {
+        (0,): np.array([3, 1], dtype=np.int64),
+        (1,): np.array([4], dtype=np.int64),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "df3", chunks)
+    out = arr.axis_diff(axis=0)
+    assert out.meta.nb_chunks_per_dim == (1,)
+    assert np.array_equal(out.to_numpy(), np.array([-2, 3]))
+
+
+def test_axis_diff_composes(spark):
+    # d/dr of (r+c)^2 is 2(r+c)+1: diff then sum has a closed form
+    arr = _ramp(spark).ufunc("square").axis_diff(axis=0)
+    total = arr.sum().collect()[0]["total"]
+    expect = sum(2 * (r + c) + 1 for r in range(15) for c in range(16))
+    assert total == expect
