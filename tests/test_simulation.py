@@ -277,3 +277,37 @@ def test_hashable_timestep_keys(spark):
         producers=produce,
     )
     assert seen == [(key, expected_total(t)) for t, key in enumerate(steps)]
+
+
+def test_callback_composes_structural_ops(spark):
+    """The callback gets a first-class ChunkedArray: stencil, scan, and
+    argmax compose per timestep exactly like dask ops inside a reference
+    callback (docs/analytics.md:12-30 pattern)."""
+    seen = []
+
+    def callback(temps, timestep):
+        # per-rank constant chunks: diff along axis 0 is 0 inside chunks
+        # and (rank-delta) across the chunk boundary
+        d = temps.axis_diff(axis=0).sum().collect()[0]["total"]
+        cs = temps.axis_cumsum(axis=1).sum().collect()[0]["total"]
+        top = temps.argmax().collect()[0]
+        seen.append((timestep, d, cs, tuple(top["coords"])))
+
+    run_simulation(
+        spark,
+        callback,
+        [ArrayDefinition("temps")],
+        max_iterations=3,
+        producers=lambda ing: _produce(ing, steps=3),
+    )
+    for t, d, cs, top in seen:
+        # dense oracle: assemble the same grid in numpy
+        dense = np.block(
+            [
+                [1.0 * t * np.ones(CHUNK), 2.0 * t * np.ones(CHUNK)],
+                [3.0 * t * np.ones(CHUNK), 4.0 * t * np.ones(CHUNK)],
+            ]
+        )
+        assert d == np.diff(dense, axis=0).sum()
+        assert cs == dense.cumsum(axis=1).sum()
+        assert top == np.unravel_index(dense.argmax(), dense.shape)
