@@ -505,3 +505,23 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "o_orderkey", "o_orderdate", F.round("total_qty", 2).alias("total_qty"))
     )
+
+
+SORT_ORACLE = """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+FROM customer
+ORDER BY c_acctbal, c_custkey
+"""
+
+
+@register("sort_global_range", extended=True, oracle=SORT_ORACLE)
+def sort_global_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TOTAL ordering (no limit): Spark samples the sort key,
+    range-partitions (Exchange rangepartitioning — never a single
+    partition), and sorts each range locally; ranges concatenate into the
+    global order. This is the full-table sort a sharded export runs at
+    100 TB; the top-k path (q3/q10) never needs it."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
+    ).orderBy("acctbal", "c_custkey")

@@ -158,3 +158,11 @@ def test_bucketed_groupby_has_no_shuffle(spark):
     plan = _plan(spark, "source_bucketed_groupby")
     assert "Exchange hashpartitioning" not in plan
     assert "Bucketed: true" in plan
+
+
+def test_global_sort_is_range_partitioned(spark):
+    # a full orderBy must distribute by key ranges, never collapse to one
+    # partition; each range sorts locally
+    plan = _plan(spark, "sort_global_range")
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
