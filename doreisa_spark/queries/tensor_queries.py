@@ -377,3 +377,25 @@ def tensor_diff_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     the closed-form derivative total."""
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
     return arr.ufunc("square").axis_diff(axis=0).sum()
+
+
+@register(
+    "tensor_where_sum",
+    extended=True,
+    # where(A-15 != 0, A, -A): flip the sign of exactly the anti-diagonal
+    # band r+c == 15 — a closed form DuckDB evaluates per cell.
+    oracle=(
+        f"SELECT CAST(sum(CASE WHEN r + c <> 15 THEN r + c ELSE -(r + c) END) AS DOUBLE)"
+        f" AS total FROM {_DUCK_GRID}"
+    ),
+)
+def tensor_where_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """where(cond, A, -A).sum(): the ternary select over three same-grid
+    arrays. All three sides are virtual here, so the select fuses into ONE
+    generation closure — zero shuffles, zero materialization — yet the
+    semantics are the full three-array np.where (NaN-safe lane selection,
+    not a mask multiply). Gate grid at every sf — a correctness entry."""
+    a = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    cond = ChunkedArray.from_function(spark, _META, ramp_chunk).shift(-15.0)
+    b = ChunkedArray.from_function(spark, _META, ramp_chunk).scale(-1.0)
+    return a.where(cond, b).sum()
