@@ -169,3 +169,65 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload.mapInPandas(
         frames, schema="doc_id bigint, frame_no int, frame_bytes int, mean_byte double"
     )
+
+
+_WIN = 64  # audio window size in bytes (sample stand-ins)
+_HOP = 32  # hop < window: 50% overlap, the STFT framing convention
+
+
+@register(
+    "mm_audio_windows",
+    extended=True,
+    oracle=f"""
+WITH codes AS (
+  SELECT doc_id, list_transform(range(1, strlen(text) + 1), i -> ascii(text[i:i])) AS cs
+  FROM documents
+), w AS (
+  SELECT doc_id, cs,
+         unnest(range(0, greatest((len(cs) - {_WIN}) // {_HOP} + 1, 1))) AS win_no
+  FROM codes
+), sliced AS (
+  SELECT doc_id, win_no,
+         cs[(CAST(win_no AS INTEGER) * {_HOP} + 1):least(CAST(win_no AS INTEGER) * {_HOP} + {_WIN}, len(cs))] AS fr
+  FROM w
+)
+SELECT doc_id, CAST(win_no AS INTEGER) AS win_no,
+       CAST(len(fr) AS INTEGER) AS win_bytes,
+       sqrt(CAST(list_sum(list_transform(fr, x -> x * x)) AS DOUBLE) / len(fr)) AS rms
+FROM sliced
+""",
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping window extraction over binary payloads — the audio
+    framing shape (window {_WIN}, hop {_HOP}: 50% overlap, unlike
+    mm_frame_sample's disjoint frames) with per-window RMS energy, the
+    first feature of any audio pipeline.
+
+    Row expansion happens inside the Arrow batch (≈ payload/{_HOP} rows per
+    input row), map-only, no shuffle. Integer byte squares sum exactly in
+    float64 and IEEE sqrt is correctly rounded, so the RMS doubles match
+    the oracle bit-for-bit. A real deployment swaps the byte view for
+    decoded PCM samples; schema and fan-out are unchanged."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, sizes, rms = [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                px = np.frombuffer(bytes(raw), dtype=np.uint8)
+                n_win = max((len(px) - _WIN) // _HOP + 1, 1)
+                for w in range(n_win):
+                    fr = px[w * _HOP : w * _HOP + _WIN]
+                    ids.append(doc_id)
+                    nos.append(w)
+                    sizes.append(len(fr))
+                    sq = (fr.astype(np.int64) ** 2).sum()
+                    rms.append(float(np.sqrt(float(sq) / len(fr))))
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_no": nos, "win_bytes": sizes, "rms": rms}
+            )
+
+    return payload.mapInPandas(
+        windows, schema="doc_id bigint, win_no int, win_bytes int, rms double"
+    )
