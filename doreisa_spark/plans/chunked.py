@@ -449,6 +449,39 @@ class ChunkedArray:
         image-range clamp of a multimodal pipeline)."""
         return self._compose(lambda pos, arr: np.clip(arr, lo, hi))
 
+    def scale_axis(self, vec, axis: int) -> "ChunkedArray":
+        """Broadcast-multiply along one axis by a driver-held 1-D vector —
+        the tensor analog of a broadcast join (dask ``A * v`` with
+        broadcasting). ``A.scale_axis(v, 1).axis_sum(1)`` is the
+        distributed matrix-vector product.
+
+        The vector ships inside the fused closure (small by contract, like
+        the ANN query set); each chunk multiplies by its own slice, LAZY
+        and map-only — zero shuffles, composing with the pipeline."""
+        v = np.asarray(vec)
+        if v.ndim != 1:
+            raise ValueError("scale_axis expects a 1-D vector")
+        if not (0 <= axis < self.meta.ndim):
+            raise ValueError(f"axis {axis} out of range for ndim {self.meta.ndim}")
+        if len(v) != self.meta.global_shape[axis]:
+            raise ValueError(
+                f"vector length {len(v)} != axis extent {self.meta.global_shape[axis]}"
+            )
+        out_dtype = _check_dtype(str(np.result_type(np.dtype(self.meta.dtype), v.dtype)))
+        starts = [0]
+        for s in self.meta.chunks[axis][:-1]:
+            starts.append(starts[-1] + s)
+        out_np = np.dtype(out_dtype)
+
+        def step(pos, arr):
+            k = pos[axis]
+            seg = v[starts[k] : starts[k] + arr.shape[axis]]
+            shape = [1] * arr.ndim
+            shape[axis] = -1
+            return (arr * seg.reshape(shape)).astype(out_np, copy=False)
+
+        return self._compose(step, self.meta._replaced(dtype=out_dtype))
+
     def astype(self, dtype) -> "ChunkedArray":
         """Dtype conversion (dask ``.astype``), lazy in the pipeline."""
         s = _check_dtype(dtype)

@@ -399,3 +399,28 @@ def tensor_where_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = ChunkedArray.from_function(spark, _META, ramp_chunk).shift(-15.0)
     b = ChunkedArray.from_function(spark, _META, ramp_chunk).scale(-1.0)
     return a.where(cond, b).sum()
+
+
+@register(
+    "tensor_matvec",
+    extended=True,
+    # (A · v)[r] with v[c] = c+1: per-row closed form the broadcast
+    # multiply + axis reduction must reproduce.
+    oracle=f"""
+SELECT r AS idx, CAST(sum((r + c) * (c + 1)) AS DOUBLE) AS total
+FROM {_DUCK_GRID}
+GROUP BY r
+""",
+)
+def tensor_matvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed matrix-vector product as a composition:
+    ``A.scale_axis(v, 1).axis_sum(1)``. The vector broadcast rides the
+    fused map-only pipeline (each chunk multiplies by its slice); the only
+    shuffle carries the reduced per-row partials — the exact plan a 100 TB
+    mat-vec wants. Gate grid at every sf — a correctness entry."""
+    import numpy as np
+
+    v = np.arange(1, _COLS + 1, dtype=np.float64)
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    df = arr.scale_axis(v, axis=1).axis_sum(axis=1)
+    return df.select(F.col("coords")[0].cast("bigint").alias("idx"), F.col("total"))

@@ -552,3 +552,24 @@ def test_axis_diff_composes(spark):
     total = arr.sum().collect()[0]["total"]
     expect = sum(2 * (r + c) + 1 for r in range(15) for c in range(16))
     assert total == expect
+
+
+def test_scale_axis_matvec(spark):
+    rng = np.arange(24, dtype=np.float64).reshape(4, 6) ** 2
+    chunks = {
+        (i, j): rng[i * 2 : (i + 1) * 2, j * 3 : (j + 1) * 3]
+        for i in range(2)
+        for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "mv", chunks)
+    v = np.array([2.0, -1.0, 0.5, 3.0, 1.0, -2.0])
+    got = np.zeros(4)
+    for row in arr.scale_axis(v, axis=1).axis_sum(axis=1).collect():
+        got[row["coords"][0]] = row["total"]
+    assert np.array_equal(got, rng @ v)
+
+
+def test_scale_axis_rejects_bad_length(spark):
+    arr = _ramp(spark)
+    with pytest.raises(ValueError):
+        arr.scale_axis(np.ones(3), axis=0)
