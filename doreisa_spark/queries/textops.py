@@ -318,3 +318,63 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws.alias("n_ws_tokens"),
         F.round(bpe.cast("double") / ws.cast("double"), 6).alias("fertility"),
     )
+
+
+_CHUNK_TOKS = 50  # tokens per chunk
+_CHUNK_HOP = 40   # hop (10-token overlap) — RAG chunking convention
+
+
+@register(
+    "text_chunk_windows",
+    extended=True,
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), w AS (
+  SELECT doc_id, ts,
+         unnest(range(0, greatest((len(ts) - {_CHUNK_TOKS} + {_CHUNK_HOP} - 1) // {_CHUNK_HOP} + 1, 1))) AS chunk_no
+  FROM toks
+), sliced AS (
+  SELECT doc_id, chunk_no,
+         ts[(CAST(chunk_no AS INTEGER) * {_CHUNK_HOP} + 1):least(CAST(chunk_no AS INTEGER) * {_CHUNK_HOP} + {_CHUNK_TOKS}, len(ts))] AS ck
+  FROM w
+)
+SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+       CAST(len(ck) AS INTEGER) AS n_tokens,
+       ck[1] AS first_token,
+       md5(array_to_string(ck, ' ')) AS chunk_digest
+FROM sliced
+WHERE len(ck) > 0
+""",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for embedding/RAG pipelines: overlapping
+    {_CHUNK_TOKS}-token windows with a {_CHUNK_HOP}-token hop, one output
+    row per chunk with its token count and content digest — the fan-out
+    stage that feeds an embedding model at corpus scale.
+
+    Pure JVM array work: tokenize once, slide windows via
+    transform(sequence)+slice, explode — map-only row expansion, no
+    Python, no shuffle. The digest proves chunk CONTENT (not just counts)
+    survives the slicing identically in both engines."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    toks = "split(text, ' ')"
+    n_win = (
+        f"greatest((size({toks}) - {_CHUNK_TOKS} + {_CHUNK_HOP} - 1) DIV {_CHUNK_HOP} + 1, 1)"
+    )
+    win = F.expr(
+        f"transform(sequence(0, {n_win} - 1), "
+        f"w -> struct(w AS chunk_no, slice({toks}, w * {_CHUNK_HOP} + 1, {_CHUNK_TOKS}) AS ck))"
+    )
+    e = d.select("doc_id", F.explode(win).alias("s")).select(
+        "doc_id",
+        F.col("s.chunk_no").cast("int").alias("chunk_no"),
+        F.col("s.ck").alias("ck"),
+    )
+    return e.where(F.size("ck") > 0).select(
+        "doc_id",
+        "chunk_no",
+        F.size("ck").alias("n_tokens"),
+        F.element_at("ck", 1).alias("first_token"),
+        F.md5(F.array_join("ck", " ").cast("binary")).alias("chunk_digest"),
+    )
