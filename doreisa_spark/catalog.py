@@ -55,23 +55,32 @@ def table(
     repartition is skipped by the guard below; Catalyst still pushes
     filters/pruning through a Repartition node when it does fire.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the files; Spark rejects that
-    physical type unless ``spark.sql.legacy.parquet.nanosAsLong`` is set —
-    and the conf must be set on WHATEVER session calls us (the external
-    driver supplies its own), so it is applied here at runtime, not only in
-    session.py. The long is then converted to a microsecond timestamp —
-    lossless for this data (whole-microsecond values) and identical to what
-    DuckDB's oracle sees."""
-    if name == "events" and (
-        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true"
-    ):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ``events.ts`` has shipped under two parquet encodings across testdata
+    generations — TIMESTAMP(NANOS) (needs ``nanosAsLong`` + a µs rebuild)
+    and plain ``timestamp[us]`` with isAdjustedToUTC=false (reads as
+    TIMESTAMP_NTZ in Spark 4.x, which refuses numeric casts). Both are
+    normalized HERE to a session-TZ ``timestamp`` so every downstream
+    consumer can ``cast("long")``/``cast("double")`` freely. The confs must
+    be set on WHATEVER session calls us (the external driver supplies its
+    own), so they are applied at runtime, not only in session.py; the TZ is
+    pinned UTC so the NTZ→TZ reinterpretation is the identity and matches
+    what DuckDB's oracle sees."""
+    if name == "events":
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # integer division — double division drifts ±1µs at 1e18 magnitudes
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division — double division drifts ±1µs at 1e18 magnitudes
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # identity under the UTC session TZ pinned above
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if spread:
         target = spark.sparkContext.defaultParallelism
         if _input_splits(spark, sf_dir, name, df) < target:
