@@ -1106,7 +1106,16 @@ class ChunkedArray:
         that element's GLOBAL coordinates (one tiny row per chunk); the
         final winner is a 1-row sort over n_chunks rows. Ties resolve to
         the lowest coordinate tuple — numpy's own first-occurrence rule,
-        made global by ordering on coords."""
+        made global by ordering on coords.
+
+        NaN contract = numpy's: ``np.argmin``/``np.argmax`` both return the
+        FIRST NaN (all comparisons against NaN are false), so per-chunk
+        numpy already reports its first NaN; the global sort then puts NaN
+        rows first and picks the lex-smallest coords — which in C order IS
+        the globally first NaN. The NaN marker travels as an explicit
+        ``__nan`` boolean because the Arrow pandas→JVM hop converts float
+        NaN to NULL, so neither ``isnan`` nor Spark's NaN sort order ever
+        sees it JVM-side."""
         np_acc, sql_acc = _acc(self.meta.dtype)
         chunks = self.meta.chunks
         rows_fn = self._rows_fn()
@@ -1114,24 +1123,38 @@ class ChunkedArray:
 
         def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                vals, coords = [], []
+                vals, nans, coords = [], [], []
                 for pos, arr in rows_fn(pdf):
                     flat = int(best(arr))
                     local = np.unravel_index(flat, arr.shape)
-                    vals.append(np_acc.type(arr.flat[flat]))
+                    v = np_acc.type(arr.flat[flat])
+                    vals.append(v)
+                    nans.append(bool(v != v))
                     coords.append(
                         [int(sum(chunks[d][: pos[d]]) + local[d]) for d in range(arr.ndim)]
                     )
                 yield pd.DataFrame(
-                    {"__v": pd.Series(vals, dtype=np_acc), "coords": coords}
+                    {
+                        "__v": pd.Series(vals, dtype=np_acc),
+                        "__nan": nans,
+                        "coords": coords,
+                    }
                 )
 
-        partials = self.df.mapInPandas(partial, schema=f"__v {sql_acc}, coords array<int>")
+        partials = self.df.mapInPandas(
+            partial, schema=f"__v {sql_acc}, __nan boolean, coords array<int>"
+        )
         order = F.col("__v").asc() if which == "min" else F.col("__v").desc()
+        if np.issubdtype(self.meta.dtype, np.floating):
+            # rebuild the NaN the Arrow hop nulled out; float-only — the
+            # when() branch would coerce int64 through double otherwise
+            value = F.when(F.col("__nan"), F.lit(float("nan"))).otherwise(F.col("__v"))
+        else:
+            value = F.col("__v")
         return (
-            partials.orderBy(order, F.col("coords").asc())
+            partials.orderBy(F.col("__nan").desc(), order, F.col("coords").asc())
             .limit(1)
-            .select("coords", F.col("__v").cast(sql_acc).alias("value"))
+            .select("coords", value.cast(sql_acc).alias("value"))
         )
 
     def argmin(self) -> DataFrame:

@@ -222,10 +222,21 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ids.append(doc_id)
                     nos.append(w)
                     sizes.append(len(fr))
-                    sq = (fr.astype(np.int64) ** 2).sum()
-                    rms.append(float(np.sqrt(float(sq) / len(fr))))
+                    if len(fr):
+                        sq = (fr.astype(np.int64) ** 2).sum()
+                        rms.append(float(np.sqrt(float(sq) / len(fr))))
+                    else:
+                        # empty payload still yields its one window (the
+                        # n_win floor above); RMS of zero samples is NULL,
+                        # matching the oracle's sqrt(NULL/0)
+                        rms.append(None)
             yield pd.DataFrame(
-                {"doc_id": ids, "win_no": nos, "win_bytes": sizes, "rms": rms}
+                {
+                    "doc_id": ids,
+                    "win_no": nos,
+                    "win_bytes": sizes,
+                    "rms": pd.array(rms, dtype="Float64"),
+                }
             )
 
     return payload.mapInPandas(

@@ -123,8 +123,15 @@ def sample_upweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.expr(_upweight_case_sql("lang"))
     bucket = F.expr(TX.hash60_expr("CAST(doc_id AS STRING)")) % 1000
     copies = (w / 1000).cast("int") + F.when(bucket < w % 1000, 1).otherwise(0)
-    return d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.sequence(F.lit(0), copies - 1)).alias("copy_no"),
+    # sequence(0, -1) steps DOWNWARD ([0,-1]) — a sub-1000 weight would emit
+    # two phantom copies per dropped doc. Filter n_copies=0 rows out first,
+    # matching the oracle's empty range(0, 0).
+    return (
+        d.select("doc_id", "lang", copies.alias("n_copies"))
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("copy_no"),
+        )
     )

@@ -203,6 +203,10 @@ def run_foreach_batch(
         if not q.awaitTermination(timeout_sec):
             # timed out: don't leave the query running in the background
             q.stop()
+            # stop() can return while the stream's threads still write the
+            # checkpoint — wait for full termination before deleting it,
+            # else the dying query races rmtree and logs spurious errors
+            q.awaitTermination(30)
     finally:
         # the per-run checkpoint is garbage once the query is finished
         shutil.rmtree(ckpt, ignore_errors=True)

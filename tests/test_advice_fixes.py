@@ -1,0 +1,101 @@
+"""Regression tests for the round-3 ADVICE edge cases.
+
+Each test pins one previously-latent bug:
+- mm_audio_windows: ZeroDivisionError on an empty payload
+- sample_upweight: sequence(0, -1) phantom copies for sub-1000 weights
+- argmin/argmax: NaN chunks must win globally (numpy first-NaN contract),
+  not sort last as Spark's default NaN ordering would have it
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from doreisa_spark.plans.chunked import ChunkedArray
+from doreisa_spark.queries import multimodal, sampling
+
+
+@pytest.fixture()
+def tiny_docs_dir(tmp_path):
+    """A documents.parquet with an empty-text doc alongside normal ones."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["", "a" * 100, "xy"]),
+            "lang": pa.array(["en", "de", "fr"]),
+            "source": pa.array(["web"] * 3),
+            "n_chars": pa.array([0, 100, 2], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_mm_audio_windows_empty_payload(spark, tiny_docs_dir):
+    rows = {
+        (r["doc_id"], r["win_no"]): r
+        for r in multimodal.mm_audio_windows(spark, tiny_docs_dir).collect()
+    }
+    # empty payload: one floor window, zero bytes, NULL rms (oracle's
+    # sqrt(NULL/0)) — previously a ZeroDivisionError in the Arrow batch
+    empty = rows[(1, 0)]
+    assert empty["win_bytes"] == 0
+    assert empty["rms"] is None
+    # 100-byte payload: (100-64)//32+1 = 2 windows, both full (32+64 <= 100)
+    assert rows[(2, 0)]["win_bytes"] == 64
+    assert rows[(2, 1)]["win_bytes"] == 64
+    ones = np.full(64, ord("a"), dtype=np.int64)
+    assert rows[(2, 0)]["rms"] == pytest.approx(float(np.sqrt((ones**2).sum() / 64)))
+    # sub-window payload: single short window
+    assert rows[(3, 0)]["win_bytes"] == 2
+    assert len(rows) == 4
+
+
+def test_sample_upweight_sub_1000_weight_drops_rows(spark, monkeypatch):
+    """A sub-1000 weight means copies ∈ {0, 1}; docs with 0 copies must
+    vanish, not explode into sequence(0,-1) = [0,-1] phantom rows."""
+    monkeypatch.setattr(sampling, "_UPWEIGHT_PERMILLE", {"en": 400})
+    monkeypatch.setattr(sampling, "_DEFAULT_UPWEIGHT", 400)
+    out = sampling.sample_upweight(spark, "/root/testdata/sf0.001").collect()
+    n_docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert out, "40% of docs should survive"
+    assert all(r["copy_no"] == 0 for r in out)
+    assert len({r["doc_id"] for r in out}) == len(out)  # one copy max
+    assert len(out) < n_docs  # strictly a downsample at 400 permille
+
+
+def test_argmin_argmax_nan_first_contract(spark):
+    """NaN anywhere → argmin/argmax return the globally FIRST NaN in C
+    order, exactly as numpy does on the dense array."""
+    chunks = {
+        (0, 0): np.array([[5.0, 2.0], [9.0, 1.0]]),
+        (0, 1): np.array([[7.0, np.nan], [3.0, np.nan]]),
+        (1, 0): np.array([[8.0, 8.0], [np.nan, 12.0]]),
+        (1, 1): np.array([[6.0, 6.0], [6.0, 6.0]]),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "agnan", chunks)
+    dense = arr.to_numpy()
+    lo = arr.argmin().collect()[0]
+    hi = arr.argmax().collect()[0]
+    assert tuple(lo["coords"]) == np.unravel_index(dense.argmin(), dense.shape)
+    assert tuple(hi["coords"]) == np.unravel_index(dense.argmax(), dense.shape)
+    assert np.isnan(lo["value"]) and np.isnan(hi["value"])
+
+
+def test_argmin_argmax_nan_free_floats_unchanged(spark):
+    chunks = {
+        (0,): np.array([4.0, -1.0]),
+        (1,): np.array([3.5, 7.0]),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "agfl", chunks)
+    dense = arr.to_numpy()
+    lo = arr.argmin().collect()[0]
+    hi = arr.argmax().collect()[0]
+    assert tuple(lo["coords"]) == np.unravel_index(dense.argmin(), dense.shape)
+    assert lo["value"] == dense.min()
+    assert tuple(hi["coords"]) == np.unravel_index(dense.argmax(), dense.shape)
+    assert hi["value"] == dense.max()
