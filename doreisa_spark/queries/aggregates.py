@@ -38,11 +38,24 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct", extended=True, oracle=None)
+@register(
+    "agg_approx_count_distinct",
+    extended=True,
+    band_oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS approx_parts,
+       count(DISTINCT l_orderkey) AS approx_orders
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    band_rtol=0.05,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct sketch — algorithm-specific output, so no SQL
-    oracle (driver records rows-only). The scale path for 100 TB distincts:
-    fixed-size sketch per partition, merged, no expand."""
+    """HyperLogLog++ distinct sketch — algorithm-specific values, so no
+    exact-hash oracle; the band oracle pins each estimate within ±5% of the
+    exact distinct count (HLL at rsd=0.01 lands well inside). The scale
+    path for 100 TB distincts: fixed-size sketch per partition, merged,
+    no expand."""
     l = table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
@@ -177,10 +190,23 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentiles", extended=True, oracle=None)
+@register(
+    "agg_approx_percentiles",
+    extended=True,
+    band_oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS approx_p50
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    band_rtol=0.05,
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greenwald-Khanna approximate quantiles — sketch-based, no oracle.
-    Fixed-memory per partition + merge: the 100 TB path."""
+    """Greenwald-Khanna approximate quantiles — sketch-based, so no
+    exact-hash oracle; the band oracle pins the estimate within ±5% of the
+    exact interpolated median (GK at accuracy=1000 bounds rank error to
+    1/1000, far tighter in value space on this data). Fixed memory per
+    partition + merge: the 100 TB path."""
     l = table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_p50")

@@ -163,7 +163,10 @@ def source_bucketed_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = table(spark, sf_dir, "orders")
     tag = _re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
-    name = f"orders_bucketed_{tag}_{os.getpid()}"
+    # deterministic name, no pid: the default catalog is per-process, so a
+    # pid suffix only ever accumulated entries within long-lived sessions
+    # (the round-3 "metastore litter"); same-name reruns just reuse it
+    name = f"orders_bucketed_{tag}"
     if not spark.catalog.tableExists(name):
         (
             o.write.mode("overwrite")

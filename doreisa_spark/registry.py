@@ -44,6 +44,15 @@ class Query:
     fn: QueryFn
     oracle: str | None
     doc: str
+    # Tolerance-band oracle for sketch-based queries (approx distinct,
+    # approx quantiles): their values are algorithm-specific so the exact
+    # hash gate can't apply, but they MUST land within ``band_rtol`` of the
+    # exact answer — band_oracle computes that exact answer in DuckDB and
+    # our own gates (tools/check_oracle.py, tests/test_extended_oracles.py)
+    # verify per-cell relative error. The external driver still sees these
+    # as oracle-less (its protocol is exact-hash only).
+    band_oracle: str | None = None
+    band_rtol: float = 0.05
 
 
 REGISTRY: dict[str, Query] = {}
@@ -51,13 +60,27 @@ EXTENDED: dict[str, Query] = {}
 
 
 def register(
-    name: str, oracle: str | None = None, *, extended: bool = False
+    name: str,
+    oracle: str | None = None,
+    *,
+    extended: bool = False,
+    band_oracle: str | None = None,
+    band_rtol: float = 0.05,
 ) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY or name in EXTENDED:
             raise ValueError(f"duplicate query name: {name}")
+        if oracle is not None and band_oracle is not None:
+            raise ValueError(f"{name}: oracle and band_oracle are mutually exclusive")
         target = EXTENDED if extended else REGISTRY
-        target[name] = Query(name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip())
+        target[name] = Query(
+            name=name,
+            fn=fn,
+            oracle=oracle,
+            doc=(fn.__doc__ or "").strip(),
+            band_oracle=band_oracle,
+            band_rtol=band_rtol,
+        )
         return fn
 
     return deco

@@ -60,6 +60,13 @@ def test_extended_query_matches_oracle(name, spark, duck):
 
     q = EXTENDED[name]
     sdf = q.fn(spark, SF_DIR).toPandas()
+    if q.oracle is None and q.band_oracle is not None:
+        from tools.check_oracle import band_compare
+
+        odf = duck.execute(q.band_oracle).fetchdf()
+        problems = band_compare(sdf, odf, q.band_rtol)
+        assert not problems, "; ".join(problems)
+        return
     if q.oracle is None:
         assert len(sdf) >= 0  # rows-only check, same as the driver's weak tier
         return

@@ -53,6 +53,39 @@ def value_hash(rows: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+def band_compare(sdf: pd.DataFrame, odf: pd.DataFrame, rtol: float) -> list[str]:
+    """Compare a sketch query against its exact oracle within relative
+    tolerance: non-numeric (key) columns must align exactly after sorting,
+    every numeric cell must satisfy |spark - exact| <= rtol * max(|exact|, 1).
+    Returns a list of problems (empty = pass)."""
+    problems: list[str] = []
+    if len(sdf) != len(odf):
+        return [f"rowcount spark={len(sdf)} duck={len(odf)}"]
+    s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
+    if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
+        return [f"columns spark={s_cols} duck={o_cols}"]
+    sdf = sdf.reindex(s_cols, axis=1)
+    odf = odf.reindex(o_cols, axis=1)
+    num = [c for c in s_cols if pd.api.types.is_numeric_dtype(sdf[c])]
+    keys = [c for c in s_cols if c not in num]
+    sdf = sdf.sort_values(keys or s_cols, ignore_index=True)
+    odf = odf.sort_values(keys or o_cols, ignore_index=True)
+    for c in keys:
+        if not sdf[c].astype(str).equals(odf[c].astype(str)):
+            problems.append(f"key column {c} differs after sort")
+    for c in num:
+        sv, ov = sdf[c].astype(float), odf[c].astype(float)
+        bound = ov.abs().clip(lower=1.0) * rtol
+        bad = (sv - ov).abs() > bound
+        if bad.any():
+            i = int(bad.idxmax())
+            problems.append(
+                f"{c} out of ±{rtol:.0%} band at row {i}: "
+                f"spark={sv[i]} exact={ov[i]}"
+            )
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -73,6 +106,24 @@ def main() -> int:
         except Exception:
             print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
             failures.append(name)
+            continue
+        if q.oracle is None and q.band_oracle is not None:
+            try:
+                odf = con.execute(q.band_oracle).fetchdf()
+            except Exception:
+                print(f"FAIL {name}: DUCKDB ERROR (band)\n{traceback.format_exc()}")
+                failures.append(name)
+                continue
+            problems = band_compare(sdf, odf, q.band_rtol)
+            if problems:
+                print(f"FAIL {name}: {'; '.join(problems)}")
+                failures.append(name)
+            else:
+                passes.append(name)
+                print(
+                    f"ok   {name}: rows={len(sdf)} "
+                    f"({time.time() - t0:.1f}s, ±{q.band_rtol:.0%} band)"
+                )
             continue
         if q.oracle is None:
             weak.append(name)
