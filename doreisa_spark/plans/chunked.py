@@ -62,12 +62,14 @@ from pyspark.sql import functions as F
 
 # numpy dtypes supported end-to-end (reference accepts any numpy dtype,
 # head_node.py:84; uint8 volumes are the common HPC/multimodal payload).
-# uint64 and complex stay rejected: the exact int64/BIGINT accumulator
-# cannot hold uint64 sums, and silent float widening would break the
-# exactness contract. uint8-uint32 sums are exact in int64.
+# uint8-uint32 sums are exact in int64/BIGINT; uint64 sums are exact via a
+# lo/hi 32-bit split per chunk carried as DECIMAL(38,0) (true mathematical
+# value — NOT numpy's mod-2^64 wraparound, which no analytics user wants
+# from a reduction; dtype-preserving ops like cumsum/diff keep numpy's
+# wraparound since they stay in uint64). complex stays rejected.
 _SUPPORTED = {
     "int8", "int16", "int32", "int64",
-    "uint8", "uint16", "uint32",
+    "uint8", "uint16", "uint32", "uint64",
     "float32", "float64",
 }
 
@@ -85,11 +87,51 @@ def _check_dtype(dtype: str) -> str:
 
 
 # float folds accumulate in float64/DOUBLE; integer folds in int64/BIGINT
-# (exact — an int64 sum past 2^53 must not round)
-def _acc(dtype: str) -> tuple[np.dtype, str]:
-    if np.dtype(dtype).kind == "f":
+# (exact — an int64 sum past 2^53 must not round). uint64 folds cannot fit
+# either: sums ride DECIMAL(38,0) (holds ~1e19 elements × 2^64 max value),
+# single values (min/max/argmin/argmax) ride DECIMAL(20,0) — both exact.
+def _acc(dtype: str, use: str = "sum") -> tuple[np.dtype, str]:
+    d = np.dtype(dtype)
+    if d.kind == "f":
         return np.dtype(np.float64), "double"
+    if d == np.uint64:
+        return np.dtype(np.uint64), "decimal(38,0)" if use == "sum" else "decimal(20,0)"
     return np.dtype(np.int64), "bigint"
+
+
+def _exact_u64_sum(arr: np.ndarray, axis: int | None = None):
+    """Exact sum of a uint64 array: split each value into 32-bit halves,
+    sum each half in uint64 (exact for < 2^32 elements per slab — the 2^31
+    slab loop keeps it so at any chunk size), recombine as Python ints.
+    Returns an int (axis=None) or an object ndarray of ints."""
+    lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    hi = (arr >> np.uint64(32)).astype(np.uint64)
+    if axis is None:
+        flat_lo, flat_hi = lo.ravel(), hi.ravel()
+        total = 0
+        for start in range(0, flat_lo.size, 1 << 31):
+            sl = slice(start, start + (1 << 31))
+            total += (int(flat_hi[sl].sum(dtype=np.uint64)) << 32) + int(
+                flat_lo[sl].sum(dtype=np.uint64)
+            )
+        return total
+    if arr.shape[axis] >= 1 << 32:  # pragma: no cover — 32 GiB+ on one axis
+        raise ValueError("axis extent too large for exact uint64 axis sum")
+    return (
+        (hi.sum(axis=axis, dtype=np.uint64).astype(object) << 32)
+        + lo.sum(axis=axis, dtype=np.uint64).astype(object)
+    )
+
+
+def _partial_series(vals: list, np_acc: np.dtype) -> pd.Series:
+    """Partial-value transport: uint64 partials go as Python-int objects
+    (Arrow maps them onto the declared DECIMAL schema exactly); everything
+    else as the native accumulator dtype."""
+    if np_acc == np.uint64:
+        from decimal import Decimal
+
+        return pd.Series([Decimal(int(v)) for v in vals], dtype=object)
+    return pd.Series(vals, dtype=np_acc)
 
 
 def _normalize_chunks(
@@ -1063,14 +1105,19 @@ class ChunkedArray:
     def sum(self) -> DataFrame:
         """Global sum: fused pipeline + per-chunk numpy partial in ONE
         Python stage → tiny final agg. One row, column `total` — BIGINT for
-        integer arrays (exact past 2^53), DOUBLE for float arrays."""
+        integer arrays (exact past 2^53), DOUBLE for float arrays,
+        DECIMAL(38,0) for uint64 (exact true value, no wraparound)."""
         np_acc, sql_acc = _acc(self.meta.dtype)
         rows_fn = self._rows_fn()
+        u64 = np_acc == np.uint64
 
         def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                vals = [arr.sum(dtype=np_acc) for _, arr in rows_fn(pdf)]
-                yield pd.DataFrame({"__p": pd.Series(vals, dtype=np_acc)})
+                vals = [
+                    _exact_u64_sum(arr) if u64 else arr.sum(dtype=np_acc)
+                    for _, arr in rows_fn(pdf)
+                ]
+                yield pd.DataFrame({"__p": _partial_series(vals, np_acc)})
 
         partials = self.df.mapInPandas(partial, schema=f"__p {sql_acc}")
         return partials.agg(F.sum("__p").cast(sql_acc).alias("total"))
@@ -1079,7 +1126,7 @@ class ChunkedArray:
         """Shared min/max plan: per-chunk numpy partial in the fused
         Python stage → one tiny final agg row. Exact: no accumulation,
         only comparisons, so the SQL type mirrors the array's kind."""
-        np_acc, sql_acc = _acc(self.meta.dtype)
+        np_acc, sql_acc = _acc(self.meta.dtype, use="val")
         rows_fn = self._rows_fn()
         np_red = np.min if which == "min" else np.max
         alias = f"{which}_value"
@@ -1087,7 +1134,7 @@ class ChunkedArray:
         def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 vals = [np_red(arr) for _, arr in rows_fn(pdf)]
-                yield pd.DataFrame({"__p": pd.Series(vals, dtype=np_acc)})
+                yield pd.DataFrame({"__p": _partial_series(vals, np_acc)})
 
         partials = self.df.mapInPandas(partial, schema=f"__p {sql_acc}")
         agg = F.min("__p") if which == "min" else F.max("__p")
@@ -1116,7 +1163,7 @@ class ChunkedArray:
         ``__nan`` boolean because the Arrow pandas→JVM hop converts float
         NaN to NULL, so neither ``isnan`` nor Spark's NaN sort order ever
         sees it JVM-side."""
-        np_acc, sql_acc = _acc(self.meta.dtype)
+        np_acc, sql_acc = _acc(self.meta.dtype, use="val")
         chunks = self.meta.chunks
         rows_fn = self._rows_fn()
         best = np.argmin if which == "min" else np.argmax
@@ -1135,7 +1182,7 @@ class ChunkedArray:
                     )
                 yield pd.DataFrame(
                     {
-                        "__v": pd.Series(vals, dtype=np_acc),
+                        "__v": _partial_series(vals, np_acc),
                         "__nan": nans,
                         "coords": coords,
                     }
@@ -1169,15 +1216,16 @@ class ChunkedArray:
         """Global mean via sum + count partials (never collects data)."""
         np_acc, sql_acc = _acc(self.meta.dtype)
         rows_fn = self._rows_fn()
+        u64 = np_acc == np.uint64
 
         def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 ss, ns = [], []
                 for _, arr in rows_fn(pdf):
-                    ss.append(arr.sum(dtype=np_acc))
+                    ss.append(_exact_u64_sum(arr) if u64 else arr.sum(dtype=np_acc))
                     ns.append(arr.size)
                 yield pd.DataFrame(
-                    {"__s": pd.Series(ss, dtype=np_acc), "__n": pd.Series(ns, dtype="int64")}
+                    {"__s": _partial_series(ss, np_acc), "__n": pd.Series(ns, dtype="int64")}
                 )
 
         partials = self.df.mapInPandas(partial, schema=f"__s {sql_acc}, __n bigint")
@@ -1191,6 +1239,14 @@ class ChunkedArray:
         JVM. The final expression is written as explicit divide/multiply/
         subtract (no pow/stddev builtins) so any engine computing from the
         same exact partials produces the identical IEEE double."""
+        if np.dtype(self.meta.dtype) == np.uint64:
+            # sums of squared uint64 need 128-bit accumulation, which
+            # neither int64 nor DECIMAL(38,0) can hold exactly; an
+            # approximate std is available via astype("float64").std()
+            raise TypeError(
+                "std() is not supported for uint64 arrays; cast first with "
+                'astype("float64") if approximate std is acceptable'
+            )
         np_acc, sql_acc = _acc(self.meta.dtype)
         rows_fn = self._rows_fn()
 
@@ -1223,7 +1279,9 @@ class ChunkedArray:
             ).alias("std_value")
         )
 
-    def _axis_reduce(self, axis: int, np_red: Callable, final_agg, out_col: str) -> DataFrame:
+    def _axis_reduce(
+        self, axis: int, np_red: Callable, final_agg, out_col: str, acc_use: str = "sum"
+    ) -> DataFrame:
         """Shared shape of every single-axis reduction: fused pipeline +
         per-chunk numpy partial reduction → explode to (global coords of
         kept dims, partial) → groupBy + final aggregate. The shuffle
@@ -1236,9 +1294,10 @@ class ChunkedArray:
         if not (0 <= axis < ndim):
             raise ValueError(f"axis {axis} out of range for ndim {ndim}")
         kept = [d for d in range(ndim) if d != axis]
-        np_acc, sql_acc = _acc(self.meta.dtype)
+        np_acc, sql_acc = _acc(self.meta.dtype, use=acc_use)
         chunks = self.meta.chunks  # for global offsets (ragged-safe)
         rows_fn = self._rows_fn()
+        u64_sum = np_acc == np.uint64 and acc_use == "sum"
 
         def offset(d: int, p: int) -> int:
             return sum(chunks[d][:p])
@@ -1248,14 +1307,19 @@ class ChunkedArray:
                 coords_out: list[list[int]] = []
                 val_out: list = []
                 for pos, arr in rows_fn(pdf):
-                    red = np_red(arr.astype(np_acc, copy=False), axis)
+                    if u64_sum:
+                        # exact per-chunk axis sums as Python ints — the
+                        # uint64 fold must not wrap mod 2^64
+                        red = _exact_u64_sum(arr, axis=axis)
+                    else:
+                        red = np_red(arr.astype(np_acc, copy=False), axis)
                     if not kept:
                         # 1-D array reduced over its only axis: a 0-d
                         # partial with no surviving coordinates — one row
                         # with empty coords per chunk, all grouped into a
                         # single global value (np.indices(()) would raise)
                         coords_out.append([])
-                        val_out.append(np_acc.type(red))
+                        val_out.append(red if u64_sum else np_acc.type(red))
                         continue
                     grids = np.indices(red.shape).reshape(len(kept), -1)
                     for j, d_ in enumerate(kept):
@@ -1263,7 +1327,7 @@ class ChunkedArray:
                     coords_out.extend(grids.T.tolist())
                     val_out.extend(red.ravel())
                 yield pd.DataFrame(
-                    {"coords": coords_out, "partial": pd.Series(val_out, dtype=np_acc)}
+                    {"coords": coords_out, "partial": _partial_series(val_out, np_acc)}
                 )
 
         partials = self.df.mapInPandas(partial, schema=f"coords array<int>, partial {sql_acc}")
@@ -1279,11 +1343,15 @@ class ChunkedArray:
         """Min along one axis → (coords, value). Partial min per chunk,
         final min across the chunk row of the reduced axis — exact (ints
         widen to int64, float32 to float64, both order-free)."""
-        return self._axis_reduce(axis, lambda a, ax: a.min(axis=ax), F.min, "value")
+        return self._axis_reduce(
+            axis, lambda a, ax: a.min(axis=ax), F.min, "value", acc_use="val"
+        )
 
     def axis_max(self, axis: int) -> DataFrame:
         """Max along one axis → (coords, value)."""
-        return self._axis_reduce(axis, lambda a, ax: a.max(axis=ax), F.max, "value")
+        return self._axis_reduce(
+            axis, lambda a, ax: a.max(axis=ax), F.max, "value", acc_use="val"
+        )
 
     def axis_mean(self, axis: int) -> DataFrame:
         """Mean along one axis → (coords, value double): the exact axis_sum

@@ -205,11 +205,66 @@ def test_uint32_sum_exact_beyond_float53(spark):
 
 
 def test_unsupported_dtype_rejected(spark):
-    # uint64 stays rejected: the exact int64 accumulator cannot hold it
+    # complex stays rejected (no exact accumulator, no SQL analog)
     with pytest.raises(TypeError, match="unsupported chunk dtype"):
         ChunkedArray.from_numpy_chunks(
-            spark, "u", {(0,): np.array([1], dtype=np.uint64)}
+            spark, "u", {(0,): np.array([1 + 2j], dtype=np.complex128)}
         )
+
+
+def test_uint64_sum_exact_beyond_int64(spark):
+    # reference parity: any numpy dtype (head_node.py:84). Two near-max
+    # uint64 values sum past 2^64 — exact only via the DECIMAL(38,0) fold
+    # (int64 overflows, float64 rounds, numpy itself would wrap mod 2^64)
+    big = np.uint64(2**64 - 1)
+    chunks = {
+        (0,): np.array([big, 1], dtype=np.uint64),
+        (1,): np.array([big, 0], dtype=np.uint64),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "u64", chunks)
+    assert arr.meta.dtype == "uint64"
+    out = arr.to_numpy()
+    assert out.dtype == np.uint64 and out.tolist() == [big, 1, big, 0]
+    total = arr.sum().collect()[0]["total"]
+    assert int(total) == 2 * (2**64 - 1) + 1  # > 2^64: true value, no wrap
+    mean = arr.mean().collect()[0]["mean_value"]
+    assert mean == pytest.approx((2 * (2**64 - 1) + 1) / 4)
+
+
+def test_uint64_min_max_argmax_exact(spark):
+    big = 2**64 - 1
+    chunks = {
+        (0,): np.array([5, big], dtype=np.uint64),
+        (1,): np.array([7, 3], dtype=np.uint64),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "u64x", chunks)
+    assert int(arr.min().collect()[0]["min_value"]) == 3
+    assert int(arr.max().collect()[0]["max_value"]) == big  # int64 can't hold this
+    hi = arr.argmax().collect()[0]
+    assert tuple(hi["coords"]) == (1,) and int(hi["value"]) == big
+    lo = arr.argmin().collect()[0]
+    assert tuple(lo["coords"]) == (3,) and int(lo["value"]) == 3
+
+
+def test_uint64_axis_sum_exact(spark):
+    big = np.uint64(2**63)  # two of these per column: sum = 2^64 > int64/uint64
+    chunks = {
+        (i, j): np.full((2, 2), big, dtype=np.uint64) for i in range(2) for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "u64ax", chunks)
+    rows = arr.axis_sum(axis=0).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert int(r["total"]) == 4 * 2**63  # 2^65: exact via DECIMAL
+    mx = arr.axis_max(axis=1).collect()
+    assert all(int(r["value"]) == 2**63 for r in mx)
+
+
+def test_uint64_std_rejected_with_guidance(spark):
+    chunks = {(0,): np.array([1, 2], dtype=np.uint64)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "u64s", chunks)
+    with pytest.raises(TypeError, match="astype"):
+        arr.std()
 
 
 # ------------------------------------------------------------ ragged tiling
