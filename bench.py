@@ -81,6 +81,21 @@ def main() -> None:
 
     times = {name: min(ts) for name, ts in passes.items()}
     total = round(sum(times.values()), 3)
+
+    # Extras: measured but NOT in the headline total (keeps cross-round
+    # totals comparable). Currently the IVF assignment-kernel pair — the
+    # interpreted fold-expression path vs the Arrow-batched BLAS GEMM path.
+    extras: dict[str, float] = {}
+    for name in ("sim_ann_ivf", "sim_ann_ivf_blas"):
+        best = None
+        for _pass in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            best = elapsed if best is None else min(best, elapsed)
+            spark.catalog.clearCache()
+        extras[name] = best
+
     print(
         json.dumps(
             {
@@ -89,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "passes": passes,
+                "extras": extras,
                 "sf": sf,
             }
         )

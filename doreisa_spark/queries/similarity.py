@@ -252,10 +252,7 @@ _IVF_CELLS = 16
 _IVF_NPROBE = 2
 
 
-@register(
-    "sim_ann_ivf",
-    extended=True,
-    oracle=f"""
+_IVF_ORACLE = f"""
 WITH cent AS (
   SELECT vec_id - {_IVF_CENT_LO} AS cell, embedding AS cemb
   FROM embeddings WHERE vec_id >= {_IVF_CENT_LO} AND vec_id < {_IVF_CENT_LO + _IVF_CELLS}
@@ -291,8 +288,10 @@ SELECT qid, cid, round(cos_sim, 6) AS cos_sim, rk FROM (
          row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rk
   FROM scored)
 WHERE rk <= {_TOP_K}
-""",
-)
+"""
+
+
+@register("sim_ann_ivf", extended=True, oracle=_IVF_ORACLE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: a deterministic {_IVF_CELLS}-centroid coarse
     quantizer partitions the corpus into Voronoi cells (inverted lists);
@@ -310,24 +309,56 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB posture: the centroid table is broadcast (assignment join and
     probe join never shuffle the corpus); the assignment window shuffles a
     NARROW (cid, cell, cos) projection — embeddings stay in the scan until
-    the final per-cell scoring join. At production scale the per-row argmax
-    would fold into one Arrow-batched BLAS kernel (operators/ann.py) making
-    assignment fully map-side; the fold-expression form here is what keeps
-    the oracle exact. nprobe trades recall for candidate volume without
-    changing the plan shape."""
+    the final per-cell scoring join. The fold-expression assignment here is
+    what keeps the oracle exact; the production-scale path is the
+    Arrow-batched BLAS kernel of sim_ann_ivf_blas (one GEMM per batch,
+    fully map-side, no assignment window at all). nprobe trades recall for
+    candidate volume without changing the plan shape."""
+    return _ivf_query(spark, sf_dir, assign="expr")
+
+
+def _ivf_assign_blas(cent_rows, corpus: DataFrame) -> DataFrame:
+    """Map-only IVF cell assignment: one float64 GEMM of each Arrow batch
+    against the broadcast (cells × dim) centroid matrix, argmax per row.
+    Replaces the crossJoin + fold-expression + row_number window with zero
+    shuffles and BLAS arithmetic — the 100 TB assignment path. Ties argmax
+    to the LOWEST cell (numpy first-max), matching the expression path's
+    ``ORDER BY cos DESC, cell``."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(cent_rows, key=lambda r: r["cell"])
+    cells = np.array([r["cell"] for r in cent_rows], dtype=np.int32)
+    C = np.array([list(r["cemb"]) for r in cent_rows], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.array(pdf["ce"].tolist(), dtype=np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+            best = (Xn @ Cn.T).argmax(axis=1)
+            yield pd.DataFrame({"cid": pdf["cid"], "cell": cells[best]})
+
+    return corpus.mapInPandas(assign, schema="cid bigint, cell int")
+
+
+def _ivf_query(spark: SparkSession, sf_dir: str, assign: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings", spread=True)
     cent = e.where(
         (F.col("vec_id") >= _IVF_CENT_LO) & (F.col("vec_id") < _IVF_CENT_LO + _IVF_CELLS)
     ).select((F.col("vec_id") - _IVF_CENT_LO).alias("cell"), F.col("embedding").alias("cemb"))
     corpus = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    aw = W.partitionBy("cid").orderBy(F.col("a_cos").desc(), F.col("cell"))
-    assigned = (
-        corpus.crossJoin(F.broadcast(cent))
-        .select("cid", "cell", F.expr(V.cosine_expr("ce", "cemb")).alias("a_cos"))
-        .withColumn("arnk", F.row_number().over(aw))
-        .where(F.col("arnk") == 1)
-        .select("cid", "cell")
-    )
+    if assign == "blas":
+        assigned = _ivf_assign_blas(cent.collect(), corpus)
+    else:
+        aw = W.partitionBy("cid").orderBy(F.col("a_cos").desc(), F.col("cell"))
+        assigned = (
+            corpus.crossJoin(F.broadcast(cent))
+            .select("cid", "cell", F.expr(V.cosine_expr("ce", "cemb")).alias("a_cos"))
+            .withColumn("arnk", F.row_number().over(aw))
+            .where(F.col("arnk") == 1)
+            .select("cid", "cell")
+        )
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -352,6 +383,20 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _TOP_K)
         .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
     )
+
+
+@register("sim_ann_ivf_blas", extended=True, oracle=_IVF_ORACLE)
+def sim_ann_ivf_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_ann_ivf with the production assignment kernel: cell assignment
+    is ONE Arrow-batched float64 GEMM per batch against the broadcast
+    {_IVF_CELLS}×dim centroid matrix (argmax per row, map-only, zero
+    shuffle) instead of the interpreted crossJoin + fold + window. Probe
+    selection and final scoring stay in expression form (they touch only
+    n_queries and candidate rows). Verified against the same exact oracle:
+    normalized-GEMM cosine ordering agrees with the sequential fold on this
+    data; a pathological near-tie could flip a cell at the last ulp, which
+    the expression variant exists to rule out for the oracle gate."""
+    return _ivf_query(spark, sf_dir, assign="blas")
 
 
 def _probe_exprs() -> tuple[str, str]:
