@@ -20,10 +20,20 @@ so ``spark.read.format("doreisa_chunks")`` can expose a real producer's
 generator, not just the built-in demo ramp.
 
 Supported options: ``grid`` ("4,4"), ``chunk`` ("64,64"), ``dtype``
-(numpy name), ``timestep`` (int), ``name`` (array name), ``expr``
-(kernel name; built-ins: "ramp" — element = sum of global coordinates —
-and "ramp_t" — (t+1)·ramp). Streaming adds ``max_timesteps`` and
-``timesteps_per_trigger`` and defaults ``expr`` to "ramp_t".
+(numpy name), ``timestep`` (int), ``name`` (array name — or a
+comma-separated list to multiplex SEVERAL named arrays through one
+read/stream), ``expr`` (kernel name; built-ins: "ramp" — element = sum of
+global coordinates — and "ramp_t" — (t+1)·ramp), ``expr.<name>``
+(per-array kernel override when multiplexing). Streaming adds
+``max_timesteps`` and ``timesteps_per_trigger`` and defaults ``expr`` to
+"ramp_t".
+
+Multi-array semantics mirror the reference's several-arrays sync
+(reference: tests/test_several_arrays.py:17-40 — arrays "a" and "b"
+produced per iteration, callback sees BOTH at each timestep): every
+streaming micro-batch carries the chunks of ALL named arrays for its
+timestep(s), so the per-iteration barrier closes over every array, and
+consumers split by the ``name`` column.
 """
 
 from __future__ import annotations
@@ -100,8 +110,9 @@ register_kernel("ramp_t", _ramp_t)
 
 
 class ChunkInputPartition(InputPartition):
-    def __init__(self, pos: tuple[int, ...]):
+    def __init__(self, pos: tuple[int, ...], name: str = "grid"):
         self.pos = pos
+        self.name = name
 
 
 class ChunkGridReader(DataSourceReader):
@@ -112,13 +123,19 @@ class ChunkGridReader(DataSourceReader):
             raise ValueError(f"grid {self.grid} and chunk {self.chunk} rank mismatch")
         self.dtype = options.get("dtype", "float64")
         self.timestep = int(options.get("timestep", "0"))
-        self.name = options.get("name", "grid")
-        # resolved at plan time so the callable rides to the executors
-        # inside the pickled reader
-        self.kernel: ChunkKernel = _resolve_kernel(options.get("expr", default_expr))
+        self.names = [n.strip() for n in options.get("name", "grid").split(",")]
+        # kernels resolved at plan time so the callables ride to the
+        # executors inside the pickled reader; expr.<name> overrides the
+        # shared expr per array (several-arrays multiplexing)
+        shared = options.get("expr", default_expr)
+        self.kernels: dict[str, ChunkKernel] = {
+            n: _resolve_kernel(options.get(f"expr.{n}", shared)) for n in self.names
+        }
 
-    def _chunk_bytes(self, pos: tuple[int, ...], ts: int) -> tuple[tuple[int, ...], bytes]:
-        arr = np.asarray(self.kernel(pos, self.chunk, ts)).astype(
+    def _chunk_bytes(
+        self, name: str, pos: tuple[int, ...], ts: int
+    ) -> tuple[tuple[int, ...], bytes]:
+        arr = np.asarray(self.kernels[name](pos, self.chunk, ts)).astype(
             np.dtype(self.dtype), copy=False
         )
         if arr.shape != self.chunk:
@@ -129,13 +146,15 @@ class ChunkGridReader(DataSourceReader):
 
     def partitions(self):
         return [
-            ChunkInputPartition(p) for p in product(*(range(n) for n in self.grid))
+            ChunkInputPartition(p, n)
+            for n in self.names
+            for p in product(*(range(g) for g in self.grid))
         ]
 
     def read(self, partition: ChunkInputPartition):
         pos = partition.pos
-        shape, data = self._chunk_bytes(pos, self.timestep)
-        yield (self.name, self.timestep, list(pos), list(shape), data)
+        shape, data = self._chunk_bytes(partition.name, pos, self.timestep)
+        yield (partition.name, self.timestep, list(pos), list(shape), data)
 
 
 class ChunkStreamReader(DataSourceStreamReader):
@@ -180,17 +199,20 @@ class ChunkStreamReader(DataSourceStreamReader):
     def partitions(self, start, end):
         self._floor = max(self._floor, start["timestep"], end["timestep"])
         # one micro-batch per timestep: [start, end) timesteps, each with
-        # one InputPartition per chunk (same granularity as batch)
+        # one InputPartition per chunk PER ARRAY (the several-arrays
+        # barrier: a timestep's batch is complete only with every named
+        # array's full grid in it)
         parts = []
         for ts in range(start["timestep"], end["timestep"]):
-            for pos in product(*(range(n) for n in self._inner.grid)):
-                parts.append(ChunkInputPartition((ts,) + pos))
+            for name in self._inner.names:
+                for pos in product(*(range(n) for n in self._inner.grid)):
+                    parts.append(ChunkInputPartition((ts,) + pos, name))
         return parts
 
     def read(self, partition: ChunkInputPartition):
         ts, pos = partition.pos[0], partition.pos[1:]
-        shape, data = self._inner._chunk_bytes(pos, ts)
-        yield (self._inner.name, ts, list(pos), list(shape), data)
+        shape, data = self._inner._chunk_bytes(partition.name, pos, ts)
+        yield (partition.name, ts, list(pos), list(shape), data)
 
     def commit(self, end):
         self._floor = max(self._floor, end["timestep"])

@@ -124,3 +124,74 @@ def test_unknown_kernel_rejected(spark):
 
     with pytest.raises(Exception, match="unknown chunk kernel"):
         _load(spark, (2, 2), (4, 4), expr="nope").count()
+
+
+def test_several_arrays_multiplexed_batch(spark):
+    """name="a,b" with a per-array kernel override must yield both grids
+    in one read, split by the name column."""
+    df = _load(
+        spark, (2, 2), (4, 4), name="a,b", expr="ramp", **{"expr.b": "ramp_t"}
+    )
+    assert df.count() == 8  # 4 chunks × 2 arrays
+    meta = GridMeta("grid", (2, 2), (4, 4))
+    base = expected_sum_arithmetic(meta)
+    a = ChunkedArray(df.where("name = 'a'"), meta)
+    b = ChunkedArray(df.where("name = 'b'"), meta)
+    assert a.sum().first()["total"] == base
+    assert b.sum().first()["total"] == base  # ramp_t at timestep 0 = 1·ramp
+
+
+def test_several_arrays_multiplexed_stream(spark, tmp_path):
+    """Streaming analog of the reference's several-arrays sync
+    (reference: tests/test_several_arrays.py:17-40): each micro-batch
+    carries BOTH named arrays for its timestep — array b is 2× array a
+    (the preprocess analog) — and a cross-array computation (b - a) works
+    inside the batch, proving the arrays are distinct and synchronized."""
+    import time
+
+    def double_ramp_t(pos, shape, ts):
+        return 2.0 * float(ts + 1) * chunk_source.ramp_chunk(pos, shape)
+
+    chunk_source.register_kernel("double_ramp_t", double_ramp_t)
+    chunk_source.register(spark)
+    meta = GridMeta("grid", (2, 2), (8, 8))
+    stream = (
+        spark.readStream.format("doreisa_chunks")
+        .option("grid", "2,2").option("chunk", "8,8")
+        .option("name", "a,b")
+        .option("expr.b", chunk_source.kernel_expr("double_ramp_t"))
+        .option("max_timesteps", "3")
+        .option("timesteps_per_trigger", "1")
+        .load()
+    )
+    batches = []
+
+    def sink(df, epoch):
+        ts = sorted(r["timestep"] for r in df.select("timestep").distinct().collect())
+        a = ChunkedArray(df.where("name = 'a'"), meta)
+        b = ChunkedArray(df.where("name = 'b'"), meta)
+        diff = b.zip_with(a, "-")  # cross-array compute within the barrier
+        batches.append(
+            (
+                ts,
+                a.sum().first()["total"],
+                b.sum().first()["total"],
+                diff.sum().first()["total"],
+            )
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(processingTime="0 seconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt_multi"))
+        .start()
+    )
+    deadline = time.time() + 120
+    while len(batches) < 3 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+
+    base = expected_sum_arithmetic(meta)
+    assert batches[:3] == [
+        ([t], (t + 1) * base, 2 * (t + 1) * base, (t + 1) * base) for t in range(3)
+    ]
