@@ -1101,6 +1101,179 @@ class ChunkedArray:
         df = partials.groupBy("i", "j").applyInPandas(reduce_blocks, schema=CHUNK_SCHEMA)
         return ChunkedArray(df, meta, ts)
 
+    def _is_slab_tiled(self) -> bool:
+        """True iff chunked along axis 0 only — every chunk is then one
+        contiguous C-order span of the global array."""
+        return all(len(self.meta.chunks[d]) == 1 for d in range(1, self.meta.ndim))
+
+    def ravel(self) -> "ChunkedArray":
+        """C-order flatten to 1-D (dask ``da.ravel``).
+
+        Slab-tiled arrays (chunked along axis 0 only) flatten with ZERO
+        data movement: each chunk already is a contiguous C-order span, so
+        only pos/chunk_shape metadata are rewritten (map-only select, the
+        bytes column is untouched). Any other tiling first rechunks to
+        slabs — elements move exactly once, the floor for a layout
+        change."""
+        if self.meta.ndim == 1:
+            return self
+        src = self
+        if not src._is_slab_tiled():
+            src = self.rechunk(
+                (self.meta.chunks[0],) + tuple(self.meta.global_shape[1:])
+            )
+        row = reduce(mul, src.meta.global_shape[1:], 1)
+        sizes = tuple(s * row for s in src.meta.chunks[0])
+        meta = GridMeta(self.meta.name, (len(sizes),), (sizes,), self.meta.dtype)
+        nelem = F.aggregate(
+            F.col("chunk_shape"), F.lit(1), lambda acc, x: acc * x
+        ).cast("int")
+        df = src.materialize().df.select(
+            "name",
+            "timestep",
+            F.array(F.col("pos")[0]).alias("pos"),
+            F.array(nelem).alias("chunk_shape"),
+            "data",
+        )
+        return ChunkedArray(df, meta, self.timestep)
+
+    def reshape(self, new_shape, row_chunks: int | None = None) -> "ChunkedArray":
+        """General C-order reshape (dask ``da.reshape``): ravel (zero-move
+        when slab-tiled) → re-span the 1-D stream on row boundaries of the
+        target shape → metadata-reinterpret each span as a slab chunk.
+        When the flat tiling already aligns to target rows the re-span is
+        skipped, making e.g. (R,C) → (R, a, b) splits fully map-only.
+        ``row_chunks`` pins the output slab height (rows of the new shape
+        per chunk); default keeps roughly the source chunk volume."""
+        new_shape = tuple(int(s) for s in new_shape)
+        total = reduce(mul, self.meta.global_shape, 1)
+        if reduce(mul, new_shape, 1) != total:
+            raise ValueError(
+                f"cannot reshape {self.meta.global_shape} (size {total}) to {new_shape}"
+            )
+        flat = self.ravel()
+        if len(new_shape) == 1:
+            return flat
+        row = reduce(mul, new_shape[1:], 1)
+        flat_sizes = flat.meta.chunks[0]
+        if row_chunks is None and all(s % row == 0 for s in flat_sizes):
+            heights = tuple(s // row for s in flat_sizes)  # aligned: no shuffle
+        else:
+            if row_chunks is None:
+                avg = sum(flat_sizes) // len(flat_sizes)
+                row_chunks = min(new_shape[0], max(1, round(avg / row) or 1))
+            n0 = new_shape[0]
+            heights = tuple(
+                min(row_chunks, n0 - i * row_chunks)
+                for i in range((n0 + row_chunks - 1) // row_chunks)
+            )
+            flat = flat.rechunk((tuple(h * row for h in heights),))
+        meta = GridMeta(
+            self.meta.name,
+            (len(heights),) + (1,) * (len(new_shape) - 1),
+            (heights,) + tuple((s,) for s in new_shape[1:]),
+            self.meta.dtype,
+        )
+        zeros = [F.lit(0)] * (len(new_shape) - 1)
+        trail = [F.lit(int(s)) for s in new_shape[1:]]
+        df = flat.materialize().df.select(
+            "name",
+            "timestep",
+            F.concat(F.array(F.col("pos")[0]), F.array(*zeros)).alias("pos"),
+            F.concat(
+                F.array((F.col("chunk_shape")[0] / row).cast("int")), F.array(*trail)
+            ).alias("chunk_shape"),
+            "data",
+        )
+        return ChunkedArray(df, meta, self.timestep)
+
+    def boolean_select(self, cond: "ChunkedArray") -> "ChunkedArray":
+        """Boolean-mask indexing ``a[mask]`` (dask semantics): 1-D array of
+        the elements where ``cond`` is nonzero, in global C order.
+
+        Both sides ravel (zero-move when slab-tiled), flat chunks equi-join
+        on position, and an Arrow-batched kernel keeps the masked elements
+        per chunk. Output chunk sizes are data-dependent, so — exactly like
+        dask's ``compute_chunk_sizes`` — the per-chunk counts come back to
+        the driver first: n_chunks INTEGERS, never element data; the
+        selected bytes are computed once (persisted) and reused as the
+        result's chunk rows."""
+        if self.meta.chunks != cond.meta.chunks:
+            raise ValueError("grid mismatch")
+        a = self.ravel().materialize()
+        c = cond.ravel().materialize()
+        am = a.df.select("pos", F.col("data").alias("__a"))
+        cm = c.df.select(F.col("pos").alias("__cpos"), F.col("data").alias("__c"))
+        joined = am.join(cm, am["pos"] == cm["__cpos"], "inner")
+        dt, cdt = np.dtype(self.meta.dtype), np.dtype(cond.meta.dtype)
+
+        def pick(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ks, ns, datas = [], [], []
+                for pos, ba, bc in zip(pdf["pos"], pdf["__a"], pdf["__c"]):
+                    va = np.frombuffer(ba, dtype=dt)
+                    vc = np.frombuffer(bc, dtype=cdt)
+                    sel = np.ascontiguousarray(va[vc != 0])
+                    ks.append(int(pos[0]))
+                    ns.append(sel.size)
+                    datas.append(sel.tobytes())
+                yield pd.DataFrame({"k": ks, "n": ns, "data": datas})
+
+        picked = joined.mapInPandas(pick, schema="k int, n int, data binary").persist()
+        counts = {int(r["k"]): int(r["n"]) for r in picked.select("k", "n").collect()}
+        sizes = tuple(counts[k] for k in sorted(counts))
+        meta = GridMeta(self.meta.name, (len(sizes),), (sizes,), self.meta.dtype)
+        name, ts = self.meta.name, self.timestep
+        df = picked.select(
+            F.lit(name).alias("name"),
+            F.lit(ts).alias("timestep"),
+            F.array(F.col("k")).alias("pos"),
+            F.array(F.col("n")).alias("chunk_shape"),
+            "data",
+        )
+        return ChunkedArray(df, meta, ts)
+
+    def tensordot(self, other: "ChunkedArray", axes=2) -> "ChunkedArray":
+        """General N-d tensor contraction (dask ``da.tensordot``), lowered
+        the standard way: transpose both operands so kept axes and
+        contracted axes are grouped, reshape each to 2-D (map-only when
+        slab-aligned), block matmul, reshape the result back to the kept
+        extents. ``axes`` follows numpy: an int n contracts the last n axes
+        of self with the first n of other; a pair of axis tuples contracts
+        those pairs."""
+        if isinstance(axes, int):
+            ax_a = tuple(range(self.meta.ndim - axes, self.meta.ndim))
+            ax_b = tuple(range(axes))
+        else:
+            ra, rb = axes
+            ax_a = (ra,) if isinstance(ra, (int, np.integer)) else tuple(ra)
+            ax_b = (rb,) if isinstance(rb, (int, np.integer)) else tuple(rb)
+        if len(ax_a) != len(ax_b):
+            raise ValueError("axes lists must have equal length")
+        ga, gb = self.meta.global_shape, other.meta.global_shape
+        if tuple(ga[d] for d in ax_a) != tuple(gb[d] for d in ax_b):
+            raise ValueError(
+                f"contracted extents mismatch: {[ga[d] for d in ax_a]} vs "
+                f"{[gb[d] for d in ax_b]}"
+            )
+        keep_a = tuple(d for d in range(self.meta.ndim) if d not in ax_a)
+        keep_b = tuple(d for d in range(other.meta.ndim) if d not in ax_b)
+        m = reduce(mul, (ga[d] for d in keep_a), 1)
+        k = reduce(mul, (ga[d] for d in ax_a), 1)
+        n = reduce(mul, (gb[d] for d in keep_b), 1)
+        a2 = self.transpose(keep_a + ax_a).reshape((m, k))
+        b2 = other.transpose(ax_b + keep_b).reshape((k, n))
+        # align the contracted tiling: A2 is slab-tiled (k unchunked), so
+        # bring B2's k-dim to one chunk too — its rows moved during the
+        # transpose/reshape anyway; the matmul then joins 1:1 on k
+        if a2.meta.chunks[1] != b2.meta.chunks[0]:
+            b2 = b2.rechunk((a2.meta.chunks[1], b2.meta.chunks[1]))
+        c2 = a2.matmul(b2)
+        out_shape = tuple(ga[d] for d in keep_a) + tuple(gb[d] for d in keep_b)
+        if not out_shape:
+            return c2.reshape((1,))  # full contraction: 1-element array
+        return c2.reshape(out_shape)
+
     # ----------------------------------------------------------- reductions
     def sum(self) -> DataFrame:
         """Global sum: fused pipeline + per-chunk numpy partial in ONE

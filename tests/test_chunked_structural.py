@@ -272,3 +272,101 @@ def test_concatenate_mismatch_rejected(spark):
     b, _ = _grid(spark, grid=(2, 2), chunk=(4, 5))
     with pytest.raises(ValueError, match="tiling mismatch"):
         ChunkedArray.concatenate([a, b], axis=0)
+
+
+# ---------------------------------------------------- ravel/reshape/mask/dot
+def test_ravel_slab_tiled_zero_move(spark):
+    # chunked along axis 0 only: each chunk is one contiguous C span
+    a, full = _grid(spark, grid=(3, 1), chunk=(2, 6), seed=5)
+    flat = a.ravel()
+    assert flat.meta.global_shape == (36,)
+    assert flat.meta.chunks == ((12, 12, 12),)
+    assert np.array_equal(flat.to_numpy(), full.ravel())
+
+
+def test_ravel_general_tiling(spark):
+    a, full = _grid(spark, grid=(2, 2), chunk=(4, 4), seed=6)
+    assert np.array_equal(a.ravel().to_numpy(), full.ravel())
+
+
+@pytest.mark.parametrize(
+    "grid,chunk,new_shape",
+    [
+        ((2, 2), (4, 4), (4, 16)),     # 8x8 -> 4x16
+        ((2, 2), (4, 4), (16, 4)),     # 8x8 -> 16x4
+        ((2, 2), (4, 4), (2, 2, 16)),  # rank change up
+        ((3, 1), (2, 6), (9, 4)),      # slab source, aligned fast path
+        ((2, 2), (4, 4), (64,)),       # to 1-D
+    ],
+)
+def test_reshape_matches_numpy(spark, grid, chunk, new_shape):
+    a, full = _grid(spark, grid=grid, chunk=chunk, seed=7)
+    out = a.reshape(new_shape)
+    assert out.meta.global_shape == tuple(new_shape)
+    assert np.array_equal(out.to_numpy(), full.reshape(new_shape))
+
+
+def test_reshape_bad_size_rejected(spark):
+    a, _ = _grid(spark)
+    with pytest.raises(ValueError, match="cannot reshape"):
+        a.reshape((5, 5))
+
+
+def test_boolean_select_matches_numpy(spark):
+    a, full = _grid(spark, grid=(2, 2), chunk=(4, 4), seed=8)
+    mask_chunks = {
+        (i, j): (np.random.default_rng(10 + i * 2 + j).integers(0, 2, size=(4, 4)))
+        .astype("float64")
+        for i in range(2)
+        for j in range(2)
+    }
+    cond = ChunkedArray.from_numpy_chunks(spark, "m", mask_chunks)
+    dense_mask = cond.to_numpy() != 0
+    sel = a.boolean_select(cond)
+    assert sel.meta.ndim == 1
+    assert np.array_equal(sel.to_numpy(), full[dense_mask])
+    # masked reduction composes through the normal path
+    assert sel.sum().first()["total"] == full[dense_mask].sum()
+
+
+def test_boolean_select_empty_chunk(spark):
+    a, full = _grid(spark, grid=(2, 1), chunk=(2, 3), seed=9)
+    zeros = {p: np.zeros((2, 3)) for p in [(0, 0)]}
+    ones = {p: np.ones((2, 3)) for p in [(1, 0)]}
+    cond = ChunkedArray.from_numpy_chunks(spark, "m2", {**zeros, **ones})
+    sel = a.boolean_select(cond)
+    assert np.array_equal(sel.to_numpy(), full[2:].ravel())
+
+
+@pytest.mark.parametrize(
+    "shape_a,chunk_a,shape_b,chunk_b,axes",
+    [
+        ((2, 2), (3, 4), (2, 2), (4, 2), 1),          # plain matrix product
+        ((2, 2, 1), (2, 3, 4), (2, 1, 2), (3, 4, 5), 2),  # contract 2 axes
+        ((2, 2), (3, 4), (2, 2), (3, 5), ((0,), (0,))),   # contract dim0 vs dim0
+    ],
+)
+def test_tensordot_matches_numpy(spark, shape_a, chunk_a, shape_b, chunk_b, axes):
+    rng = np.random.default_rng(11)
+    a_chunks = {
+        p: rng.integers(0, 9, size=chunk_a).astype("float64")
+        for p in np.ndindex(*shape_a)
+    }
+    b_chunks = {
+        p: rng.integers(0, 9, size=chunk_b).astype("float64")
+        for p in np.ndindex(*shape_b)
+    }
+    a = ChunkedArray.from_numpy_chunks(spark, "ta", a_chunks)
+    b = ChunkedArray.from_numpy_chunks(spark, "tb", b_chunks)
+    expect = np.tensordot(a.to_numpy(), b.to_numpy(), axes=axes)
+    out = a.tensordot(b, axes=axes)
+    assert out.meta.global_shape == expect.shape
+    assert np.allclose(out.to_numpy(), expect)
+
+
+def test_tensordot_full_contraction(spark):
+    a, fa = _grid(spark, grid=(2, 2), chunk=(3, 3), seed=12)
+    b, fb = _grid(spark, grid=(2, 2), chunk=(3, 3), seed=13)
+    out = a.tensordot(b, axes=((0, 1), (0, 1)))
+    assert out.meta.global_shape == (1,)
+    assert out.to_numpy()[0] == np.tensordot(fa, fb, axes=((0, 1), (0, 1)))
