@@ -424,3 +424,70 @@ def tensor_matvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
     df = arr.scale_axis(v, axis=1).axis_sum(axis=1)
     return df.select(F.col("coords")[0].cast("bigint").alias("idx"), F.col("total"))
+
+
+@register(
+    "tensor_reshape_axis_sum",
+    extended=True,
+    # reshape (R,C) -> (2R, C/2) in C order: new column j collects every
+    # flat index f with f % (C/2) == j; value at f is (f // C) + (f % C).
+    # Per-new-column totals are a closed form only a correct element
+    # placement can hit (a transposed or mis-spanned reshape shifts them).
+    oracle=f"""
+SELECT CAST(range % {_COLS // 2} AS BIGINT) AS idx,
+       CAST(sum((range // {_COLS}) + (range % {_COLS})) AS DOUBLE) AS total
+FROM range(0, {_ROWS * _COLS})
+GROUP BY range % {_COLS // 2}
+""",
+)
+def tensor_reshape_axis_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reshape((2R, C/2)).axis_sum(0): the C-order re-span (ravel is
+    metadata-only for the slab case; the ramp's (4,4) tiling takes the
+    one-move rechunk path) followed by a per-column reduction. Gate grid
+    at every sf — a correctness entry."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    df = arr.reshape((2 * _ROWS, _COLS // 2)).axis_sum(axis=0)
+    return df.select(F.col("coords")[0].cast("bigint").alias("idx"), F.col("total"))
+
+
+@register(
+    "tensor_masked_sum",
+    extended=True,
+    # boolean-mask indexing: keep elements where (r+c) % 3 == 0, sum them.
+    oracle=f"""
+SELECT CAST(sum(r + c) AS DOUBLE) AS total
+FROM {_DUCK_GRID}
+WHERE (r + c) % 3 = 0
+""",
+)
+def tensor_masked_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a[mask].sum() — dask-style boolean indexing: the mask grid rides
+    the same fused pipeline, both sides ravel (zero-move when
+    slab-tiled), per-chunk selection in the Arrow batch, data-dependent
+    chunk sizes resolved from counts only (no element data to the
+    driver). Gate grid at every sf — a correctness entry."""
+    import numpy as np
+
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    cond = ChunkedArray.from_function(spark, _META, ramp_chunk).map_numpy(
+        lambda a: (np.mod(a, 3.0) == 0.0).astype(np.float64)
+    )
+    return arr.boolean_select(cond).sum()
+
+
+@register(
+    "tensor_tensordot_total",
+    extended=True,
+    # full contraction tensordot(A, B, axes=((0,1),(0,1))) = sum(A ⊙ B)
+    # with B[r,c] = r + 2c — asymmetric so a transposed operand misses.
+    oracle=f"SELECT CAST(sum((r + c) * (r + 2*c)) AS DOUBLE) AS total FROM {_DUCK_GRID}",
+)
+def tensor_tensordot_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tensordot over both axes via the general lowering (transpose →
+    reshape to 2-D → block matmul → reshape back): a 1-element result
+    array whose sum() is a closed form. Exercises the whole
+    transpose/ravel/re-span/matmul composition in one entry. Gate grid
+    at every sf — a correctness entry."""
+    a = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    b = ChunkedArray.from_function(spark, _META, _asym_chunk)
+    return a.tensordot(b, axes=((0, 1), (0, 1))).sum()
