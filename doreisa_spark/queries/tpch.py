@@ -525,3 +525,157 @@ def sort_global_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal")
     ).orderBy("acctbal", "c_custkey")
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#23'
+  AND p_type <> 'SMALL'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%5%')
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_cnt", extended=True, oracle=Q16_ORACLE)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp folded onto lineitem — this schema has no
+    partsupp table): per part-attribute distinct-supplier counts with a
+    NOT IN suppression list.
+
+    Plan: the suppression list is a tiny broadcast anti join (never a
+    shuffle); part is a broadcast dim; the only shuffle is the distinct
+    aggregation keyed by the group columns — partial+final with the
+    distinct expand, the standard Catalyst lowering."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#23")
+        & (F.col("p_type") != "SMALL")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = table(spark, sf_dir, "supplier").where(F.col("s_name").like("%5%")).select(
+        "s_suppkey"
+    )
+    return (
+        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q21_ORACLE = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS late
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+), order_stats AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+  FROM li GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM li
+JOIN order_stats USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE late = 1 AND n_supp > 1 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("q21_waiting_supplier", extended=True, oracle=Q21_ORACLE)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (receipt/commit dates folded to shipdate-vs-order
+    lag): suppliers who were the SOLE late shipper on multi-supplier
+    finished orders.
+
+    The classic EXISTS + NOT EXISTS double self-join is lowered to one
+    per-order aggregate (distinct suppliers, distinct late suppliers)
+    joined back on orderkey — two shuffles on the same key instead of
+    three self-join shuffles, and AQE can co-locate them. The supplier
+    name join is broadcast; final top-20 is TakeOrderedAndProject."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = table(spark, sf_dir, "supplier")
+    li = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("late"),
+        )
+    )
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    return (
+        li.join(stats, "l_orderkey")
+        .where((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment AS segment,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+@register("q22_sales_opportunity", extended=True, oracle=Q22_ORACLE)
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no RECENT
+    orders (every customer here has some order, so the dormancy window
+    replaces the original's no-orders-at-all), grouped by segment.
+
+    Plan: the global average is a 1-row scalar broadcast; the dormancy
+    check is an anti join against date-filtered orders (filter pushed to
+    the scan, join keyed on custkey); final agg is a tiny groupBy over
+    segments."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    recent = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
