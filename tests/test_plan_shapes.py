@@ -166,3 +166,38 @@ def test_global_sort_is_range_partitioned(spark):
     plan = _plan(spark, "sort_global_range")
     assert "rangepartitioning" in plan
     assert "SinglePartition" not in plan
+
+
+def test_q16_suppression_list_broadcasts(spark):
+    # the NOT IN list and the part dim both broadcast; no sort-merge join
+    # ever touches the fact table
+    plan = _plan(spark, "q16_supplier_cnt")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_aggregates_replace_self_joins(spark):
+    # the EXISTS/NOT-EXISTS pair is lowered to per-order aggregates:
+    # supplier lookup broadcasts, top-20 is TakeOrderedAndProject (no
+    # global sort), and no sort-merge self-join of lineitem survives
+    plan = _plan(spark, "q21_waiting_supplier")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_scalar_broadcast_and_anti_join(spark):
+    # the global average is a broadcast nested-loop of a 1-row side; the
+    # dormancy check is an anti join with its date filter pushed to scan
+    plan = _plan(spark, "q22_sales_opportunity")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_ivf_blas_assignment_is_map_only_after_spread(spark):
+    # the GEMM assignment path: no assignment window, no cross join —
+    # the only exchanges are the CPU-spread repartition and the final
+    # top-k; cell assignment itself is one MapInPandas over the corpus
+    plan = _plan(spark, "sim_ann_ivf_blas")
+    assert "MapInPandas" in plan
+    assert "Window" in plan  # final per-query rank only
