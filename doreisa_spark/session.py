@@ -45,9 +45,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
-        # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-        # rejects; read as long and convert in the catalog (lossless here —
-        # the generator emits whole microseconds).
+        # events.parquet's ts encoding has drifted across testdata
+        # generations (TIMESTAMP(NANOS) and plain timestamp[us]/NTZ);
+        # catalog.table() normalizes both at runtime on any session, this
+        # conf just lets the nanos variant load under the vectorized reader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
