@@ -1233,6 +1233,117 @@ class ChunkedArray:
         )
         return ChunkedArray(df, meta, ts)
 
+    def take(self, indices, axis: int = 0) -> "ChunkedArray":
+        """Integer-array (fancy) indexing along one axis (dask
+        ``da.take`` / ``a[idx_list]``): ``out[..., j, ...] =
+        self[..., indices[j], ...]`` — duplicates and arbitrary order
+        allowed.
+
+        The index array is a driver-side object (like dask's) and rides
+        broadcast inside the kernel closure. Each source chunk emits, per
+        TARGET chunk, one gathered slab of the rows it owns for that
+        target's output slots; a groupBy on target position assembles —
+        the rechunk split/assemble shape, so every selected element moves
+        exactly once and unreferenced chunks emit nothing."""
+        idx = np.asarray(indices, dtype=np.int64)
+        if idx.ndim != 1:
+            raise ValueError("take expects a 1-D index array")
+        ndim = self.meta.ndim
+        if not (0 <= axis < ndim):
+            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
+        extent = self.meta.global_shape[axis]
+        if idx.size == 0:
+            raise ValueError("take expects at least one index")
+        if ((idx < 0) | (idx >= extent)).any():
+            raise IndexError(f"index out of bounds for axis {axis} with size {extent}")
+        chunks = self.meta.chunks
+        starts = np.concatenate([[0], np.cumsum(chunks[axis])]).astype(np.int64)
+        # output tiling along the taken axis: blocks of the source's first
+        # chunk extent (keeps chunk volume comparable)
+        block = int(chunks[axis][0])
+        heights = tuple(
+            min(block, idx.size - i * block)
+            for i in range((idx.size + block - 1) // block)
+        )
+        out_chunks = tuple(
+            chunks[d] if d != axis else heights for d in range(ndim)
+        )
+        meta = GridMeta(
+            self.meta.name,
+            tuple(len(c) for c in out_chunks),
+            out_chunks,
+            self.meta.dtype,
+        )
+        # per (source chunk k along axis, target chunk t): which local rows
+        # to gather, landing at which local output slots
+        src_of = np.searchsorted(starts, idx, side="right") - 1
+        tgt_of = np.arange(idx.size) // block
+        plan: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
+        for j in range(idx.size):
+            k, t = int(src_of[j]), int(tgt_of[j])
+            rows, slots = plan.setdefault((k, t), ([], []))
+            rows.append(int(idx[j] - starts[k]))
+            slots.append(int(j - t * block))
+        rows_fn = self._rows_fn()
+        name, ts = self.meta.name, self.timestep
+        dtype = np.dtype(self.meta.dtype)
+
+        def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"pos": [], "slots": [], "piece": []}
+                for pos, arr in rows_fn(pdf):
+                    k = pos[axis]
+                    for t in range(len(heights)):
+                        entry = plan.get((k, t))
+                        if entry is None:
+                            continue
+                        rows, slots = entry
+                        piece = np.ascontiguousarray(np.take(arr, rows, axis=axis))
+                        tgt = list(pos)
+                        tgt[axis] = t
+                        out["pos"].append(tgt)
+                        out["slots"].append(slots)
+                        out["piece"].append(piece.tobytes())
+                if out["pos"]:  # all-unreferenced batch: emit nothing (an
+                    # empty frame would type the list columns float64,
+                    # which Arrow can't cast to list<int>)
+                    yield pd.DataFrame(out)
+
+        pieces = self.df.mapInPandas(
+            split, schema="pos array<int>, slots array<int>, piece binary"
+        )
+        shape_of = {
+            p: meta.shape_of(p)
+            for p in product(*(range(g) for g in meta.nb_chunks_per_dim))
+        }
+
+        def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pos = tuple(int(x) for x in key[0])
+            shape = shape_of[pos]
+            tgt = np.zeros(shape, dtype=dtype)
+            for slots, piece in zip(pdf["slots"], pdf["piece"]):
+                slots = [int(s) for s in slots]
+                pshape = tuple(
+                    len(slots) if d == axis else shape[d] for d in range(ndim)
+                )
+                part = np.frombuffer(piece, dtype=dtype).reshape(pshape)
+                loc = tuple(
+                    slots if d == axis else slice(None) for d in range(ndim)
+                )
+                tgt[loc] = part
+            return pd.DataFrame(
+                {
+                    "name": [name],
+                    "timestep": [ts],
+                    "pos": [list(pos)],
+                    "chunk_shape": [list(shape)],
+                    "data": [tgt.tobytes()],
+                }
+            )
+
+        df = pieces.groupBy("pos").applyInPandas(assemble, schema=CHUNK_SCHEMA)
+        return ChunkedArray(df, meta, ts)
+
     def tensordot(self, other: "ChunkedArray", axes=2) -> "ChunkedArray":
         """General N-d tensor contraction (dask ``da.tensordot``), lowered
         the standard way: transpose both operands so kept axes and

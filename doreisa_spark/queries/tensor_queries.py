@@ -491,3 +491,25 @@ def tensor_tensordot_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ChunkedArray.from_function(spark, _META, ramp_chunk)
     b = ChunkedArray.from_function(spark, _META, _asym_chunk)
     return a.tensordot(b, axes=((0, 1), (0, 1))).sum()
+
+
+_TAKE_IDX = [1, 1, 6, 200, 33]  # reorder + duplicate + cross-chunk
+
+
+@register(
+    "tensor_take_sum",
+    extended=True,
+    # fancy indexing take(rows): selected-row total with duplicate
+    # multiplicity — Σ_j Σ_c (idx_j + c).
+    oracle=f"""
+SELECT CAST(sum(i.r + c.range) AS DOUBLE) AS total
+FROM (SELECT unnest({_TAKE_IDX}) AS r) i, range(0, {_COLS}) c
+""",
+)
+def tensor_take_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """take(indices, axis=0).sum(): integer-array indexing with
+    duplicates and reordering across chunk boundaries — the gather
+    split/assemble (rechunk shape) followed by the global reduce.
+    Gate grid at every sf — a correctness entry."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.take(_TAKE_IDX, axis=0).sum()

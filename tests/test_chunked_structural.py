@@ -370,3 +370,26 @@ def test_tensordot_full_contraction(spark):
     out = a.tensordot(b, axes=((0, 1), (0, 1)))
     assert out.meta.global_shape == (1,)
     assert out.to_numpy()[0] == np.tensordot(fa, fb, axes=((0, 1), (0, 1)))
+
+
+@pytest.mark.parametrize("axis", [0, 1])
+def test_take_matches_numpy(spark, axis):
+    a, full = _grid(spark, grid=(2, 2), chunk=(4, 4), seed=14)
+    idx = [7, 0, 3, 3, 5, 1, 6, 2, 2]  # reorder + duplicates
+    out = a.take(idx, axis=axis)
+    assert np.array_equal(out.to_numpy(), np.take(full, idx, axis=axis))
+
+
+def test_take_single_index_and_bounds(spark):
+    a, full = _grid(spark, grid=(2, 1), chunk=(3, 5), seed=15)
+    out = a.take([4], axis=0)
+    assert np.array_equal(out.to_numpy(), full[[4]])
+    with pytest.raises(IndexError):
+        a.take([6], axis=0)
+
+
+def test_take_composes_with_reductions(spark):
+    a, full = _grid(spark, grid=(2, 2), chunk=(4, 4), seed=16)
+    idx = [1, 1, 6]
+    total = a.take(idx, axis=0).sum().first()["total"]
+    assert total == np.take(full, idx, axis=0).sum()
