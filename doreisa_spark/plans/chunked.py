@@ -76,6 +76,10 @@ _SUPPORTED = {
 CHUNK_SCHEMA = (
     "name string, timestep bigint, pos array<int>, chunk_shape array<int>, data binary"
 )
+
+# tensordot block cap: 2^24 elements = 128 MB float64 per block — far under
+# Arrow's 2 GiB binary-cell limit, big enough that BLAS dominates per block
+_TD_MAX_ELEMS = 1 << 24
 POS_SCHEMA = "pos array<int>"
 
 
@@ -132,6 +136,18 @@ def _partial_series(vals: list, np_acc: np.dtype) -> pd.Series:
 
         return pd.Series([Decimal(int(v)) for v in vals], dtype=object)
     return pd.Series(vals, dtype=np_acc)
+
+
+def _nan_aware(np_acc: np.dtype, agg, any_nan):
+    """Final-aggregate wrapper enforcing numpy's NaN contract for float
+    reductions: the Arrow pandas→JVM hop converts NaN partials to NULL,
+    which JVM aggregates silently SKIP — so a NaN chunk would otherwise
+    just vanish from the result. ``any_nan`` is the aggregated boolean
+    marker emitted Python-side; floats rebuild the NaN, other dtypes (which
+    cannot hold NaN) pass through."""
+    if np_acc.kind != "f":
+        return agg
+    return F.when(any_nan, F.lit(float("nan"))).otherwise(agg)
 
 
 def _normalize_chunks(
@@ -1219,7 +1235,15 @@ class ChunkedArray:
                     datas.append(sel.tobytes())
                 yield pd.DataFrame({"k": ks, "n": ns, "data": datas})
 
-        picked = joined.mapInPandas(pick, schema="k int, n int, data binary").persist()
+        # localCheckpoint, not persist: the counts collect below executes
+        # the join+selection once and truncates lineage; the checkpointed
+        # blocks are reclaimed by the ContextCleaner when the result is
+        # dereferenced, so repeated boolean_select calls (e.g. per
+        # streaming micro-batch) don't accumulate pinned storage the way
+        # an unpaired persist() would.
+        picked = joined.mapInPandas(
+            pick, schema="k int, n int, data binary"
+        ).localCheckpoint(eager=True)
         counts = {int(r["k"]): int(r["n"]) for r in picked.select("k", "n").collect()}
         sizes = tuple(counts[k] for k in sorted(counts))
         meta = GridMeta(self.meta.name, (len(sizes),), (sizes,), self.meta.dtype)
@@ -1359,6 +1383,9 @@ class ChunkedArray:
             ra, rb = axes
             ax_a = (ra,) if isinstance(ra, (int, np.integer)) else tuple(ra)
             ax_b = (rb,) if isinstance(rb, (int, np.integer)) else tuple(rb)
+        # numpy allows negative axis indices — normalize before set math
+        ax_a = tuple(int(d) % self.meta.ndim for d in ax_a)
+        ax_b = tuple(int(d) % other.meta.ndim for d in ax_b)
         if len(ax_a) != len(ax_b):
             raise ValueError("axes lists must have equal length")
         ga, gb = self.meta.global_shape, other.meta.global_shape
@@ -1374,11 +1401,25 @@ class ChunkedArray:
         n = reduce(mul, (gb[d] for d in keep_b), 1)
         a2 = self.transpose(keep_a + ax_a).reshape((m, k))
         b2 = other.transpose(ax_b + keep_b).reshape((k, n))
-        # align the contracted tiling: A2 is slab-tiled (k unchunked), so
-        # bring B2's k-dim to one chunk too — its rows moved during the
-        # transpose/reshape anyway; the matmul then joins 1:1 on k
-        if a2.meta.chunks[1] != b2.meta.chunks[0]:
-            b2 = b2.rechunk((a2.meta.chunks[1], b2.meta.chunks[1]))
+        # Align the contracted tiling AND bound chunk volume: reshape emits
+        # slab tilings (a2's k and b2's n unchunked), which for large
+        # operands would funnel whole rows/columns through single binary
+        # cells (Arrow caps a cell at 2 GiB, and one Python worker would
+        # own the contraction). Tile k and n so no block exceeds
+        # _TD_MAX_ELEMS; matmul's k-join then runs genuinely blockwise.
+        max_h = max(a2.meta.chunks[0])
+        kb = min(k, max(1, _TD_MAX_ELEMS // max_h))
+        k_tiling = tuple(
+            min(kb, k - i * kb) for i in range((k + kb - 1) // kb)
+        )
+        nb = min(n, max(1, _TD_MAX_ELEMS // kb))
+        n_tiling = tuple(
+            min(nb, n - i * nb) for i in range((n + nb - 1) // nb)
+        )
+        if a2.meta.chunks[1] != k_tiling:
+            a2 = a2.rechunk((a2.meta.chunks[0], k_tiling))
+        if b2.meta.chunks != (k_tiling, n_tiling):
+            b2 = b2.rechunk((k_tiling, n_tiling))
         c2 = a2.matmul(b2)
         out_shape = tuple(ga[d] for d in keep_a) + tuple(gb[d] for d in keep_b)
         if not out_shape:
@@ -1390,7 +1431,12 @@ class ChunkedArray:
         """Global sum: fused pipeline + per-chunk numpy partial in ONE
         Python stage → tiny final agg. One row, column `total` — BIGINT for
         integer arrays (exact past 2^53), DOUBLE for float arrays,
-        DECIMAL(38,0) for uint64 (exact true value, no wraparound)."""
+        DECIMAL(38,0) for uint64 (exact true value, no wraparound).
+
+        numpy NaN contract for floats: any NaN anywhere → total is NaN.
+        The NaN marker travels as a boolean because the Arrow hop nulls
+        float NaN and F.sum would silently SKIP the whole chunk's
+        partial."""
         np_acc, sql_acc = _acc(self.meta.dtype)
         rows_fn = self._rows_fn()
         u64 = np_acc == np.uint64
@@ -1401,15 +1447,23 @@ class ChunkedArray:
                     _exact_u64_sum(arr) if u64 else arr.sum(dtype=np_acc)
                     for _, arr in rows_fn(pdf)
                 ]
-                yield pd.DataFrame({"__p": _partial_series(vals, np_acc)})
+                yield pd.DataFrame(
+                    {
+                        "__p": _partial_series(vals, np_acc),
+                        "__nan": [bool(v != v) for v in vals],
+                    }
+                )
 
-        partials = self.df.mapInPandas(partial, schema=f"__p {sql_acc}")
-        return partials.agg(F.sum("__p").cast(sql_acc).alias("total"))
+        partials = self.df.mapInPandas(partial, schema=f"__p {sql_acc}, __nan boolean")
+        total = _nan_aware(np_acc, F.sum("__p"), F.max("__nan"))
+        return partials.agg(total.cast(sql_acc).alias("total"))
 
     def _extreme(self, which: str) -> DataFrame:
         """Shared min/max plan: per-chunk numpy partial in the fused
         Python stage → one tiny final agg row. Exact: no accumulation,
-        only comparisons, so the SQL type mirrors the array's kind."""
+        only comparisons, so the SQL type mirrors the array's kind.
+        numpy NaN contract: any NaN → result is NaN (boolean marker, see
+        _nan_aware)."""
         np_acc, sql_acc = _acc(self.meta.dtype, use="val")
         rows_fn = self._rows_fn()
         np_red = np.min if which == "min" else np.max
@@ -1418,11 +1472,17 @@ class ChunkedArray:
         def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 vals = [np_red(arr) for _, arr in rows_fn(pdf)]
-                yield pd.DataFrame({"__p": _partial_series(vals, np_acc)})
+                yield pd.DataFrame(
+                    {
+                        "__p": _partial_series(vals, np_acc),
+                        "__nan": [bool(v != v) for v in vals],
+                    }
+                )
 
-        partials = self.df.mapInPandas(partial, schema=f"__p {sql_acc}")
+        partials = self.df.mapInPandas(partial, schema=f"__p {sql_acc}, __nan boolean")
         agg = F.min("__p") if which == "min" else F.max("__p")
-        return partials.agg(agg.cast(sql_acc).alias(alias))
+        value = _nan_aware(np_acc, agg, F.max("__nan"))
+        return partials.agg(value.cast(sql_acc).alias(alias))
 
     def min(self) -> DataFrame:
         """Global minimum — one row, column ``min_value``."""
@@ -1497,7 +1557,8 @@ class ChunkedArray:
         return self._arg_extreme("max")
 
     def mean(self) -> DataFrame:
-        """Global mean via sum + count partials (never collects data)."""
+        """Global mean via sum + count partials (never collects data).
+        numpy NaN contract: any NaN → mean is NaN."""
         np_acc, sql_acc = _acc(self.meta.dtype)
         rows_fn = self._rows_fn()
         u64 = np_acc == np.uint64
@@ -1509,13 +1570,22 @@ class ChunkedArray:
                     ss.append(_exact_u64_sum(arr) if u64 else arr.sum(dtype=np_acc))
                     ns.append(arr.size)
                 yield pd.DataFrame(
-                    {"__s": _partial_series(ss, np_acc), "__n": pd.Series(ns, dtype="int64")}
+                    {
+                        "__s": _partial_series(ss, np_acc),
+                        "__n": pd.Series(ns, dtype="int64"),
+                        "__nan": [bool(v != v) for v in ss],
+                    }
                 )
 
-        partials = self.df.mapInPandas(partial, schema=f"__s {sql_acc}, __n bigint")
-        return partials.agg(
-            (F.sum("__s").cast("double") / F.sum("__n").cast("double")).alias("mean_value")
+        partials = self.df.mapInPandas(
+            partial, schema=f"__s {sql_acc}, __n bigint, __nan boolean"
         )
+        mean = _nan_aware(
+            np_acc,
+            F.sum("__s").cast("double") / F.sum("__n").cast("double"),
+            F.max("__nan"),
+        )
+        return partials.agg(mean.alias("mean_value"))
 
     def std(self) -> DataFrame:
         """Population standard deviation via (sum, sum-of-squares, count)
@@ -1546,21 +1616,26 @@ class ChunkedArray:
                         "__s": pd.Series(ss, dtype=np_acc),
                         "__q": pd.Series(qq, dtype=np_acc),
                         "__n": pd.Series(ns, dtype="int64"),
+                        "__nan": [bool(v != v) for v in ss],
                     }
                 )
 
         partials = self.df.mapInPandas(
-            partial, schema=f"__s {sql_acc}, __q {sql_acc}, __n bigint"
+            partial, schema=f"__s {sql_acc}, __q {sql_acc}, __n bigint, __nan boolean"
         )
         totals = partials.agg(
-            F.sum("__s").alias("s"), F.sum("__q").alias("q"), F.sum("__n").alias("n")
+            F.sum("__s").alias("s"),
+            F.sum("__q").alias("q"),
+            F.sum("__n").alias("n"),
+            F.max("__nan").alias("has_nan"),
+        )
+        std = F.expr(
+            "sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE) "
+            "- (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+            "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
         )
         return totals.select(
-            F.expr(
-                "sqrt(CAST(q AS DOUBLE) / CAST(n AS DOUBLE) "
-                "- (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
-                "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
-            ).alias("std_value")
+            _nan_aware(np_acc, std, F.col("has_nan")).alias("std_value")
         )
 
     def _axis_reduce(
@@ -1611,13 +1686,18 @@ class ChunkedArray:
                     coords_out.extend(grids.T.tolist())
                     val_out.extend(red.ravel())
                 yield pd.DataFrame(
-                    {"coords": coords_out, "partial": _partial_series(val_out, np_acc)}
+                    {
+                        "coords": coords_out,
+                        "partial": _partial_series(val_out, np_acc),
+                        "__nan": [bool(v != v) for v in val_out],
+                    }
                 )
 
-        partials = self.df.mapInPandas(partial, schema=f"coords array<int>, partial {sql_acc}")
-        return partials.groupBy("coords").agg(
-            final_agg("partial").cast(sql_acc).alias(out_col)
+        partials = self.df.mapInPandas(
+            partial, schema=f"coords array<int>, partial {sql_acc}, __nan boolean"
         )
+        value = _nan_aware(np_acc, final_agg("partial"), F.max("__nan"))
+        return partials.groupBy("coords").agg(value.cast(sql_acc).alias(out_col))
 
     def axis_sum(self, axis: int) -> DataFrame:
         """Sum along one axis of an N-d grid → (coords, total)."""

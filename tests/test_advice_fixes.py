@@ -99,3 +99,59 @@ def test_argmin_argmax_nan_free_floats_unchanged(spark):
     assert lo["value"] == dense.min()
     assert tuple(hi["coords"]) == np.unravel_index(dense.argmax(), dense.shape)
     assert hi["value"] == dense.max()
+
+
+def test_float_reductions_propagate_nan(spark):
+    """numpy contract: any NaN → sum/mean/std/min/max are NaN. The Arrow
+    hop nulls NaN partials and JVM aggregates skip NULLs, so without the
+    boolean marker a NaN chunk silently VANISHES from the result (worse
+    than wrong: sum returns a plausible finite total)."""
+    chunks = {
+        (0,): np.array([1.0, np.nan]),
+        (1,): np.array([5.0, 2.0]),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "nanred", chunks)
+    assert np.isnan(arr.sum().first()["total"])
+    assert np.isnan(arr.mean().first()["mean_value"])
+    assert np.isnan(arr.std().first()["std_value"])
+    assert np.isnan(arr.min().first()["min_value"])
+    assert np.isnan(arr.max().first()["max_value"])
+
+
+def test_axis_reductions_propagate_nan_per_coordinate(spark):
+    """Axis reductions are NaN only where numpy is: the NaN column goes
+    NaN, clean columns keep their exact totals."""
+    chunks = {
+        (0, 0): np.array([[1.0, np.nan], [2.0, 3.0]]),
+        (1, 0): np.array([[4.0, 5.0], [6.0, 7.0]]),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "nanax", chunks)
+    dense = arr.to_numpy()
+    got = {tuple(r["coords"]): r["total"] for r in arr.axis_sum(axis=0).collect()}
+    expect = dense.sum(axis=0)
+    assert got[(0,)] == expect[0]
+    assert np.isnan(got[(1,)]) and np.isnan(expect[1])
+    got_min = {tuple(r["coords"]): r["value"] for r in arr.axis_min(axis=0).collect()}
+    assert got_min[(0,)] == dense.min(axis=0)[0]
+    assert np.isnan(got_min[(1,)])
+
+
+def test_integer_reductions_unaffected_by_nan_marker(spark):
+    chunks = {(0,): np.array([2, 3], dtype=np.int64), (1,): np.array([5, 7], dtype=np.int64)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "intred", chunks)
+    assert arr.sum().first()["total"] == 17
+    assert arr.min().first()["min_value"] == 2
+    assert arr.max().first()["max_value"] == 7
+
+
+def test_tensordot_negative_axes(spark):
+    rng = np.random.default_rng(20)
+    a_chunks = {(i, j): rng.integers(0, 9, size=(3, 4)).astype("float64")
+                for i in range(2) for j in range(2)}
+    b_chunks = {(i, j): rng.integers(0, 9, size=(4, 2)).astype("float64")
+                for i in range(2) for j in range(2)}
+    a = ChunkedArray.from_numpy_chunks(spark, "nga", a_chunks)
+    b = ChunkedArray.from_numpy_chunks(spark, "ngb", b_chunks)
+    expect = np.tensordot(a.to_numpy(), b.to_numpy(), axes=((-1,), (0,)))
+    out = a.tensordot(b, axes=((-1,), (0,)))
+    assert np.allclose(out.to_numpy(), expect)

@@ -61,13 +61,22 @@ def band_compare(sdf: pd.DataFrame, odf: pd.DataFrame, rtol: float) -> list[str]
     problems: list[str] = []
     if len(sdf) != len(odf):
         return [f"rowcount spark={len(sdf)} duck={len(odf)}"]
+    # normalize casing first so column access below can't KeyError on a
+    # Spark-vs-DuckDB case difference
+    sdf = sdf.rename(columns=str.lower)
+    odf = odf.rename(columns=str.lower)
     s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
-    if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
+    if s_cols != o_cols:
         return [f"columns spark={s_cols} duck={o_cols}"]
     sdf = sdf.reindex(s_cols, axis=1)
     odf = odf.reindex(o_cols, axis=1)
     num = [c for c in s_cols if pd.api.types.is_numeric_dtype(sdf[c])]
     keys = [c for c in s_cols if c not in num]
+    if not keys and len(sdf) > 1:
+        # without exact key columns the two sides can't be row-aligned
+        # (each would sort by its own approximate values) — a band oracle
+        # must group by at least one non-numeric key
+        return ["band oracle needs a non-numeric key column to align rows"]
     sdf = sdf.sort_values(keys or s_cols, ignore_index=True)
     odf = odf.sort_values(keys or o_cols, ignore_index=True)
     for c in keys:
