@@ -393,3 +393,15 @@ def test_take_composes_with_reductions(spark):
     idx = [1, 1, 6]
     total = a.take(idx, axis=0).sum().first()["total"]
     assert total == np.take(full, idx, axis=0).sum()
+
+
+def test_tensordot_outer_product_axes0(spark):
+    # axes=0 is the outer product — zero contracted axes, k=1
+    a_chunks = {(0,): np.array([1.0, 2.0, 3.0]), (1,): np.array([4.0, 5.0])}
+    b_chunks = {(0,): np.array([10.0, 20.0])}
+    a = ChunkedArray.from_numpy_chunks(spark, "oa", a_chunks)
+    b = ChunkedArray.from_numpy_chunks(spark, "ob", b_chunks)
+    expect = np.tensordot(a.to_numpy(), b.to_numpy(), axes=0)
+    out = a.tensordot(b, axes=0)
+    assert out.meta.global_shape == expect.shape
+    assert np.array_equal(out.to_numpy(), expect)
