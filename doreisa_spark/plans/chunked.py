@@ -80,6 +80,14 @@ CHUNK_SCHEMA = (
 # tensordot block cap: 2^24 elements = 128 MB float64 per block — far under
 # Arrow's 2 GiB binary-cell limit, big enough that BLAS dominates per block
 _TD_MAX_ELEMS = 1 << 24
+
+
+def _tile(total: int, block: int) -> tuple[int, ...]:
+    """Even ceil-div tiling of ``total`` into blocks of ``block`` (last one
+    ragged): the canonical chunk-size sequence used by take/reshape/
+    tensordot."""
+    block = max(1, min(block, total))
+    return tuple(min(block, total - i * block) for i in range((total + block - 1) // block))
 POS_SCHEMA = "pos array<int>"
 
 
@@ -1178,11 +1186,7 @@ class ChunkedArray:
             if row_chunks is None:
                 avg = sum(flat_sizes) // len(flat_sizes)
                 row_chunks = min(new_shape[0], max(1, round(avg / row) or 1))
-            n0 = new_shape[0]
-            heights = tuple(
-                min(row_chunks, n0 - i * row_chunks)
-                for i in range((n0 + row_chunks - 1) // row_chunks)
-            )
+            heights = _tile(new_shape[0], row_chunks)
             flat = flat.rechunk((tuple(h * row for h in heights),))
         meta = GridMeta(
             self.meta.name,
@@ -1240,7 +1244,12 @@ class ChunkedArray:
         # blocks are reclaimed by the ContextCleaner when the result is
         # dereferenced, so repeated boolean_select calls (e.g. per
         # streaming micro-batch) don't accumulate pinned storage the way
-        # an unpaired persist() would.
+        # an unpaired persist() would. Tradeoff: truncated lineage means an
+        # executor lost between here and the final action cannot recompute
+        # its blocks — acceptable for this short-lived intermediate (same
+        # call as dedup's label-propagation checkpoints); a deployment
+        # needing executor-loss recovery here should set a reliable
+        # checkpoint dir and swap in .checkpoint().
         picked = joined.mapInPandas(
             pick, schema="k int, n int, data binary"
         ).localCheckpoint(eager=True)
@@ -1273,22 +1282,21 @@ class ChunkedArray:
         if idx.ndim != 1:
             raise ValueError("take expects a 1-D index array")
         ndim = self.meta.ndim
-        if not (0 <= axis < ndim):
+        if not (-ndim <= axis < ndim):
             raise ValueError(f"axis {axis} out of range for ndim {ndim}")
+        axis %= ndim  # numpy convention: negative axis counts from the end
         extent = self.meta.global_shape[axis]
         if idx.size == 0:
             raise ValueError("take expects at least one index")
-        if ((idx < 0) | (idx >= extent)).any():
+        if ((idx < -extent) | (idx >= extent)).any():
             raise IndexError(f"index out of bounds for axis {axis} with size {extent}")
+        idx = np.where(idx < 0, idx + extent, idx)  # numpy negative indexing
         chunks = self.meta.chunks
         starts = np.concatenate([[0], np.cumsum(chunks[axis])]).astype(np.int64)
         # output tiling along the taken axis: blocks of the source's first
         # chunk extent (keeps chunk volume comparable)
         block = int(chunks[axis][0])
-        heights = tuple(
-            min(block, idx.size - i * block)
-            for i in range((idx.size + block - 1) // block)
-        )
+        heights = _tile(int(idx.size), block)
         out_chunks = tuple(
             chunks[d] if d != axis else heights for d in range(ndim)
         )
@@ -1311,6 +1319,11 @@ class ChunkedArray:
         rows_fn = self._rows_fn()
         name, ts = self.meta.name, self.timestep
         dtype = np.dtype(self.meta.dtype)
+        # prune BEFORE the kernel: unreferenced chunks must not pay the
+        # decode/generate pipeline (take([0]) from a 1000-chunk virtual
+        # array generates 1 chunk, not 1000)
+        needed = sorted({int(kk) for kk, _ in plan})
+        src_df = self.df.where(F.col("pos")[axis].isin(needed))
 
         def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -1333,7 +1346,7 @@ class ChunkedArray:
                     # which Arrow can't cast to list<int>)
                     yield pd.DataFrame(out)
 
-        pieces = self.df.mapInPandas(
+        pieces = src_df.mapInPandas(
             split, schema="pos array<int>, slots array<int>, piece binary"
         )
         shape_of = {
@@ -1407,15 +1420,16 @@ class ChunkedArray:
         # cells (Arrow caps a cell at 2 GiB, and one Python worker would
         # own the contraction). Tile k and n so no block exceeds
         # _TD_MAX_ELEMS; matmul's k-join then runs genuinely blockwise.
+        if k == 0:
+            raise ValueError("tensordot over a zero-size contracted extent")
         max_h = max(a2.meta.chunks[0])
         kb = min(k, max(1, _TD_MAX_ELEMS // max_h))
-        k_tiling = tuple(
-            min(kb, k - i * kb) for i in range((k + kb - 1) // kb)
-        )
-        nb = min(n, max(1, _TD_MAX_ELEMS // kb))
-        n_tiling = tuple(
-            min(nb, n - i * nb) for i in range((n + nb - 1) // nb)
-        )
+        k_tiling = _tile(k, kb)
+        # n is capped against BOTH kb (b2 input blocks kb×nb) and max_h
+        # (matmul OUTPUT blocks max_h×nb) — without the max_h term an outer
+        # product (k=1) would emit max_h × _TD_MAX_ELEMS output cells
+        nb = min(n, max(1, _TD_MAX_ELEMS // max(kb, max_h)))
+        n_tiling = _tile(n, nb)
         if a2.meta.chunks[1] != k_tiling:
             a2 = a2.rechunk((a2.meta.chunks[0], k_tiling))
         if b2.meta.chunks != (k_tiling, n_tiling):

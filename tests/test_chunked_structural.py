@@ -405,3 +405,11 @@ def test_tensordot_outer_product_axes0(spark):
     out = a.tensordot(b, axes=0)
     assert out.meta.global_shape == expect.shape
     assert np.array_equal(out.to_numpy(), expect)
+
+
+def test_take_negative_indices_and_axis(spark):
+    a, full = _grid(spark, grid=(2, 2), chunk=(4, 4), seed=21)
+    out = a.take([-1, 0, -8], axis=0)
+    assert np.array_equal(out.to_numpy(), np.take(full, [-1, 0, -8], axis=0))
+    out2 = a.take([2, -3], axis=-1)
+    assert np.array_equal(out2.to_numpy(), np.take(full, [2, -3], axis=-1))

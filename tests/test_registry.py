@@ -1,7 +1,8 @@
 """Registry integrity + a fast differential sample against DuckDB.
 
-The full 82-query differential runs via tools/check_oracle.py (and the
-round driver); here a representative fast subset guards refactors."""
+The full both-tier differential (every registered query) runs via
+tools/check_oracle.py (and the round driver); here a representative fast
+subset guards refactors."""
 
 from __future__ import annotations
 
