@@ -1381,6 +1381,57 @@ class ChunkedArray:
         df = pieces.groupBy("pos").applyInPandas(assemble, schema=CHUNK_SCHEMA)
         return ChunkedArray(df, meta, ts)
 
+    def compress(self, mask, axis: int = 0) -> "ChunkedArray":
+        """Select the slices of one axis where ``mask`` is true (numpy/dask
+        ``compress``): a driver-side boolean vector lowered onto take()'s
+        gather plan — mask length must equal the axis extent."""
+        m = np.asarray(mask, dtype=bool)
+        if m.ndim != 1:
+            raise ValueError("compress expects a 1-D boolean mask")
+        ndim = self.meta.ndim
+        if not (-ndim <= axis < ndim):
+            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
+        axis %= ndim
+        if m.size != self.meta.global_shape[axis]:
+            raise ValueError(
+                f"mask length {m.size} != axis {axis} extent "
+                f"{self.meta.global_shape[axis]}"
+            )
+        return self.take(np.flatnonzero(m), axis=axis)
+
+    def topk(self, k: int, *, largest: bool = True) -> DataFrame:
+        """The k largest (or smallest) elements of the array (dask
+        ``da.topk``) → DataFrame of one ``value`` column, sorted.
+
+        Scale shape: each chunk emits only its own top-k via
+        ``np.partition`` (O(chunk) selection, no chunk sort) inside the
+        fused Arrow stage; the global winner set is a
+        TakeOrderedAndProject over n_chunks·k tiny rows — no global sort,
+        no full-data shuffle."""
+        if k <= 0:
+            raise ValueError("k must be positive")
+        np_acc, sql_acc = _acc(self.meta.dtype, use="val")
+        rows_fn = self._rows_fn()
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vals: list = []
+                for _, arr in rows_fn(pdf):
+                    flat = arr.ravel()
+                    if flat.size > k:
+                        if largest:
+                            flat = np.partition(flat, flat.size - k)[-k:]
+                        else:
+                            flat = np.partition(flat, k - 1)[:k]
+                    vals.extend(flat.tolist())
+                yield pd.DataFrame({"__p": _partial_series(vals, np_acc)})
+
+        partials = self.df.mapInPandas(partial, schema=f"__p {sql_acc}")
+        order = F.col("__p").desc() if largest else F.col("__p").asc()
+        return partials.orderBy(order).limit(k).select(
+            F.col("__p").cast(sql_acc).alias("value")
+        )
+
     def tensordot(self, other: "ChunkedArray", axes=2) -> "ChunkedArray":
         """General N-d tensor contraction (dask ``da.tensordot``), lowered
         the standard way: transpose both operands so kept axes and

@@ -513,3 +513,20 @@ def tensor_take_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gate grid at every sf — a correctness entry."""
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
     return arr.take(_TAKE_IDX, axis=0).sum()
+
+
+@register(
+    "tensor_topk_values",
+    extended=True,
+    oracle=f"""
+SELECT CAST(r + c AS DOUBLE) AS value
+FROM {_DUCK_GRID}
+ORDER BY value DESC LIMIT 8
+""",
+)
+def tensor_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk(8): per-chunk np.partition selection (O(chunk), no sort)
+    inside the fused stage, global TakeOrderedAndProject over n_chunks·k
+    rows. Gate grid at every sf — a correctness entry."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.topk(8)

@@ -413,3 +413,27 @@ def test_take_negative_indices_and_axis(spark):
     assert np.array_equal(out.to_numpy(), np.take(full, [-1, 0, -8], axis=0))
     out2 = a.take([2, -3], axis=-1)
     assert np.array_equal(out2.to_numpy(), np.take(full, [2, -3], axis=-1))
+
+
+def test_compress_matches_numpy(spark):
+    a, full = _grid(spark, grid=(2, 2), chunk=(4, 4), seed=22)
+    mask = np.array([1, 0, 1, 1, 0, 0, 1, 0], dtype=bool)
+    out = a.compress(mask, axis=0)
+    assert np.array_equal(out.to_numpy(), np.compress(mask, full, axis=0))
+    out1 = a.compress(mask, axis=1)
+    assert np.array_equal(out1.to_numpy(), np.compress(mask, full, axis=1))
+
+
+def test_topk_matches_numpy(spark):
+    a, full = _grid(spark, grid=(2, 2), chunk=(4, 4), seed=23)
+    got = [r["value"] for r in a.topk(5).collect()]
+    assert got == sorted(full.ravel().tolist(), reverse=True)[:5]
+    got_small = [r["value"] for r in a.topk(3, largest=False).collect()]
+    assert got_small == sorted(full.ravel().tolist())[:3]
+
+
+def test_topk_k_larger_than_chunk(spark):
+    chunks = {(0,): np.array([3.0, 1.0]), (1,): np.array([9.0, 7.0])}
+    a = ChunkedArray.from_numpy_chunks(spark, "tk", chunks)
+    got = [r["value"] for r in a.topk(4).collect()]
+    assert got == [9.0, 7.0, 3.0, 1.0]
