@@ -69,8 +69,25 @@ def main() -> None:
     # identical code has scored 7.5 s and 32 s across sessions. The min of
     # three passes is the engine's capability; the raw per-pass times are
     # kept in the JSON so a contaminated run is auditable after the fact.
+    # Fixed-work probe timed before each pass: ~100 MFLOP of numpy on one
+    # core. On an idle box it is stable to a few ms; a 2×+ swing flags the
+    # pass as contention-contaminated so the driver's number can be audited.
+    import numpy as _np
+
+    _probe_x = _np.arange(2_000_000, dtype=_np.float64)
+
+    def _noise_probe() -> float:
+        t0 = time.perf_counter()
+        s = 0.0
+        for _ in range(25):
+            s += float((_probe_x * 1.0000001 + 0.5).sum())
+        assert s > 0
+        return round(time.perf_counter() - t0, 4)
+
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    probes: list[float] = []
     for _pass in range(3):
+        probes.append(_noise_probe())
         for name in HEADLINE:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
@@ -104,6 +121,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "passes": passes,
+                "noise_probe_sec": probes,
                 "extras": extras,
                 "sf": sf,
             }
