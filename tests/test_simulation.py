@@ -311,3 +311,45 @@ def test_callback_composes_structural_ops(spark):
         assert d == np.diff(dense, axis=0).sum()
         assert cs == dense.cumsum(axis=1).sum()
         assert top == np.unravel_index(dense.argmax(), dense.shape)
+
+
+def test_callback_composes_indexing_and_reshape(spark):
+    """Round-5 surface inside the consumption loop: reshape, boolean
+    masking, take, and topk all compose on the per-timestep array, so a
+    reference callback using any dask indexing idiom ports directly."""
+    seen = []
+
+    def callback(temps, timestep):
+        flat_sum = temps.reshape((CHUNK[0] * GRID[0] * CHUNK[1] * GRID[1],)).sum()
+        mask = temps.map_numpy(lambda a: (a > 2.0 * timestep).astype(np.float64))
+        masked = temps.boolean_select(mask).sum()
+        rows = temps.take([0, 7, 7], axis=0).sum()
+        top = temps.topk(2).collect()
+        seen.append(
+            (
+                timestep,
+                flat_sum.collect()[0]["total"],
+                masked.collect()[0]["total"],
+                rows.collect()[0]["total"],
+                [r["value"] for r in top],
+            )
+        )
+
+    run_simulation(
+        spark,
+        callback,
+        [ArrayDefinition("temps")],
+        max_iterations=3,
+        producers=lambda ing: _produce(ing, steps=3),
+    )
+    for t, flat_sum, masked, rows, top in seen:
+        dense = np.block(
+            [
+                [1.0 * t * np.ones(CHUNK), 2.0 * t * np.ones(CHUNK)],
+                [3.0 * t * np.ones(CHUNK), 4.0 * t * np.ones(CHUNK)],
+            ]
+        )
+        assert flat_sum == dense.sum()
+        assert masked == dense[dense > 2.0 * t].sum()
+        assert rows == dense[[0, 7, 7]].sum()
+        assert top == sorted(dense.ravel(), reverse=True)[:2]
