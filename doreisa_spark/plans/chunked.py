@@ -1399,6 +1399,49 @@ class ChunkedArray:
             )
         return self.take(np.flatnonzero(m), axis=axis)
 
+    def histogram(self, bins: int, range_: "tuple[float, float]") -> DataFrame:
+        """Fixed-width histogram over the whole array (dask
+        ``da.histogram`` with explicit bins+range) → DataFrame
+        ``(bin int, lo double, hi double, count bigint)``, one row per
+        bin (empty bins included).
+
+        Scale shape: each chunk reduces to a ``bins``-long count vector
+        via ``np.histogram`` inside the fused Arrow stage (map-side
+        combine); the shuffle carries n_chunks·bins tiny rows into a
+        groupBy-sum. numpy edge semantics exactly: right-open bins, last
+        bin right-closed, out-of-range values dropped."""
+        if bins <= 0:
+            raise ValueError("bins must be positive")
+        lo, hi = float(range_[0]), float(range_[1])
+        if not lo < hi:
+            raise ValueError("range must satisfy lo < hi")
+        rows_fn = self._rows_fn()
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                bs: list[int] = []
+                cs: list[int] = []
+                for _, arr in rows_fn(pdf):
+                    counts, _ = np.histogram(arr, bins=bins, range=(lo, hi))
+                    bs.extend(range(bins))
+                    cs.extend(int(c) for c in counts)
+                yield pd.DataFrame(
+                    {"bin": pd.Series(bs, dtype="int32"), "c": pd.Series(cs, dtype="int64")}
+                )
+
+        partials = self.df.mapInPandas(partial, schema="bin int, c bigint")
+        width = (hi - lo) / bins
+        return (
+            partials.groupBy("bin")
+            .agg(F.sum("c").alias("count"))
+            .select(
+                "bin",
+                (F.lit(lo) + F.col("bin") * F.lit(width)).alias("lo"),
+                (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("hi"),
+                "count",
+            )
+        )
+
     def topk(self, k: int, *, largest: bool = True) -> DataFrame:
         """The k largest (or smallest) elements of the array (dask
         ``da.topk``) → DataFrame of one ``value`` column, sorted.

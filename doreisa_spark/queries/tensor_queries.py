@@ -530,3 +530,25 @@ def tensor_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. Gate grid at every sf — a correctness entry."""
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
     return arr.topk(8)
+
+
+@register(
+    "tensor_histogram",
+    extended=True,
+    # 8 fixed-width bins of r+c over [0, 512): bin = (r+c) // 64, every
+    # internal edge lands right-open exactly like np.histogram.
+    oracle=f"""
+SELECT CAST(b AS INTEGER) AS bin,
+       CAST(b * 64 AS DOUBLE) AS lo,
+       CAST((b + 1) * 64 AS DOUBLE) AS hi,
+       count(*) AS count
+FROM (SELECT (r + c) // 64 AS b FROM {_DUCK_GRID})
+GROUP BY b
+""",
+)
+def tensor_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram(8, [0,512)): per-chunk np.histogram partials (map-side
+    combine) → groupBy-sum of n_chunks·bins tiny rows. Gate grid at every
+    sf — a correctness entry."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.histogram(8, (0.0, 512.0))

@@ -437,3 +437,18 @@ def test_topk_k_larger_than_chunk(spark):
     a = ChunkedArray.from_numpy_chunks(spark, "tk", chunks)
     got = [r["value"] for r in a.topk(4).collect()]
     assert got == [9.0, 7.0, 3.0, 1.0]
+
+
+def test_histogram_matches_numpy(spark):
+    a, full = _grid(spark, grid=(2, 2), chunk=(4, 4), seed=24)
+    got = {r["bin"]: r["count"] for r in a.histogram(5, (0.0, 50.0)).collect()}
+    expect, _ = np.histogram(full, bins=5, range=(0.0, 50.0))
+    assert got == {i: int(c) for i, c in enumerate(expect)}
+
+
+def test_histogram_empty_bins_present(spark):
+    chunks = {(0,): np.array([1.0, 1.5]), (1,): np.array([9.0, 9.5])}
+    a = ChunkedArray.from_numpy_chunks(spark, "hg", chunks)
+    rows = {r["bin"]: (r["lo"], r["hi"], r["count"]) for r in a.histogram(5, (0.0, 10.0)).collect()}
+    assert rows[0] == (0.0, 2.0, 2) and rows[4] == (8.0, 10.0, 2)
+    assert rows[1][2] == 0 and rows[2][2] == 0 and rows[3][2] == 0
