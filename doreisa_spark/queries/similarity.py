@@ -342,6 +342,20 @@ def _ivf_assign_blas(cent_rows, corpus: DataFrame) -> DataFrame:
     return corpus.mapInPandas(assign, schema="cid bigint, cell int")
 
 
+def _ivf_assign_expr(cent: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Oracle-exact IVF cell assignment: broadcast centroid cross join,
+    sequential-fold cosine, row_number argmax with deterministic cell
+    tie-break — the fold keeps Spark and DuckDB bit-identical."""
+    aw = W.partitionBy("cid").orderBy(F.col("a_cos").desc(), F.col("cell"))
+    return (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("cid", "cell", F.expr(V.cosine_expr("ce", "cemb")).alias("a_cos"))
+        .withColumn("arnk", F.row_number().over(aw))
+        .where(F.col("arnk") == 1)
+        .select("cid", "cell")
+    )
+
+
 def _ivf_query(spark: SparkSession, sf_dir: str, assign: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings", spread=True)
     cent = e.where(
@@ -351,14 +365,7 @@ def _ivf_query(spark: SparkSession, sf_dir: str, assign: str) -> DataFrame:
     if assign == "blas":
         assigned = _ivf_assign_blas(cent.collect(), corpus)
     else:
-        aw = W.partitionBy("cid").orderBy(F.col("a_cos").desc(), F.col("cell"))
-        assigned = (
-            corpus.crossJoin(F.broadcast(cent))
-            .select("cid", "cell", F.expr(V.cosine_expr("ce", "cemb")).alias("a_cos"))
-            .withColumn("arnk", F.row_number().over(aw))
-            .where(F.col("arnk") == 1)
-            .select("cid", "cell")
-        )
+        assigned = _ivf_assign_expr(cent, corpus)
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -468,4 +475,57 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _TOP_K)
         .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )
+
+
+@register(
+    "sim_kmeans_refine",
+    extended=True,
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id - {_IVF_CENT_LO} AS cell, embedding AS cemb
+  FROM embeddings WHERE vec_id >= {_IVF_CENT_LO} AND vec_id < {_IVF_CENT_LO + _IVF_CELLS}
+), corpus AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+), assigned AS (
+  SELECT cid, cell FROM (
+    SELECT c.cid, cent.cell,
+           row_number() OVER (
+             PARTITION BY c.cid
+             ORDER BY {V.duck_cosine('c.ce', 'cent.cemb')} DESC, cent.cell) AS arnk
+    FROM corpus c CROSS JOIN cent)
+  WHERE arnk = 1
+)
+SELECT a.cell, CAST(d.range AS INTEGER) AS dim,
+       round(avg(CAST(c.ce[d.range + 1] AS DOUBLE)), 6) AS centroid_val
+FROM assigned a
+JOIN corpus c USING (cid)
+CROSS JOIN range(0, 64) d
+GROUP BY a.cell, d.range
+""",
+)
+def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd (k-means) refinement step over the embedding corpus:
+    assign every vector to its nearest seed centroid (the IVF coarse
+    quantizer's oracle-exact assignment), then recompute each cell's
+    centroid as the per-dimension mean — the iterate of distributed
+    k-means at any scale.
+
+    Plan: assignment never shuffles the corpus (broadcast centroids,
+    narrow (cid, cell) projection through the argmax window); the update
+    posexplodes to (cell, dim, value) rows — 64 narrow rows per vector —
+    into one partial+final hash aggregate keyed by (cell, dim). At 100 TB
+    the shuffle carries only cells×dims partial sums per partition
+    (map-side combine), the textbook mini-batch k-means layout."""
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    cent = e.where(
+        (F.col("vec_id") >= _IVF_CENT_LO) & (F.col("vec_id") < _IVF_CENT_LO + _IVF_CELLS)
+    ).select((F.col("vec_id") - _IVF_CENT_LO).alias("cell"), F.col("embedding").alias("cemb"))
+    corpus = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    assigned = _ivf_assign_expr(cent, corpus)
+    return (
+        assigned.join(corpus, "cid")
+        .select("cell", F.posexplode("ce").alias("dim", "v"))
+        .groupBy("cell", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
     )
