@@ -1381,6 +1381,59 @@ class ChunkedArray:
         df = pieces.groupBy("pos").applyInPandas(assemble, schema=CHUNK_SCHEMA)
         return ChunkedArray(df, meta, ts)
 
+    def flip(self, axis: int = 0) -> "ChunkedArray":
+        """Reverse along one axis (numpy/dask ``flip``) with ZERO data
+        movement: chunk positions mirror (pos → n-1-pos on the axis, a
+        Catalyst expression over the pos column), the axis tiling
+        reverses, and each chunk reverses in-place inside the fused Arrow
+        stage — a pure map at any scale."""
+        ndim = self.meta.ndim
+        if not (-ndim <= axis < ndim):
+            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
+        axis %= ndim
+        n = self.meta.nb_chunks_per_dim[axis]
+        new_chunks = tuple(
+            self.meta.chunks[d][::-1] if d == axis else self.meta.chunks[d]
+            for d in range(ndim)
+        )
+        meta = GridMeta(
+            self.meta.name, self.meta.nb_chunks_per_dim, new_chunks, self.meta.dtype
+        )
+        m = self.materialize()
+        mirrored = m.df.withColumn(
+            "pos",
+            F.transform(
+                "pos",
+                lambda x, i: F.when(i == F.lit(axis), F.lit(n - 1) - x).otherwise(x),
+            ),
+        )
+        out = ChunkedArray(mirrored, meta, self.timestep)
+        return out.map_numpy(lambda a: np.flip(a, axis=axis))
+
+    def roll(self, shift: int, axis: int = 0) -> "ChunkedArray":
+        """Circular shift along one axis (numpy/dask ``roll``), lowered
+        onto slice + concatenate: the tail block moves to the front —
+        boundary chunks re-tile, interior chunks ride through untouched.
+        The result keeps the global shape; tiling along the axis follows
+        the two concatenated pieces."""
+        ndim = self.meta.ndim
+        if not (-ndim <= axis < ndim):
+            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
+        axis %= ndim
+        extent = self.meta.global_shape[axis]
+        s = int(shift) % extent
+        if s == 0:
+            return self
+        full = [(None, None)] * ndim
+        head_region = list(full)
+        head_region[axis] = (extent - s, extent)
+        tail_region = list(full)
+        tail_region[axis] = (0, extent - s)
+        return ChunkedArray.concatenate(
+            [self.slice(tuple(head_region)), self.slice(tuple(tail_region))],
+            axis=axis,
+        )
+
     def compress(self, mask, axis: int = 0) -> "ChunkedArray":
         """Select the slices of one axis where ``mask`` is true (numpy/dask
         ``compress``): a driver-side boolean vector lowered onto take()'s

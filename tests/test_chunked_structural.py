@@ -452,3 +452,23 @@ def test_histogram_empty_bins_present(spark):
     rows = {r["bin"]: (r["lo"], r["hi"], r["count"]) for r in a.histogram(5, (0.0, 10.0)).collect()}
     assert rows[0] == (0.0, 2.0, 2) and rows[4] == (8.0, 10.0, 2)
     assert rows[1][2] == 0 and rows[2][2] == 0 and rows[3][2] == 0
+
+
+@pytest.mark.parametrize("axis", [0, 1, -1])
+def test_flip_matches_numpy(spark, axis):
+    a, full = _grid(spark, grid=(2, 3), chunk=(4, 2), seed=25)
+    out = a.flip(axis=axis)
+    assert np.array_equal(out.to_numpy(), np.flip(full, axis=axis))
+
+
+def test_flip_ragged_tiling(spark):
+    chunks = {(0,): np.arange(4, dtype=np.float64), (1,): np.arange(5, dtype=np.float64)}
+    a = ChunkedArray.from_numpy_chunks(spark, "flr", chunks)
+    assert np.array_equal(a.flip(0).to_numpy(), np.flip(a.to_numpy()))
+
+
+@pytest.mark.parametrize("shift,axis", [(3, 0), (-2, 0), (5, 1), (0, 0), (16, 1)])
+def test_roll_matches_numpy(spark, shift, axis):
+    a, full = _grid(spark, grid=(2, 2), chunk=(4, 4), seed=26)
+    out = a.roll(shift, axis=axis)
+    assert np.array_equal(out.to_numpy(), np.roll(full, shift, axis=axis))
