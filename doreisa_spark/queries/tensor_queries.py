@@ -552,3 +552,45 @@ def tensor_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf — a correctness entry."""
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
     return arr.histogram(8, (0.0, 512.0))
+
+
+@register(
+    "tensor_flip_axis_sum",
+    extended=True,
+    # flip(0) then row sums: row r's total lands at coordinate R-1-r.
+    oracle=f"""
+SELECT CAST({_ROWS} - 1 - r AS BIGINT) AS idx,
+       CAST(sum(r + c) AS DOUBLE) AS total
+FROM {_DUCK_GRID}
+GROUP BY r
+""",
+)
+def tensor_flip_axis_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flip(axis=0).axis_sum(1): the zero-move mirror (pos rewrite +
+    in-chunk reverse) composed with a reduction — a misplaced mirror
+    shifts every coordinate. Gate grid at every sf — a correctness
+    entry."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    df = arr.flip(axis=0).axis_sum(axis=1)
+    return df.select(F.col("coords")[0].cast("bigint").alias("idx"), F.col("total"))
+
+
+@register(
+    "tensor_roll_axis_sum",
+    extended=True,
+    # roll(5, axis=1) then column sums: column c's total lands at (c+5)%C.
+    oracle=f"""
+SELECT CAST((c + 5) % {_COLS} AS BIGINT) AS idx,
+       CAST(sum(r + c) AS DOUBLE) AS total
+FROM {_DUCK_GRID}
+GROUP BY c
+""",
+)
+def tensor_roll_axis_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """roll(5, axis=1).axis_sum(0): the slice+concat circular shift
+    composed with a reduction — an off-by-one in either slice boundary
+    shifts the whole coordinate map. Gate grid at every sf — a
+    correctness entry."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    df = arr.roll(5, axis=1).axis_sum(axis=0)
+    return df.select(F.col("coords")[0].cast("bigint").alias("idx"), F.col("total"))
