@@ -1399,6 +1399,18 @@ class ChunkedArray:
         meta = GridMeta(
             self.meta.name, self.meta.nb_chunks_per_dim, new_chunks, self.meta.dtype
         )
+        if self._gen is not None:
+            # virtual: the mirror is a bijection over the full grid, so the
+            # pos frame is reused as-is and the flip composes into the
+            # generation closure — still zero stages added
+            g = self._gen
+
+            def gen2(pos: tuple[int, ...]) -> np.ndarray:
+                mp = list(pos)
+                mp[axis] = n - 1 - pos[axis]
+                return np.flip(g(tuple(mp)), axis=axis)
+
+            return ChunkedArray(self.df, meta, self.timestep, gen=gen2)
         m = self.materialize()
         mirrored = m.df.withColumn(
             "pos",
@@ -1450,6 +1462,11 @@ class ChunkedArray:
                 f"mask length {m.size} != axis {axis} extent "
                 f"{self.meta.global_shape[axis]}"
             )
+        if not m.any():
+            # zero-size chunked arrays aren't supported, so an all-False
+            # mask can't produce numpy's empty result — fail with the
+            # compress-level story instead of take()'s index complaint
+            raise ValueError("compress mask selects nothing (all False)")
         return self.take(np.flatnonzero(m), axis=axis)
 
     def histogram(self, bins: int, range_: "tuple[float, float]") -> DataFrame:
@@ -1508,24 +1525,49 @@ class ChunkedArray:
             raise ValueError("k must be positive")
         np_acc, sql_acc = _acc(self.meta.dtype, use="val")
         rows_fn = self._rows_fn()
+        is_f = np_acc.kind == "f"
 
         def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 vals: list = []
+                nans: list[bool] = []
                 for _, arr in rows_fn(pdf):
                     flat = arr.ravel()
+                    if is_f:
+                        # NaN sorts as LARGEST in numpy; the Arrow hop
+                        # would null it, so NaN candidates travel as an
+                        # explicit flag and finite values compete among
+                        # themselves
+                        n_nan = int(np.isnan(flat).sum())
+                        if n_nan:
+                            flat = flat[~np.isnan(flat)]
+                            nans.extend([True] * min(n_nan, k))
+                            vals.extend([0.0] * min(n_nan, k))
                     if flat.size > k:
                         if largest:
                             flat = np.partition(flat, flat.size - k)[-k:]
                         else:
                             flat = np.partition(flat, k - 1)[:k]
                     vals.extend(flat.tolist())
-                yield pd.DataFrame({"__p": _partial_series(vals, np_acc)})
+                    nans.extend([False] * (len(vals) - len(nans)))
+                yield pd.DataFrame(
+                    {"__p": _partial_series(vals, np_acc), "__nan": nans}
+                )
 
-        partials = self.df.mapInPandas(partial, schema=f"__p {sql_acc}")
+        partials = self.df.mapInPandas(partial, schema=f"__p {sql_acc}, __nan boolean")
         order = F.col("__p").desc() if largest else F.col("__p").asc()
-        return partials.orderBy(order).limit(k).select(
-            F.col("__p").cast(sql_acc).alias("value")
+        # NaN = numpy's largest value: leads the top-k when largest=True,
+        # fills only after every finite value when largest=False
+        nan_rank = F.col("__nan").desc() if largest else F.col("__nan").asc()
+        value = (
+            F.when(F.col("__nan"), F.lit(float("nan"))).otherwise(F.col("__p"))
+            if is_f
+            else F.col("__p")
+        )
+        return (
+            partials.orderBy(nan_rank, order)
+            .limit(k)
+            .select(value.cast(sql_acc).alias("value"))
         )
 
     def tensordot(self, other: "ChunkedArray", axes=2) -> "ChunkedArray":

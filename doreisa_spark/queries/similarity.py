@@ -497,7 +497,8 @@ WITH cent AS (
   WHERE arnk = 1
 )
 SELECT a.cell, CAST(d.range AS INTEGER) AS dim,
-       round(avg(CAST(c.ce[d.range + 1] AS DOUBLE)), 6) AS centroid_val
+       round(sum(CAST(c.ce[d.range + 1] AS DOUBLE)), 4) AS centroid_sum,
+       count(*) AS n_members
 FROM assigned a
 JOIN corpus c USING (cid)
 CROSS JOIN range(0, 64) d
@@ -508,8 +509,11 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd (k-means) refinement step over the embedding corpus:
     assign every vector to its nearest seed centroid (the IVF coarse
     quantizer's oracle-exact assignment), then recompute each cell's
-    centroid as the per-dimension mean — the iterate of distributed
-    k-means at any scale.
+    centroid numerator (per-dimension sum) and member count — the Lloyd
+    iterate's sufficient statistics; centroid = sum/n is one exact
+    division away. Sums (not means) are compared so the oracle follows
+    the sanctioned rounded-big-SUM pattern rather than rounding a
+    computed mean.
 
     Plan: assignment never shuffles the corpus (broadcast centroids,
     narrow (cid, cell) projection through the argmax window); the update
@@ -527,5 +531,8 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(corpus, "cid")
         .select("cell", F.posexplode("ce").alias("dim", "v"))
         .groupBy("cell", "dim")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_val"))
+        .agg(
+            F.round(F.sum(F.col("v").cast("double")), 4).alias("centroid_sum"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
     )

@@ -472,3 +472,32 @@ def test_roll_matches_numpy(spark, shift, axis):
     a, full = _grid(spark, grid=(2, 2), chunk=(4, 4), seed=26)
     out = a.roll(shift, axis=axis)
     assert np.array_equal(out.to_numpy(), np.roll(full, shift, axis=axis))
+
+
+def test_topk_nan_contract(spark):
+    """numpy treats NaN as the largest value: it leads largest-k and only
+    backfills smallest-k — and must not silently vanish on the Arrow hop."""
+    chunks = {(0,): np.array([np.nan, 100.0, 99.0]), (1,): np.array([1.0, 2.0, 3.0])}
+    a = ChunkedArray.from_numpy_chunks(spark, "tknan", chunks)
+    top = [r["value"] for r in a.topk(2).collect()]
+    assert np.isnan(top[0]) and top[1] == 100.0
+    small = [r["value"] for r in a.topk(3, largest=False).collect()]
+    assert small == [1.0, 2.0, 3.0]  # NaN exceeds every finite value
+    small_all = [r["value"] for r in a.topk(6, largest=False).collect()]
+    assert small_all[:5] == [1.0, 2.0, 3.0, 99.0, 100.0] and np.isnan(small_all[5])
+
+
+def test_flip_stays_virtual(spark):
+    meta = GridMeta("fv", (3, 1), (2, 4))
+    a = ChunkedArray.from_function(spark, meta, ramp_chunk)
+    flipped = a.flip(0)
+    assert flipped.is_virtual  # composed into the generation closure
+    dense = a.to_numpy()
+    assert np.array_equal(flipped.to_numpy(), np.flip(dense, axis=0))
+    assert flipped.sum().first()["total"] == dense.sum()
+
+
+def test_compress_all_false_clear_error(spark):
+    a, _ = _grid(spark, grid=(2, 1), chunk=(2, 3), seed=27)
+    with pytest.raises(ValueError, match="all False"):
+        a.compress(np.zeros(4, dtype=bool), axis=0)
