@@ -684,7 +684,8 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q8_ORACLE = """
 SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
        n_name AS supp_nation,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON o_orderkey = l_orderkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -706,7 +707,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: all five dims broadcast; the single shuffle is
     lineitem⨝orders on orderkey feeding the (year, nation) hash
-    aggregate."""
+    aggregate.
+
+    Revenue sums in DECIMAL scale 4, then casts to double UNROUNDED
+    (identical decimals -> identical doubles -> identical rendering):
+    prices/discounts are exact 2dp by construction, so the per-group sum
+    is order-independent-exact and bit-identical in both engines. The
+    usual round(double, 2) display would reintroduce the half-tie
+    divergence (observed at sf0.001: an exact ...315 group rendered .32
+    by Spark's HALF_UP-on-shortest-decimal and .31 by DuckDB's
+    double-nearest)."""
     l = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     s = table(spark, sf_dir, "supplier")
@@ -724,9 +734,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("supp_nation"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
