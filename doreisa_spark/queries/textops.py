@@ -378,3 +378,67 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ck", 1).alias("first_token"),
         F.md5(F.array_join("ck", " ").cast("binary")).alias("chunk_digest"),
     )
+
+
+@register(
+    "text_repetition",
+    extended=True,
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS INTEGER) AS n_2grams,
+       CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+       round(CASE WHEN len(grams) > 0
+                  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                       / CAST(len(grams) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS dup_fraction,
+       CASE WHEN len(grams) >= 10
+             AND 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                 / CAST(len(grams) AS DOUBLE) > 0.5
+            THEN 1 ELSE 0 END AS is_repetitive
+FROM g
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring (the Gopher 'duplicate n-gram
+    fraction' quality rule): fraction of whitespace 2-grams that are
+    repeats, plus a repetitive-document flag — the filter that drops
+    boilerplate/looping text before pretraining.
+
+    Map-only: every metric is a JVM higher-order expression over the
+    token array (no shuffle, no Python); the dup fraction is one exact
+    integer division per doc, so the doubles match DuckDB bit-for-bit.
+    The gram builder guards the <2-token case (sequence(0, -1) would
+    step DOWNWARD, the sample_upweight lesson)."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(grams)
+    nd = F.size(F.array_distinct(grams))
+    dup = F.when(
+        n > 0, F.lit(1.0) - nd.cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.alias("n_2grams"),
+        nd.alias("n_distinct"),
+        F.round(dup, 6).alias("dup_fraction"),
+        F.when((n >= 10) & (dup > 0.5), 1).otherwise(0).alias("is_repetitive"),
+    )
