@@ -507,3 +507,67 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("u") == F.col("component")).alias("keep"),
     )
+
+
+_BENCH_DOCS = 20  # doc_id < 20 stand in for a benchmark/eval set
+_CONTAM_MIN_SHARED = 3  # shared distinct 3-gram shingles to flag
+
+
+@register(
+    "dedup_decontaminate",
+    extended=True,
+    oracle=f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id, {TX.duck_shingles('text', 3)} AS sh
+  FROM documents WHERE doc_id < {_BENCH_DOCS}
+), train AS (
+  SELECT doc_id, {TX.duck_shingles('text', 3)} AS sh
+  FROM documents WHERE doc_id >= {_BENCH_DOCS}
+), pairs AS (
+  SELECT t.doc_id, b.bench_id,
+         len(list_intersect(t.sh, b.sh)) AS shared
+  FROM train t CROSS JOIN bench b
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_bench_hits,
+       CAST(max(shared) AS INTEGER) AS max_shared
+FROM pairs
+WHERE shared >= {_CONTAM_MIN_SHARED}
+GROUP BY doc_id
+""",
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥
+    {_CONTAM_MIN_SHARED} distinct word 3-gram shingles with any document
+    of a (small) benchmark set — the eval-overlap filter every serious
+    pretraining pipeline runs.
+
+    Scale shape: the benchmark side is tiny BY DEFINITION (an eval set),
+    so its exploded (shingle → bench_id) table broadcasts; the corpus
+    explodes its shingles map-only and the overlap count is one
+    broadcast-join + (doc, bench) hash aggregate — the corpus never
+    shuffles by content, never self-joins. The oracle's cross-join
+    formulation is quadratic but exact; the engine path is linear in
+    corpus shingles."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    bench = (
+        d.where(F.col("doc_id") < _BENCH_DOCS)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(F.expr(TX.shingles_expr("text", 3))).alias("sh"),
+        )
+    )
+    train = (
+        d.where(F.col("doc_id") >= _BENCH_DOCS)
+        .select("doc_id", F.explode(F.expr(TX.shingles_expr("text", 3))).alias("sh"))
+    )
+    shared = (
+        train.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= _CONTAM_MIN_SHARED)
+    )
+    return shared.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bench_hits"),
+        F.max("shared").cast("int").alias("max_shared"),
+    )
