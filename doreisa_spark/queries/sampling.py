@@ -13,7 +13,7 @@ The hash is the same 28-bit md5-derived ``hash60`` the dedup family uses
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import table
@@ -133,5 +133,74 @@ def sample_upweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("copy_no"),
+        )
+    )
+
+
+_PACK_BUCKETS = 8  # parallel packing streams (hash-assigned)
+_PACK_BUDGET = 2048  # whitespace tokens per packed training sequence
+
+
+@register(
+    "sample_pack_sequences",
+    extended=True,
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id,
+         ({TX.duck_hash60('CAST(doc_id AS VARCHAR)')} % {_PACK_BUCKETS}) AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+), placed AS (
+  SELECT doc_id, bucket, n_tokens,
+         COALESCE(sum(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM docs
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(start_off // {_PACK_BUDGET} AS INTEGER) AS seq_no,
+       CAST(count(*) AS INTEGER) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM placed
+GROUP BY bucket, start_off // {_PACK_BUDGET}
+""",
+)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining — the concat-then-chunk layout:
+    documents concatenate in deterministic (bucket, doc_id) order and the
+    stream splits into {_PACK_BUDGET}-token training sequences; a doc
+    belongs to the sequence its first token lands in.
+
+    Distributed shape: {_PACK_BUCKETS} independent hash-assigned packing
+    streams (at cluster scale, thousands) — each bucket's running offset
+    is one partitioned window cumsum, so the plan is a single
+    bucket-keyed shuffle; no global coordination, no driver. All
+    arithmetic is integer-exact, so the oracle matches bit-for-bit."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.expr(TX.hash60_expr("CAST(doc_id AS STRING)")) % _PACK_BUCKETS).alias(
+        "bucket"
+    )
+    n_tokens = F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    docs = d.select("doc_id", bucket, n_tokens)
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    placed = docs.withColumn(
+        "start_off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        placed.groupBy(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.floor(F.col("start_off") / _PACK_BUDGET).cast("int").alias("seq_no"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
         )
     )
