@@ -536,3 +536,80 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+@register(
+    "sim_scalar_quantize",
+    extended=True,
+    oracle=f"""
+WITH base AS (
+  SELECT vec_id,
+         embedding,
+         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax
+  FROM embeddings
+), coded AS (
+  SELECT vec_id, embedding, vmin, vmax,
+         CASE WHEN vmax > vmin
+              THEN list_transform(embedding,
+                     v -> least(floor((CAST(v AS DOUBLE) - vmin) * 255.0
+                                      / (vmax - vmin)), 255.0))
+              ELSE list_transform(embedding, v -> 0.0) END AS codes
+  FROM base
+)
+SELECT vec_id,
+       round(vmin, 6) AS vmin,
+       round(vmax, 6) AS vmax,
+       CAST(len(list_distinct(codes)) AS INTEGER) AS n_codes,
+       round(CASE WHEN vmax > vmin
+                  THEN list_aggregate(
+                         list_transform(range(1, len(codes) + 1),
+                           i -> abs(CAST(embedding[i] AS DOUBLE)
+                                    - (vmin + codes[i] * (vmax - vmin) / 255.0))),
+                         'max')
+                  ELSE 0.0 END, 6) AS max_abs_err
+FROM coded
+""",
+)
+def sim_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization — the memory-4× compression
+    every large-scale vector index applies before ANN search: min/max
+    range per vector, 256-level codes, and the reconstruction error
+    bound.
+
+    Map-only: all arithmetic is JVM higher-order expressions over the
+    embedding array; codes use floor (never round) and both engines
+    evaluate the identical operation tree per element, so doubles and the
+    error bound match bit-for-bit. Constant vectors quantize to code 0
+    with zero error."""
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    emb = F.col("embedding")
+    vmin = F.array_min(emb).cast("double")
+    vmax = F.array_max(emb).cast("double")
+    rng_ok = vmax > vmin
+    codes = F.when(
+        rng_ok,
+        F.transform(
+            emb,
+            lambda v: F.least(
+                F.floor((v.cast("double") - vmin) * 255.0 / (vmax - vmin)).cast(
+                    "double"
+                ),
+                F.lit(255.0),
+            ),
+        ),
+    ).otherwise(F.transform(emb, lambda v: F.lit(0.0)))
+    errs = F.zip_with(
+        emb,
+        codes,
+        lambda v, c: F.abs(v.cast("double") - (vmin + c * (vmax - vmin) / 255.0)),
+    )
+    return e.select(
+        "vec_id",
+        F.round(vmin, 6).alias("vmin"),
+        F.round(vmax, 6).alias("vmax"),
+        F.size(F.array_distinct(codes)).alias("n_codes"),
+        F.round(F.when(rng_ok, F.array_max(errs)).otherwise(F.lit(0.0)), 6).alias(
+            "max_abs_err"
+        ),
+    )
