@@ -1759,6 +1759,111 @@ class ChunkedArray:
         """Coordinates of the global maximum → one row (coords, value)."""
         return self._arg_extreme("max")
 
+    def _axis_arg_extreme(self, axis: int, which: str) -> DataFrame:
+        """Shared axis argmin/argmax plan: each chunk reduces to its own
+        per-cross-coordinate best (value, global index along the axis);
+        the final winner per coordinate is ONE struct-ordered aggregate —
+        the shuffle carries reduced vectors only, exactly like
+        _axis_reduce.
+
+        Ordering rides a lexicographic struct so ties and NaN follow
+        numpy: (nan_key, value, index) under min/max picks NaN rows first
+        (numpy's arg* return the first NaN along the axis), then the
+        extreme value, then the SMALLEST index (max negates the index to
+        keep first-occurrence). NaN markers are explicit booleans because
+        the Arrow hop nulls float NaN."""
+        ndim = self.meta.ndim
+        if not (0 <= axis < ndim):
+            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
+        if ndim < 2:
+            raise ValueError("axis_argmin/argmax need ndim >= 2 (use argmin/argmax)")
+        kept = [d for d in range(ndim) if d != axis]
+        np_acc, sql_acc = _acc(self.meta.dtype, use="val")
+        chunks = self.meta.chunks
+        rows_fn = self._rows_fn()
+        best_fn = np.argmin if which == "min" else np.argmax
+        is_f = np_acc.kind == "f"
+
+        def offset(d: int, p: int) -> int:
+            return sum(chunks[d][:p])
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                coords_out: list[list[int]] = []
+                idx_out: list[int] = []
+                val_out: list = []
+                nan_out: list[bool] = []
+                for pos, arr in rows_fn(pdf):
+                    a = arr.astype(np_acc, copy=False)
+                    loc = best_fn(a, axis=axis)  # first NaN per numpy
+                    val = np.take_along_axis(
+                        a, np.expand_dims(loc, axis), axis
+                    ).squeeze(axis)
+                    gidx = loc + offset(axis, pos[axis])
+                    grids = np.indices(val.shape).reshape(len(kept), -1)
+                    for j, d_ in enumerate(kept):
+                        grids[j] += offset(d_, pos[d_])
+                    coords_out.extend(grids.T.tolist())
+                    idx_out.extend(int(i) for i in gidx.ravel())
+                    flat_vals = val.ravel()
+                    if is_f:
+                        nans = np.isnan(flat_vals)
+                        nan_out.extend(bool(b) for b in nans)
+                        # keep the transported value non-null (nan rows all
+                        # compare equal on it anyway)
+                        flat_vals = np.where(nans, 0.0, flat_vals)
+                    else:
+                        nan_out.extend([False] * flat_vals.size)
+                    val_out.extend(flat_vals.tolist())
+                yield pd.DataFrame(
+                    {
+                        "coords": coords_out,
+                        "__v": _partial_series(val_out, np_acc),
+                        "__i": pd.Series(idx_out, dtype="int64"),
+                        "__nan": nan_out,
+                    }
+                )
+
+        partials = self.df.mapInPandas(
+            partial,
+            schema=f"coords array<int>, __v {sql_acc}, __i bigint, __nan boolean",
+        )
+        if which == "min":
+            # min-struct: NaN first (false < true on NOT nan), value asc,
+            # index asc — numpy first-occurrence
+            key = F.struct(
+                (~F.col("__nan")).alias("k0"), F.col("__v").alias("k1"), F.col("__i").alias("k2")
+            )
+            agg = F.min(key)
+        else:
+            # max-struct: NaN first (true > false on nan), value desc via
+            # max, index negated so the max picks the SMALLEST index
+            key = F.struct(
+                F.col("__nan").alias("k0"), F.col("__v").alias("k1"), (-F.col("__i")).alias("k2")
+            )
+            agg = F.max(key)
+        won = partials.groupBy("coords").agg(agg.alias("w"))
+        idx = F.col("w.k2") if which == "min" else -F.col("w.k2")
+        value = (
+            F.when(
+                F.col("w.k0") != F.lit(which == "min"), F.lit(float("nan"))
+            ).otherwise(F.col("w.k1"))
+            if is_f
+            else F.col("w.k1")
+        )
+        return won.select(
+            "coords", idx.alias("index"), value.cast(sql_acc).alias("value")
+        )
+
+    def axis_argmin(self, axis: int) -> DataFrame:
+        """Per-coordinate argmin along one axis (dask ``da.argmin(axis)``)
+        → one row per surviving coordinate: (coords, index, value)."""
+        return self._axis_arg_extreme(axis, "min")
+
+    def axis_argmax(self, axis: int) -> DataFrame:
+        """Per-coordinate argmax along one axis → (coords, index, value)."""
+        return self._axis_arg_extreme(axis, "max")
+
     def mean(self) -> DataFrame:
         """Global mean via sum + count partials (never collects data).
         numpy NaN contract: any NaN → mean is NaN."""

@@ -594,3 +594,39 @@ def tensor_roll_axis_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
     df = arr.roll(5, axis=1).axis_sum(axis=0)
     return df.select(F.col("coords")[0].cast("bigint").alias("idx"), F.col("total"))
+
+
+def _mod_chunk(pos: tuple[int, ...], shape: tuple[int, ...]):
+    """A[r, c] = (7r + c) mod 101 — non-monotone along every axis, so the
+    per-column argmin position varies and any index/tie bug shows."""
+    import numpy as np
+
+    r = np.arange(pos[0] * shape[0], (pos[0] + 1) * shape[0], dtype=np.int64)
+    c = np.arange(pos[1] * shape[1], (pos[1] + 1) * shape[1], dtype=np.int64)
+    return ((7 * r[:, None] + c[None, :]) % 101).astype(np.float64)
+
+
+@register(
+    "tensor_axis_argmin",
+    extended=True,
+    oracle=f"""
+SELECT idx, index, value FROM (
+  SELECT c AS idx, r AS index,
+         CAST((7*r + c) % 101 AS DOUBLE) AS value,
+         row_number() OVER (
+           PARTITION BY c ORDER BY (7*r + c) % 101, r) AS rk
+  FROM {_DUCK_GRID})
+WHERE rk = 1
+""",
+)
+def tensor_axis_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """axis_argmin(0) over a modular grid: per-chunk arg partials →
+    struct-ordered final aggregate (first-occurrence ties, numpy
+    semantics). Gate grid at every sf — a correctness entry."""
+    arr = ChunkedArray.from_function(spark, _META, _mod_chunk)
+    df = arr.axis_argmin(axis=0)
+    return df.select(
+        F.col("coords")[0].cast("bigint").alias("idx"),
+        F.col("index"),
+        F.col("value"),
+    )

@@ -628,3 +628,54 @@ def test_scale_axis_rejects_bad_length(spark):
     arr = _ramp(spark)
     with pytest.raises(ValueError):
         arr.scale_axis(np.ones(3), axis=0)
+
+
+def test_axis_argmin_argmax_matches_numpy(spark):
+    chunks = {
+        (i, j): np.array([[5.0, 2.0], [9.0, 2.0]]) * (i + 1) + j
+        for i in range(2)
+        for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "axarg", chunks)
+    dense = arr.to_numpy()
+    for axis in (0, 1):
+        lo = {tuple(r["coords"]): (r["index"], r["value"])
+              for r in arr.axis_argmin(axis).collect()}
+        hi = {tuple(r["coords"]): (r["index"], r["value"])
+              for r in arr.axis_argmax(axis).collect()}
+        amin, amax = dense.argmin(axis=axis), dense.argmax(axis=axis)
+        vmin, vmax = dense.min(axis=axis), dense.max(axis=axis)
+        for k, pos in np.ndenumerate(amin):
+            assert lo[k] == (pos, vmin[k]), (axis, k)
+        for k, pos in np.ndenumerate(amax):
+            assert hi[k] == (pos, vmax[k]), (axis, k)
+
+
+def test_axis_argmin_argmax_nan_contract(spark):
+    chunks = {
+        (0, 0): np.array([[1.0, np.nan], [2.0, 3.0]]),
+        (1, 0): np.array([[np.nan, 5.0], [0.5, 7.0]]),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "axargn", chunks)
+    dense = arr.to_numpy()
+    lo = {tuple(r["coords"]): (r["index"], r["value"])
+          for r in arr.axis_argmin(0).collect()}
+    hi = {tuple(r["coords"]): (r["index"], r["value"])
+          for r in arr.axis_argmax(0).collect()}
+    for c in range(2):
+        exp_lo, exp_hi = dense.argmin(axis=0)[c], dense.argmax(axis=0)[c]
+        assert lo[(c,)][0] == exp_lo and hi[(c,)][0] == exp_hi
+        if np.isnan(dense[exp_lo, c]):
+            assert np.isnan(lo[(c,)][1])
+        else:
+            assert lo[(c,)][1] == dense[exp_lo, c]
+
+
+def test_axis_argmax_ties_first_occurrence(spark):
+    chunks = {
+        (0,  0): np.array([[4.0, 4.0]]),
+        (1,  0): np.array([[4.0, 1.0]]),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "axargt", chunks)
+    hi = {tuple(r["coords"]): r["index"] for r in arr.axis_argmax(0).collect()}
+    assert hi[(0,)] == 0 and hi[(1,)] == 0  # first max wins, as numpy
