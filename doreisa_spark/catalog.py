@@ -66,10 +66,10 @@ def table(
     pinned UTC so the NTZ→TZ reinterpretation is the identity and matches
     what DuckDB's oracle sees."""
     if name == "events":
+        # Narrow legacy flag: lets Spark 4.x read TIMESTAMP(NANOS) parquet at
+        # all (it errors without it). Must be set before the read.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
@@ -79,7 +79,25 @@ def table(
             # integer division — double division drifts ±1µs at 1e18 magnitudes
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif ts_type == "timestamp_ntz":
-            # identity under the UTC session TZ pinned above
+            # The NTZ→TIMESTAMP cast below reinterprets wall-clock fields in
+            # the SESSION time zone — and so does every later collect() of the
+            # resulting timestamp column. Both must be UTC for results to
+            # match a DuckDB oracle reading the same file, so the session TZ
+            # is pinned here. This is a GLOBAL session mutation; callers that
+            # deliberately run under another TZ are warned rather than
+            # silently overridden (ADVICE r5: no silent conf clobbering).
+            if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+                import warnings
+
+                warnings.warn(
+                    "doreisa_spark.catalog: events.ts is TIMESTAMP_NTZ; "
+                    "pinning spark.sql.session.timeZone=UTC for this session "
+                    "so the NTZ reinterpretation (and collect-time rendering) "
+                    "is the identity. Set the TZ back after running catalog "
+                    "queries if your application needs another zone.",
+                    stacklevel=2,
+                )
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if spread:
         target = spark.sparkContext.defaultParallelism

@@ -81,6 +81,11 @@ CHUNK_SCHEMA = (
 # Arrow's 2 GiB binary-cell limit, big enough that BLAS dominates per block
 _TD_MAX_ELEMS = 1 << 24
 
+# take(): above this many indices the gather plan ships as a joined
+# DataFrame instead of a closure-captured dict (ADVICE r5) — ~64k (row,
+# slot) int pairs is where per-task closure serialization starts to matter
+_TAKE_DISTRIBUTE_AT = 1 << 16
+
 
 def _tile(total: int, block: int) -> tuple[int, ...]:
     """Even ceil-div tiling of ``total`` into blocks of ``block`` (last one
@@ -1255,6 +1260,15 @@ class ChunkedArray:
         ).localCheckpoint(eager=True)
         counts = {int(r["k"]): int(r["n"]) for r in picked.select("k", "n").collect()}
         sizes = tuple(counts[k] for k in sorted(counts))
+        if sum(sizes) == 0:
+            # zero-size chunked arrays aren't supported, so an all-False
+            # mask can't produce numpy's empty result — fail here with a
+            # clear story (same contract as compress()) instead of letting
+            # downstream ops trip over an all-zero-chunk GridMeta
+            raise ValueError(
+                "boolean_select mask selects nothing (all False everywhere); "
+                "zero-size results are unsupported, matching compress()"
+            )
         meta = GridMeta(self.meta.name, (len(sizes),), (sizes,), self.meta.dtype)
         name, ts = self.meta.name, self.timestep
         df = picked.select(
@@ -1319,36 +1333,83 @@ class ChunkedArray:
         rows_fn = self._rows_fn()
         name, ts = self.meta.name, self.timestep
         dtype = np.dtype(self.meta.dtype)
-        # prune BEFORE the kernel: unreferenced chunks must not pay the
-        # decode/generate pipeline (take([0]) from a 1000-chunk virtual
-        # array generates 1 chunk, not 1000)
-        needed = sorted({int(kk) for kk, _ in plan})
-        src_df = self.df.where(F.col("pos")[axis].isin(needed))
+        if idx.size <= _TAKE_DISTRIBUTE_AT:
+            # dask-style driver index array: the plan rides in the kernel
+            # closure (serialized once per stage). Prune BEFORE the
+            # kernel: unreferenced chunks must not pay the decode/generate
+            # pipeline (take([0]) from a 1000-chunk virtual array
+            # generates 1 chunk, not 1000)
+            needed = sorted({int(kk) for kk, _ in plan})
+            src_df = self.df.where(F.col("pos")[axis].isin(needed))
 
-        def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = {"pos": [], "slots": [], "piece": []}
-                for pos, arr in rows_fn(pdf):
-                    k = pos[axis]
-                    for t in range(len(heights)):
-                        entry = plan.get((k, t))
-                        if entry is None:
-                            continue
-                        rows, slots = entry
-                        piece = np.ascontiguousarray(np.take(arr, rows, axis=axis))
+            def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    out = {"pos": [], "slots": [], "piece": []}
+                    for pos, arr in rows_fn(pdf):
+                        k = pos[axis]
+                        for t in range(len(heights)):
+                            entry = plan.get((k, t))
+                            if entry is None:
+                                continue
+                            rows, slots = entry
+                            piece = np.ascontiguousarray(np.take(arr, rows, axis=axis))
+                            tgt = list(pos)
+                            tgt[axis] = t
+                            out["pos"].append(tgt)
+                            out["slots"].append(slots)
+                            out["piece"].append(piece.tobytes())
+                    if out["pos"]:  # all-unreferenced batch: emit nothing (an
+                        # empty frame would type the list columns float64,
+                        # which Arrow can't cast to list<int>)
+                        yield pd.DataFrame(out)
+
+            pieces = src_df.mapInPandas(
+                split, schema="pos array<int>, slots array<int>, piece binary"
+            )
+        else:
+            # Large index arrays (ADVICE r5): the gather plan ships as a
+            # RELATION joined on the source-chunk key, not a dict captured
+            # in every task closure — the driver serializes it exactly once
+            # into plan_df, the inner join prunes unreferenced chunks, and
+            # AQE picks broadcast vs shuffle by the plan's actual size. A
+            # chunk referenced by T targets decodes T times here (vs once
+            # on the closure path) — the standard trade for not shipping
+            # O(len(indices)) state to every task.
+            spark = self.df.sparkSession
+            items = sorted(plan.items())
+            plan_pdf = pd.DataFrame(
+                {
+                    "k": [k for (k, _), _ in items],
+                    "t": [t for (_, t), _ in items],
+                    "rows": [rs for _, (rs, _) in items],
+                    "slots": [sl for _, (_, sl) in items],
+                }
+            )
+            plan_df = spark.createDataFrame(
+                plan_pdf, schema="k int, t int, rows array<int>, slots array<int>"
+            )
+            joined_src = self.df.join(plan_df, F.col("pos")[axis] == F.col("k"))
+
+            def split_joined(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    out = {"pos": [], "slots": [], "piece": []}
+                    for (pos, arr), t, rows, slots in zip(
+                        rows_fn(pdf), pdf["t"], pdf["rows"], pdf["slots"]
+                    ):
+                        piece = np.ascontiguousarray(
+                            np.take(arr, [int(r) for r in rows], axis=axis)
+                        )
                         tgt = list(pos)
-                        tgt[axis] = t
+                        tgt[axis] = int(t)
                         out["pos"].append(tgt)
-                        out["slots"].append(slots)
+                        out["slots"].append([int(s) for s in slots])
                         out["piece"].append(piece.tobytes())
-                if out["pos"]:  # all-unreferenced batch: emit nothing (an
-                    # empty frame would type the list columns float64,
-                    # which Arrow can't cast to list<int>)
-                    yield pd.DataFrame(out)
+                    if out["pos"]:
+                        yield pd.DataFrame(out)
 
-        pieces = src_df.mapInPandas(
-            split, schema="pos array<int>, slots array<int>, piece binary"
-        )
+            pieces = joined_src.mapInPandas(
+                split_joined, schema="pos array<int>, slots array<int>, piece binary"
+            )
         shape_of = {
             p: meta.shape_of(p)
             for p in product(*(range(g) for g in meta.nb_chunks_per_dim))

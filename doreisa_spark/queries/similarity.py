@@ -323,20 +323,58 @@ def _ivf_assign_blas(cent_rows, corpus: DataFrame) -> DataFrame:
     Replaces the crossJoin + fold-expression + row_number window with zero
     shuffles and BLAS arithmetic — the 100 TB assignment path. Ties argmax
     to the LOWEST cell (numpy first-max), matching the expression path's
-    ``ORDER BY cos DESC, cell``."""
+    ``ORDER BY cos DESC, cell``.
+
+    Tie robustness (ADVICE r5): BLAS evaluates the dot product in a
+    different FP order than the oracle's sequential fold, so a near-tie
+    between two cells could in principle flip under a different BLAS or
+    regenerated data. Rows whose top-2 GEMM cosines land within ``_TIE_EPS``
+    are re-scored with the exact left-fold arithmetic of
+    ``operators.vectors.cosine_expr`` (cast-to-double per element,
+    sequential accumulation, dot/(‖x‖·‖c‖)) and tie-broken (cos desc, cell
+    asc) — making this path bit-agree with the expression path on ANY
+    input, not just tie-free ones. The rescore touches only tied rows ×
+    {_IVF_CELLS} cells, so the GEMM fast path is unchanged at scale."""
     import numpy as np
     import pandas as pd
 
+    _TIE_EPS = 1e-9
+
     cent_rows = sorted(cent_rows, key=lambda r: r["cell"])
     cells = np.array([r["cell"] for r in cent_rows], dtype=np.int32)
-    C = np.array([list(r["cemb"]) for r in cent_rows], dtype=np.float64)
+    C_raw = [np.asarray(list(r["cemb"]), dtype=np.float32) for r in cent_rows]
+    C = np.array(C_raw, dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    def seq_cosine(x32, c32):
+        # Exact mirror of cosine_expr: sequential left folds over
+        # double-cast float32 elements, then dot / (sqrt(nx) * sqrt(nc)).
+        import math
+
+        dot = 0.0
+        nx = 0.0
+        nc = 0.0
+        for a, b in zip(x32, c32):
+            dot += float(a) * float(b)
+        for a in x32:
+            nx += float(a) * float(a)
+        for b in c32:
+            nc += float(b) * float(b)
+        return dot / (math.sqrt(nx) * math.sqrt(nc))
 
     def assign(batches):
         for pdf in batches:
-            X = np.array(pdf["ce"].tolist(), dtype=np.float64)
+            X32 = [np.asarray(v, dtype=np.float32) for v in pdf["ce"]]
+            X = np.array(X32, dtype=np.float64)
             Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-            best = (Xn @ Cn.T).argmax(axis=1)
+            S = Xn @ Cn.T
+            best = S.argmax(axis=1)
+            if S.shape[1] > 1:
+                part = np.partition(S, -2, axis=1)
+                tied = np.nonzero(part[:, -1] - part[:, -2] < _TIE_EPS)[0]
+                for i in tied:
+                    exact = [(seq_cosine(X32[i], c32), cell) for c32, cell in zip(C_raw, cells)]
+                    best[i] = max(range(len(exact)), key=lambda j: (exact[j][0], -exact[j][1]))
             yield pd.DataFrame({"cid": pdf["cid"], "cell": cells[best]})
 
     return corpus.mapInPandas(assign, schema="cid bigint, cell int")
@@ -399,10 +437,12 @@ def sim_ann_ivf_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_IVF_CELLS}×dim centroid matrix (argmax per row, map-only, zero
     shuffle) instead of the interpreted crossJoin + fold + window. Probe
     selection and final scoring stay in expression form (they touch only
-    n_queries and candidate rows). Verified against the same exact oracle:
-    normalized-GEMM cosine ordering agrees with the sequential fold on this
-    data; a pathological near-tie could flip a cell at the last ulp, which
-    the expression variant exists to rule out for the oracle gate."""
+    n_queries and candidate rows). Verified against the same exact oracle,
+    and that gate is now tie-robust: any row whose top-2 GEMM cosines fall
+    within 1e-9 is re-scored with the oracle's exact sequential-fold
+    arithmetic (see _ivf_assign_blas), so the assignment bit-agrees with
+    the expression path on any input/BLAS, not only tie-free data.
+    tests/test_advice_fixes.py asserts full assignment agreement."""
     return _ivf_query(spark, sf_dir, assign="blas")
 
 

@@ -155,3 +155,104 @@ def test_tensordot_negative_axes(spark):
     expect = np.tensordot(a.to_numpy(), b.to_numpy(), axes=((-1,), (0,)))
     out = a.tensordot(b, axes=((-1,), (0,)))
     assert np.allclose(out.to_numpy(), expect)
+
+
+# ----------------------------------------------------------- round-5 ADVICE
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_ivf_blas_assignment_agrees_with_expr_path(spark):
+    """The BLAS GEMM assignment (with near-tie sequential-fold rescore)
+    must bit-agree with the oracle-exact expression assignment on every
+    corpus vector — the gate ADVICE r5 asked for, so the exact-hash oracle
+    on sim_ann_ivf_blas can't flip under a different BLAS."""
+    from pyspark.sql import functions as F
+
+    from doreisa_spark.catalog import table
+    from doreisa_spark.queries import similarity as S
+
+    e = table(spark, SF_SMALL, "embeddings")
+    cent = e.where(
+        (F.col("vec_id") >= S._IVF_CENT_LO)
+        & (F.col("vec_id") < S._IVF_CENT_LO + S._IVF_CELLS)
+    ).select(
+        (F.col("vec_id") - S._IVF_CENT_LO).alias("cell"),
+        F.col("embedding").alias("cemb"),
+    )
+    corpus = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    blas = {r["cid"]: r["cell"] for r in S._ivf_assign_blas(cent.collect(), corpus).collect()}
+    expr = {r["cid"]: r["cell"] for r in S._ivf_assign_expr(cent, corpus).collect()}
+    assert blas == expr
+
+
+def test_ivf_blas_tie_rescore_matches_fold_order(spark):
+    """Construct an exact two-cell tie: the rescore must pick the LOWEST
+    cell (the expression path's ORDER BY cos DESC, cell)."""
+    from doreisa_spark.queries.similarity import _ivf_assign_blas
+
+    cent_rows = [
+        {"cell": 1, "cemb": [1.0, 0.0, 0.0, 0.0]},  # duplicate direction,
+        {"cell": 0, "cemb": [2.0, 0.0, 0.0, 0.0]},  # shuffled input order
+    ]
+    corpus = spark.createDataFrame(
+        [(7, [3.0, 0.0, 0.0, 0.0])], "cid bigint, ce array<float>"
+    )
+    out = _ivf_assign_blas(cent_rows, corpus).collect()
+    assert len(out) == 1 and out[0]["cell"] == 0
+
+
+def test_catalog_tz_pin_warns_not_silent(spark):
+    """catalog.table('events') may pin the session TZ to UTC (the NTZ
+    reinterpretation needs it) but must WARN rather than silently clobber
+    a deliberately different session TZ."""
+    import warnings
+
+    from doreisa_spark import catalog
+
+    prior = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.warns(UserWarning, match="timeZone"):
+            df = catalog.table(spark, SF_SMALL, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        # already-UTC session: no warning, no-op
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            catalog.table(spark, SF_SMALL, "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prior)
+
+
+def test_take_distributed_plan_matches_closure_path(spark, monkeypatch):
+    """Forcing the joined-plan gather (threshold 0) must reproduce the
+    closure-path/numpy result exactly — dup indices, arbitrary order,
+    negative indices, non-zero axis."""
+    from doreisa_spark.plans import chunked as C
+
+    rng = np.random.default_rng(55)
+    chunks = {
+        (i, j): rng.integers(0, 100, size=(3, 4)).astype("int64")
+        for i in range(3)
+        for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "takedist", chunks)
+    dense = arr.to_numpy()
+    idx = [5, 0, 5, -1, 3, 2, 2, 7]
+    monkeypatch.setattr(C, "_TAKE_DISTRIBUTE_AT", 0)
+    got = arr.take(idx, axis=0).to_numpy()
+    assert np.array_equal(got, np.take(dense, idx, axis=0))
+    idx2 = [3, 3, -4, 1]
+    got2 = arr.take(idx2, axis=1).to_numpy()
+    assert np.array_equal(got2, np.take(dense, idx2, axis=1))
+
+
+def test_boolean_select_all_false_raises_clearly(spark):
+    chunks = {(0,): np.arange(4, dtype=np.float64), (1,): np.arange(4, 8, dtype=np.float64)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "bselempty", chunks)
+    zero = ChunkedArray.from_numpy_chunks(
+        spark, "bselzero", {(0,): np.zeros(4), (1,): np.zeros(4)}
+    )
+    with pytest.raises(ValueError, match="selects nothing"):
+        arr.boolean_select(zero)
