@@ -122,6 +122,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_BUCKET = 64
 
 
+def minhash_signature_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, shingles, band_sigs) for a documents frame — the shared
+    signature pass of batch `dedup_minhash_lsh` and the streaming
+    incremental store (streaming/incremental_dedup.py): distinct word
+    3-gram shingles, K = N_BANDS×BAND_ROWS affine minhashes over one
+    md5-derived 28-bit hash per shingle, banded into N_BANDS 'lo-hi'
+    signature strings. One fused JVM expression pipeline, no Python."""
+    band_sigs = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.expr(TX.minhash_from_hashes_expr("hashes", band * TX.BAND_ROWS)),
+                F.expr(TX.minhash_from_hashes_expr("hashes", band * TX.BAND_ROWS + 1)),
+            )
+            for band in range(TX.N_BANDS)
+        ]
+    )
+    return (
+        d.select("doc_id", F.expr(TX.shingles_expr("text", 3)).alias("shingles"))
+        .withColumn("hashes", F.expr(TX.hashes_expr("shingles")))
+        .select("doc_id", "shingles", band_sigs.alias("band_sigs"))
+    )
+
+
 def _lsh_oracle() -> str:
     """DuckDB SQL running the identical minhash-LSH pipeline."""
     mh_cols = ",\n         ".join(
@@ -175,22 +199,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE pass computes shingles, per-shingle hashes (single md5 each), all
     # K minhashes, and the band signature array; persisted so the candidate
     # and verification stages never re-run the text pipeline.
-    band_sigs = F.array(
-        *[
-            F.concat_ws(
-                "-",
-                F.expr(TX.minhash_from_hashes_expr("hashes", band * TX.BAND_ROWS)),
-                F.expr(TX.minhash_from_hashes_expr("hashes", band * TX.BAND_ROWS + 1)),
-            )
-            for band in range(TX.N_BANDS)
-        ]
-    )
-    sig = (
-        d.select("doc_id", F.expr(TX.shingles_expr("text", 3)).alias("shingles"))
-        .withColumn("hashes", F.expr(TX.hashes_expr("shingles")))
-        .select("doc_id", "shingles", band_sigs.alias("band_sigs"))
-        .persist()
-    )
+    sig = minhash_signature_frame(d).persist()
     # EAGER materialization: three downstream subtrees (bands, verify-a,
     # verify-b) read this cache, and AQE launches them concurrently — on a
     # lazy persist their ~3×32 tasks convoy on the same uncomputed cache
@@ -571,3 +580,35 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_bench_hits"),
         F.max("shared").cast("int").alias("max_shared"),
     )
+
+
+@register("dedup_minhash_lsh_incremental", extended=True, oracle=_lsh_oracle())
+def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence gate for the STREAMING-incremental MinHash-LSH
+    dedup (streaming/incremental_dedup.py): the corpus is split into
+    three monotonic doc_id ranges and ingested micro-batch by
+    micro-batch against the persisted signature store; the accumulated
+    pairs log must hash-match the one-shot `dedup_minhash_lsh` oracle —
+    proving each pair is found exactly once, in the batch where its
+    larger doc arrives, with history touched only through the bucket
+    store. The real stream driver (readStream + foreachBatch) runs the
+    identical `process_batch` in tests/test_incremental_dedup.py; this
+    entry calls it directly so the driver's gate is deterministic."""
+    import tempfile
+
+    from doreisa_spark.streaming.incremental_dedup import LSHSignatureStore
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    # the store must outlive this call (the returned frame reads it
+    # lazily); a session-temp dir is the price of simulating a persistent
+    # store inside a pure-function registry entry
+    store = LSHSignatureStore(spark, tempfile.mkdtemp(prefix="doreisa_incdedup_"))
+    for cond in (
+        F.col("doc_id") <= cut1,
+        (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+        F.col("doc_id") > cut2,
+    ):
+        store.process_batch(d.where(cond))
+    return store.pairs()

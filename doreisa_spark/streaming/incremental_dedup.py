@@ -1,0 +1,226 @@
+"""Streaming-incremental MinHash-LSH near-duplicate detection.
+
+The production ingestion shape the batch `dedup_minhash_lsh`
+(queries/dedup.py) cannot serve: documents ARRIVE over time, and each
+micro-batch must be near-dup-checked against everything already ingested
+without re-scanning history. The reference has no text operators at all
+(its streaming layer is timestep-synchronous array ingest,
+/root/reference/doreisa/window_api.py); this module is the LLM-pipeline
+counterpart built on the same Structured Streaming scaffolding as
+streaming/structured.py.
+
+Design
+------
+A persisted **signature store** on shared storage carries, across batches:
+
+- ``members/``  — (band_id, sig, doc_id): the LSH bucket membership of
+  every ADMITTED document, capped at ``_MAX_BUCKET`` docs per bucket with
+  the same smallest-doc_id-wins rule as the batch operator;
+- ``shingles/`` — (doc_id, shingles) for every admitted document, read
+  back only to exact-verify candidate pairs;
+- ``pairs/``    — (doc_a, doc_b, jaccard): the append-only result log.
+
+Per micro-batch (``foreachBatch``):
+
+1. one fused JVM pass computes shingles + band signatures for the batch
+   (`queries.dedup.minhash_signature_frame` — identical constants and
+   expressions as batch, so the batch oracle remains the ground truth);
+2. **admission**: new docs rank by doc_id within each touched bucket and
+   are admitted while (stored count + rank) ≤ _MAX_BUCKET — with
+   monotonically non-decreasing doc_ids across batches (the natural
+   ingest order) this reproduces the batch cap exactly;
+3. **candidates**: admitted-new × stored members of the same bucket, plus
+   admitted-new × admitted-new in-batch pairs — history is touched ONLY
+   through the bucket equi-join, never rescanned;
+4. **verify**: exact Jaccard over the stored + in-batch shingle arrays at
+   the batch operator's τ; surviving pairs append to ``pairs/``;
+5. the store is upserted by appending admitted members/shingles.
+
+Batch equivalence: for a corpus streamed in non-decreasing doc_id order,
+``read_pairs`` after the last batch equals ``dedup_minhash_lsh`` on the
+same corpus row-for-row (pytest `test_incremental_dedup.py` asserts it
+against the DuckDB-checked batch operator; an extended registry entry
+`dedup_minhash_lsh_incremental` runs the same equivalence under the
+driver's oracle gate). A pair is emitted exactly once — in the batch
+where its LARGER doc arrives — so no cross-batch dedup of the result log
+is needed. Out-of-order arrival degrades gracefully to a recall-only
+approximation (a late tiny doc_id cannot retroactively evict a stored
+member); at-least-once redelivery of a whole file is idempotent for
+members (bucket cap readmits the same rows) but would duplicate pairs —
+production deployments should make the pairs append transactional per
+epoch (Delta/Iceberg) keyed by batch id.
+
+100 TB posture: every stage is an equi-join on (band_id, sig) — the
+candidate volume is linear in bucket collisions, never O(batch×history).
+The store here is plain parquet re-read per batch for test determinism; a
+deployment stores members/shingles as a bucketed table (bucket by sig) or
+Delta with merge, making the per-batch join a co-partitioned probe whose
+cost scales with the BATCH, not the corpus. State is bounded by the
+bucket cap (members) and admitted-doc count (shingles), the same bound
+the batch operator's persisted signature cache pays.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from doreisa_spark.queries.dedup import _MAX_BUCKET, _NGRAM_TAU, minhash_signature_frame
+from doreisa_spark.operators import text as TX
+
+_MEMBERS_DDL = "band_id int, sig string, doc_id bigint"
+_SHINGLES_DDL = "doc_id bigint, shingles array<string>"
+_PAIRS_DDL = "doc_a bigint, doc_b bigint, jaccard double"
+
+DOCUMENTS_DDL = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+class LSHSignatureStore:
+    """Filesystem-backed LSH state: members / shingles / pairs subdirs
+    under one root. Parquet append-only; empty-but-typed frames before
+    the first batch."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.members_dir = os.path.join(root, "members")
+        self.shingles_dir = os.path.join(root, "shingles")
+        self.pairs_dir = os.path.join(root, "pairs")
+
+    def _read(self, path: str, ddl: str) -> DataFrame:
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return self.spark.read.schema(ddl).parquet(path)
+        return self.spark.createDataFrame([], ddl)
+
+    def members(self) -> DataFrame:
+        return self._read(self.members_dir, _MEMBERS_DDL)
+
+    def shingles(self) -> DataFrame:
+        return self._read(self.shingles_dir, _SHINGLES_DDL)
+
+    def pairs(self) -> DataFrame:
+        """The accumulated near-dup pairs — the operator's result."""
+        return self._read(self.pairs_dir, _PAIRS_DDL)
+
+    # ------------------------------------------------------------ core step
+    def process_batch(self, batch_docs: DataFrame, batch_id: int = 0) -> None:
+        """Ingest one micro-batch of documents (see module docstring)."""
+        spark = self.spark
+        sig = minhash_signature_frame(batch_docs).persist()
+        sig.count()  # eager: bands + verify-a + verify-b subtrees reuse it
+        try:
+            bands_new = sig.select(
+                "doc_id", F.posexplode("band_sigs").alias("band_id", "sig")
+            )
+            old_members = self.members()
+            old_counts = old_members.groupBy("band_id", "sig").agg(
+                F.count(F.lit(1)).alias("n_old")
+            )
+            wb = W.partitionBy("band_id", "sig").orderBy("doc_id")
+            admitted = (
+                bands_new.withColumn("__r", F.row_number().over(wb))
+                .join(F.broadcast(old_counts), ["band_id", "sig"], "left")
+                .where(
+                    F.col("__r") + F.coalesce(F.col("n_old"), F.lit(0))
+                    <= F.lit(_MAX_BUCKET)
+                )
+                .select("band_id", "sig", "doc_id")
+                .persist()
+            )
+            admitted.count()
+            # new×old: probe history ONLY via the bucket equi-join
+            a_old = (
+                admitted.alias("n")
+                .join(
+                    old_members.alias("o"),
+                    (F.col("n.band_id") == F.col("o.band_id"))
+                    & (F.col("n.sig") == F.col("o.sig")),
+                )
+                .select(
+                    F.least("o.doc_id", "n.doc_id").alias("doc_a"),
+                    F.greatest("o.doc_id", "n.doc_id").alias("doc_b"),
+                )
+                .where(F.col("doc_a") < F.col("doc_b"))
+            )
+            # new×new within this batch's admitted bucket rows
+            a_new = (
+                admitted.alias("x")
+                .join(admitted.alias("y"), ["band_id", "sig"])
+                .where(F.col("x.doc_id") < F.col("y.doc_id"))
+                .select(
+                    F.col("x.doc_id").alias("doc_a"),
+                    F.col("y.doc_id").alias("doc_b"),
+                )
+            )
+            cand = a_old.unionByName(a_new).distinct()
+            sh_all = self.shingles().unionByName(sig.select("doc_id", "shingles"))
+            sa = sh_all.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            )
+            sb = sig.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            )
+            jac = F.expr(TX.jaccard_expr("sh_a", "sh_b"))
+            new_pairs = (
+                cand.join(sa, "doc_a")
+                .join(sb, "doc_b")
+                .where(jac >= _NGRAM_TAU)
+                .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+            )
+            new_pairs.write.mode("append").parquet(self.pairs_dir)
+            admitted.write.mode("append").parquet(self.members_dir)
+            # shingles are stored only for docs future batches can ever
+            # meet in a bucket — i.e. admitted somewhere
+            sig.join(
+                admitted.select("doc_id").distinct(), "doc_id", "left_semi"
+            ).select("doc_id", "shingles").write.mode("append").parquet(
+                self.shingles_dir
+            )
+        finally:
+            sig.unpersist()
+            try:
+                admitted.unpersist()
+            except NameError:
+                pass
+
+
+def read_document_stream(
+    spark: SparkSession, source_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of document rows — producers drop parquet files
+    into ``source_dir``; one file per trigger keeps batches deterministic
+    (the backpressure knob, as in streaming/structured.py)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    store_root: str,
+    *,
+    timeout_sec: float = 300,
+) -> DataFrame:
+    """Drive a document file-stream through the incremental LSH store via
+    ``foreachBatch`` until the source is drained; returns the accumulated
+    pairs frame."""
+    from doreisa_spark.streaming.structured import run_foreach_batch
+
+    store = LSHSignatureStore(spark, store_root)
+    stream = read_document_stream(spark, source_dir)
+    run_foreach_batch(
+        stream,
+        lambda df, bid: store.process_batch(df, bid),
+        timeout_sec=timeout_sec,
+    )
+    return store.pairs()

@@ -1,0 +1,86 @@
+"""Streaming-incremental MinHash-LSH dedup ≡ the batch oracle.
+
+The corpus streams in as three parquet files (monotonic doc_id ranges —
+the natural ingest order the equivalence contract requires); a real
+readStream + foreachBatch drive upserts the signature store per
+micro-batch. The accumulated pairs log must equal `dedup_minhash_lsh`
+(itself DuckDB-oracle-checked by the driver) row for row.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from doreisa_spark.queries.dedup import dedup_minhash_lsh
+from doreisa_spark.streaming.incremental_dedup import (
+    LSHSignatureStore,
+    run_incremental_dedup,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _pairs_set(df):
+    return {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 6)) for r in df.collect()
+    }
+
+
+@pytest.fixture()
+def doc_stream_dir(spark, tmp_path):
+    """sf0.001 documents split into 3 files by doc_id range, mtimes
+    ascending so the file source triggers them in order."""
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+        part = d.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        tmp = src / f"tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        data = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        dst = str(src / f"{i:05d}.parquet")
+        os.rename(str(tmp / data), dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+    return str(src)
+
+
+def test_stream_accumulated_pairs_equal_batch(spark, tmp_path, doc_stream_dir):
+    got = run_incremental_dedup(
+        spark, doc_stream_dir, str(tmp_path / "store")
+    )
+    expect = dedup_minhash_lsh(spark, SF_SMALL)
+    assert _pairs_set(got) == _pairs_set(expect)
+    assert got.count() == got.select("doc_a", "doc_b").distinct().count()
+
+
+def test_pairs_emitted_in_arriving_batch_only(spark, tmp_path):
+    """Each pair lands exactly once, in the batch where its larger doc
+    arrives; history contributes via the store, not a rescan."""
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en"),
+        (1, "completely unrelated text about spark structured streaming", "en"),
+        # near-dup of doc 0, arrives in batch 2
+        (10, "the quick brown fox jumps over the lazy dog again and again!", "en"),
+    ]
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, t, l, "web", len(t)) for i, t, l in rows],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+
+    store = LSHSignatureStore(spark, str(tmp_path / "store2"))
+    store.process_batch(frame(docs[:2]), 0)
+    assert store.pairs().count() == 0
+    store.process_batch(frame(docs[2:]), 1)
+    out = store.pairs().collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(0, 10)}
+    assert out[0]["jaccard"] > 0.5
+    # redelivery of an already-admitted batch must not re-admit members
+    # beyond the cap path, but WILL duplicate pairs (documented contract:
+    # production pairs sink is transactional per epoch)
+    n_members = store.members().count()
+    assert n_members > 0
