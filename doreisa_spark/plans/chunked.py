@@ -48,6 +48,7 @@ only) — at 100 TB the grid is just a big DataFrame.
 from __future__ import annotations
 
 from bisect import bisect_right
+from collections import Counter
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 from functools import reduce
@@ -85,6 +86,9 @@ _TD_MAX_ELEMS = 1 << 24
 # DataFrame instead of a closure-captured dict (ADVICE r5) — ~64k (row,
 # slot) int pairs is where per-task closure serialization starts to matter
 _TAKE_DISTRIBUTE_AT = 1 << 16
+
+# unique suffix for einsum's internal ones-vector arrays
+_EINSUM_ONES_SEQ = 0
 
 
 def _tile(total: int, block: int) -> tuple[int, ...]:
@@ -1689,6 +1693,115 @@ class ChunkedArray:
         if not out_shape:
             return c2.reshape((1,))  # full contraction: 1-element array
         return c2.reshape(out_shape)
+
+    def _sum_out(self, axis: int) -> "ChunkedArray":
+        """Array-valued sum over one axis (einsum's reduced-letter
+        lowering): contraction against a ones vector chunk-aligned to the
+        axis tiling, riding the blockwise tensordot path — the shuffle
+        carries only contracted blocks, same as any tensordot."""
+        global _EINSUM_ONES_SEQ
+        tiling = self.meta.chunks[axis]
+        chunks = {
+            (i,): np.ones(sz, dtype=self.meta.dtype) for i, sz in enumerate(tiling)
+        }
+        _EINSUM_ONES_SEQ += 1
+        ones = ChunkedArray.from_numpy_chunks(
+            self.df.sparkSession, f"__einsum_ones_{_EINSUM_ONES_SEQ}", chunks
+        )
+        return self.tensordot(ones, axes=((axis,), (0,)))
+
+    def einsum(self, spec: str, other: "ChunkedArray | None" = None) -> "ChunkedArray":
+        """Einstein-summation subset over one or two chunked operands
+        (dask ``da.einsum``), lowered onto the existing structural ops —
+        no new kernel:
+
+        - contracted indices (in both operands, absent from the output)
+          → the blockwise ``tensordot`` lowering (transpose → reshape →
+          block matmul);
+        - reduced indices (in one operand only, absent from the output)
+          → ``_sum_out`` (tensordot against an aligned ones vector);
+        - output ordering → a final metadata-level ``transpose``.
+
+        Subsumes matmul ('ij,jk->ik'), tensordot over any axis pairs,
+        outer product ('i,j->ij'), Frobenius inner product ('ij,ij->'),
+        per-operand axis sums ('ij,kj->ik' after reducing unused letters)
+        and pure transposition ('ij->ji'). Implicit (no '->') output
+        follows numpy: once-occurring letters in alphabetical order.
+
+        Unsupported, by explicit error: repeated letters within one
+        operand (diagonal extraction — see ``diagonal``) and batch
+        indices (present in both inputs AND the output, e.g.
+        'bij,bjk->bik'), which need a blockwise batched matmul rather
+        than a single contraction.
+
+        100 TB posture: identical to tensordot's — every lowering step is
+        the already-audited transpose/reshape/rechunk/matmul pipeline
+        (bounded block sizes, one k-aligned shuffle per contraction)."""
+        spec = spec.replace(" ", "")
+        lhs, arrow, out_spec = spec.partition("->")
+        terms = lhs.split(",")
+        ops: list[ChunkedArray] = [self] + ([other] if other is not None else [])
+        if len(terms) != len(ops):
+            raise ValueError(
+                f"spec {spec!r} names {len(terms)} operand(s), got {len(ops)}"
+            )
+        for t, op in zip(terms, ops):
+            if len(t) != op.meta.ndim:
+                raise ValueError(
+                    f"term {t!r} has {len(t)} indices for an ndim-{op.meta.ndim} operand"
+                )
+            if len(set(t)) != len(t):
+                raise NotImplementedError(
+                    "repeated index within one operand (diagonal) is unsupported"
+                )
+        counts = Counter("".join(terms))
+        if not arrow:
+            out_spec = "".join(sorted(c for c, n in counts.items() if n == 1))
+        if len(set(out_spec)) != len(out_spec) or any(c not in counts for c in out_spec):
+            raise ValueError(f"invalid output spec {out_spec!r} for input {lhs!r}")
+        extents: dict[str, int] = {}
+        for t, op in zip(terms, ops):
+            for c, ext in zip(t, op.meta.global_shape):
+                if extents.setdefault(c, ext) != ext:
+                    raise ValueError(
+                        f"index {c!r}: mismatched extents {extents[c]} vs {ext}"
+                    )
+        if other is None:
+            arr, t = self, terms[0]
+            for c in [c for c in t if c not in out_spec]:
+                arr = arr._sum_out(t.index(c))
+                t = t.replace(c, "")
+            perm = tuple(t.index(c) for c in out_spec)
+            return arr if perm == tuple(range(len(perm))) else arr.transpose(perm)
+        ta, tb = terms
+        batch = [c for c in ta if c in tb and c in out_spec]
+        if batch:
+            raise NotImplementedError(
+                f"batch indices {batch!r} (in both operands and the output) are "
+                "unsupported — contract per batch or use blockwise matmul"
+            )
+        a, b = self, other
+        for c in [c for c in ta if c not in tb and c not in out_spec]:
+            a = a._sum_out(ta.index(c))
+            ta = ta.replace(c, "")
+        for c in [c for c in tb if c not in ta and c not in out_spec]:
+            b = b._sum_out(tb.index(c))
+            tb = tb.replace(c, "")
+        contracted = [c for c in ta if c in tb]
+        td = a.tensordot(
+            b,
+            axes=(
+                tuple(ta.index(c) for c in contracted),
+                tuple(tb.index(c) for c in contracted),
+            ),
+        )
+        kept = [c for c in ta if c not in contracted] + [
+            c for c in tb if c not in contracted
+        ]
+        if not kept:
+            return td  # full contraction: tensordot's 1-element array
+        perm = tuple(kept.index(c) for c in out_spec)
+        return td if perm == tuple(range(len(perm))) else td.transpose(perm)
 
     # ----------------------------------------------------------- reductions
     def sum(self) -> DataFrame:

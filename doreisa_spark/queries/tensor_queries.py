@@ -630,3 +630,29 @@ def tensor_axis_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("index"),
         F.col("value"),
     )
+
+
+@register(
+    "tensor_einsum_rowsum",
+    extended=True,
+    # einsum('ij,kj->ik') = A · Bᵀ with A=ramp (r+c), B=asym (r+2c);
+    # axis_sum(0) leaves one total per k: sum over i,j of A[i,j]·B[k,j]
+    # — the join on the shared j index is the closed form. A transposed
+    # operand, wrong contraction axis, or mis-permuted output all miss.
+    oracle=f"""
+SELECT CAST(b.r AS BIGINT) AS idx,
+       CAST(sum((a.r + a.c) * (b.r + 2*b.c)) AS DOUBLE) AS total
+FROM {_DUCK_GRID} a JOIN {_DUCK_GRID} b ON a.c = b.c
+GROUP BY b.r
+""",
+)
+def tensor_einsum_rowsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """einsum('ij,kj->ik') — contraction on the SECOND axis of both
+    operands (tensordot can't express it without an explicit transpose)
+    — then a per-k axis reduction. Exercises the full einsum lowering:
+    contracted-letter mapping → transpose → reshape → block matmul →
+    output permutation. Gate grid at every sf — a correctness entry."""
+    a = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    b = ChunkedArray.from_function(spark, _META, _asym_chunk)
+    df = a.einsum("ij,kj->ik", b).axis_sum(axis=0)
+    return df.select(F.col("coords")[0].cast("bigint").alias("idx"), F.col("total"))

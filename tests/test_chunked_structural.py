@@ -501,3 +501,95 @@ def test_compress_all_false_clear_error(spark):
     a, _ = _grid(spark, grid=(2, 1), chunk=(2, 3), seed=27)
     with pytest.raises(ValueError, match="all False"):
         a.compress(np.zeros(4, dtype=bool), axis=0)
+
+
+# ----------------------------------------------------------------- einsum
+
+
+def _chunked(spark, name, dense, tile):
+    """Chunk a dense array into `tile`-sized blocks."""
+    nd = dense.ndim
+    grids = [range((dense.shape[d] + tile[d] - 1) // tile[d]) for d in range(nd)]
+    from itertools import product as _prod
+
+    chunks = {}
+    for pos in _prod(*grids):
+        sl = tuple(
+            slice(p * tile[d], min((p + 1) * tile[d], dense.shape[d]))
+            for d, p in enumerate(pos)
+        )
+        chunks[pos] = np.ascontiguousarray(dense[sl])
+    return ChunkedArray.from_numpy_chunks(spark, name, chunks)
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        "ij,jk->ik",          # matmul
+        "ij,kj->ik",          # matmul with transposed B
+        "ij,ij->",            # Frobenius inner product
+        "i,j->ij",            # outer product
+        "ij,jk->ki",          # matmul + output transpose
+        "ij,j->i",            # mat-vec
+    ],
+)
+def test_einsum_two_operand_matches_numpy(spark, spec):
+    rng = np.random.default_rng(77)
+    ext = {"i": 5, "j": 6, "k": 4}
+    ta, tb = spec.split("->")[0].split(",")
+    A = rng.integers(0, 9, size=tuple(ext[c] for c in ta)).astype("float64")
+    B = rng.integers(0, 9, size=tuple(ext[c] for c in tb)).astype("float64")
+    a = _chunked(spark, f"ea{spec.translate(str.maketrans('', '', ',->'))}", A, (3,) * A.ndim)
+    b = _chunked(spark, f"eb{spec.translate(str.maketrans('', '', ',->'))}", B, (3,) * B.ndim)
+    got = a.einsum(spec, b).to_numpy()
+    expect = np.einsum(spec, A, B)
+    if expect.ndim == 0:
+        expect = expect.reshape(1)  # engine returns 1-element arrays for scalars
+    assert np.allclose(got, expect)
+
+
+@pytest.mark.parametrize("spec", ["ij->ji", "ij->j", "ij->", "ijk->ki"])
+def test_einsum_single_operand_matches_numpy(spark, spec):
+    rng = np.random.default_rng(78)
+    t = spec.split("->")[0]
+    ext = {"i": 5, "j": 6, "k": 4}
+    A = rng.integers(0, 9, size=tuple(ext[c] for c in t)).astype("float64")
+    a = _chunked(spark, f"es{t}{spec.split('->')[1]}", A, (3,) * A.ndim)
+    got = a.einsum(spec).to_numpy()
+    expect = np.einsum(spec, A)
+    if expect.ndim == 0:
+        expect = expect.reshape(1)
+    assert np.allclose(got, expect)
+
+
+def test_einsum_implicit_output(spark):
+    rng = np.random.default_rng(79)
+    A = rng.integers(0, 9, size=(4, 3)).astype("float64")
+    B = rng.integers(0, 9, size=(3, 5)).astype("float64")
+    a = _chunked(spark, "eimpa", A, (2, 2))
+    b = _chunked(spark, "eimpb", B, (2, 2))
+    # 'ij,jk' → implicit output 'ik' (alphabetical once-letters)
+    assert np.allclose(a.einsum("ij,jk", b).to_numpy(), A @ B)
+
+
+def test_einsum_reduced_letter_sums_out(spark):
+    rng = np.random.default_rng(80)
+    A = rng.integers(0, 9, size=(4, 3)).astype("float64")
+    B = rng.integers(0, 9, size=(5, 3)).astype("float64")
+    a = _chunked(spark, "erla", A, (2, 2))
+    b = _chunked(spark, "erlb", B, (2, 2))
+    # 'i' only in A and absent from output → A sums over axis 0 first
+    got = a.einsum("ij,kj->k", b).to_numpy()
+    assert np.allclose(got, np.einsum("ij,kj->k", A, B))
+
+
+def test_einsum_rejects_diagonal_and_batch(spark):
+    A = np.ones((3, 3))
+    a = _chunked(spark, "ereja", A, (2, 2))
+    with pytest.raises(NotImplementedError, match="repeated index"):
+        a.einsum("ii->i")
+    b = _chunked(spark, "erejb", np.ones((3, 3)), (2, 2))
+    with pytest.raises(NotImplementedError, match="batch"):
+        a.einsum("ij,ij->ij", b)
+    with pytest.raises(ValueError, match="extents"):
+        _chunked(spark, "erejc", np.ones((3, 4)), (2, 2)).einsum("ij,jk->ik", b)
