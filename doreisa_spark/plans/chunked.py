@@ -1803,6 +1803,222 @@ class ChunkedArray:
         perm = tuple(kept.index(c) for c in out_spec)
         return td if perm == tuple(range(len(perm))) else td.transpose(perm)
 
+    def pad(self, pad_width, constant_value=0.0) -> "ChunkedArray":
+        """Constant-mode pad (numpy/dask ``pad(mode='constant')``) as a
+        PURE MAP: the chunk grid is unchanged, only edge chunks grow (the
+        pos-aware np.pad fuses into the pipeline), so no data moves at
+        any scale. ``pad_width`` follows numpy: an int, a (before, after)
+        pair, or per-axis pairs."""
+        ndim = self.meta.ndim
+        pw = np.asarray(pad_width, dtype=np.int64)
+        if pw.ndim == 0:
+            pw = np.tile(pw, (ndim, 2))
+        elif pw.shape == (2,):
+            pw = np.tile(pw, (ndim, 1))
+        if pw.shape != (ndim, 2) or (pw < 0).any():
+            raise ValueError(f"bad pad_width {pad_width!r} for ndim {ndim}")
+        chunks = self.meta.chunks
+        new_chunks = []
+        for d in range(ndim):
+            sizes = list(chunks[d])
+            sizes[0] += int(pw[d][0])
+            sizes[-1] += int(pw[d][1])  # single-chunk dims absorb both
+            new_chunks.append(tuple(sizes))
+        meta = GridMeta(
+            self.meta.name,
+            self.meta.nb_chunks_per_dim,
+            tuple(new_chunks),
+            self.meta.dtype,
+        )
+        last = tuple(n - 1 for n in self.meta.nb_chunks_per_dim)
+        widths_of = pw.tolist()
+        cval = constant_value
+
+        def step(pos, arr):
+            w = tuple(
+                (
+                    widths_of[d][0] if pos[d] == 0 else 0,
+                    widths_of[d][1] if pos[d] == last[d] else 0,
+                )
+                for d in range(len(pos))
+            )
+            if not any(b or a for b, a in w):
+                return arr
+            return np.pad(arr, w, mode="constant", constant_values=cval)
+
+        return self._compose(step, meta)
+
+    def sort(self, axis: int = -1) -> "ChunkedArray":
+        """Sort along one axis (numpy ``np.sort`` semantics, ascending).
+
+        The sort axis is first rechunked contiguous — the one unavoidable
+        all-to-all move for a cross-chunk sort — then every slab sorts
+        in-kernel, embarrassingly parallel over the other axes. The
+        contract (axis extent fits one chunk) is the standard dask shape;
+        a global 1-D sort of relational data belongs to the SQL engine's
+        range-partitioned ORDER BY instead."""
+        ndim = self.meta.ndim
+        if not (-ndim <= axis < ndim):
+            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
+        axis %= ndim
+        src = self
+        if self.meta.nb_chunks_per_dim[axis] > 1:
+            src = self.rechunk(
+                tuple(
+                    (self.meta.global_shape[d],) if d == axis else self.meta.chunks[d]
+                    for d in range(ndim)
+                )
+            )
+        return src._compose(lambda pos, arr: np.sort(arr, axis=axis))
+
+    def diagonal(self, offset: int = 0) -> "ChunkedArray":
+        """Diagonal of a 2-D array as a 1-D array (numpy ``diagonal``,
+        positive offset above the main diagonal): lowered onto
+        ravel + take with flat indices r·C + c — every diagonal element
+        moves exactly once through the existing gather split/assemble;
+        large diagonals automatically ride take()'s distributed-plan
+        path."""
+        if self.meta.ndim != 2:
+            raise ValueError("diagonal is defined for 2-D arrays")
+        n, m = self.meta.global_shape
+        length = min(n, m - offset) if offset >= 0 else min(n + offset, m)
+        if length <= 0:
+            raise ValueError(f"offset {offset} yields an empty diagonal")
+        i = np.arange(length, dtype=np.int64)
+        r = i if offset >= 0 else i - offset
+        c = i + offset if offset >= 0 else i
+        return self.ravel().take(r * m + c)
+
+    def broadcast_to(self, shape, chunks=None) -> "ChunkedArray":
+        """Materialized broadcast to a larger shape (numpy
+        ``broadcast_to`` alignment: trailing dims match; a source dim
+        must equal the target extent or be 1; leading target dims are
+        new). ``chunks`` optionally pins the tiling of each broadcast
+        dim (new or size-1→n); default keeps chunk volume under the
+        tensordot block cap.
+
+        Each output chunk joins to its one source chunk (new/size-1 dims
+        probe source position 0) and tiles in-kernel — a map-side
+        replicate whose output volume IS the broadcast's semantics.
+        Prefer fused broadcasting (scale_axis / binary ops on virtual
+        arrays) when the broadcast feeds a single consumer; this exists
+        for dask-API parity and for materializing small-into-large
+        joins."""
+        shape = tuple(int(s) for s in shape)
+        ndim_out = len(shape)
+        ndim_src = self.meta.ndim
+        k = ndim_out - ndim_src
+        if k < 0:
+            raise ValueError(f"cannot broadcast {self.meta.global_shape} to {shape}")
+        src_shape = self.meta.global_shape
+        for j in range(ndim_src):
+            if src_shape[j] != shape[k + j] and src_shape[j] != 1:
+                raise ValueError(
+                    f"dim {j} (extent {src_shape[j]}) does not broadcast to {shape[k + j]}"
+                )
+        bdims = [d for d in range(ndim_out) if d < k or src_shape[d - k] != shape[d]]
+        if chunks is not None:
+            if len(chunks) != len(bdims):
+                raise ValueError(
+                    f"chunks must give one tiling block per broadcast dim ({len(bdims)})"
+                )
+            tile_of = {d: int(b) for d, b in zip(bdims, chunks)}
+        else:
+            vol = reduce(
+                mul, (max(self.meta.chunks[j]) for j in range(ndim_src)), 1
+            )
+            tile_of = {}
+            for d in bdims:
+                b = min(shape[d], max(1, _TD_MAX_ELEMS // vol))
+                tile_of[d] = b
+                vol *= b
+        out_chunks = tuple(
+            _tile(shape[d], tile_of[d]) if d in tile_of else self.meta.chunks[d - k]
+            for d in range(ndim_out)
+        )
+        meta = GridMeta(
+            self.meta.name,
+            tuple(len(t) for t in out_chunks),
+            out_chunks,
+            self.meta.dtype,
+        )
+        src = self.materialize()
+        spark = self.df.sparkSession
+        opos = self._pos_df(spark, meta).select(F.col("pos").alias("opos"))
+        # each output chunk's source position: broadcast source dims probe 0
+        src_pos = F.array(
+            *[
+                F.lit(0) if (d + k) in tile_of else F.col("opos")[d + k]
+                for d in range(ndim_src)
+            ]
+        )
+        joined = opos.withColumn("__sp", src_pos).join(
+            src.df, F.col("__sp") == F.col("pos")
+        )
+        rows_fn = src._rows_fn()
+        name, ts = self.meta.name, self.timestep
+        dtype = np.dtype(self.meta.dtype)
+
+        def tile(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"name": [], "timestep": [], "pos": [], "chunk_shape": [], "data": []}
+                for (pos_src, arr), op in zip(rows_fn(pdf), pdf["opos"]):
+                    op = tuple(int(x) for x in op)
+                    oshape = meta.shape_of(op)
+                    a = arr.reshape((1,) * k + arr.shape)
+                    tiled = np.ascontiguousarray(
+                        np.broadcast_to(a, oshape).astype(dtype, copy=False)
+                    )
+                    out["name"].append(name)
+                    out["timestep"].append(ts)
+                    out["pos"].append(list(op))
+                    out["chunk_shape"].append(list(oshape))
+                    out["data"].append(tiled.tobytes())
+                yield pd.DataFrame(out)
+
+        return ChunkedArray(joined.mapInPandas(tile, schema=CHUNK_SCHEMA), meta, ts)
+
+    def unique(self) -> DataFrame:
+        """Distinct element values with occurrence counts → DataFrame
+        ``(value, n_occurrences)``.
+
+        numpy/dask return a sorted value array; the natural Spark result
+        is a relation (order belongs to the consumer). Per-chunk
+        ``np.unique`` acts as a map-side combine — only each chunk's
+        distinct (value, count) rows shuffle into ONE hash aggregate,
+        never raw elements — so a 100 TB array with bounded cardinality
+        aggregates in a single narrow exchange. uint64 values travel as
+        DECIMAL(20,0) (exact); float NaN surfaces as a NULL value row
+        (the Arrow NaN→NULL hop, see module gotchas)."""
+        np_dt = np.dtype(self.meta.dtype)
+        if np_dt == np.uint64:
+            vtype = "decimal(20,0)"
+        elif np_dt.kind in "iu":
+            vtype = "bigint"
+        else:
+            vtype = "double"
+        rows_fn = self._rows_fn()
+
+        def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vals: list = []
+                cnts: list = []
+                for _pos, arr in rows_fn(pdf):
+                    v, c = np.unique(arr, return_counts=True)
+                    vals.extend(v.tolist())
+                    cnts.extend(c.tolist())
+                yield pd.DataFrame(
+                    {
+                        "value": _partial_series(vals, np_dt)
+                        if np_dt == np.uint64
+                        else pd.Series(vals, dtype="float64" if np_dt.kind == "f" else "int64"),
+                        "n": pd.Series(cnts, dtype="int64"),
+                    }
+                )
+
+        parts = self.df.mapInPandas(kern, schema=f"value {vtype}, n bigint")
+        return parts.groupBy("value").agg(F.sum("n").alias("n_occurrences"))
+
     # ----------------------------------------------------------- reductions
     def sum(self) -> DataFrame:
         """Global sum: fused pipeline + per-chunk numpy partial in ONE

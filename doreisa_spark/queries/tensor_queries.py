@@ -656,3 +656,120 @@ def tensor_einsum_rowsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ChunkedArray.from_function(spark, _META, _asym_chunk)
     df = a.einsum("ij,kj->ik", b).axis_sum(axis=0)
     return df.select(F.col("coords")[0].cast("bigint").alias("idx"), F.col("total"))
+
+
+@register(
+    "tensor_pad_rowsum",
+    extended=True,
+    # pad(((1,2),(3,4)), cval=5): padded grid is (R+3)×(C+7); interior
+    # cell (r,c) holds (r-1)+(c-3); the border holds 5. Per-row sums gate
+    # both edge-chunk placement and the constant fill.
+    oracle=f"""
+SELECT CAST(r.range AS BIGINT) AS idx,
+       CAST(sum(CASE WHEN r.range BETWEEN 1 AND {_ROWS}
+                      AND c.range BETWEEN 3 AND {_COLS + 2}
+                     THEN (r.range - 1) + (c.range - 3) ELSE 5 END) AS DOUBLE) AS total
+FROM range(0, {_ROWS + 3}) r, range(0, {_COLS + 7}) c
+GROUP BY r.range
+""",
+)
+def tensor_pad_rowsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pad(constant).axis_sum(1): the pure-map edge-chunk pad fused into
+    the pipeline, then the per-row reduction. Gate grid at every sf — a
+    correctness entry."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    df = arr.pad(((1, 2), (3, 4)), constant_value=5.0).axis_sum(axis=1)
+    return df.select(F.col("coords")[0].cast("bigint").alias("idx"), F.col("total"))
+
+
+@register(
+    "tensor_sort_weighted",
+    extended=True,
+    # np.sort along axis 1 of v(r,c) = (r + 5c) % 17, then the
+    # position-weighted row sum Σ sorted[c]·(c+1): only the correct
+    # ascending per-row order hits it (ties contribute equally under any
+    # stable order, so the closed form is rank-unambiguous).
+    oracle=f"""
+WITH v AS (
+  SELECT r, c, CAST((r + 5 * c) % 17 AS DOUBLE) AS val FROM {_DUCK_GRID}
+), rk AS (
+  SELECT r, val, row_number() OVER (PARTITION BY r ORDER BY val) AS posn FROM v
+)
+SELECT CAST(r AS BIGINT) AS idx, CAST(sum(val * posn) AS DOUBLE) AS total
+FROM rk GROUP BY r
+""",
+)
+def tensor_sort_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort(axis=1) → scale_axis(1..C) → axis_sum(1): the contiguous-axis
+    rechunk + in-slab sort, gated by an order-sensitive weighted sum.
+    Gate grid at every sf — a correctness entry."""
+    import numpy as np
+
+    def mod_chunk(pos, shape):
+        r = np.arange(pos[0] * shape[0], (pos[0] + 1) * shape[0], dtype=np.float64)
+        c = np.arange(pos[1] * shape[1], (pos[1] + 1) * shape[1], dtype=np.float64)
+        return np.mod(r[:, None] + 5.0 * c[None, :], 17.0)
+
+    w = np.arange(1, _COLS + 1, dtype=np.float64)
+    arr = ChunkedArray.from_function(spark, _META, mod_chunk)
+    df = arr.sort(axis=1).scale_axis(w, axis=1).axis_sum(axis=1)
+    return df.select(F.col("coords")[0].cast("bigint").alias("idx"), F.col("total"))
+
+
+@register(
+    "tensor_diagonal_sum",
+    extended=True,
+    # diagonal(offset=3) of the ramp r+c: element i is 2i+3, i < R-3
+    # (square grid) — Σ = closed form over one range.
+    oracle=f"""
+SELECT CAST(sum(2 * range + 3) AS DOUBLE) AS total FROM range(0, {_ROWS - 3})
+""",
+)
+def tensor_diagonal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diagonal(3).sum(): the ravel + flat-index gather lowering — wrong
+    stride, offset sign, or length all miss the closed form. Gate grid
+    at every sf — a correctness entry."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.diagonal(3).sum()
+
+
+@register(
+    "tensor_broadcast_mul_sum",
+    extended=True,
+    # broadcast v[c] = 2c+1 (tiled to the ramp's grid) ⊙ asym (r+2c),
+    # summed: Σ_{r,c} (2c+1)(r+2c).
+    oracle=f"SELECT CAST(sum((2*c + 1) * (r + 2*c)) AS DOUBLE) AS total FROM {_DUCK_GRID}",
+)
+def tensor_broadcast_mul_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """broadcast_to a (C,) vector onto the (R,C) grid — tiling pinned to
+    the consumer's grid so the elementwise join is co-gridded — then
+    multiply and reduce. Gate grid at every sf — a correctness entry."""
+    import numpy as np
+
+    v_chunks = {
+        (i,): 2.0 * np.arange(i * _CHUNK[1], (i + 1) * _CHUNK[1], dtype=np.float64) + 1.0
+        for i in range(_GRID[1])
+    }
+    v = ChunkedArray.from_numpy_chunks(spark, "bcastv", v_chunks)
+    b = ChunkedArray.from_function(spark, _META, _asym_chunk)
+    return v.broadcast_to((_ROWS, _COLS), chunks=(_CHUNK[0],)).zip_with(b, "*").sum()
+
+
+@register(
+    "tensor_unique_counts",
+    extended=True,
+    # ramp values r+c over the square grid: value v occurs
+    # min(v, R-1, C-1, R+C-2-v)+1 times — expressed directly as the
+    # grouped grid count.
+    oracle=f"""
+SELECT CAST(r + c AS DOUBLE) AS value, count(*) AS n_occurrences
+FROM {_DUCK_GRID}
+GROUP BY r + c
+""",
+)
+def tensor_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unique(): per-chunk np.unique map-side combine → one narrow hash
+    aggregate on distinct values (no element shuffle). Gate grid at
+    every sf — a correctness entry."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.unique()

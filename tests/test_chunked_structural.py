@@ -593,3 +593,80 @@ def test_einsum_rejects_diagonal_and_batch(spark):
         a.einsum("ij,ij->ij", b)
     with pytest.raises(ValueError, match="extents"):
         _chunked(spark, "erejc", np.ones((3, 4)), (2, 2)).einsum("ij,jk->ik", b)
+
+
+# ------------------------------------------- pad / sort / diagonal / etc.
+
+
+def test_pad_matches_numpy(spark):
+    rng = np.random.default_rng(81)
+    A = rng.integers(0, 9, size=(6, 7)).astype("float64")
+    a = _chunked(spark, "padA", A, (3, 4))
+    for pw in [1, (2, 0), ((1, 2), (3, 4)), ((0, 0), (0, 5))]:
+        got = a.pad(pw, constant_value=9.5).to_numpy()
+        assert np.array_equal(got, np.pad(A, pw, mode="constant", constant_values=9.5))
+
+
+def test_pad_1d_and_composes(spark):
+    A = np.arange(5, dtype=np.float64)
+    a = _chunked(spark, "pad1", A, (2,))
+    got = a.pad((3, 1), constant_value=-1.0)
+    assert np.array_equal(got.to_numpy(), np.pad(A, (3, 1), constant_values=-1.0))
+    # pad is lazy/fused: a downstream reduction still agrees
+    assert got.sum().first()["total"] == A.sum() - 4.0
+
+
+def test_sort_axis_matches_numpy(spark):
+    rng = np.random.default_rng(82)
+    A = rng.permutation(48).reshape(6, 8).astype("float64")
+    a = _chunked(spark, "sortA", A, (3, 3))
+    for ax in (0, 1, -1):
+        assert np.array_equal(a.sort(axis=ax).to_numpy(), np.sort(A, axis=ax))
+
+
+def test_diagonal_matches_numpy(spark):
+    rng = np.random.default_rng(83)
+    A = rng.integers(0, 99, size=(7, 9)).astype("int64")
+    a = _chunked(spark, "diagA", A, (3, 4))
+    for off in (0, 2, -3):
+        assert np.array_equal(a.diagonal(off).to_numpy(), np.diagonal(A, off))
+    with pytest.raises(ValueError, match="empty diagonal"):
+        a.diagonal(9)
+
+
+def test_broadcast_to_matches_numpy(spark):
+    v = np.arange(1, 9, dtype=np.float64)
+    a = _chunked(spark, "bcv", v, (3,))
+    got = a.broadcast_to((5, 8), chunks=(2,))
+    assert got.meta.nb_chunks_per_dim == (3, 3)
+    assert np.array_equal(got.to_numpy(), np.broadcast_to(v, (5, 8)))
+    # size-1 dim broadcast
+    col = np.arange(4, dtype=np.float64).reshape(4, 1)
+    b = _chunked(spark, "bcc", col, (2, 1))
+    got2 = b.broadcast_to((4, 6), chunks=(3,))
+    assert np.array_equal(got2.to_numpy(), np.broadcast_to(col, (4, 6)))
+    with pytest.raises(ValueError, match="does not broadcast"):
+        b.broadcast_to((5, 6))
+
+
+def test_broadcast_to_feeds_binary_op(spark):
+    """Broadcast with tiling pinned to another array's grid, then an
+    elementwise op — the materializing-broadcast use case."""
+    rng = np.random.default_rng(84)
+    v = np.arange(1, 7, dtype=np.float64)
+    M = rng.integers(0, 9, size=(4, 6)).astype("float64")
+    av = _chunked(spark, "bfv", v, (3,))
+    am = _chunked(spark, "bfm", M, (2, 3))
+    prod = av.broadcast_to((4, 6), chunks=(2,)).zip_with(am, "*")
+    assert np.allclose(prod.to_numpy(), v[None, :] * M)
+
+
+def test_unique_counts(spark):
+    A = np.array([[3, 1, 3], [1, 3, 7]], dtype=np.int64)
+    a = _chunked(spark, "uqA", A, (1, 2))
+    got = {r["value"]: r["n_occurrences"] for r in a.unique().collect()}
+    assert got == {1: 2, 3: 3, 7: 1}
+    B = np.array([0.5, 0.5, 2.5], dtype=np.float64)
+    b = _chunked(spark, "uqB", B, (2,))
+    gotb = {r["value"]: r["n_occurrences"] for r in b.unique().collect()}
+    assert gotb == {0.5: 2, 2.5: 1}
