@@ -67,11 +67,22 @@ from pyspark.sql import functions as F
 # lo/hi 32-bit split per chunk carried as DECIMAL(38,0) (true mathematical
 # value — NOT numpy's mod-2^64 wraparound, which no analytics user wants
 # from a reduction; dtype-preserving ops like cumsum/diff keep numpy's
-# wraparound since they stay in uint64). complex stays rejected.
+# wraparound since they stay in uint64).
+# complex64/128 (FFT-adjacent simulation analytics) are stored as their
+# native byte layout — every numpy kernel (elementwise, structural,
+# matmul/tensordot/einsum block math) handles them natively; only
+# reductions whose partials cross the Arrow→JVM hop need pairing: sum/mean
+# travel as (re, im) double pairs, ordering reductions (min/max/arg*/
+# cumsum/histogram/topk) raise (numpy's lexicographic complex order has no
+# SQL analog and no analytics user wants it).
+# float16 is INGEST-ONLY: chunks upcast to float32 at the ingest boundary
+# (exact widening — every float16 is exactly representable in float32);
+# declared metas use float32.
 _SUPPORTED = {
     "int8", "int16", "int32", "int64",
     "uint8", "uint16", "uint32", "uint64",
     "float32", "float64",
+    "complex64", "complex128",
 }
 
 CHUNK_SCHEMA = (
@@ -102,6 +113,12 @@ POS_SCHEMA = "pos array<int>"
 
 def _check_dtype(dtype: str) -> str:
     s = str(np.dtype(dtype))
+    if s == "float16":
+        raise TypeError(
+            "float16 is ingest-only: chunks upcast to float32 at the ingest "
+            "boundary (from_numpy_chunks / Ingest.add_chunk, exact widening) "
+            "— declare float32 here"
+        )
     if s not in _SUPPORTED:
         raise TypeError(f"unsupported chunk dtype {dtype!r}; supported: {sorted(_SUPPORTED)}")
     return s
@@ -113,6 +130,14 @@ def _check_dtype(dtype: str) -> str:
 # single values (min/max/argmin/argmax) ride DECIMAL(20,0) — both exact.
 def _acc(dtype: str, use: str = "sum") -> tuple[np.dtype, str]:
     d = np.dtype(dtype)
+    if d.kind == "c":
+        raise TypeError(
+            "complex arrays support sum()/mean() (paired-double partials) and "
+            "all elementwise/structural/matmul ops; ordering-based reductions "
+            "(min/max/argmin/argmax/cumsum/histogram/topk) have no SQL analog "
+            "for numpy's lexicographic complex order — reduce .real/.imag "
+            "components instead"
+        )
     if d.kind == "f":
         return np.dtype(np.float64), "double"
     if d == np.uint64:
@@ -404,6 +429,12 @@ class ChunkedArray:
         every chunk sharing a grid index along a dimension must agree on
         its size there (dask ``chunks`` consistency)."""
         first = next(iter(chunks.values()))
+        if first.dtype == np.float16:
+            # documented precision contract: exact widening (every float16
+            # value is exactly representable in float32); the frozen meta
+            # declares float32
+            chunks = {p: a.astype(np.float32) for p, a in chunks.items()}
+            first = next(iter(chunks.values()))
         dtype = _check_dtype(str(first.dtype))
         ndim = first.ndim
         grid = tuple(1 + max(p[d] for p in chunks) for d in range(ndim))
@@ -1264,15 +1295,12 @@ class ChunkedArray:
         ).localCheckpoint(eager=True)
         counts = {int(r["k"]): int(r["n"]) for r in picked.select("k", "n").collect()}
         sizes = tuple(counts[k] for k in sorted(counts))
-        if sum(sizes) == 0:
-            # zero-size chunked arrays aren't supported, so an all-False
-            # mask can't produce numpy's empty result — fail here with a
-            # clear story (same contract as compress()) instead of letting
-            # downstream ops trip over an all-zero-chunk GridMeta
-            raise ValueError(
-                "boolean_select mask selects nothing (all False everywhere); "
-                "zero-size results are unsupported, matching compress()"
-            )
+        # An all-False mask yields numpy's EMPTY 1-D result (all chunk
+        # sizes zero): reductions compose (sum() == 0.0, size 0, matching
+        # np.sum([])), as do materialize/to_numpy. Gather-style consumers
+        # (take/compress) reject empty inputs with their own clear errors,
+        # so the ADVICE-r5 "obscure downstream failure" cannot occur
+        # silently. tests/test_advice_fixes.py pins these semantics.
         meta = GridMeta(self.meta.name, (len(sizes),), (sizes,), self.meta.dtype)
         name, ts = self.meta.name, self.timestep
         df = picked.select(
@@ -1991,6 +2019,11 @@ class ChunkedArray:
         DECIMAL(20,0) (exact); float NaN surfaces as a NULL value row
         (the Arrow NaN→NULL hop, see module gotchas)."""
         np_dt = np.dtype(self.meta.dtype)
+        if np_dt.kind == "c":
+            raise TypeError(
+                "unique() is unsupported for complex arrays (no SQL value type); "
+                "dedupe on .real/.imag components instead"
+            )
         if np_dt == np.uint64:
             vtype = "decimal(20,0)"
         elif np_dt.kind in "iu":
@@ -2029,7 +2062,13 @@ class ChunkedArray:
         numpy NaN contract for floats: any NaN anywhere → total is NaN.
         The NaN marker travels as a boolean because the Arrow hop nulls
         float NaN and F.sum would silently SKIP the whole chunk's
-        partial."""
+        partial.
+
+        Complex arrays: two columns ``total_re, total_im`` (the partials
+        cross the Arrow hop as paired doubles; each component carries its
+        own NaN marker)."""
+        if np.dtype(self.meta.dtype).kind == "c":
+            return self._complex_moment(mean=False)
         np_acc, sql_acc = _acc(self.meta.dtype)
         rows_fn = self._rows_fn()
         u64 = np_acc == np.uint64
@@ -2254,9 +2293,48 @@ class ChunkedArray:
         """Per-coordinate argmax along one axis → (coords, index, value)."""
         return self._axis_arg_extreme(axis, "max")
 
+    def _complex_moment(self, *, mean: bool) -> DataFrame:
+        """sum()/mean() for complex arrays: each chunk's complex128 partial
+        ships as an (re, im) double pair with per-component NaN markers
+        (the Arrow hop nulls NaN; see _nan_aware); the JVM aggregates each
+        component independently — same single-fused-stage plan shape as
+        the real-valued path."""
+        rows_fn = self._rows_fn()
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vals, ns = [], []
+                for _, arr in rows_fn(pdf):
+                    vals.append(arr.sum(dtype=np.complex128))
+                    ns.append(arr.size)
+                yield pd.DataFrame(
+                    {
+                        "__re": pd.Series([v.real for v in vals], dtype="float64"),
+                        "__im": pd.Series([v.imag for v in vals], dtype="float64"),
+                        "__nre": [bool(v.real != v.real) for v in vals],
+                        "__nim": [bool(v.imag != v.imag) for v in vals],
+                        "__n": pd.Series(ns, dtype="int64"),
+                    }
+                )
+
+        partials = self.df.mapInPandas(
+            partial,
+            schema="__re double, __im double, __nre boolean, __nim boolean, __n bigint",
+        )
+        div = F.sum("__n").cast("double") if mean else F.lit(1.0)
+        re = F.when(F.max("__nre"), F.lit(float("nan"))).otherwise(F.sum("__re") / div)
+        im = F.when(F.max("__nim"), F.lit(float("nan"))).otherwise(F.sum("__im") / div)
+        pre = "mean" if mean else "total"
+        return partials.agg(
+            re.cast("double").alias(f"{pre}_re"), im.cast("double").alias(f"{pre}_im")
+        )
+
     def mean(self) -> DataFrame:
         """Global mean via sum + count partials (never collects data).
-        numpy NaN contract: any NaN → mean is NaN."""
+        numpy NaN contract: any NaN → mean is NaN. Complex arrays: two
+        columns ``mean_re, mean_im`` (see sum())."""
+        if np.dtype(self.meta.dtype).kind == "c":
+            return self._complex_moment(mean=True)
         np_acc, sql_acc = _acc(self.meta.dtype)
         rows_fn = self._rows_fn()
         u64 = np_acc == np.uint64

@@ -773,3 +773,31 @@ def tensor_unique_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     every sf — a correctness entry."""
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
     return arr.unique()
+
+
+@register(
+    "tensor_complex_sum",
+    extended=True,
+    # complex ramp z[r,c] = (r+c) + 2(r+c)i: the paired-double partial
+    # transport must reproduce Σ(r+c) and 2Σ(r+c) exactly.
+    oracle=f"""
+SELECT CAST(sum(r + c) AS DOUBLE) AS total_re,
+       CAST(sum(2 * (r + c)) AS DOUBLE) AS total_im
+FROM {_DUCK_GRID}
+""",
+)
+def tensor_complex_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum() over a complex128 ramp — the any-dtype parity crumb
+    (reference accepts arbitrary numpy dtypes, head_node.py:84): chunk
+    partials cross the Arrow→JVM hop as (re, im) double pairs with
+    per-component NaN markers. Gate grid at every sf — a correctness
+    entry."""
+    import numpy as np
+
+    def cx_chunk(pos, shape):
+        base = ramp_chunk(pos, shape).astype(np.complex128)
+        return base + 2j * base
+
+    meta = GridMeta("cxgrid", _GRID, _CHUNK, dtype="complex128")
+    arr = ChunkedArray.from_function(spark, meta, cx_chunk)
+    return arr.sum()

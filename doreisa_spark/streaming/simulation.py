@@ -125,6 +125,11 @@ class Ingest:
         fn = self._preprocess.get(array_name)
         if fn is not None:
             chunk = np.asarray(fn(chunk))
+        if chunk.dtype == np.float16:
+            # half-precision producers: exact widening to float32 at the
+            # ingest boundary (the documented float16 contract — the frozen
+            # meta and all analytics run in float32)
+            chunk = chunk.astype(np.float32)
         ordinal = self.ordinal_of(timestep)  # before _lock: takes _lock itself
         complete: ChunkedArray | None = None
         with self._lock:

@@ -248,11 +248,17 @@ def test_take_distributed_plan_matches_closure_path(spark, monkeypatch):
     assert np.array_equal(got2, np.take(dense, idx2, axis=1))
 
 
-def test_boolean_select_all_false_raises_clearly(spark):
+def test_boolean_select_all_false_gives_numpy_empty_semantics(spark):
+    """a[all-False mask] is numpy's EMPTY array: size 0, sum 0.0 — it
+    must compose with reductions, not raise and not crash obscurely
+    (ADVICE r5 resolved toward numpy parity; gather ops like
+    take/compress still reject empty inputs with their own errors)."""
     chunks = {(0,): np.arange(4, dtype=np.float64), (1,): np.arange(4, 8, dtype=np.float64)}
     arr = ChunkedArray.from_numpy_chunks(spark, "bselempty", chunks)
     zero = ChunkedArray.from_numpy_chunks(
         spark, "bselzero", {(0,): np.zeros(4), (1,): np.zeros(4)}
     )
-    with pytest.raises(ValueError, match="selects nothing"):
-        arr.boolean_select(zero)
+    empty = arr.boolean_select(zero)
+    assert empty.meta.global_shape == (0,)
+    assert empty.sum().first()["total"] == 0.0
+    assert empty.to_numpy().size == 0

@@ -205,11 +205,16 @@ def test_uint32_sum_exact_beyond_float53(spark):
 
 
 def test_unsupported_dtype_rejected(spark):
-    # complex stays rejected (no exact accumulator, no SQL analog)
+    # datetime64 has no analytics story here; float16 is redirected to
+    # the ingest-upcast contract with its own message
     with pytest.raises(TypeError, match="unsupported chunk dtype"):
         ChunkedArray.from_numpy_chunks(
-            spark, "u", {(0,): np.array([1 + 2j], dtype=np.complex128)}
+            spark, "u", {(0,): np.array([1, 2], dtype="datetime64[s]")}
         )
+    from doreisa_spark.plans.chunked import GridMeta
+
+    with pytest.raises(TypeError, match="float16 is ingest-only"):
+        GridMeta("h", (1,), (4,), "float16")
 
 
 def test_uint64_sum_exact_beyond_int64(spark):
@@ -679,3 +684,87 @@ def test_axis_argmax_ties_first_occurrence(spark):
     arr = ChunkedArray.from_numpy_chunks(spark, "axargt", chunks)
     hi = {tuple(r["coords"]): r["index"] for r in arr.axis_argmax(0).collect()}
     assert hi[(0,)] == 0 and hi[(1,)] == 0  # first max wins, as numpy
+
+
+# ------------------------------------------------- complex64/128 + float16
+
+
+def test_complex_sum_mean_closed_form(spark):
+    """Sum of a complex ramp (k + 2k·i for k in 0..N-1) across chunks:
+    closed form N(N-1)/2 + N(N-1)·i, carried as paired doubles."""
+    N = 4096
+    ramp = np.arange(N, dtype=np.float64)
+    z = (ramp + 2j * ramp).astype(np.complex128)
+    chunks = {(i,): z[i * 1024 : (i + 1) * 1024] for i in range(4)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "cx", chunks)
+    assert arr.meta.dtype == "complex128"
+    row = arr.sum().first()
+    expect = N * (N - 1) // 2
+    assert row["total_re"] == float(expect)
+    assert row["total_im"] == float(2 * expect)
+    m = arr.mean().first()
+    assert m["mean_re"] == pytest.approx(expect / N)
+    assert m["mean_im"] == pytest.approx(2 * expect / N)
+
+
+def test_complex64_elementwise_structural_matmul(spark):
+    rng = np.random.default_rng(90)
+    A = (rng.standard_normal((6, 6)) + 1j * rng.standard_normal((6, 6))).astype(
+        np.complex64
+    )
+    B = (rng.standard_normal((6, 6)) + 1j * rng.standard_normal((6, 6))).astype(
+        np.complex64
+    )
+    chunks_a = {(i, j): A[i * 3 : (i + 1) * 3, j * 3 : (j + 1) * 3] for i in range(2) for j in range(2)}
+    chunks_b = {(i, j): B[i * 3 : (i + 1) * 3, j * 3 : (j + 1) * 3] for i in range(2) for j in range(2)}
+    a = ChunkedArray.from_numpy_chunks(spark, "cxa", chunks_a)
+    b = ChunkedArray.from_numpy_chunks(spark, "cxb", chunks_b)
+    assert np.allclose((a.zip_with(b, "*")).to_numpy(), A * B)
+    assert np.allclose(a.transpose((1, 0)).to_numpy(), A.T)
+    got = a.matmul(b).to_numpy()
+    assert got.dtype == np.complex64
+    assert np.allclose(got, A @ B, atol=1e-5)
+    # scalar promotion: complex scalar on a complex array stays complex
+    assert np.allclose(a.scale(2 - 1j).to_numpy(), A * (2 - 1j))
+
+
+def test_complex_nan_marker_survives_arrow(spark):
+    z = np.array([1 + 1j, complex(np.nan, 2.0)], dtype=np.complex128)
+    arr = ChunkedArray.from_numpy_chunks(spark, "cxnan", {(0,): z})
+    row = arr.sum().first()
+    assert np.isnan(row["total_re"])
+    assert row["total_im"] == 3.0
+
+
+def test_complex_ordering_reductions_rejected(spark):
+    z = np.array([1 + 2j], dtype=np.complex128)
+    arr = ChunkedArray.from_numpy_chunks(spark, "cxrej", {(0,): z})
+    with pytest.raises(TypeError, match="complex arrays support sum"):
+        arr.min()
+    with pytest.raises(TypeError, match="unique.*unsupported for complex"):
+        arr.unique()
+
+
+def test_float16_upcasts_on_ingest(spark):
+    h = np.arange(8, dtype=np.float16) / 4.0
+    arr = ChunkedArray.from_numpy_chunks(
+        spark, "f16", {(0,): h[:4], (1,): h[4:]}
+    )
+    assert arr.meta.dtype == "float32"
+    out = arr.to_numpy()
+    assert out.dtype == np.float32
+    assert np.array_equal(out, h.astype(np.float32))  # exact widening
+    assert arr.sum().first()["total"] == float(h.astype(np.float64).sum())
+
+
+def test_float16_streaming_ingest_upcasts(spark):
+    from doreisa_spark.streaming.simulation import Ingest
+
+    ing = Ingest(spark)
+    for p in range(2):
+        ing.add_chunk(
+            "half", (p,), (2,), 0, np.full(3, 1.5, dtype=np.float16)
+        )
+    name, ts, arr = ing.get_next_array()
+    assert arr.meta.dtype == "float32"
+    assert arr.sum().first()["total"] == 9.0
