@@ -1279,20 +1279,20 @@ class ChunkedArray:
                     datas.append(sel.tobytes())
                 yield pd.DataFrame({"k": ks, "n": ns, "data": datas})
 
-        # localCheckpoint, not persist: the counts collect below executes
-        # the join+selection once and truncates lineage; the checkpointed
-        # blocks are reclaimed by the ContextCleaner when the result is
-        # dereferenced, so repeated boolean_select calls (e.g. per
-        # streaming micro-batch) don't accumulate pinned storage the way
-        # an unpaired persist() would. Tradeoff: truncated lineage means an
-        # executor lost between here and the final action cannot recompute
-        # its blocks — acceptable for this short-lived intermediate (same
-        # call as dedup's label-propagation checkpoints); a deployment
-        # needing executor-loss recovery here should set a reliable
-        # checkpoint dir and swap in .checkpoint().
-        picked = joined.mapInPandas(
-            pick, schema="k int, n int, data binary"
-        ).localCheckpoint(eager=True)
+        # checkpoint, not persist: the counts collect below executes the
+        # join+selection once and truncates lineage; local-mode blocks are
+        # reclaimed by the ContextCleaner when the result is dereferenced,
+        # so repeated boolean_select calls (e.g. per streaming micro-batch)
+        # don't accumulate pinned storage the way an unpaired persist()
+        # would. Default localCheckpoint trades executor-loss recovery for
+        # speed; deployments flip lifecycle.RELIABLE_CHECKPOINT_CONF to
+        # write reliable checkpoints instead (same switch as dedup's
+        # label-propagation rounds).
+        from doreisa_spark.lifecycle import checkpoint as _ckpt
+
+        picked = _ckpt(
+            joined.mapInPandas(pick, schema="k int, n int, data binary"), eager=True
+        )
         counts = {int(r["k"]): int(r["n"]) for r in picked.select("k", "n").collect()}
         sizes = tuple(counts[k] for k in sorted(counts))
         # An all-False mask yields numpy's EMPTY 1-D result (all chunk

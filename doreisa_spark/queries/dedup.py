@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from doreisa_spark.catalog import table
+from doreisa_spark.lifecycle import checkpoint, scoped_persist
 from doreisa_spark.operators import text as TX
 from doreisa_spark.operators import vectors as V
 from doreisa_spark.registry import register
@@ -199,7 +200,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE pass computes shingles, per-shingle hashes (single md5 each), all
     # K minhashes, and the band signature array; persisted so the candidate
     # and verification stages never re-run the text pipeline.
-    sig = minhash_signature_frame(d).persist()
+    # scoped_persist: long-lived sessions wrap invocations in
+    # lifecycle.cache_scope() to release this cache deterministically
+    sig = scoped_persist(minhash_signature_frame(d))
     # EAGER materialization: three downstream subtrees (bands, verify-a,
     # verify-b) read this cache, and AQE launches them concurrently — on a
     # lazy persist their ~3×32 tasks convoy on the same uncomputed cache
@@ -477,12 +480,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the pair graph is tiny relative to the corpus (pairs only
     exist where LSH found candidates), so the iteration runs on the
     residual graph, never the full dataset."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    pairs = scoped_persist(dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"))
     pairs.count()  # eager: every iteration reads this, compute once
     half = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    edges = half.union(
-        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    edges = scoped_persist(
+        half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
     labels = edges.select("u").distinct().select("u", F.col("u").alias("component"))
     for _ in range(20):  # diameter bound; real clusters converge in 2-4
         nbr = (
@@ -498,7 +501,8 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "component", F.coalesce("nb_min", F.col("component"))
             ).alias("component"),
         )
-        merged = merged.localCheckpoint()  # truncate iterative lineage
+        # truncate iterative lineage; reliable mode via lifecycle conf
+        merged = checkpoint(merged)
         changed = merged.where(
             F.col("component") != F.col("old_component")
         ).count()
