@@ -37,8 +37,13 @@ NO_ORACLE_WORK = {"tensor_global_sum"}
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.tmp_io/sf1"
     n_passes = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    # Optional extra registry entries timed alongside HEADLINE (round-5
+    # verdict ask #10: the BLAS-vs-expression IVF assignment margin as a
+    # tracked sf1 number, not a bench-extras footnote).
+    extras = [q for q in (sys.argv[3].split(",") if len(sys.argv) > 3 else []) if q]
     _ensure_loaded()
     qs = {**EXTENDED, **REGISTRY}
+    names = HEADLINE + extras
 
     # --- Spark ---
     spark = get_spark("baseline")
@@ -50,9 +55,9 @@ def main() -> None:
             spark, GridMeta("warm", (64,), (256,)), ramp_chunk
         ).sum().collect()
 
-    spark_passes: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    spark_passes: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(n_passes):
-        for name in HEADLINE:
+        for name in names:
             t0 = time.perf_counter()
             qs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             spark_passes[name].append(round(time.perf_counter() - t0, 3))
@@ -65,7 +70,7 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     duck_passes: dict[str, list[float]] = {}
     for _ in range(n_passes):
-        for name in HEADLINE:
+        for name in names:
             if name in NO_ORACLE_WORK or qs[name].oracle is None:
                 continue
             t0 = time.perf_counter()

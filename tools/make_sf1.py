@@ -33,6 +33,10 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.tmp_io/sf1"
 REPLICAS = int(os.environ.get("SF1_REPLICAS", "10"))
+# Optional comma-separated table subset (e.g. SF1_TABLES=documents for the
+# sf10 scaling-curve run, where only the compute-heavy document queries
+# need 100x data) — empty means all tables.
+ONLY = {t for t in os.environ.get("SF1_TABLES", "").split(",") if t}
 
 con = duckdb.connect()
 con.execute(f"SET threads TO {os.cpu_count() or 8}")
@@ -98,9 +102,13 @@ REPL = {
 
 os.makedirs(OUT, exist_ok=True)
 for t in ("region", "nation"):
+    if ONLY and t not in ONLY:
+        continue
     con.execute(f"COPY (SELECT * FROM {t}) TO '{OUT}/{t}.parquet' (FORMAT parquet)")
     print(t, "copied")
 for t, sql in REPL.items():
+    if ONLY and t not in ONLY:
+        continue
     con.execute(f"COPY ({sql}) TO '{OUT}/{t}.parquet' (FORMAT parquet, ROW_GROUP_SIZE 262144)")
     n = con.sql(f"SELECT count(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0]
     print(t, n, "rows")
