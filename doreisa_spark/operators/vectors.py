@@ -52,6 +52,15 @@ def lsh_bucket_expr(a: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def sqdist_expr(a: str, b: str) -> str:
+    """Sequential-fold squared L2 distance of two array<double> columns
+    (Spark SQL) — same element order and accumulation as duck_sqdist."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
 # --------------------------------------------------------------- DuckDB side
 def duck_dot(a: str, b: str) -> str:
     n = f"len({a})"
@@ -79,3 +88,13 @@ def duck_lsh_bucket(a: str) -> str:
         )
         bits.append(f"(CASE WHEN {proj} > 0 THEN {2**k} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
+
+
+def duck_sqdist(a: str, b: str) -> str:
+    """Sequential-fold squared L2 distance (DuckDB) — bit-identical to
+    sqdist_expr on array<double> inputs."""
+    n = f"len({a})"
+    return (
+        f"list_reduce(list_transform(range(1, {n} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )

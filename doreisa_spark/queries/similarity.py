@@ -762,3 +762,369 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cemb")
     )
     return _ivf_query(spark, sf_dir, assign="expr", cent=refined)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + IVF-PQ: the production-scale ANN layout.
+#
+# PQ splits each L2-normalized vector into _PQ_M contiguous subvectors and
+# replaces each with the id of its nearest codebook entry — 64 float32
+# dims become _PQ_M uint8 codes (64x compression), and approximate cosine
+# becomes _PQ_M table lookups (ADC — asymmetric distance computation).
+# IVF-PQ composes this with the IVF coarse quantizer: probe nprobe cells,
+# ADC-score only those inverted lists, exact-rerank a small shortlist.
+# This is the layout every billion-vector deployment runs (FAISS
+# IVFx,PQy); at 100 TB the corpus is codes + cell ids, not floats.
+#
+# Determinism contract: codebooks are subvector slices of the SAME fixed
+# seed range the IVF quantizer uses (no trained state), all norms/dots/
+# distances are sequential left folds over double-cast elements, and the
+# Python-side LUT mirrors those folds operation-for-operation — so Spark
+# and the DuckDB oracle agree bit-for-bit end to end.
+
+_PQ_M = 4              # subspaces (64-dim embeddings -> 16 dims each)
+_PQ_SUB = 16
+_PQ_K = _IVF_CELLS     # 16 codes per subspace, seeded from the IVF range
+_PQ_SHORTLIST = 3 * _TOP_K
+
+
+def _py_normalize(vec32) -> list[float]:
+    """Sequential-fold L2 normalization mirroring norm_expr / duck_norm
+    bit-for-bit: left fold of double-cast squares in element order, IEEE
+    sqrt, per-element double division."""
+    import math
+
+    xs = [float(x) for x in vec32]
+    acc = 0.0
+    for x in xs:
+        acc += x * x
+    n = math.sqrt(acc)
+    return [x / n for x in xs]
+
+
+def _py_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-fold dot mirroring dot_expr / duck_dot."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _pq_codebook(e: DataFrame) -> list[list[list[float]]]:
+    """cb[m][j] = subspace-m slice of the L2-normalized seed vector j.
+
+    Seeds are the same fixed vec_id range as the IVF coarse quantizer
+    (_seed_centroids), so the index needs no trained state and both
+    engines derive identical codebooks from the data itself. The collect
+    is {_PQ_K} rows — the broadcast-small-dim pattern, same contract as
+    the IVF centroid collect."""
+    rows = sorted(
+        e.where(
+            (F.col("vec_id") >= _IVF_CENT_LO)
+            & (F.col("vec_id") < _IVF_CENT_LO + _PQ_K)
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cb: list[list[list[float]]] = []
+    for m in range(_PQ_M):
+        sub = []
+        for r in rows:
+            nv = _py_normalize(r["embedding"])
+            sub.append(nv[m * _PQ_SUB : (m + 1) * _PQ_SUB])
+        cb.append(sub)
+    return cb
+
+
+def _with_pq_codes(df: DataFrame, vec_col: str, cb) -> DataFrame:
+    """Adds `codes` (array<int>, one code per subspace) and `_recon`
+    (summed squared quantization error) to a DataFrame of raw vectors.
+
+    Map-only JVM expressions end to end: normalize once (projected norm
+    column — no O(d^2) recompute), slice each subspace once, fold the
+    _PQ_K squared distances against literal codebook arrays, argmin via
+    array_position(array_min) (first occurrence = lowest code id, the
+    same tie the oracle's ORDER BY d, j picks). Zero shuffles; the
+    codebook rides in the plan as literals — at cluster scale this is a
+    broadcast-free, state-free encode pass."""
+    df = df.withColumn("_nrm", F.expr(V.norm_expr(vec_col))).withColumn(
+        "_nvec", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE) / _nrm)")
+    )
+    code_cols, err_cols = [], []
+    for m in range(_PQ_M):
+        df = df.withColumn(f"_sub{m}", F.slice("_nvec", m * _PQ_SUB + 1, _PQ_SUB))
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(f"_sub{m}"),
+                        F.array(*[F.lit(v) for v in cb[m][j]]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for j in range(_PQ_K)
+            ]
+        )
+        df = df.withColumn(f"_d{m}", dists)
+        code_cols.append(
+            F.expr(f"CAST(array_position(_d{m}, array_min(_d{m})) - 1 AS INT)")
+        )
+        err_cols.append(F.array_min(F.col(f"_d{m}")))
+    recon = err_cols[0]
+    for c in err_cols[1:]:
+        recon = recon + c  # fixed m-order sum, matching the oracle
+    return df.withColumn("codes", F.array(*code_cols)).withColumn("_recon", recon)
+
+
+def _pq_ctes() -> str:
+    """Shared DuckDB CTE text: normalized corpus, codebook, per-vector
+    codes + per-subspace quantization errors."""
+    sub_of = lambda v: f"list_slice({v}, {_PQ_SUB} * cb.m + 1, {_PQ_SUB} * (cb.m + 1))"  # noqa: E731
+    return f"""
+pq_base AS (
+  SELECT vec_id AS cid, embedding, {V.duck_norm('embedding')} AS nrm FROM embeddings
+), pq_corpus AS (
+  SELECT cid, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS nvec
+  FROM pq_base
+), pq_cb AS (
+  SELECT r.m, s.j, list_slice(s.nvec, {_PQ_SUB} * r.m + 1, {_PQ_SUB} * (r.m + 1)) AS cvec
+  FROM (SELECT cid - {_IVF_CENT_LO} AS j, nvec FROM pq_corpus
+        WHERE cid >= {_IVF_CENT_LO} AND cid < {_IVF_CENT_LO + _PQ_K}) s
+  CROSS JOIN range({_PQ_M}) r(m)
+), pq_dist AS (
+  SELECT c.cid, cb.m, cb.j,
+         {V.duck_sqdist(sub_of('c.nvec'), 'cb.cvec')} AS d
+  FROM pq_corpus c CROSS JOIN pq_cb cb
+), pq_codes AS (
+  SELECT cid, list(j ORDER BY m) AS codes, list(d ORDER BY m) AS errs
+  FROM (SELECT cid, m, j, d,
+               row_number() OVER (PARTITION BY cid, m ORDER BY d, j) AS rk
+        FROM pq_dist)
+  WHERE rk = 1
+  GROUP BY cid
+)"""
+
+
+@register(
+    "sim_pq_encode",
+    extended=True,
+    oracle=f"""
+WITH {_pq_ctes()}
+SELECT cid,
+       concat_ws('-', codes[1], codes[2], codes[3], codes[4]) AS codes,
+       round(errs[1] + errs[2] + errs[3] + errs[4], 6) AS recon_err
+FROM pq_codes
+""",
+)
+def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode of the corpus: {_PQ_M} subspace codes
+    per vector (4 bytes replacing 256 bytes of float32 — the compression
+    step of IVF-PQ) plus the summed squared quantization error.
+
+    Map-only, zero shuffle, no trained state (codebook = slices of the
+    IVF seed vectors, collected once and inlined as plan literals). Codes
+    and errors are bit-reproducible against the oracle: identical fold
+    order, identical argmin tie-break (lowest code id)."""
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    cb = _pq_codebook(e)
+    corpus = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    coded = _with_pq_codes(corpus, "ce", cb)
+    return coded.select(
+        "cid",
+        F.concat_ws(
+            "-", *[F.col("codes")[m].cast("string") for m in range(_PQ_M)]
+        ).alias("codes"),
+        F.round("_recon", 6).alias("recon_err"),
+    )
+
+
+_IVF_PQ_ORACLE = f"""
+WITH {_pq_ctes()},
+cent AS (
+  SELECT vec_id - {_IVF_CENT_LO} AS cell, embedding AS cemb
+  FROM embeddings WHERE vec_id >= {_IVF_CENT_LO} AND vec_id < {_IVF_CENT_LO + _IVF_CELLS}
+), corpus AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+), assigned AS (
+  SELECT cid, cell FROM (
+    SELECT c.cid, cent.cell,
+           row_number() OVER (
+             PARTITION BY c.cid
+             ORDER BY {V.duck_cosine('c.ce', 'cent.cemb')} DESC, cent.cell) AS arnk
+    FROM corpus c CROSS JOIN cent)
+  WHERE arnk = 1
+), q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}
+), probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, cent.cell,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {V.duck_cosine('q.qe', 'cent.cemb')} DESC, cent.cell) AS prnk
+    FROM q CROSS JOIN cent)
+  WHERE prnk <= {_IVF_NPROBE}
+), pq_lut AS (
+  SELECT nq.qid, cb.m, cb.j,
+         {V.duck_dot(f'list_slice(nq.nvec, {_PQ_SUB} * cb.m + 1, {_PQ_SUB} * (cb.m + 1))', 'cb.cvec')} AS val
+  FROM (SELECT cid AS qid, nvec FROM pq_corpus WHERE cid < {_N_QUERIES}) nq
+  CROSS JOIN pq_cb cb
+), pq_adc AS (
+  SELECT p.qid, a.cid,
+         list_reduce(list(l.val ORDER BY l.m), (x, y) -> x + y) AS adc
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell AND a.cid <> p.qid
+  JOIN pq_codes k ON k.cid = a.cid
+  JOIN pq_lut l ON l.qid = p.qid AND l.j = k.codes[l.m + 1]
+  GROUP BY p.qid, a.cid
+), pq_short AS (
+  SELECT qid, cid, adc FROM (
+    SELECT qid, cid, adc,
+           row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS srk
+    FROM pq_adc)
+  WHERE srk <= {_PQ_SHORTLIST}
+), pq_rerank AS (
+  SELECT s.qid, s.cid, s.adc, {V.duck_cosine('q.qe', 'c.ce')} AS cos_sim
+  FROM pq_short s
+  JOIN corpus c ON c.cid = s.cid
+  JOIN q ON q.qid = s.qid
+)
+SELECT qid, cid, round(adc, 6) AS adc, round(cos_sim, 6) AS cos_sim, rk FROM (
+  SELECT qid, cid, adc, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rk
+  FROM pq_rerank)
+WHERE rk <= {_TOP_K}
+"""
+
+
+@register("sim_ann_ivf_pq", extended=True, oracle=_IVF_PQ_ORACLE)
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the billion-vector production layout (FAISS
+    IVF{_IVF_CELLS},PQ{_PQ_M}): probe {_IVF_NPROBE} IVF cells per query,
+    score ONLY those inverted lists with PQ asymmetric-distance lookups
+    ({_PQ_M} table reads per candidate instead of a 64-dim dot), then
+    exact-cosine rerank of a {_PQ_SHORTLIST}-candidate shortlist.
+
+    100 TB posture: cell assignment + PQ encode are map-only passes whose
+    outputs are NARROW (cid, cell, 4 codes) — at scale the stored index
+    is ~5 bytes/vector of hot data plus the raw floats touched only for
+    the <= shortlist x n_queries rerank rows. The per-query LUT
+    ({_PQ_M}x{_PQ_K} doubles) is computed driver-side from the collected
+    query set (bounded by the same contract as sim_topk_bruteforce) and
+    broadcast; candidate scoring is one broadcast join + a fixed-order
+    fold — no corpus shuffle beyond the narrow cell join.
+
+    Determinism: the Python LUT mirrors the engines' sequential folds
+    operation-for-operation (see _py_normalize/_py_dot), ADC sums the
+    {_PQ_M} lookups in subspace order on both sides, ties break on cid —
+    the whole index, shortlist, and rerank are bit-reproducible."""
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    cb = _pq_codebook(e)
+    corpus = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    cent = _seed_centroids(e)
+    assigned = _ivf_assign_expr(cent, corpus)
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pw = W.partitionBy("qid").orderBy(F.col("p_cos").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("qid", "cell", F.expr(V.cosine_expr("qe", "cemb")).alias("p_cos"))
+        .withColumn("prnk", F.row_number().over(pw))
+        .where(F.col("prnk") <= _IVF_NPROBE)
+        .select("qid", "cell")
+    )
+    codes = _with_pq_codes(corpus, "ce", cb).select("cid", "codes")
+    lut_rows = []
+    for r in sorted(q.collect(), key=lambda r: r["qid"]):
+        nv = _py_normalize(r["qe"])
+        lut = [
+            [
+                _py_dot(nv[m * _PQ_SUB : (m + 1) * _PQ_SUB], cb[m][j])
+                for j in range(_PQ_K)
+            ]
+            for m in range(_PQ_M)
+        ]
+        lut_rows.append((r["qid"], lut))
+    lut_df = spark.createDataFrame(lut_rows, "qid bigint, lut array<array<double>>")
+    cands = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("cid") != F.col("qid"))
+        .join(codes, "cid")
+        .join(F.broadcast(lut_df), "qid")
+        .withColumn(
+            "adc",
+            F.expr(
+                "aggregate(zip_with(codes, lut, (c, l) -> element_at(l, c + 1)), "
+                "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+            ),
+        )
+    )
+    sw = W.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("cid"))
+    short = (
+        cands.withColumn("srk", F.row_number().over(sw))
+        .where(F.col("srk") <= _PQ_SHORTLIST)
+        .select("qid", "cid", "adc")
+    )
+    rerank = (
+        short.join(corpus, "cid")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "cid", "adc", F.expr(V.cosine_expr("qe", "ce")).alias("cos_sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        rerank.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select(
+            "qid",
+            "cid",
+            F.round("adc", 6).alias("adc"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "sim_pq_recall",
+    extended=True,
+    oracle=f"""
+WITH bf_q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_N_QUERIES}),
+     bf_scored AS (
+  SELECT bf_q.qid, c.vec_id AS cid,
+         {V.duck_cosine('bf_q.qe', 'c.embedding')} AS cos_sim
+  FROM bf_q JOIN embeddings c ON c.vec_id <> bf_q.qid
+), bf AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rk
+    FROM bf_scored)
+  WHERE rk <= {_TOP_K}
+), pqr AS (
+  SELECT qid, cid FROM ({_IVF_PQ_ORACLE})
+)
+SELECT bf.qid,
+       count(pqr.cid) AS n_hits,
+       count(pqr.cid) / {_TOP_K}.0 AS recall
+FROM bf LEFT JOIN pqr ON pqr.qid = bf.qid AND pqr.cid = bf.cid
+GROUP BY bf.qid
+""",
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_TOP_K} of the full IVF-PQ pipeline against exact brute
+    force, per query — quantifies what the compressed index gives up,
+    exactly as sim_ann_recall does for sign-LSH. Integer-exact (counts of
+    bit-reproducible id sets), so the oracle gate is exact, not banded."""
+    bf = sim_topk_bruteforce(spark, sf_dir).select("qid", "cid")
+    pq = sim_ann_ivf_pq(spark, sf_dir).select(
+        F.col("qid").alias("pq_q"), F.col("cid").alias("pq_c")
+    )
+    return (
+        bf.join(pq, (bf["qid"] == pq["pq_q"]) & (bf["cid"] == pq["pq_c"]), "left")
+        .groupBy("qid")
+        .agg(
+            F.count("pq_c").alias("n_hits"),
+            (F.count("pq_c") / float(_TOP_K)).alias("recall"),
+        )
+    )

@@ -442,3 +442,97 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup, 6).alias("dup_fraction"),
         F.when((n >= 10) & (dup > 0.5), 1).otherwise(0).alias("is_repetitive"),
     )
+
+
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes + bounded repetition only, no
+# backrefs/lookarounds.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "555-[0-9]{4}"
+_PII_IP = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+# The synthetic corpus contains no PII, so the op would be a vacuous
+# all-zeros pass. Both engines therefore append DETERMINISTIC PII derived
+# from doc_id (emails on ~2/3 of docs, phones on 1/2, an IP on all) and
+# the oracle verifies the redactor actually finds and strips it.
+_PII_AUG_DUCK = """
+text
+|| CASE WHEN doc_id % 3 > 0
+        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+|| CASE WHEN doc_id % 2 = 0
+        THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+|| ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 + 1 AS VARCHAR)
+"""
+
+
+@register(
+    "text_pii_redact",
+    extended=True,
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id, {_PII_AUG_DUCK} AS t FROM documents
+), red AS (
+  SELECT doc_id, t,
+         len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(t, '{_PII_PHONE}')) AS n_phones,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS redacted
+  FROM aug
+)
+SELECT doc_id,
+       CAST(n_emails AS INTEGER) AS n_emails,
+       CAST(n_phones AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INTEGER) AS n_ips,
+       CAST(length(redacted) AS INTEGER) AS n_chars_redacted,
+       md5(redacted) AS redacted_md5
+FROM red
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrubbing pass every training-data
+    pipeline runs before anything else: count and replace emails, phone
+    numbers, and IP addresses with typed placeholder tokens.
+
+    Map-only JVM regexps (regexp_count / chained regexp_replace), no
+    Python in the path; at 100 TB this is a pure scan-shaped pass that
+    pipelines with quality scoring and dedup fingerprinting in one stage.
+    Patterns are restricted to the Java-regex ∩ RE2 common subset so both
+    engines match identically; redaction order (emails → phones → IPs) is
+    pinned because the output of one rule can affect the next. The md5 of
+    the fully redacted text proves byte-identical redaction, not just
+    equal counts."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 > 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.lit(" from 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        (did % 100 + 1).cast("string"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+        F.regexp_count(aug, F.lit(_PII_IP)).cast("int").alias("n_ips"),
+        F.length(red).cast("int").alias("n_chars_redacted"),
+        F.md5(red).alias("redacted_md5"),
+    )

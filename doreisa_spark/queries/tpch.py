@@ -857,3 +857,270 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 / Q9 / Q11 / Q20 shapes — the four TPC-H queries whose original text
+# needs PARTSUPP, which this testdata universe does not ship. The shape
+# variants derive the part-supplier catalog from lineitem instead:
+# ps(partkey, suppkey, cost=min extendedprice, availqty=sum quantity) —
+# preserving each query's distinctive plan shape (correlated min over a
+# derived relation, profit arithmetic over a 6-way join, HAVING over a
+# scalar aggregate of the same subtree, semi-join on an excess predicate).
+# cost/availqty are cast DECIMAL(18,2) from exact-2dp / integral doubles,
+# so all downstream arithmetic follows the q8 decimal-exact convention
+# (sum order cannot perturb the hash).
+
+PS_SQL = """
+ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST(min(l_extendedprice) AS DECIMAL(18,2)) AS ps_cost,
+         CAST(sum(l_quantity) AS DECIMAL(18,2)) AS ps_availqty
+  FROM lineitem GROUP BY 1, 2
+)"""
+
+
+def _ps_view(l: DataFrame) -> DataFrame:
+    """The derived part-supplier catalog (see PS_SQL)."""
+    return l.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min("l_extendedprice").cast("decimal(18,2)").alias("ps_cost"),
+        F.sum("l_quantity").cast("decimal(18,2)").alias("ps_availqty"),
+    )
+
+
+Q2_ORACLE = f"""
+WITH {PS_SQL}, eligible AS (
+  SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name, ps.ps_cost
+  FROM part p
+  JOIN ps ON ps.ps_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE' AND p.p_size <= 15 AND p.p_type = 'ECONOMY'
+)
+SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+       CAST(ps_cost AS DOUBLE) AS min_cost
+FROM (SELECT e.*, min(ps_cost) OVER (PARTITION BY p_partkey) AS mc FROM eligible e)
+WHERE ps_cost = mc
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", extended=True, oracle=Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every ECONOMY part in one region, the
+    supplier(s) offering the minimum derived cost — the original's
+    correlated-min-subquery answered as a window min over the eligible
+    set (same semantics, one pass instead of a re-join).
+
+    Plan: part/supplier/nation/region broadcast; ONE shuffle builds the
+    derived ps catalog (map-side combined groupBy); the min-cost filter
+    is a window over the already-partitioned eligible rows. DECIMAL cost
+    equality makes the correlated comparison exact. LIMIT rides a total
+    order (acctbal desc, nation, supplier, part), so the cut is
+    deterministic."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    from pyspark.sql import Window as W
+
+    eligible = (
+        _ps_view(l)
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "ps_cost")
+    )
+    mc = F.min("ps_cost").over(W.partitionBy("p_partkey"))
+    return (
+        eligible.withColumn("mc", mc)
+        .where(F.col("ps_cost") == F.col("mc"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.col("ps_cost").cast("double").alias("min_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q9_ORACLE = f"""
+WITH {PS_SQL}
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                - ps_cost * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+@register("q9_product_profit", extended=True, oracle=Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over the
+    parts matching a name pattern — revenue minus derived-cost x quantity
+    through a six-way join.
+
+    Plan: part (name-filtered, broadcast), supplier/nation broadcast; the
+    ps catalog reuses the lineitem shuffle key (partkey, suppkey); orders
+    joins on orderkey; final (nation, year) hash agg is map-side partial.
+    All money arithmetic stays DECIMAL until the final cast, so per-group
+    sums are order-independent-exact in both engines (q8 convention)."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    ) - F.col("ps_cost") * F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        l.join(
+            _ps_view(l),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+Q11_ORACLE = f"""
+WITH {PS_SQL}, natsupp AS (
+  SELECT ps_partkey, ps_cost * ps_availqty AS val
+  FROM ps
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+)
+SELECT ps_partkey AS p_partkey, CAST(sum(val) AS DOUBLE) AS value
+FROM natsupp
+GROUP BY 1
+HAVING CAST(sum(val) AS DOUBLE) * 1000 > (SELECT CAST(sum(val) AS DOUBLE) FROM natsupp)
+"""
+
+
+@register("q11_important_stock", extended=True, oracle=Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose derived inventory value within one
+    nation exceeds a fraction of that nation's total — the
+    HAVING-over-scalar-subquery pattern where the threshold aggregates
+    the SAME subtree the groups come from.
+
+    Plan: the natsupp subtree computes once per side; Spark broadcasts
+    the one-row total and filters post-agg (no second scan of lineitem —
+    the ps aggregate feeds both). Per-part values stay DECIMAL-exact;
+    only the threshold comparison is double (an inclusion flip would
+    need a group to land within one ulp of total/1000 — not a value
+    divergence, and no such boundary case exists in the data)."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    natsupp = (
+        _ps_view(l)
+        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("ps_partkey", (F.col("ps_cost") * F.col("ps_availqty")).alias("val"))
+    )
+    per_part = natsupp.groupBy(F.col("ps_partkey").alias("p_partkey")).agg(
+        F.sum("val").alias("val_sum")
+    )
+    total = natsupp.agg(F.sum("val").cast("double").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("val_sum").cast("double") * 1000 > F.col("total"))
+        .select("p_partkey", F.col("val_sum").cast("double").alias("value"))
+    )
+
+
+Q20_ORACLE = f"""
+WITH {PS_SQL}, shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q96
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+)
+SELECT DISTINCT s_name, s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM ps
+  JOIN part ON p_partkey = ps_partkey
+  LEFT JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE p_name LIKE 'small%'
+    AND CAST(ps_availqty AS DOUBLE) > 2 * COALESCE(q96, 0)
+)
+"""
+
+
+@register("q20_excess_suppliers", extended=True, oracle=Q20_ORACLE)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding excess derived availability
+    (total > 2x the 1996 shipped quantity) of any 'small*' part — the
+    nested semi-join pattern (IN over a filtered join with an outer
+    quantity comparison).
+
+    Plan: part broadcast into the ps subtree; shipped reuses the
+    (partkey, suppkey) shuffle key; the eligible-supplier set is LEFT
+    SEMI joined (never multiplies supplier rows). Quantity sums are
+    integral doubles — comparisons exact."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    shipped = (
+        l.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q96"))
+    )
+    excess = (
+        _ps_view(l)
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+            "left",
+        )
+        .where(
+            F.col("ps_availqty").cast("double")
+            > 2 * F.coalesce(F.col("q96"), F.lit(0.0))
+        )
+        .select("ps_suppkey")
+    )
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .distinct()
+    )
