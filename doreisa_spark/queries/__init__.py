@@ -14,6 +14,7 @@ Modules group the SURVEY.md §2 inventory:
 - ``similarity``  — embedding cosine top-k ANN (brute-force + LSH-bucketed).
 - ``textops``     — language-ID, quality scoring, token counts, fingerprinting, TF-IDF.
 - ``sampling``    — deterministic hash-based stratified sampling / mixture audit.
+- ``pca``         — distributed PCA sufficient statistics + projection over embeddings.
 - ``pipeline``    — end-to-end corpus curation (quality → lang → dedup → keep).
 - ``multimodal``  — binary payload columns: metadata extraction, decode/feature kernels.
 - ``sources_io``  — csv/json/partitioned-parquet sink→source round trips.
@@ -28,6 +29,7 @@ from doreisa_spark.queries import (  # noqa: F401
     events_stream,
     joins,
     multimodal,
+    pca,
     pipeline,
     sampling,
     scalar_funcs,
