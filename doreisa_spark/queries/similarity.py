@@ -1128,3 +1128,94 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("pq_c") / float(_TOP_K)).alias("recall"),
         )
     )
+
+
+@register(
+    "sim_pq_encode_blas",
+    extended=True,
+    oracle=f"""
+WITH {_pq_ctes()}
+SELECT cid,
+       concat_ws('-', codes[1], codes[2], codes[3], codes[4]) AS codes
+FROM pq_codes
+""",
+)
+def sim_pq_encode_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_pq_encode's production kernel: PQ code assignment as one
+    Arrow-batched numpy pass — per subspace, squared distances via the
+    ||x||^2 - 2 X C^T + ||c||^2 GEMM identity, argmin per row — instead
+    of the {_PQ_K * _PQ_M}-fold expression tree. Map-only, zero shuffle,
+    same shape as _ivf_assign_blas.
+
+    Gated by the SAME exact codes oracle, made tie-robust the way the
+    r5-advice fix made the IVF BLAS path: rows whose top-2 subspace
+    distances land within 1e-9 are re-scored with the oracle's exact
+    sequential-fold arithmetic and tie-broken (d, j) — so the codes
+    bit-agree with the expression path on any input/BLAS. recon_err is
+    deliberately NOT emitted here: its last-ulp GEMM noise could cross a
+    round(.,6) boundary without changing any code; the exact-error
+    contract lives in sim_pq_encode."""
+    import numpy as np
+    import pandas as pd
+
+    _TIE_EPS = 1e-9
+
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    cb = _pq_codebook(e)
+    CB = np.array(cb)  # (_PQ_M, _PQ_K, _PQ_SUB)
+    cb_sq = (CB * CB).sum(axis=2)  # (_PQ_M, _PQ_K)
+
+    def seq_sqdist(x, c):
+        acc = 0.0
+        for a, b in zip(x, c):
+            acc += (a - b) * (a - b)
+        return acc
+
+    def encode(batches):
+        for pdf in batches:
+            X32 = [np.asarray(v, dtype=np.float32) for v in pdf["embedding"]]
+            codes = np.empty((len(X32), _PQ_M), dtype=np.int64)
+            if len(X32):
+                X = np.array(X32, dtype=np.float64)
+                Xn = X / np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-300
+                )
+                for m in range(_PQ_M):
+                    S = Xn[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                    D = (
+                        (S * S).sum(axis=1, keepdims=True)
+                        - 2.0 * (S @ CB[m].T)
+                        + cb_sq[m]
+                    )
+                    best = D.argmin(axis=1)
+                    if D.shape[1] > 1:
+                        part = np.partition(D, 1, axis=1)
+                        tied = np.nonzero(part[:, 1] - part[:, 0] < _TIE_EPS)[0]
+                        for i in tied:
+                            # exact sequential folds over the NORMALIZED
+                            # subvector, mirroring the expression path:
+                            # elements are double-cast then divided by the
+                            # sequential-fold norm before differencing.
+                            xs = [float(v) for v in X32[i]]
+                            acc = 0.0
+                            for v in xs:
+                                acc += v * v
+                            import math
+
+                            nrm = math.sqrt(acc)
+                            sub = [v / nrm for v in xs[m * _PQ_SUB : (m + 1) * _PQ_SUB]]
+                            exact = [
+                                (seq_sqdist(sub, cb[m][j]), j) for j in range(_PQ_K)
+                            ]
+                            best[i] = min(exact)[1]
+                    codes[: len(X32), m] = best
+            yield pd.DataFrame(
+                {
+                    "cid": pdf["vec_id"],
+                    "codes": ["-".join(str(c) for c in row) for row in codes],
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        encode, schema="cid bigint, codes string"
+    )
