@@ -55,21 +55,65 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst orders the cheap predicates first automatically; nothing in
     the chain materializes the corpus twice."""
     d = table(spark, sf_dir, "documents", spread=True)
+    keepers = d.groupBy(F.md5(F.col("text").cast("binary"))).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    filtered = quality_filter(d)
+    return filtered.join(
+        keepers, filtered["doc_id"] == keepers["keeper"], "left_semi"
+    )
+
+
+def quality_filter(d: DataFrame) -> DataFrame:
+    """The map-only quality + language gate of the curation chain,
+    shared verbatim by the batch entry above and the streaming-
+    incremental variant (streaming/incremental_curation.py) so the batch
+    oracle remains both paths' ground truth. Returns the kept rows as
+    (doc_id, lang, n_tokens)."""
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
     sw = F.array([F.lit(s) for s in _STOPWORDS])
     stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast(
         "double"
     ) / n_tok.cast("double")
-    keepers = d.groupBy(F.md5(F.col("text").cast("binary"))).agg(
-        F.min("doc_id").alias("keeper")
-    )
-    filtered = d.where(
+    return d.where(
         F.col("lang").isin(*_KEEP_LANGS)
         & (n_tok >= 20)
         & (stop_ratio >= 0.05)
         & (stop_ratio <= 0.6)
     ).select("doc_id", "lang", n_tok.alias("n_tokens"))
-    return filtered.join(
-        keepers, filtered["doc_id"] == keepers["keeper"], "left_semi"
-    )
+
+
+from doreisa_spark.registry import EXTENDED as _EXT  # noqa: E402
+
+_CURATION_ORACLE = _EXT["pipeline_corpus_curation"].oracle
+
+
+@register("pipeline_curation_incremental", extended=True, oracle=_CURATION_ORACLE)
+def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence gate for the STREAMING-incremental curation
+    chain (streaming/incremental_curation.py): the corpus splits into
+    three monotonic doc_id ranges ingested micro-batch by micro-batch
+    against the persisted fingerprint store; the accumulated kept log
+    must hash-match the one-shot `pipeline_corpus_curation` oracle —
+    proving first-arrival canonicalization under streaming ingest equals
+    the batch min-doc_id keeper, with history touched only through the
+    fingerprint anti-join. The real stream driver (readStream +
+    foreachBatch) runs the identical `process_batch` in
+    tests/test_incremental_curation.py; this entry calls it directly so
+    the driver's gate is deterministic."""
+    import tempfile
+
+    from doreisa_spark.streaming.incremental_curation import CurationStore
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    store = CurationStore(spark, tempfile.mkdtemp(prefix="doreisa_inccur_"))
+    for cond in (
+        F.col("doc_id") <= cut1,
+        (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+        F.col("doc_id") > cut2,
+    ):
+        store.process_batch(d.where(cond))
+    return store.kept()

@@ -1,0 +1,106 @@
+"""Streaming-incremental corpus curation.
+
+The batch `pipeline_corpus_curation` (queries/pipeline.py) scores, filters,
+and exact-dedups a corpus in one shot. A production ingestion pipeline
+instead receives documents OVER TIME and must admit each micro-batch
+against everything already seen — the same shape
+streaming/incremental_dedup.py gives near-dup detection, here for the
+full quality → language → exact-dedup curation chain.
+
+Design: a persisted **fingerprint store** (`seen/`, one md5 per admitted
+text) carries exact-dedup state across batches; `kept/` is the append-only
+curated-output log. Per micro-batch (foreachBatch):
+
+1. fingerprint the batch (md5 of text — identical to the batch operator);
+2. in-batch canonicalization: keep the smallest doc_id per fingerprint
+   within the batch;
+3. admission: anti-join the batch fingerprints against ``seen/`` —
+   history is touched only through this equi-join on 128-bit keys, never
+   rescanned as text;
+4. the admitted docs flow through the SHARED `quality_filter` expressions
+   (queries/pipeline.py) — survivors append to ``kept/``;
+5. every admitted fingerprint (kept or not — a low-quality first copy
+   still claims canonical-ship, exactly as the batch min-doc_id keeper
+   does) appends to ``seen/``.
+
+Batch equivalence: streamed in non-decreasing doc_id order, ``kept()``
+after the last batch equals `pipeline_corpus_curation` row-for-row —
+asserted by tests/test_incremental_curation.py through a real readStream +
+foreachBatch drive, and by the `pipeline_curation_incremental` registry
+entry under the batch entry's own DuckDB oracle.
+
+100 TB posture: stages 1–2 and 4 are map-only expression work on the
+BATCH; the only history touch is the fingerprint anti-join (128-bit keys).
+The store here is plain parquet re-read per batch for test determinism; a
+deployment keeps ``seen/`` as a bucketed table or Delta merge target so
+the probe is co-partitioned and per-batch cost scales with the batch, not
+the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doreisa_spark.queries.pipeline import quality_filter
+
+
+class CurationStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._seen = f"{self.root}/seen"
+        self._kept = f"{self.root}/kept"
+
+    def _read(self, path: str, ddl: str) -> DataFrame:
+        import os
+
+        if not os.path.isdir(path):
+            return self.spark.createDataFrame([], ddl)
+        return self.spark.read.schema(ddl).parquet(path)
+
+    def seen(self) -> DataFrame:
+        return self._read(self._seen, "fp string")
+
+    def kept(self) -> DataFrame:
+        return self._read(self._kept, "doc_id bigint, lang string, n_tokens int")
+
+    def process_batch(self, docs: DataFrame, batch_id: int = 0) -> None:
+        fp = F.md5(F.col("text").cast("binary")).alias("fp")
+        batch = docs.select("doc_id", "lang", "text", fp)
+        # in-batch canonicalization: smallest doc_id wins its fingerprint
+        firsts = batch.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+        canon = batch.join(
+            firsts,
+            (batch["fp"] == firsts["fp"]) & (batch["doc_id"] == firsts["keeper"]),
+            "left_semi",
+        )
+        # admission: fingerprints never seen before this batch
+        admitted = canon.join(self.seen(), "fp", "left_anti").persist()
+        try:
+            quality_filter(admitted).write.mode("append").parquet(self._kept)
+            admitted.select("fp").write.mode("append").parquet(self._seen)
+        finally:
+            admitted.unpersist()
+
+
+def run_incremental_curation(
+    spark: SparkSession,
+    source_dir: str,
+    store_root: str,
+    *,
+    timeout_sec: float = 300,
+) -> DataFrame:
+    """Drive a document file-stream through the curation store via
+    foreachBatch until drained; returns the accumulated kept frame."""
+    from doreisa_spark.streaming.incremental_dedup import read_document_stream
+    from doreisa_spark.streaming.structured import run_foreach_batch
+
+    store = CurationStore(spark, store_root)
+    stream = read_document_stream(spark, source_dir)
+    run_foreach_batch(
+        stream,
+        lambda df, bid: store.process_batch(df, bid),
+        timeout_sec=timeout_sec,
+    )
+    return store.kept()
