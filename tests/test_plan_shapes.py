@@ -201,3 +201,46 @@ def test_ivf_blas_assignment_is_map_only_after_spread(spark):
     plan = _plan(spark, "sim_ann_ivf_blas")
     assert "MapInPandas" in plan
     assert "Window" in plan  # final per-query rank only
+
+
+def test_pq_encode_blas_is_map_only_after_spread(spark):
+    # PQ encoding is one MapInPandas over the corpus: the only exchange
+    # tolerated is catalog.table's CPU-spread repartition — nothing about
+    # the encode itself may shuffle, window, or join
+    plan = _plan(spark, "sim_pq_encode_blas")
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") <= 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_pq_encode_expression_path_no_join(spark):
+    # the fold-expression encode: codebook rides as literals, so the plan
+    # has no join/window at all (argmin is array arithmetic per row)
+    plan = _plan(spark, "sim_pq_encode")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 1  # CPU-spread only
+
+
+def test_pii_redact_is_map_only(spark):
+    plan = _plan(spark, "text_pii_redact")
+    assert plan.count("Exchange") <= 1  # CPU-spread only
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
+
+
+def test_pca_dim_stats_partial_agg(spark):
+    # the (dim) hash agg must combine map-side: partial_sum before the
+    # single 64-group exchange
+    plan = _plan(spark, "emb_dim_stats")
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") <= 2  # CPU-spread + the 64-group agg
+
+
+def test_ivf_pq_broadcasts_probes_and_lut(spark):
+    # candidate generation joins must broadcast the tiny sides (probes,
+    # LUT, query set) — the corpus-side codes never sort-merge
+    plan = _plan(spark, "sim_ann_ivf_pq")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
