@@ -167,3 +167,96 @@ def stream_sessionization_islands(spark: SparkSession, sf_dir: str) -> DataFrame
     return flagged.groupBy("user_id").agg(
         F.sum("new_session").cast("bigint").alias("n_sessions")
     )
+
+
+@register(
+    "stream_funnel_stages",
+    extended=True,
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_buy
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+), counts AS (
+  SELECT (SELECT count(*) FROM v) AS n_view,
+         (SELECT count(*) FROM c) AS n_click,
+         (SELECT count(*) FROM p) AS n_buy
+)
+SELECT stage, n_users,
+       CAST(n_users AS DOUBLE) / CAST(n_view AS DOUBLE) AS reach
+FROM counts, (
+  SELECT 1 AS ord, 'view' AS stage FROM counts
+  UNION ALL SELECT 2, 'click' FROM counts
+  UNION ALL SELECT 3, 'purchase' FROM counts
+) s
+JOIN (
+  SELECT 1 AS ord2, n_view AS n_users FROM counts
+  UNION ALL SELECT 2, n_click FROM counts
+  UNION ALL SELECT 3, n_buy FROM counts
+) n ON n.ord2 = s.ord
+""",
+)
+def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel analysis — the match_recognize-shaped
+    query product analytics runs constantly: per user, first `view`,
+    first `click` strictly AFTER that view, first `purchase` strictly
+    after that click; report users reaching each stage and the reach
+    ratio vs stage one.
+
+    Plan shape: three (user_id) min-aggregates chained by broadcast-able
+    per-user timestamps — each stage joins the FACT stream against the
+    previous stage's one-row-per-user frame on user_id with a strict
+    event-time inequality (the ordered-sequence constraint), then
+    re-aggregates. At 100 TB every join is keyed on user_id (co-partition
+    with the event shuffle); no self-join explosion because each stage
+    collapses to one row per user before the next. The reach ratio is an
+    integer-count division — bit-exact across engines."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_buy")))
+    )
+    stages = counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("view").alias("stage"), F.col("n_view").alias("n_users")),
+                F.struct(F.lit("click").alias("stage"), F.col("n_click").alias("n_users")),
+                F.struct(F.lit("purchase").alias("stage"), F.col("n_buy").alias("n_users")),
+            )
+        ).alias("s"),
+        "n_view",
+    )
+    return stages.select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_users").alias("n_users"),
+        (F.col("s.n_users").cast("double") / F.col("n_view").cast("double")).alias(
+            "reach"
+        ),
+    )
