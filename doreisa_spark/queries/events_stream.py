@@ -260,3 +260,46 @@ def stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reach"
         ),
     )
+
+
+@register(
+    "stream_retention_cohorts",
+    extended=True,
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+)
+SELECT f.cohort,
+       CAST(date_diff('week', f.cohort, a.wk) AS INTEGER) AS week_n,
+       count(*) AS n_active
+FROM activity a JOIN firsts f ON f.user_id = a.user_id
+GROUP BY 1, 2
+""",
+)
+def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix — users grouped by first-activity
+    week, counted in each subsequent active week. The standard
+    product-analytics triangle, exercising two derived time dimensions
+    (cohort week, activity offset) from one event stream.
+
+    Plan: one (user_id) agg for cohorts, one distinct over (user, week) —
+    both user_id-keyed, sharing the shuffle; the cohort join is per-user
+    (no fan-out), and the final (cohort, week_n) agg is tiny. Week
+    offsets are exact integer arithmetic (both weeks are Monday-truncated,
+    so the difference is a whole number of weeks in both engines)."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    week_n = (F.datediff(F.col("wk"), F.col("cohort")) / 7).cast("int")
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort", week_n.alias("week_n"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
