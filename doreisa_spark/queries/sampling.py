@@ -204,3 +204,44 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@register(
+    "sample_temperature_mixture",
+    extended=True,
+    oracle="""
+WITH src AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z, sum(n) AS total FROM src
+)
+SELECT source, n,
+       round(sqrt(CAST(n AS DOUBLE)) / z, 6) AS weight,
+       round(sqrt(CAST(n AS DOUBLE)) / z * total, 2) AS expected_docs
+FROM src, tot
+""",
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-weighting (alpha = 0.5) — the
+    multilingual/multi-source mixing rule (weight proportional to
+    count^alpha) that upsamples rare sources relative to raw frequency.
+    alpha is pinned to 0.5 because IEEE sqrt is correctly rounded in both
+    engines, keeping the weights bit-stable where a libm pow(x, 0.3)
+    could differ in the last ulp.
+
+    Plan: one (source) count agg — map-side combined, 20 groups — then a
+    broadcast one-row normalizer; everything downstream is per-group
+    scalar math."""
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = src.agg(
+        F.sum(F.sqrt(F.col("n").cast("double"))).alias("z"),
+        F.sum("n").alias("total"),
+    )
+    w = F.sqrt(F.col("n").cast("double")) / F.col("z")
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.round(w, 6).alias("weight"),
+        F.round(w * F.col("total"), 2).alias("expected_docs"),
+    )
