@@ -61,7 +61,10 @@ def cache_scope():
         _SCOPES.pop()
         for df in frame:
             try:
-                df.unpersist()
+                # blocking so the release is OBSERVABLE at scope exit —
+                # the contract is "storage back to baseline", and the
+                # async default only promises it eventually
+                df.unpersist(blocking=True)
             except Exception:
                 pass  # session already stopped — nothing to release
 

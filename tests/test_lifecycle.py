@@ -28,7 +28,11 @@ def test_cache_scope_releases_registry_caches(spark):
     """Asserted on cached-RDD IDENTITY, not count: the async
     ContextCleaner may concurrently reclaim caches other suite tests left
     behind, so counts can drift downward mid-scope — what the contract
-    guarantees is that no cache CREATED inside the scope survives it."""
+    guarantees is that no cache CREATED inside the scope survives it.
+    Starts from a cleared cache: if an earlier (unscoped) test cached the
+    same dedup plan, the CacheManager would REUSE that entry ("Asked to
+    cache already cached data") and no new id would appear in-scope."""
+    spark.catalog.clearCache()
     baseline = _cached_ids(spark)
     with lifecycle.cache_scope():
         for _ in range(3):
@@ -41,6 +45,7 @@ def test_cache_scope_nests(spark):
     """Each scope releases exactly its own caches. (Checkpoint-free
     workloads only: localCheckpoint blocks are ContextCleaner-managed,
     not scope-managed, so they'd make the set nondeterministic.)"""
+    spark.catalog.clearCache()  # see test above: plan-cache reuse
     baseline = _cached_ids(spark)
     with lifecycle.cache_scope():
         dedup.dedup_minhash_lsh(spark, SF_SMALL).count()
