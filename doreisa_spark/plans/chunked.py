@@ -555,6 +555,52 @@ class ChunkedArray:
         image-range clamp of a multimodal pipeline)."""
         return self._compose(lambda pos, arr: np.clip(arr, lo, hi))
 
+    def coarsen(self, reduction: str, factors: dict[int, int]) -> "ChunkedArray":
+        """dask.array.coarsen parity: block-reduce by integer ``factors``
+        per axis (``{0: 2, 1: 2}`` halves both axes by 2x2-block
+        ``reduction`` — mean/sum/max/min). The downsampling step in-situ
+        simulation analytics applies before visualization or storage.
+
+        Every chunk size along a coarsened axis must be divisible by its
+        factor (dask's trim_excess=False contract) — the blocks then never
+        straddle chunk boundaries and the whole op is one LAZY per-chunk
+        numpy reshape+reduce fused into the chunk pipeline: zero shuffle,
+        zero halo exchange, output chunk grid = same grid with chunk
+        sizes divided. ``rechunk`` first for non-divisible tilings."""
+        red = {"mean": np.mean, "sum": np.sum, "max": np.max, "min": np.min}[
+            reduction
+        ]
+        chunks = self.meta.chunks
+        nd = len(chunks)
+        fs = tuple(int(factors.get(d, 1)) for d in range(nd))
+        if any(f < 1 for f in fs):
+            raise ValueError(f"factors must be >= 1, got {factors}")
+        for d, f in enumerate(fs):
+            for s in chunks[d]:
+                if s % f:
+                    raise ValueError(
+                        f"chunk size {s} on axis {d} not divisible by "
+                        f"factor {f}; rechunk first (dask coarsen "
+                        "trim_excess=False contract)"
+                    )
+        probe = str(red(np.ones((1,) * nd, dtype=self.meta.dtype)).dtype)
+        out_dtype = probe if probe in _SUPPORTED else "float64"
+        new_chunks = tuple(
+            tuple(s // f for s in sizes) for sizes, f in zip(chunks, fs)
+        )
+        new_meta = GridMeta(
+            self.meta.name, self.meta.nb_chunks_per_dim, new_chunks, dtype=out_dtype
+        )
+        axes = tuple(range(1, 2 * nd, 2))
+
+        def step(pos, arr):
+            shape = []
+            for s, f in zip(arr.shape, fs):
+                shape += [s // f, f]
+            return red(arr.reshape(shape), axis=axes)
+
+        return self._compose(step, new_meta)
+
     def scale_axis(self, vec, axis: int) -> "ChunkedArray":
         """Broadcast-multiply along one axis by a driver-held 1-D vector —
         the tensor analog of a broadcast join (dask ``A * v`` with

@@ -801,3 +801,40 @@ def tensor_complex_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = GridMeta("cxgrid", _GRID, _CHUNK, dtype="complex128")
     arr = ChunkedArray.from_function(spark, meta, cx_chunk)
     return arr.sum()
+
+
+@register(
+    "tensor_coarsen_mean",
+    extended=True,
+    # Sum of 2x2 block means == total/4 in EXACT arithmetic; every block
+    # mean of the integer ramp is a .5-grained double (exactly
+    # representable) and all partial sums stay < 2^53, so both engines'
+    # folds are exact and the division-once oracle matches bit-for-bit.
+    oracle=f"SELECT CAST(sum(r + c) AS DOUBLE) / 4 AS total FROM {_DUCK_GRID}",
+)
+def tensor_coarsen_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask.array.coarsen(mean, {0: 2, 1: 2}): 2x2 mean-pool the ramp,
+    then global sum — the downsample-for-output step of an in-situ
+    pipeline. Coarsening is a LAZY per-chunk reshape+mean fused into the
+    generator stage (zero shuffle, blocks never straddle chunks); the
+    reduction then runs on an array of half the size per axis."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.coarsen("mean", {0: 2, 1: 2}).sum()
+
+
+@register(
+    "tensor_coarsen_max",
+    extended=True,
+    # max over a 2x2 block of A[r,c] = r + c at block (rb, cb) is
+    # (2rb + 1) + (2cb + 1); sum that closed form over the halved grid.
+    oracle=f"""
+SELECT CAST(sum(2 * rb.range + 2 * cb.range + 2) AS DOUBLE) AS total
+FROM range(0, {_ROWS // 2}) rb, range(0, {_COLS // 2}) cb
+""",
+)
+def tensor_coarsen_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coarsen(max, 2x2) — max-pooling flavor of tensor_coarsen_mean
+    (dtype-preserving, the image-pyramid reduction); closed-form oracle
+    over the coarsened index space."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.coarsen("max", {0: 2, 1: 2}).sum()

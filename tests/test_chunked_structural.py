@@ -670,3 +670,42 @@ def test_unique_counts(spark):
     b = _chunked(spark, "uqB", B, (2,))
     gotb = {r["value"]: r["n_occurrences"] for r in b.unique().collect()}
     assert gotb == {0.5: 2, 2.5: 1}
+
+
+def test_coarsen_matches_numpy(spark):
+    """coarsen ≡ dask/numpy block-reduce for mean (promoting) and max
+    (dtype-preserving), including ragged tilings whose every chunk size
+    is divisible by the factor."""
+    import numpy as np
+
+    from doreisa_spark.plans.chunked import ChunkedArray
+
+    rng = np.random.RandomState(7)
+    full = rng.randint(0, 100, size=(12, 8)).astype(np.int32)
+    chunks = {
+        (0, 0): full[:4, :4], (0, 1): full[:4, 4:],
+        (1, 0): full[4:12, :4], (1, 1): full[4:12, 4:],
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "coars", chunks)
+    got_mean = arr.coarsen("mean", {0: 2, 1: 2}).to_numpy()
+    expect_mean = full.reshape(6, 2, 4, 2).mean(axis=(1, 3))
+    assert got_mean.dtype == np.float64
+    assert np.array_equal(got_mean, expect_mean)
+
+    got_max = arr.coarsen("max", {0: 4}).to_numpy()
+    expect_max = full.reshape(3, 4, 8).max(axis=1)
+    assert got_max.dtype == np.int32
+    assert np.array_equal(got_max, expect_max)
+
+
+def test_coarsen_rejects_non_divisible(spark):
+    import numpy as np
+    import pytest
+
+    from doreisa_spark.plans.chunked import ChunkedArray
+
+    arr = ChunkedArray.from_numpy_chunks(
+        spark, "coarsbad", {(0,): np.arange(6.0), (1,): np.arange(6.0)}
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        arr.coarsen("mean", {0: 4})
