@@ -117,3 +117,131 @@ def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     ):
         store.process_batch(d.where(cond))
     return store.kept()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end RAG indexing: chunk -> embed -> LSH index -> query.
+#
+# The embedding model itself is out of scope for a SQL engine (the
+# multimodal module stubs model inference the same way); what the ENGINE
+# owns is every stage around it: chunking fan-out, vectorization plumbing,
+# index build, and query. To make that whole chain oracle-checkable, the
+# "model" here is a deterministic hash-projection embedding — 16 dims of
+# integer-arithmetic pseudo-features of the chunk text — which exercises
+# the exact plumbing (per-chunk vector column, bucketed index, cosine
+# scoring) with bit-reproducible numbers in both engines.
+
+from doreisa_spark.operators import text as _TX
+from doreisa_spark.operators import vectors as _V
+from doreisa_spark.queries.textops import _CHUNK_HOP, _CHUNK_TOKS
+
+_RAG_DIMS = 16
+_RAG_TOP_K = 5
+
+
+def _rag_embed_spark(h: str) -> str:
+    """16-dim deterministic embedding from a chunk-text hash (Spark SQL).
+    Pure int arithmetic + one exact dyadic division per dim."""
+    return (
+        f"transform(sequence(0, {_RAG_DIMS - 1}), "
+        f"i -> ((({h} % 100003) * (17 + 13 * i) + (7 + 29 * i)) % 4096) / 4096.0 - 0.5)"
+    )
+
+
+def _rag_embed_duck(h: str) -> str:
+    return (
+        f"list_transform(range(0, {_RAG_DIMS}), "
+        f"i -> ((({h} % 100003) * (17 + 13 * i) + (7 + 29 * i)) % 4096) / 4096.0 - 0.5)"
+    )
+
+
+@register(
+    "pipeline_rag_index",
+    extended=True,
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), w AS (
+  SELECT doc_id, ts,
+         unnest(range(0, greatest((len(ts) - {_CHUNK_TOKS} + {_CHUNK_HOP} - 1) // {_CHUNK_HOP} + 1, 1))) AS chunk_no
+  FROM toks
+), chunks AS (
+  SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+         array_to_string(ts[(CAST(chunk_no AS INTEGER) * {_CHUNK_HOP} + 1):least(CAST(chunk_no AS INTEGER) * {_CHUNK_HOP} + {_CHUNK_TOKS}, len(ts))], ' ') AS ctext
+  FROM w
+  WHERE len(ts[(CAST(chunk_no AS INTEGER) * {_CHUNK_HOP} + 1):least(CAST(chunk_no AS INTEGER) * {_CHUNK_HOP} + {_CHUNK_TOKS}, len(ts))]) > 0
+), embedded AS (
+  SELECT doc_id, chunk_no,
+         {_rag_embed_duck(_TX.duck_hash60('ctext'))} AS emb
+  FROM chunks
+), indexed AS (
+  SELECT doc_id, chunk_no, emb, {_V.duck_lsh_bucket('emb')} AS bucket FROM embedded
+), q AS (
+  SELECT emb AS qe, bucket AS qb FROM indexed WHERE doc_id = 0 AND chunk_no = 0
+)
+SELECT doc_id, chunk_no, round(cos_sim, 6) AS cos_sim, rk FROM (
+  SELECT i.doc_id, i.chunk_no,
+         {_V.duck_cosine('q.qe', 'i.emb')} AS cos_sim,
+         row_number() OVER (ORDER BY {_V.duck_cosine('q.qe', 'i.emb')} DESC, i.doc_id, i.chunk_no) AS rk
+  FROM indexed i JOIN q ON i.bucket = q.qb
+  WHERE NOT (i.doc_id = 0 AND i.chunk_no = 0))
+WHERE rk <= {_RAG_TOP_K}
+""",
+)
+def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval-index pipeline: overlapping token-window
+    chunking (text_chunk_windows' exact expressions) → per-chunk
+    vectorization (deterministic hash-projection standing in for the
+    embedding model — see module comment) → sign-LSH bucketed index →
+    one query probing its bucket with exact cosine re-ranking.
+
+    100 TB posture: chunking and embedding are map-only row expansion
+    fused in one stage (the vector column is born next to the text, no
+    second pass); the index build is ONE narrow (bucket, ids, vector)
+    shuffle; the query touches a single bucket — the whole RAG ingest
+    shape with the model swapped for a deterministic kernel. Every stage
+    reuses an already-oracle-checked operator's expressions, and the
+    composed output is itself hash-checked bit-for-bit."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    toks = "split(text, ' ')"
+    n_win = (
+        f"greatest((size({toks}) - {_CHUNK_TOKS} + {_CHUNK_HOP} - 1) DIV {_CHUNK_HOP} + 1, 1)"
+    )
+    win = F.expr(
+        f"transform(sequence(0, {n_win} - 1), "
+        f"w -> struct(w AS chunk_no, array_join(slice({toks}, w * {_CHUNK_HOP} + 1, {_CHUNK_TOKS}), ' ') AS ctext, "
+        f"size(slice({toks}, w * {_CHUNK_HOP} + 1, {_CHUNK_TOKS})) AS n))"
+    )
+    chunks = (
+        d.select("doc_id", F.explode(win).alias("s"))
+        .where(F.col("s.n") > 0)
+        .select(
+            "doc_id",
+            F.col("s.chunk_no").cast("int").alias("chunk_no"),
+            F.col("s.ctext").alias("ctext"),
+        )
+    )
+    embedded = chunks.select(
+        "doc_id",
+        "chunk_no",
+        F.expr(_rag_embed_spark(_TX.hash60_expr("ctext"))).alias("emb"),
+    )
+    indexed = embedded.withColumn("bucket", F.expr(_V.lsh_bucket_expr("emb")))
+    q = (
+        indexed.where((F.col("doc_id") == 0) & (F.col("chunk_no") == 0))
+        .select(F.col("emb").alias("qe"), F.col("bucket").alias("qb"))
+    )
+    cos = F.expr(_V.cosine_expr("qe", "emb"))
+    from pyspark.sql import Window as W
+
+    scored = (
+        indexed.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .where(~((F.col("doc_id") == 0) & (F.col("chunk_no") == 0)))
+        .select("doc_id", "chunk_no", cos.alias("cos_sim"))
+    )
+    w = W.orderBy(F.col("cos_sim").desc(), "doc_id", "chunk_no")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _RAG_TOP_K)
+        .select("doc_id", "chunk_no", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+    )
