@@ -144,14 +144,14 @@ def _rag_embed_spark(h: str) -> str:
     Pure int arithmetic + one exact dyadic division per dim."""
     return (
         f"transform(sequence(0, {_RAG_DIMS - 1}), "
-        f"i -> ((({h} % 100003) * (17 + 13 * i) + (7 + 29 * i)) % 4096) / 4096.0 - 0.5)"
+        f"i -> CAST((({h} % 100003) * (17 + 13 * i) + (7 + 29 * i)) % 4096 AS DOUBLE) / 4096.0 - 0.5)"
     )
 
 
 def _rag_embed_duck(h: str) -> str:
     return (
         f"list_transform(range(0, {_RAG_DIMS}), "
-        f"i -> ((({h} % 100003) * (17 + 13 * i) + (7 + 29 * i)) % 4096) / 4096.0 - 0.5)"
+        f"i -> CAST((({h} % 100003) * (17 + 13 * i) + (7 + 29 * i)) % 4096 AS DOUBLE) / 4096.0 - 0.5)"
     )
 
 
