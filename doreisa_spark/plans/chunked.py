@@ -2409,6 +2409,58 @@ class ChunkedArray:
         )
         return partials.agg(mean.alias("mean_value"))
 
+    def nansum(self) -> DataFrame:
+        """dask/numpy ``nansum``: NaN-SKIPPING global sum (an all-NaN
+        array sums to 0.0, numpy's contract). Same fused one-Python-stage
+        shape as sum(); no NaN transport machinery is needed because the
+        partials are NaN-free by construction (np.nansum per chunk), so
+        the Arrow hop cannot lose anything. Non-float dtypes have no NaN
+        — delegates to sum()."""
+        if np.dtype(self.meta.dtype).kind != "f":
+            return self.sum()
+        rows_fn = self._rows_fn()
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vals = [
+                    float(np.nansum(arr, dtype=np.float64))
+                    for _, arr in rows_fn(pdf)
+                ]
+                yield pd.DataFrame({"__p": pd.Series(vals, dtype="float64")})
+
+        partials = self.df.mapInPandas(partial, schema="__p double")
+        return partials.agg(
+            F.coalesce(F.sum("__p"), F.lit(0.0)).cast("double").alias("total")
+        )
+
+    def nanmean(self) -> DataFrame:
+        """dask/numpy ``nanmean``: mean over non-NaN elements via
+        (nansum, non-NaN count) partials. An all-NaN array yields NaN
+        (numpy's contract — emitted explicitly because Spark's 0/0 is
+        NULL, not NaN). Non-float dtypes delegate to mean()."""
+        if np.dtype(self.meta.dtype).kind != "f":
+            return self.mean()
+        rows_fn = self._rows_fn()
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ss, ns = [], []
+                for _, arr in rows_fn(pdf):
+                    ss.append(float(np.nansum(arr, dtype=np.float64)))
+                    ns.append(int(np.count_nonzero(~np.isnan(arr))))
+                yield pd.DataFrame(
+                    {
+                        "__s": pd.Series(ss, dtype="float64"),
+                        "__n": pd.Series(ns, dtype="int64"),
+                    }
+                )
+
+        partials = self.df.mapInPandas(partial, schema="__s double, __n bigint")
+        mean = F.when(
+            F.sum("__n") > 0, F.sum("__s") / F.sum("__n").cast("double")
+        ).otherwise(F.lit(float("nan")))
+        return partials.agg(mean.alias("mean_value"))
+
     def std(self) -> DataFrame:
         """Population standard deviation via (sum, sum-of-squares, count)
         partials — one fused Python stage, three numbers per chunk to the

@@ -838,3 +838,47 @@ def tensor_coarsen_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the coarsened index space."""
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
     return arr.coarsen("max", {0: 2, 1: 2}).sum()
+
+
+def nan_ramp_chunk(pos: tuple, shape: tuple):
+    """ramp_chunk with NaN holes at every element where (r + c) % 97 == 0
+    — a deterministic missing-data pattern both engines can reproduce."""
+    import numpy as np
+
+    arr = ramp_chunk(pos, shape)
+    arr[np.mod(arr, 97) == 0] = np.nan
+    return arr
+
+
+@register(
+    "tensor_nansum",
+    extended=True,
+    oracle=f"""
+SELECT CAST(sum(CASE WHEN (r + c) % 97 = 0 THEN 0 ELSE r + c END) AS DOUBLE) AS total
+FROM {_DUCK_GRID}
+""",
+)
+def tensor_nansum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN-skipping global sum (dask/numpy nansum) over a ramp with a
+    deterministic missing-data pattern — the reduction a simulation
+    analytics callback runs when sensors drop samples. Integer-valued
+    non-NaN elements keep every partial exact."""
+    arr = ChunkedArray.from_function(spark, _META, nan_ramp_chunk)
+    return arr.nansum()
+
+
+@register(
+    "tensor_nanmean",
+    extended=True,
+    oracle=f"""
+SELECT CAST(sum(CASE WHEN (r + c) % 97 = 0 THEN 0 ELSE r + c END) AS DOUBLE)
+       / CAST(sum(CASE WHEN (r + c) % 97 = 0 THEN 0 ELSE 1 END) AS DOUBLE) AS mean_value
+FROM {_DUCK_GRID}
+""",
+)
+def tensor_nanmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean over non-NaN elements (dask/numpy nanmean): exact integer
+    (nansum, count) partials, one exact double division at the end —
+    bit-identical to the oracle's CASE-filtered ratio."""
+    arr = ChunkedArray.from_function(spark, _META, nan_ramp_chunk)
+    return arr.nanmean()

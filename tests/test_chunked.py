@@ -768,3 +768,31 @@ def test_float16_streaming_ingest_upcasts(spark):
     name, ts, arr = ing.get_next_array()
     assert arr.meta.dtype == "float32"
     assert arr.sum().first()["total"] == 9.0
+
+
+def test_nan_reductions_numpy_contract(spark):
+    """nansum/nanmean skip NaN; all-NaN arrays give 0.0 / NaN (numpy);
+    int arrays (no NaN possible) delegate to sum/mean."""
+    import math
+
+    import numpy as np
+
+    from doreisa_spark.plans.chunked import ChunkedArray
+
+    a = np.array([1.0, np.nan, 3.0, np.nan])
+    arr = ChunkedArray.from_numpy_chunks(spark, "nanr", {(0,): a[:2], (1,): a[2:]})
+    assert arr.nansum().first()["total"] == 4.0
+    assert arr.nanmean().first()["mean_value"] == 2.0
+    # plain sum keeps the NaN-propagating contract
+    assert math.isnan(arr.sum().first()["total"])
+
+    allnan = ChunkedArray.from_numpy_chunks(
+        spark, "nanall", {(0,): np.array([np.nan, np.nan])}
+    )
+    assert allnan.nansum().first()["total"] == 0.0
+    assert math.isnan(allnan.nanmean().first()["mean_value"])
+
+    ints = ChunkedArray.from_numpy_chunks(
+        spark, "nanint", {(0,): np.array([1, 2, 3], dtype=np.int32)}
+    )
+    assert ints.nansum().first()["total"] == 6
