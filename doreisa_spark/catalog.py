@@ -74,30 +74,33 @@ def table(
     if name == "events":
         from pyspark.sql import functions as F
 
+        # BOTH encodings produce a session-TZ-rendered TIMESTAMP column:
+        # the NTZ branch reinterprets wall-clock fields in the session TZ,
+        # and the nanos branch's rebuilt timestamp is rendered/truncated in
+        # the session TZ by every downstream date_trunc/hour/collect. Either
+        # way the session must be UTC to match a DuckDB oracle reading the
+        # same file as naive-UTC wall clock, so the pin applies to ANY
+        # events read. This is a GLOBAL session mutation; callers that
+        # deliberately run under another TZ are warned rather than silently
+        # overridden (ADVICE r5: no silent conf clobbering).
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            import warnings
+
+            warnings.warn(
+                "doreisa_spark.catalog: normalizing events.ts requires "
+                "spark.sql.session.timeZone=UTC (both for the NTZ "
+                "reinterpretation and for truncation/rendering of the "
+                "rebuilt timestamps); pinning it for this session. Set the "
+                "TZ back after running catalog queries if your application "
+                "needs another zone.",
+                stacklevel=2,
+            )
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             # integer division — double division drifts ±1µs at 1e18 magnitudes
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif ts_type == "timestamp_ntz":
-            # The NTZ→TIMESTAMP cast below reinterprets wall-clock fields in
-            # the SESSION time zone — and so does every later collect() of the
-            # resulting timestamp column. Both must be UTC for results to
-            # match a DuckDB oracle reading the same file, so the session TZ
-            # is pinned here. This is a GLOBAL session mutation; callers that
-            # deliberately run under another TZ are warned rather than
-            # silently overridden (ADVICE r5: no silent conf clobbering).
-            if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-                import warnings
-
-                warnings.warn(
-                    "doreisa_spark.catalog: events.ts is TIMESTAMP_NTZ; "
-                    "pinning spark.sql.session.timeZone=UTC for this session "
-                    "so the NTZ reinterpretation (and collect-time rendering) "
-                    "is the identity. Set the TZ back after running catalog "
-                    "queries if your application needs another zone.",
-                    stacklevel=2,
-                )
-                spark.conf.set("spark.sql.session.timeZone", "UTC")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     if spread:
         target = spark.sparkContext.defaultParallelism

@@ -38,27 +38,41 @@ from pyspark.sql import DataFrame
 
 RELIABLE_CHECKPOINT_CONF = "spark.doreisa.reliableCheckpoint"
 
-_SCOPES: list[list[DataFrame]] = []
+# Per-THREAD scope stack: a long-lived service may run registry queries on
+# several driver threads, each inside its own cache_scope — a shared global
+# stack would register caches into whichever scope pushed last and let one
+# thread's exit unpersist another thread's live cache mid-query.
+import threading
+
+_TLS = threading.local()
+
+
+def _scopes() -> list[list[DataFrame]]:
+    if not hasattr(_TLS, "scopes"):
+        _TLS.scopes = []
+    return _TLS.scopes
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
-    """persist() that registers with the innermost cache_scope (if any)."""
+    """persist() that registers with this thread's innermost cache_scope
+    (if any)."""
     out = df.persist()
-    if _SCOPES:
-        _SCOPES[-1].append(out)
+    scopes = _scopes()
+    if scopes:
+        scopes[-1].append(out)
     return out
 
 
 @contextmanager
 def cache_scope():
     """Unpersist every scoped_persist cache created inside, on exit.
-    Scopes nest; each releases only its own caches."""
+    Scopes nest per thread; each releases only its own caches."""
     frame: list[DataFrame] = []
-    _SCOPES.append(frame)
+    _scopes().append(frame)
     try:
         yield
     finally:
-        _SCOPES.pop()
+        _scopes().pop()
         for df in frame:
             try:
                 # blocking so the release is OBSERVABLE at scope exit —

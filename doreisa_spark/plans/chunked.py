@@ -2414,9 +2414,14 @@ class ChunkedArray:
         array sums to 0.0, numpy's contract). Same fused one-Python-stage
         shape as sum(); no NaN transport machinery is needed because the
         partials are NaN-free by construction (np.nansum per chunk), so
-        the Arrow hop cannot lose anything. Non-float dtypes have no NaN
-        — delegates to sum()."""
-        if np.dtype(self.meta.dtype).kind != "f":
+        the Arrow hop cannot lose anything. Integer dtypes have no NaN —
+        delegates to sum(). Complex arrays follow numpy: an element with
+        NaN in EITHER component is skipped entirely (np.isnan on complex),
+        and the output keeps sum()'s paired columns total_re/total_im."""
+        kind = np.dtype(self.meta.dtype).kind
+        if kind == "c":
+            return self._complex_nan_moment(mean=False)
+        if kind != "f":
             return self.sum()
         rows_fn = self._rows_fn()
 
@@ -2437,8 +2442,13 @@ class ChunkedArray:
         """dask/numpy ``nanmean``: mean over non-NaN elements via
         (nansum, non-NaN count) partials. An all-NaN array yields NaN
         (numpy's contract — emitted explicitly because Spark's 0/0 is
-        NULL, not NaN). Non-float dtypes delegate to mean()."""
-        if np.dtype(self.meta.dtype).kind != "f":
+        NULL, not NaN). Integer dtypes delegate to mean(); complex arrays
+        skip elements with NaN in either component and emit
+        mean_re/mean_im."""
+        kind = np.dtype(self.meta.dtype).kind
+        if kind == "c":
+            return self._complex_nan_moment(mean=True)
+        if kind != "f":
             return self.mean()
         rows_fn = self._rows_fn()
 
@@ -2460,6 +2470,43 @@ class ChunkedArray:
             F.sum("__n") > 0, F.sum("__s") / F.sum("__n").cast("double")
         ).otherwise(F.lit(float("nan")))
         return partials.agg(mean.alias("mean_value"))
+
+    def _complex_nan_moment(self, *, mean: bool) -> DataFrame:
+        """NaN-skipping complex sum/mean: np.nansum skips elements whose
+        real OR imaginary part is NaN (numpy isnan-on-complex), partials
+        travel as paired doubles + a non-NaN count."""
+        rows_fn = self._rows_fn()
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                re, im, ns = [], [], []
+                for _, arr in rows_fn(pdf):
+                    tot = np.nansum(arr)
+                    re.append(float(tot.real))
+                    im.append(float(tot.imag))
+                    ns.append(int(np.count_nonzero(~np.isnan(arr))))
+                yield pd.DataFrame(
+                    {
+                        "__re": pd.Series(re, dtype="float64"),
+                        "__im": pd.Series(im, dtype="float64"),
+                        "__n": pd.Series(ns, dtype="int64"),
+                    }
+                )
+
+        partials = self.df.mapInPandas(
+            partial, schema="__re double, __im double, __n bigint"
+        )
+        if not mean:
+            return partials.agg(
+                F.coalesce(F.sum("__re"), F.lit(0.0)).alias("total_re"),
+                F.coalesce(F.sum("__im"), F.lit(0.0)).alias("total_im"),
+            )
+        n = F.sum("__n")
+        nanlit = F.lit(float("nan"))
+        return partials.agg(
+            F.when(n > 0, F.sum("__re") / n.cast("double")).otherwise(nanlit).alias("mean_re"),
+            F.when(n > 0, F.sum("__im") / n.cast("double")).otherwise(nanlit).alias("mean_im"),
+        )
 
     def std(self) -> DataFrame:
         """Population standard deviation via (sum, sum-of-squares, count)

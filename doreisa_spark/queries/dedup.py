@@ -27,6 +27,21 @@ from doreisa_spark.operators import text as TX
 from doreisa_spark.operators import vectors as V
 from doreisa_spark.registry import register
 
+# Scratch root for the incremental-store entries: per-invocation stores
+# must be FRESH (idempotent gate runs) but not LEAKED — every store lands
+# under one session dir removed at interpreter exit.
+import atexit as _atexit
+import shutil as _shutil
+import tempfile as _tempfile
+
+_STORE_TMP = _tempfile.mkdtemp(prefix="doreisa_stores_")
+_atexit.register(_shutil.rmtree, _STORE_TMP, ignore_errors=True)
+
+
+def _fresh_store_dir(tag: str) -> str:
+    return _tempfile.mkdtemp(prefix=tag + "_", dir=_STORE_TMP)
+
+
 
 @register(
     "dedup_exact",
@@ -598,8 +613,6 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     store. The real stream driver (readStream + foreachBatch) runs the
     identical `process_batch` in tests/test_incremental_dedup.py; this
     entry calls it directly so the driver's gate is deterministic."""
-    import tempfile
-
     from doreisa_spark.streaming.incremental_dedup import LSHSignatureStore
 
     d = table(spark, sf_dir, "documents", spread=True)
@@ -608,7 +621,7 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     # the store must outlive this call (the returned frame reads it
     # lazily); a session-temp dir is the price of simulating a persistent
     # store inside a pure-function registry entry
-    store = LSHSignatureStore(spark, tempfile.mkdtemp(prefix="doreisa_incdedup_"))
+    store = LSHSignatureStore(spark, _fresh_store_dir("incdedup"))
     for cond in (
         F.col("doc_id") <= cut1,
         (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),

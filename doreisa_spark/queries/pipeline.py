@@ -102,14 +102,13 @@ def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     foreachBatch) runs the identical `process_batch` in
     tests/test_incremental_curation.py; this entry calls it directly so
     the driver's gate is deterministic."""
-    import tempfile
-
+    from doreisa_spark.queries.dedup import _fresh_store_dir
     from doreisa_spark.streaming.incremental_curation import CurationStore
 
     d = table(spark, sf_dir, "documents", spread=True)
     lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
-    store = CurationStore(spark, tempfile.mkdtemp(prefix="doreisa_inccur_"))
+    store = CurationStore(spark, _fresh_store_dir("inccur"))
     for cond in (
         F.col("doc_id") <= cut1,
         (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),

@@ -1200,17 +1200,11 @@ def sim_pq_encode_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
                         tied = np.nonzero(part[:, 1] - part[:, 0] < _TIE_EPS)[0]
                         for i in tied:
                             # exact sequential folds over the NORMALIZED
-                            # subvector, mirroring the expression path:
-                            # elements are double-cast then divided by the
-                            # sequential-fold norm before differencing.
-                            xs = [float(v) for v in X32[i]]
-                            acc = 0.0
-                            for v in xs:
-                                acc += v * v
-                            import math
-
-                            nrm = math.sqrt(acc)
-                            sub = [v / nrm for v in xs[m * _PQ_SUB : (m + 1) * _PQ_SUB]]
+                            # subvector via the one canonical fold mirror
+                            # (_py_normalize) the codebook itself uses
+                            sub = _py_normalize(X32[i])[
+                                m * _PQ_SUB : (m + 1) * _PQ_SUB
+                            ]
                             exact = [
                                 (seq_sqdist(sub, cb[m][j]), j) for j in range(_PQ_K)
                             ]

@@ -126,7 +126,12 @@ class LSHSignatureStore:
             wb = W.partitionBy("band_id", "sig").orderBy("doc_id")
             admitted = (
                 bands_new.withColumn("__r", F.row_number().over(wb))
-                .join(F.broadcast(old_counts), ["band_id", "sig"], "left")
+                # no broadcast HINT: old_counts grows with admitted history,
+                # so the planner must stay free to fall back to a shuffle
+                # join once it outgrows the broadcast threshold (a forced
+                # broadcast would OOM the driver at corpus scale and
+                # contradict the bounded-per-batch contract above)
+                .join(old_counts, ["band_id", "sig"], "left")
                 .where(
                     F.col("__r") + F.coalesce(F.col("n_old"), F.lit(0))
                     <= F.lit(_MAX_BUCKET)

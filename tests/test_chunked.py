@@ -796,3 +796,19 @@ def test_nan_reductions_numpy_contract(spark):
         spark, "nanint", {(0,): np.array([1, 2, 3], dtype=np.int32)}
     )
     assert ints.nansum().first()["total"] == 6
+
+
+def test_complex_nan_reductions(spark):
+    """Complex nansum/nanmean skip elements with NaN in EITHER component
+    (numpy isnan-on-complex contract), emitting paired columns."""
+    import numpy as np
+
+    from doreisa_spark.plans.chunked import ChunkedArray
+
+    a = np.array([1 + 2j, complex(np.nan, 1.0), 3 + 4j, complex(2.0, np.nan)],
+                 dtype=np.complex128)
+    arr = ChunkedArray.from_numpy_chunks(spark, "cnan", {(0,): a[:2], (1,): a[2:]})
+    row = arr.nansum().first()
+    assert (row["total_re"], row["total_im"]) == (4.0, 6.0)
+    row = arr.nanmean().first()
+    assert (row["mean_re"], row["mean_im"]) == (2.0, 3.0)
