@@ -269,3 +269,49 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("balance"),
     )
+
+
+@register(
+    "source_schema_evolution",
+    extended=True,
+    oracle="""
+WITH v1 AS (
+  SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+), v2 AS (
+  SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 10
+), unioned AS (
+  SELECT n_nationkey, n_name, NULL AS n_regionkey FROM v1
+  UNION ALL SELECT * FROM v2
+)
+SELECT count(*) AS n_rows,
+       count(n_regionkey) AS n_with_region,
+       CAST(sum(COALESCE(n_regionkey, -1)) AS BIGINT) AS region_sum
+FROM unioned
+""",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet dataset: generation 1 lands without a
+    column, generation 2 adds it; a ``mergeSchema`` read reconciles both
+    file schemas (old rows surface NULL for the new column) — the
+    add-a-column migration every long-lived table goes through.
+
+    Spark's default read takes ONE file's schema (whichever is sampled),
+    silently dropping or failing on the other generation; mergeSchema is
+    the correctness switch and costs a footer-union at planning time only
+    — at 100 TB you pay it once per query plan, not per row."""
+    n = table(spark, sf_dir, "nation")
+    path = _sink(sf_dir, "nation_evolving")
+    n.where(F.col("n_nationkey") < 10).select("n_nationkey", "n_name").write.mode(
+        "overwrite"
+    ).parquet(path)
+    n.where(F.col("n_nationkey") >= 10).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_regionkey").alias("n_with_region"),
+        F.sum(F.coalesce(F.col("n_regionkey"), F.lit(-1))).cast("bigint").alias(
+            "region_sum"
+        ),
+    )
