@@ -1922,6 +1922,89 @@ class ChunkedArray:
 
         return self._compose(step, meta)
 
+    def percentile(self, q: float) -> float:
+        """EXACT global percentile with numpy's linear interpolation —
+        distributed via iterative histogram refinement (the
+        t-digest-free exact algorithm): locate the bin holding each
+        needed order statistic with a 1024-bin range-restricted histogram
+        (one fused map-side pass per round), narrow the value range to
+        that bin, and collect only when the candidate set is small. Ranks
+        are known without a count pass (dense arrays: n = prod(shape)).
+
+        Convergence: each round shrinks the value range 1024x, so ~6
+        rounds pin any double range; a bin that stops shrinking means the
+        remaining candidates are (nearly) identical values and the
+        algorithm collects them (bounded by the collect threshold). The
+        driver never sees more than threshold elements — this is dask's
+        ``da.percentile`` promise but exact instead of approximate."""
+        import math
+
+        n = int(np.prod(self.meta.global_shape))
+        if n == 0:
+            raise ValueError("percentile of an empty array")
+        if not 0 <= q <= 100:
+            raise ValueError("q must be in [0, 100]")
+        pos = (n - 1) * (q / 100.0)
+        k = int(math.floor(pos))
+        frac = pos - k
+        lo = float(self.min().first()["min_value"])
+        hi = float(self.max().first()["max_value"])
+        xk = self._order_stat(k, lo, hi, below=0)
+        if frac == 0.0:
+            return xk
+        xk1 = self._order_stat(k + 1, lo, hi, below=0)
+        return xk + frac * (xk1 - xk)
+
+    _PCTL_BINS = 1024
+    _PCTL_COLLECT = 1 << 20  # collect candidates when <= ~8 MB of doubles
+
+    def _order_stat(self, rank: int, lo: float, hi: float, below: int) -> float:
+        """Value of the rank-th (0-indexed) smallest element, searching
+        the half-open candidate range [lo, hi] given ``below`` elements
+        are known smaller than lo."""
+        rows_fn = self._rows_fn()
+        for _ in range(80):
+            if lo == hi:
+                return lo
+            counts = [0] * self._PCTL_BINS
+            for r in self.histogram(self._PCTL_BINS, (lo, hi)).collect():
+                counts[r["bin"]] = r["count"]
+            width = (hi - lo) / self._PCTL_BINS
+            cum = below
+            for b, c in enumerate(counts):
+                if cum + c > rank:
+                    blo = lo + b * width
+                    bhi = hi if b == self._PCTL_BINS - 1 else lo + (b + 1) * width
+                    if c <= self._PCTL_COLLECT or (bhi - blo) <= 0:
+                        return self._collect_rank(blo, bhi, b == self._PCTL_BINS - 1,
+                                                  rank - cum, rows_fn)
+                    lo, hi, below = blo, bhi, cum
+                    break
+                cum += c
+            else:  # numerical edge: rank fell past the last bin
+                return hi
+        return self._collect_rank(lo, hi, True, rank - below, rows_fn)
+
+    def _collect_rank(self, blo, bhi, closed, local_rank, rows_fn) -> float:
+        """Gather the candidates inside one bin and pick the local rank —
+        the only driver-side materialization, bounded by the bin count."""
+        def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for _, arr in rows_fn(pdf):
+                    a = arr.astype(np.float64, copy=False).ravel()
+                    m = (a >= blo) & ((a <= bhi) if closed else (a < bhi))
+                    out.append(a[m])
+                vals = np.concatenate(out) if out else np.empty(0)
+                yield pd.DataFrame({"v": pd.Series(vals, dtype="float64")})
+
+        vals = np.sort(
+            np.array(
+                [r["v"] for r in self.df.mapInPandas(extract, schema="v double").collect()]
+            )
+        )
+        return float(vals[local_rank])
+
     def sort(self, axis: int = -1) -> "ChunkedArray":
         """Sort along one axis (numpy ``np.sort`` semantics, ascending).
 

@@ -882,3 +882,28 @@ def tensor_nanmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the oracle's CASE-filtered ratio."""
     arr = ChunkedArray.from_function(spark, _META, nan_ramp_chunk)
     return arr.nanmean()
+
+
+@register(
+    "tensor_percentiles",
+    extended=True,
+    # quantile_cont == numpy linear interpolation; ramp values are ints so
+    # the interpolated results are exact dyadic doubles in both engines.
+    oracle=f"""
+SELECT quantile_cont(CAST(r + c AS DOUBLE), 0.25) AS p25,
+       quantile_cont(CAST(r + c AS DOUBLE), 0.50) AS p50,
+       quantile_cont(CAST(r + c AS DOUBLE), 0.95) AS p95
+FROM {_DUCK_GRID}
+""",
+)
+def tensor_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed percentiles over the chunked array (numpy linear
+    interpolation) via iterative histogram refinement
+    (plans/chunked.py:percentile): each round is one fused map-side
+    1024-bin histogram pass narrowing the value range; only the final
+    <= 2^20-element bin is collected. dask's da.percentile is
+    approximate for distributed arrays — this is the exact counterpart,
+    with cost O(rounds) scans and O(bin) driver memory."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    vals = [(arr.percentile(25.0), arr.percentile(50.0), arr.percentile(95.0))]
+    return spark.createDataFrame(vals, "p25 double, p50 double, p95 double")

@@ -812,3 +812,23 @@ def test_complex_nan_reductions(spark):
     assert (row["total_re"], row["total_im"]) == (4.0, 6.0)
     row = arr.nanmean().first()
     assert (row["mean_re"], row["mean_im"]) == (2.0, 3.0)
+
+
+def test_percentile_matches_numpy(spark):
+    import numpy as np
+
+    from doreisa_spark.plans.chunked import ChunkedArray
+
+    rng = np.random.RandomState(11)
+    full = rng.randn(30, 20) * 50
+    chunks = {
+        (i, j): full[i * 15 : (i + 1) * 15, j * 10 : (j + 1) * 10]
+        for i in range(2)
+        for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "pctt", chunks)
+    for q in (0.0, 10.0, 50.0, 99.0, 100.0):
+        assert abs(arr.percentile(q) - float(np.percentile(full, q))) < 1e-9
+    # massive-tie case: refinement detects the degenerate bin
+    const = ChunkedArray.from_numpy_chunks(spark, "pcttc", {(0,): np.full(50, 3.25)})
+    assert const.percentile(40.0) == 3.25
