@@ -2822,6 +2822,130 @@ class ChunkedArray:
         df = joined.mapInPandas(final, schema=CHUNK_SCHEMA)
         return ChunkedArray(df, meta, ts)
 
+    def map_overlap(
+        self,
+        fn: Callable[[np.ndarray], np.ndarray],
+        depth: int,
+        axis: int = 0,
+        boundary: str = "nearest",
+    ) -> "ChunkedArray":
+        """dask.array.map_overlap (single-axis): apply a SHAPE-PRESERVING
+        numpy kernel to every chunk padded with ``depth`` halo planes from
+        each axis-neighbor, then trim the halos — the general stencil
+        primitive (moving windows, convolution, morphological ops) that
+        axis_diff special-cases.
+
+        Halo exchange cost: each chunk ships exactly 2 x depth planes
+        (narrow frames keyed to neighbor positions, LEFT-joined back);
+        bodies move once. Grid-edge chunks pad with ``boundary``:
+        'nearest' (replicate edge plane), 'reflect', or 'constant'
+        (zeros) — numpy.pad modes. ``depth`` must not exceed the smallest
+        chunk extent on the axis (dask's own constraint: halos come from
+        the IMMEDIATE neighbor only). ``fn`` receives the padded block
+        and must return an array of the same shape; output dtype is
+        coerced back to the array's dtype."""
+        ndim = self.meta.ndim
+        if not (0 <= axis < ndim):
+            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        if depth > min(self.meta.chunks[axis]):
+            raise ValueError(
+                f"depth {depth} exceeds the smallest axis-{axis} chunk "
+                f"extent {min(self.meta.chunks[axis])}; rechunk first "
+                "(halos come from the immediate neighbor only)"
+            )
+        if boundary not in ("nearest", "reflect", "constant"):
+            raise ValueError(f"unsupported boundary {boundary!r}")
+        np_mode = {"nearest": "edge", "reflect": "reflect", "constant": "constant"}[
+            boundary
+        ]
+        m = self.materialize()
+        src = np.dtype(m.meta.dtype)
+        name, ts = self.meta.name, self.timestep
+        meta = self.meta
+
+        def halos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"hpos": [], "side": [], "halo": []}
+                for pos, sh, raw in zip(pdf["pos"], pdf["chunk_shape"], pdf["data"]):
+                    k = int(pos[axis])
+                    shape = tuple(int(s) for s in sh)
+                    arr = np.frombuffer(raw, dtype=src).reshape(shape)
+                    if k > 0:  # my leading planes become predecessor's tail halo
+                        lead = np.take(arr, range(depth), axis=axis)
+                        prev = [int(p) - (1 if d == axis else 0) for d, p in enumerate(pos)]
+                        out["hpos"].append(prev)
+                        out["side"].append("after")
+                        out["halo"].append(np.ascontiguousarray(lead).tobytes())
+                    if k < meta.nb_chunks_per_dim[axis] - 1:
+                        trail = np.take(
+                            arr, range(shape[axis] - depth, shape[axis]), axis=axis
+                        )
+                        nxt = [int(p) + (1 if d == axis else 0) for d, p in enumerate(pos)]
+                        out["hpos"].append(nxt)
+                        out["side"].append("before")
+                        out["halo"].append(np.ascontiguousarray(trail).tobytes())
+                if out["hpos"]:
+                    yield pd.DataFrame(out)
+
+        halo_df = m.df.mapInPandas(halos, schema="hpos array<int>, side string, halo binary")
+        import pyspark.sql.functions as _F
+
+        pivoted = halo_df.groupBy("hpos").agg(
+            _F.max(_F.when(_F.col("side") == "before", _F.col("halo"))).alias("h_before"),
+            _F.max(_F.when(_F.col("side") == "after", _F.col("halo"))).alias("h_after"),
+        )
+        joined = m.df.join(pivoted, m.df["pos"] == pivoted["hpos"], "left")
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"name": [], "timestep": [], "pos": [], "chunk_shape": [], "data": []}
+                for pos, sh, raw, hb, ha in zip(
+                    pdf["pos"], pdf["chunk_shape"], pdf["data"],
+                    pdf["h_before"], pdf["h_after"],
+                ):
+                    shape = tuple(int(s) for s in sh)
+                    arr = np.frombuffer(raw, dtype=src).reshape(shape)
+                    hshape = tuple(depth if i == axis else s for i, s in enumerate(shape))
+                    parts = []
+                    pad_lo = pad_hi = 0
+                    if hb is not None:
+                        parts.append(np.frombuffer(bytes(hb), dtype=src).reshape(hshape))
+                    else:
+                        pad_lo = depth
+                    parts.append(arr)
+                    if ha is not None:
+                        parts.append(np.frombuffer(bytes(ha), dtype=src).reshape(hshape))
+                    else:
+                        pad_hi = depth
+                    padded = np.concatenate(parts, axis=axis)
+                    if pad_lo or pad_hi:
+                        widths = [
+                            (pad_lo, pad_hi) if d == axis else (0, 0)
+                            for d in range(ndim)
+                        ]
+                        padded = np.pad(padded, widths, mode=np_mode)
+                    res = np.asarray(fn(padded))
+                    if res.shape != padded.shape:
+                        raise ValueError(
+                            f"map_overlap fn must preserve shape: got {res.shape} "
+                            f"for padded {padded.shape}"
+                        )
+                    res = np.take(
+                        res, range(depth, depth + shape[axis]), axis=axis
+                    ).astype(src, copy=False)
+                    out["name"].append(name)
+                    out["timestep"].append(ts)
+                    out["pos"].append(list(pos))
+                    out["chunk_shape"].append(list(res.shape))
+                    out["data"].append(np.ascontiguousarray(res).tobytes())
+                if out["pos"]:
+                    yield pd.DataFrame(out)
+
+        df = joined.mapInPandas(kernel, schema=CHUNK_SCHEMA)
+        return ChunkedArray(df, meta, ts)
+
     def axis_diff(self, axis: int) -> "ChunkedArray":
         """First difference along one axis (numpy ``np.diff`` / the
         finite-difference stencil of in-situ HPC analytics) — a halo

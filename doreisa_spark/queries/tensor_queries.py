@@ -907,3 +907,33 @@ def tensor_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
     vals = [(arr.percentile(25.0), arr.percentile(50.0), arr.percentile(95.0))]
     return spark.createDataFrame(vals, "p25 double, p50 double, p95 double")
+
+
+def _sum3_axis0(a):
+    """3-point sum stencil along axis 0 (shape-preserving on the padded
+    block; integer-valued sums keep the oracle exact — a /3 moving
+    average would reintroduce cross-chunk summation-order rounding)."""
+    out = a.copy()
+    out[1:-1] = a[:-2] + a[1:-1] + a[2:]
+    return out
+
+
+@register(
+    "tensor_map_overlap_sum3",
+    extended=True,
+    # nearest-boundary 3-point sum along rows of the ramp:
+    # s(r,c) = (clamp(r-1)+c) + (r+c) + (clamp(r+1)+c), summed exactly.
+    oracle=f"""
+SELECT CAST(sum((greatest(r - 1, 0) + c) + (r + c) + (least(r + 1, {_ROWS - 1}) + c))
+            AS DOUBLE) AS total
+FROM {_DUCK_GRID}
+""",
+)
+def tensor_map_overlap_sum3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask map_overlap as a registered op: a 3-point sum stencil along
+    axis 0 with nearest-boundary padding (plans/chunked.py:map_overlap —
+    each chunk ships exactly 2 halo planes to its axis neighbors, bodies
+    move once), then global sum against the closed-form clamped-index
+    oracle."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.map_overlap(_sum3_axis0, depth=1, axis=0, boundary="nearest").sum()

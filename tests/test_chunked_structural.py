@@ -709,3 +709,48 @@ def test_coarsen_rejects_non_divisible(spark):
     )
     with pytest.raises(ValueError, match="not divisible"):
         arr.coarsen("mean", {0: 4})
+
+
+def test_map_overlap_matches_numpy_padding(spark):
+    """map_overlap ≡ fn(np.pad(full)) trimmed, for every boundary mode,
+    multi-chunk axes, and depth 2."""
+    import numpy as np
+    import pytest
+
+    from doreisa_spark.plans.chunked import ChunkedArray
+
+    rng = np.random.RandomState(5)
+    full = rng.randint(0, 50, (12, 6)).astype(np.float64)
+    chunks = {
+        (i, j): full[i * 4 : (i + 1) * 4, j * 3 : (j + 1) * 3]
+        for i in range(3)
+        for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "movl", chunks)
+
+    def sum3(a):
+        out = a.copy()
+        out[1:-1] = a[:-2] + a[1:-1] + a[2:]
+        return out
+
+    for mode, np_mode in (("nearest", "edge"), ("constant", "constant"),
+                          ("reflect", "reflect")):
+        got = arr.map_overlap(sum3, depth=1, axis=0, boundary=mode).to_numpy()
+        p = np.pad(full, ((1, 1), (0, 0)), mode=np_mode)
+        assert np.array_equal(got, p[:-2] + p[1:-1] + p[2:]), mode
+
+    def sum5(a):
+        out = a.copy()
+        out[:, 2:-2] = (
+            a[:, :-4] + a[:, 1:-3] + a[:, 2:-2] + a[:, 3:-1] + a[:, 4:]
+        )
+        return out
+
+    got = arr.map_overlap(sum5, depth=2, axis=1, boundary="reflect").to_numpy()
+    p = np.pad(full, ((0, 0), (2, 2)), mode="reflect")
+    assert np.array_equal(
+        got, p[:, :-4] + p[:, 1:-3] + p[:, 2:-2] + p[:, 3:-1] + p[:, 4:]
+    )
+
+    with pytest.raises(ValueError, match="exceeds the smallest"):
+        arr.map_overlap(sum3, depth=4, axis=1)
