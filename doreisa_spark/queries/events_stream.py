@@ -303,3 +303,65 @@ def stream_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", week_n.alias("week_n"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "stream_resample_ffill",
+    extended=True,
+    oracle="""
+WITH bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts
+  FROM bounds
+), hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, max(value) AS mv
+  FROM events GROUP BY 1, 2
+)
+SELECT g.user_id, g.grid_ts,
+       last_value(h.mv IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.grid_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM grid g
+LEFT JOIN hourly h ON h.user_id = g.user_id AND h.h = g.grid_ts
+""",
+)
+def stream_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to a regular hourly grid with forward-fill
+    — the gap-filling shape every metrics/monitoring pipeline runs
+    (sparse events → dense series). Per user: materialize the hour grid
+    between first and last activity (sequence + explode), join the
+    hourly max, and carry the last observation forward through empty
+    hours (last_value IGNORE NULLS over an unbounded-preceding frame).
+
+    Plan: bounds and hourly aggregates share the user_id shuffle; the
+    grid explode is map-only on the tiny bounds frame; the fill window is
+    partitioned per user (never all-to-one). hourly uses MAX (order-free)
+    so the filled values are bit-deterministic — no summation-order or
+    rounding hazards."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("grid_ts"),
+    )
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.max("value").alias("mv"))
+    joined = grid.join(
+        hourly,
+        (grid["user_id"] == hourly["user_id"]) & (hourly["h"] == grid["grid_ts"]),
+        "left",
+    ).select(grid["user_id"], "grid_ts", "mv")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("grid_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id", "grid_ts", F.last("mv", ignorenulls=True).over(w).alias("filled")
+    )
