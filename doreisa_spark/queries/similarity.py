@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import table
 from doreisa_spark.operators import vectors as V
-from doreisa_spark.registry import register
+from doreisa_spark.registry import REGISTRY, register
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
 _TOP_K = 5
@@ -1220,3 +1220,35 @@ def sim_pq_encode_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(
         encode, schema="cid bigint, codes string"
     )
+
+
+@register(
+    "sim_ann_lsh_incremental",
+    extended=True,
+    oracle=REGISTRY["sim_ann_lsh"].oracle,
+)
+def sim_ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence gate for the STREAMING-incremental sign-LSH
+    vector index (streaming/incremental_ann.py): the corpus is ingested
+    as three micro-batches into the persisted bucket store, then queried
+    — the result must hash-match the one-shot `sim_ann_lsh` oracle.
+    Stronger than the dedup store's equivalence: LSH bucketing is
+    stateless per vector, so ANY arrival order reproduces the batch index
+    bit-for-bit (the reason this index family is the streaming-ingest
+    default, vs quantizer-based indexes that freeze or retrain). The real
+    stream driver runs in tests/test_incremental_ann.py; this entry calls
+    process_batch directly so the driver's gate is deterministic."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_ann import LSHVectorStore
+
+    e = table(spark, sf_dir, "embeddings")
+    lo, hi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    store = LSHVectorStore(spark, _fresh_store_dir("incann"))
+    for cond in (
+        F.col("vec_id") <= cut1,
+        (F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2),
+        F.col("vec_id") > cut2,
+    ):
+        store.process_batch(e.where(cond))
+    return store.query_topk(_N_QUERIES, _TOP_K)

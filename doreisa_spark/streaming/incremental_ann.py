@@ -1,0 +1,129 @@
+"""Streaming-incremental ANN index (sign-LSH vector store).
+
+Completes the incremental triad next to incremental_dedup (near-dup
+pairs) and incremental_curation (quality/dedup admission): vectors ARRIVE
+over micro-batches and must become searchable without rebuilding the
+index — the vector-database ingest path.
+
+Design: the persisted index is ``members/`` — (bucket, vec_id, embedding)
+rows, bucket = the same deterministic sign-LSH of operators/vectors.py the
+batch ``sim_ann_lsh`` uses. Per micro-batch (foreachBatch):
+
+1. bucket assignment is a map-only JVM expression over the batch — no
+   history is touched at all during ingest (LSH is stateless per vector,
+   which is exactly why it is the streaming-friendly index family; an
+   IVF quantizer would freeze or drift here, see sim_ann_ivf_trained for
+   the retraining story);
+2. the batch's (bucket, vec_id, embedding) rows append to ``members/``.
+
+Query path (``query_topk``): probe ONLY the query's bucket in the store —
+a bucket-equality join against members, exact sequential-fold cosine,
+per-query top-k. Cost per query scales with one bucket (~n/2^planes),
+never the corpus.
+
+Batch equivalence: after streaming the whole corpus in any batch split,
+``query_topk`` over the store returns row-for-row what the one-shot
+`sim_ann_lsh` (DuckDB-gated) computes — asserted by
+tests/test_incremental_ann.py through a real readStream + foreachBatch
+drive, and by the `sim_ann_lsh_incremental` registry entry under the
+batch entry's own oracle. (Order-insensitive by construction: bucket ids
+and cosines are bit-deterministic, so arrival order cannot change any
+result — stronger than the dedup store, which needs monotone doc_ids.)
+
+100 TB posture: ingest is map-only + append; the store is naturally
+bucket-partitioned (a deployment writes it partitioned/bucketed by
+``bucket``, making every probe a single-partition read). State is the
+corpus itself — an ANN index retains all vectors by definition — but the
+HOT structure per query is one bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from doreisa_spark.operators import vectors as V
+
+EMBEDDINGS_DDL = "vec_id bigint, embedding array<float>, label int"
+
+
+class LSHVectorStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._members = f"{self.root}/members"
+
+    def members(self) -> DataFrame:
+        import os
+
+        ddl = "bucket bigint, vec_id bigint, embedding array<float>"
+        if not os.path.isdir(self._members):
+            return self.spark.createDataFrame([], ddl)
+        return self.spark.read.schema(ddl).parquet(self._members)
+
+    def process_batch(self, vectors: DataFrame, batch_id: int = 0) -> None:
+        vectors.select(
+            F.expr(V.lsh_bucket_expr("embedding")).cast("bigint").alias("bucket"),
+            "vec_id",
+            "embedding",
+        ).write.mode("append").parquet(self._members)
+
+    def query_topk(self, query_ids_below: int, k: int) -> DataFrame:
+        """Top-k per query vector (vec_id < query_ids_below, the batch
+        entry's query-set contract), probing only each query's bucket."""
+        m = self.members()
+        q = m.where(F.col("vec_id") < query_ids_below).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+        )
+        c = m.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("bucket").alias("cb"),
+        )
+        cos = F.expr(V.cosine_expr("qe", "ce"))
+        scored = (
+            F.broadcast(q)
+            .join(c, (F.col("cb") == F.col("bucket")) & (F.col("cid") != F.col("qid")))
+            .select("qid", "cid", cos.alias("cos_sim"))
+        )
+        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+        )
+
+
+def read_vector_stream(
+    spark: SparkSession, source_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of embedding rows, one file per trigger."""
+    return (
+        spark.readStream.schema(EMBEDDINGS_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def run_incremental_ann(
+    spark: SparkSession,
+    source_dir: str,
+    store_root: str,
+    *,
+    query_ids_below: int,
+    k: int,
+    timeout_sec: float = 300,
+) -> DataFrame:
+    """Drive a vector file-stream into the store via foreachBatch until
+    drained; returns the top-k frame over the accumulated index."""
+    from doreisa_spark.streaming.structured import run_foreach_batch
+
+    store = LSHVectorStore(spark, store_root)
+    stream = read_vector_stream(spark, source_dir)
+    run_foreach_batch(
+        stream,
+        lambda df, bid: store.process_batch(df, bid),
+        timeout_sec=timeout_sec,
+    )
+    return store.query_topk(query_ids_below, k)
