@@ -536,3 +536,80 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(red).cast("int").alias("n_chars_redacted"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+_HH_K = 4096   # Misra-Gries counters per partition
+_HH_TOP = 25
+
+
+@register(
+    "text_heavy_hitters",
+    extended=True,
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), counted AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token
+)
+SELECT token, n, rk FROM (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rk
+  FROM counted)
+WHERE rk <= {_HH_TOP}
+""",
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT top-{_HH_TOP} most frequent tokens via the two-pass
+    Misra-Gries pattern — the bounded-shuffle alternative to hashing
+    every distinct token:
+
+    1. each partition reduces its token stream to <= {_HH_K} MG counters
+       (vectorized batch-decrement: merge value_counts, subtract the
+       (K+1)-th largest, keep positives — the classic superset guarantee:
+       any token with partition count > n_part/(K+1) survives);
+    2. the union of surviving candidates (<= K x n_partitions narrow
+       rows, vs every distinct token) is exactly recounted with a
+       broadcast semi-join and ranked.
+
+    The MG guarantee is ASSERTED at runtime: the {_HH_TOP}-th exact count
+    must exceed n_tokens/(K+1), else the candidate set could have missed
+    a true heavy hitter and the query raises instead of silently
+    under-reporting. At 100 TB this shuffles candidate token strings
+    only; the full-groupBy formulation (text_ngram_top's shape) shuffles
+    the whole vocabulary."""
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+
+    def mg(batches):
+        s = pd.Series(dtype="int64")
+        for pdf in batches:
+            s = s.add(pdf["token"].value_counts(), fill_value=0)
+            if len(s) > _HH_K:
+                thr = s.nlargest(_HH_K + 1).iloc[-1]
+                s = s - thr
+                s = s[s > 0]
+        yield pd.DataFrame({"token": s.index.astype(str)})
+
+    cands = toks.mapInPandas(mg, schema="token string").distinct()
+    exact = (
+        toks.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.orderBy(F.col("n").desc(), F.col("token"))
+    top = (
+        exact.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _HH_TOP)
+    )
+    n_tokens = d.select(F.sum(F.size(F.split(F.col("text"), " "))).alias("n")).first()["n"]
+    rows = top.collect()  # <= _HH_TOP rows — the result itself
+    if rows and min(r["n"] for r in rows) * (_HH_K + 1) <= n_tokens:
+        raise ValueError(
+            f"Misra-Gries guarantee violated: top-{_HH_TOP} count "
+            f"{min(r['n'] for r in rows)} <= n/(K+1) = {n_tokens/(_HH_K+1):.1f}; "
+            "raise _HH_K"
+        )
+    return spark.createDataFrame(rows, top.schema)
