@@ -242,3 +242,82 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payload.mapInPandas(
         windows, schema="doc_id bigint, win_no int, win_bytes int, rms double"
     )
+
+
+_CUT_TAU = 2.0  # mean-byte jump that counts as a scene boundary
+
+
+@register(
+    "mm_scene_cuts",
+    extended=True,
+    oracle=f"""
+WITH codes AS (
+  SELECT doc_id, list_transform(range(1, strlen(text) + 1), i -> ascii(text[i:i])) AS cs
+  FROM documents
+), frames AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST((len(cs)+{_FRAME - 1})//{_FRAME} AS INTEGER)),
+                f -> struct_pack(frame_no := f,
+                                 fr := cs[(CAST(f AS INTEGER)*{_FRAME}+1):least((CAST(f AS INTEGER)+1)*{_FRAME}, len(cs))]))) AS s
+  FROM codes
+), means AS (
+  SELECT doc_id, s.frame_no AS frame_no,
+         CAST(list_sum(s.fr) AS DOUBLE) / len(s.fr) AS mb
+  FROM frames
+), diffs AS (
+  SELECT doc_id, frame_no, mb,
+         lag(mb) OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev
+  FROM means
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_frames,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND abs(mb - prev) > {_CUT_TAU}
+                     THEN 1 ELSE 0 END) AS INTEGER) AS n_cuts,
+       CAST(COALESCE(min(CASE WHEN prev IS NOT NULL AND abs(mb - prev) > {_CUT_TAU}
+                              THEN frame_no END), -1) AS INTEGER) AS first_cut
+FROM diffs
+GROUP BY doc_id
+""",
+)
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over frame sequences: consecutive-frame
+    feature difference (mean byte value as the stand-in feature — real
+    decode swaps in per the module contract) thresholded at {_CUT_TAU} —
+    the shot-boundary pass of a video curation pipeline.
+
+    The temporal diff runs INSIDE the Arrow kernel (frames of one payload
+    are adjacent in memory), so unlike the SQL formulation there is no
+    per-frame window shuffle — one map-only pass emits per-asset cut
+    statistics directly. Exact integer sums + one exact division keep the
+    oracle bit-for-bit."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, nc, fc = [], [], [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                px = np.frombuffer(bytes(raw), dtype=np.uint8)
+                n_frames = (len(px) + _FRAME - 1) // _FRAME
+                prev = None
+                n_cuts = 0
+                first = -1
+                for f in range(n_frames):
+                    fr = px[f * _FRAME : (f + 1) * _FRAME]
+                    mb = float(fr.astype(np.int64).sum()) / len(fr)
+                    if prev is not None and abs(mb - prev) > _CUT_TAU:
+                        n_cuts += 1
+                        if first < 0:
+                            first = f
+                    prev = mb
+                ids.append(doc_id)
+                nf.append(n_frames)
+                nc.append(n_cuts)
+                fc.append(first)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_frames": nf, "n_cuts": nc, "first_cut": fc}
+            )
+
+    return payload.mapInPandas(
+        cuts, schema="doc_id bigint, n_frames int, n_cuts int, first_cut int"
+    )
