@@ -365,3 +365,59 @@ def stream_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "user_id", "grid_ts", F.last("mv", ignorenulls=True).over(w).alias("filled")
     )
+
+
+@register(
+    "stream_anomaly_zscore",
+    extended=True,
+    oracle="""
+WITH stats AS (
+  SELECT user_id, ts, value,
+         sum(value)  OVER w AS s1,
+         sum(value * value) OVER w AS s2,
+         count(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, ts, value,
+       CAST(CASE WHEN n >= 5
+                 AND (s2 / n - (s1 / n) * (s1 / n)) > 0
+                 AND abs(value - s1 / n)
+                     > 2 * sqrt(s2 / n - (s1 / n) * (s1 / n))
+            THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM stats
+""",
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags — the monitoring-pipeline shape:
+    each event compares against the mean/std of its user's PRECEDING 10
+    events (frame excludes the current row, so an outlier can't mask
+    itself), flagged at |z| > 2 once >= 5 history points exist.
+
+    The std is written as explicit sum/sumsq arithmetic (never a
+    black-box stddev aggregate) so both engines evaluate the identical
+    operation tree over the identically-ordered frame (ts, event_id — a
+    total order), making the integer flags bit-stable. Plan: one user_id
+    window, partitioned, frames never materialize per-row state."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, -1)
+    )
+    s1 = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    var = s2 / n - (s1 / n) * (s1 / n)
+    flag = (
+        F.when(
+            (n >= 5)
+            & (var > 0)
+            & (F.abs(F.col("value") - s1 / n) > 2 * F.sqrt(var)),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    return ev.select("user_id", "ts", "value", flag.alias("is_anomaly"))
