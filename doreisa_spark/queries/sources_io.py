@@ -315,3 +315,44 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_sum"
         ),
     )
+
+
+_COMPACT_FILES = 4
+
+
+@register(
+    "sink_compaction",
+    extended=True,
+    oracle="""
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every
+    object-store deployment schedules: a fragmented landing zone (64
+    files here, the streaming-sink / tiny-batch symptom) is rewritten as
+    {_COMPACT_FILES} right-sized files via repartition + overwrite, and
+    the read-back aggregate proves bytes survived the rewrite.
+
+    Why it matters at 100 TB: file-count, not byte-count, drives listing
+    and task-scheduling overhead — a million 1 MB files costs more to
+    plan than a thousand 1 GB files. The rewrite is one shuffle sized by
+    the TARGET file count; tests/test_operators.py pins the physical
+    file counts before/after."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    frag = _sink(sf_dir, "orders_fragmented")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    compacted = _sink(sf_dir, "orders_compacted")
+    spark.read.parquet(frag).repartition(_COMPACT_FILES).write.mode(
+        "overwrite"
+    ).parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )

@@ -120,3 +120,23 @@ def test_salted_join_equals_plain_join(spark):
             .groupBy("k", "v", "label").count().collect()
         )
         assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_compaction_reduces_file_count(spark):
+    """sink_compaction must physically shrink the file count while
+    preserving every row (the aggregate is oracle-gated; this pins the
+    filesystem effect)."""
+    import glob
+
+    from doreisa_spark.queries import sources_io
+
+    sources_io.sink_compaction(spark, "/root/testdata/sf0.001").collect()
+    frag = sources_io._sink("/root/testdata/sf0.001", "orders_fragmented")
+    comp = sources_io._sink("/root/testdata/sf0.001", "orders_compacted")
+    n_frag = len(glob.glob(f"{frag}/part-*.parquet"))
+    n_comp = len(glob.glob(f"{comp}/part-*.parquet"))
+    assert n_frag == 64
+    assert n_comp == sources_io._COMPACT_FILES
+    a = spark.read.parquet(frag).count()
+    b = spark.read.parquet(comp).count()
+    assert a == b > 0
