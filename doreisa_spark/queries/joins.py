@@ -274,3 +274,60 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(big, dim, "event_type", n_salts=8).select(
         "event_id", "event_type", "type_total"
     )
+
+
+@register(
+    "join_interval_overlap",
+    extended=True,
+    oracle="""
+WITH iv AS (
+  SELECT o_orderkey AS k, o_custkey AS ck, o_orderdate AS lo,
+         o_orderdate + to_days(CAST(o_orderkey % 7 + 1 AS INTEGER)) AS hi
+  FROM orders
+)
+SELECT a.ck AS custkey, a.k AS key_a, b.k AS key_b,
+       CAST(date_diff('day', greatest(a.lo, b.lo), least(a.hi, b.hi)) AS INTEGER)
+         AS overlap_days
+FROM iv a JOIN iv b
+  ON a.ck = b.ck AND a.k < b.k
+ AND a.lo <= b.hi AND b.lo <= a.hi
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join — the temporal-join shape range/as-of
+    joins don't cover (genomics region joins, concurrent-session
+    detection): each order carries an active interval
+    [orderdate, orderdate + 1..7 days]; find same-customer order pairs
+    whose intervals intersect, with the overlap length.
+
+    Plan: ONE equi-shuffle on the customer key; the interval predicate is
+    a residual filter inside the join (never a cartesian) — per-customer
+    group sizes bound the pair fan-out, the standard partition-then-
+    overlap strategy. Date arithmetic is integer-exact."""
+    o = table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").alias("lo"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 7 + 1).cast("int"),
+        ).cast("timestamp").alias("hi"),
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    cond = (
+        (F.col("a.ck") == F.col("b.ck"))
+        & (F.col("a.k") < F.col("b.k"))
+        & (F.col("a.lo") <= F.col("b.hi"))
+        & (F.col("b.lo") <= F.col("a.hi"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.ck").alias("custkey"),
+        F.col("a.k").alias("key_a"),
+        F.col("b.k").alias("key_b"),
+        F.datediff(
+            F.least(F.col("a.hi"), F.col("b.hi")),
+            F.greatest(F.col("a.lo"), F.col("b.lo")),
+        ).cast("int").alias("overlap_days"),
+    )
