@@ -629,3 +629,79 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     ):
         store.process_batch(d.where(cond))
     return store.pairs()
+
+
+_PF_TAU = 0.8  # Jaccard threshold; prefix math uses the exact 4/5 rational
+
+
+@register(
+    "dedup_prefix_filter",
+    extended=True,
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, {TX.duck_shingles('text', 3)} AS shingles FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round({TX.duck_jaccard('a.shingles', 'b.shingles')}, 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE {TX.duck_jaccard('a.shingles', 'b.shingles')} >= {_PF_TAU}
+""",
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (the AllPairs/PPJoin
+    family) — the third scale strategy next to MinHash-LSH (probabilistic
+    buckets) and SimHash (bit blocks), and unlike those it is EXACT: sort
+    every shingle set by global rarity, take the first
+    |d| - ceil(tau*|d|) + 1 tokens as the prefix, and any pair with
+    Jaccard >= tau provably shares a prefix token — so candidates =
+    prefix-token equi-join, then exact verification. The oracle is the
+    full quadratic Jaccard join; the engine path must reproduce it
+    row-for-row WITHOUT the quadratic step.
+
+    Determinism/completeness details: the prefix length uses integer
+    arithmetic (sz - (4*sz + 4) DIV 5 + 1 — a float ceil(0.8*sz) can
+    round the wrong way and silently shorten the prefix); the global
+    order is (frequency, shingle), total and identical in both engines;
+    verification reuses the exact fold of dedup_ngram_jaccard.
+
+    100 TB posture: the rarity join shuffles (token, doc) pairs once
+    (hot stopword-shingles are exactly the tokens prefixes EXCLUDE, which
+    is the point of rarity ordering); candidate fan-out is bounded by
+    prefix token frequency, never all-pairs."""
+    d = table(spark, sf_dir, "documents", spread=True)
+    sh = d.select("doc_id", F.expr(TX.shingles_expr("text", 3)).alias("shingles"))
+    sh = scoped_persist(sh)
+    tok = sh.select("doc_id", F.explode("shingles").alias("s"))
+    freq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    ordered = (
+        tok.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(n, s))), x -> x.s)").alias(
+                "sorted_sh"
+            )
+        )
+    )
+    sz = F.size("sorted_sh")
+    p = sz - F.expr("CAST((4 * size(sorted_sh) + 4) DIV 5 AS INT)") + F.lit(1)
+    prefix = ordered.select(
+        "doc_id", F.explode(F.slice("sorted_sh", 1, p)).alias("ps")
+    )
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), F.col("x.ps") == F.col("y.ps"))
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = F.expr(TX.jaccard_expr("sh_a", "sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(jac >= _PF_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
