@@ -605,11 +605,10 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _HH_TOP)
     )
     n_tokens = d.select(F.sum(F.size(F.split(F.col("text"), " "))).alias("n")).first()["n"]
-    rows = top.collect()  # <= _HH_TOP rows — the result itself
-    if rows and min(r["n"] for r in rows) * (_HH_K + 1) <= n_tokens:
+    kth = top.agg(F.min("n").alias("kth")).first()["kth"]
+    if kth is not None and kth * (_HH_K + 1) <= n_tokens:
         raise ValueError(
             f"Misra-Gries guarantee violated: top-{_HH_TOP} count "
-            f"{min(r['n'] for r in rows)} <= n/(K+1) = {n_tokens/(_HH_K+1):.1f}; "
-            "raise _HH_K"
+            f"{kth} <= n/(K+1) = {n_tokens/(_HH_K+1):.1f}; raise _HH_K"
         )
-    return spark.createDataFrame(rows, top.schema)
+    return top

@@ -244,3 +244,27 @@ def test_ivf_pq_broadcasts_probes_and_lut(spark):
     plan = _plan(spark, "sim_ann_ivf_pq")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_prefix_filter_no_cartesian(spark):
+    # candidates must come from the prefix-token equi-join; the quadratic
+    # all-pairs shape is the ORACLE's job, never the engine's
+    plan = _plan(spark, "dedup_prefix_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_is_keyed_join(spark):
+    # equi-shuffle on the customer key with the interval predicate as a
+    # residual — not a nested-loop over all order pairs
+    plan = _plan(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_candidates_broadcast(spark):
+    # the exact recount joins the corpus against the (small) MG candidate
+    # set by broadcast — the token stream itself never sort-merge-joins
+    plan = _plan(spark, "text_heavy_hitters")
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan
