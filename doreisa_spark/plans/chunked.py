@@ -1937,23 +1937,38 @@ class ChunkedArray:
         algorithm collects them (bounded by the collect threshold). The
         driver never sees more than threshold elements — this is dask's
         ``da.percentile`` promise but exact instead of approximate."""
+        return self.percentiles([q])[0]
+
+    def percentiles(self, qs: "list[float]") -> "list[float]":
+        """Several percentiles in one go: the global (min, max) scans run
+        ONCE and every needed order statistic resolves against the shared
+        range (a 3-quantile call costs 2 bounding scans + one refinement
+        per distinct rank, not 6 bounding scans)."""
         import math
 
         n = int(np.prod(self.meta.global_shape))
         if n == 0:
             raise ValueError("percentile of an empty array")
-        if not 0 <= q <= 100:
-            raise ValueError("q must be in [0, 100]")
-        pos = (n - 1) * (q / 100.0)
-        k = int(math.floor(pos))
-        frac = pos - k
+        for q in qs:
+            if not 0 <= q <= 100:
+                raise ValueError("q must be in [0, 100]")
         lo = float(self.min().first()["min_value"])
         hi = float(self.max().first()["max_value"])
-        xk = self._order_stat(k, lo, hi, below=0)
-        if frac == 0.0:
-            return xk
-        xk1 = self._order_stat(k + 1, lo, hi, below=0)
-        return xk + frac * (xk1 - xk)
+        ranks: dict[int, float] = {}
+
+        def stat(k: int) -> float:
+            if k not in ranks:
+                ranks[k] = self._order_stat(k, lo, hi, below=0)
+            return ranks[k]
+
+        out = []
+        for q in qs:
+            pos = (n - 1) * (q / 100.0)
+            k = int(math.floor(pos))
+            frac = pos - k
+            xk = stat(k)
+            out.append(xk if frac == 0.0 else xk + frac * (stat(k + 1) - xk))
+        return out
 
     _PCTL_BINS = 1024
     _PCTL_COLLECT = 1 << 20  # collect candidates when <= ~8 MB of doubles
@@ -1976,7 +1991,12 @@ class ChunkedArray:
                     blo = lo + b * width
                     bhi = hi if b == self._PCTL_BINS - 1 else lo + (b + 1) * width
                     if c <= self._PCTL_COLLECT or (bhi - blo) <= 0:
-                        return self._collect_rank(blo, bhi, b == self._PCTL_BINS - 1,
+                        # degenerate width (massive ties narrowed the range
+                        # to one representable value) must collect
+                        # INCLUSIVELY — a half-open [blo, bhi) with
+                        # blo == bhi selects nothing and IndexErrors
+                        closed = b == self._PCTL_BINS - 1 or (bhi - blo) <= 0
+                        return self._collect_rank(blo, bhi, closed,
                                                   rank - cum, rows_fn)
                     lo, hi, below = blo, bhi, cum
                     break
@@ -1998,11 +2018,10 @@ class ChunkedArray:
                 vals = np.concatenate(out) if out else np.empty(0)
                 yield pd.DataFrame({"v": pd.Series(vals, dtype="float64")})
 
-        vals = np.sort(
-            np.array(
-                [r["v"] for r in self.df.mapInPandas(extract, schema="v double").collect()]
-            )
-        )
+        # Arrow transfer (toPandas), NOT collect(): a threshold-sized bin
+        # is ~8 MB as a float64 block but hundreds of MB as boxed Rows
+        pdf = self.df.mapInPandas(extract, schema="v double").toPandas()
+        vals = np.sort(pdf["v"].to_numpy(dtype=np.float64))
         return float(vals[local_rank])
 
     def sort(self, axis: int = -1) -> "ChunkedArray":
@@ -2857,7 +2876,10 @@ class ChunkedArray:
             )
         if boundary not in ("nearest", "reflect", "constant"):
             raise ValueError(f"unsupported boundary {boundary!r}")
-        np_mode = {"nearest": "edge", "reflect": "reflect", "constant": "constant"}[
+        # dask's boundary='reflect' INCLUDES the edge element (numpy mode
+        # 'symmetric'); numpy's own 'reflect' excludes it and raises when
+        # the pad width equals the block extent
+        np_mode = {"nearest": "edge", "reflect": "symmetric", "constant": "constant"}[
             boundary
         ]
         m = self.materialize()

@@ -297,6 +297,8 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, nf, nc, fc = [], [], [], []
             for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                if raw is None or len(raw) == 0:
+                    continue  # oracle's unnest emits no rows for empty docs
                 px = np.frombuffer(bytes(raw), dtype=np.uint8)
                 n_frames = (len(px) + _FRAME - 1) // _FRAME
                 prev = None

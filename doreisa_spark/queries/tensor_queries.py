@@ -905,8 +905,10 @@ def tensor_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate for distributed arrays — this is the exact counterpart,
     with cost O(rounds) scans and O(bin) driver memory."""
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
-    vals = [(arr.percentile(25.0), arr.percentile(50.0), arr.percentile(95.0))]
-    return spark.createDataFrame(vals, "p25 double, p50 double, p95 double")
+    p25, p50, p95 = arr.percentiles([25.0, 50.0, 95.0])
+    return spark.createDataFrame(
+        [(p25, p50, p95)], "p25 double, p50 double, p95 double"
+    )
 
 
 def _sum3_axis0(a):

@@ -832,3 +832,23 @@ def test_percentile_matches_numpy(spark):
     # massive-tie case: refinement detects the degenerate bin
     const = ChunkedArray.from_numpy_chunks(spark, "pcttc", {(0,): np.full(50, 3.25)})
     assert const.percentile(40.0) == 3.25
+
+
+def test_percentile_heavy_ties_with_spread(spark):
+    """Regression: a huge tie mass plus spread values used to IndexError
+    when refinement narrowed a non-last bin to zero width (the half-open
+    collect selected nothing). Also exercises the shared-range
+    percentiles() API."""
+    import numpy as np
+
+    from doreisa_spark.plans.chunked import ChunkedArray
+
+    rng = np.random.RandomState(2)
+    full = np.concatenate([np.full(3000, 3.25), rng.uniform(0, 10, 800)])
+    rng.shuffle(full)
+    chunks = {(i,): full[i * 950 : (i + 1) * 950] for i in range(4)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "pcttie", chunks)
+    arr._PCTL_COLLECT = 100  # force the refinement loop into the tie mass
+    got = arr.percentiles([30.0, 50.0, 75.0, 99.0])
+    expect = [float(np.percentile(full, q)) for q in (30.0, 50.0, 75.0, 99.0)]
+    assert all(abs(g - e) < 1e-9 for g, e in zip(got, expect)), (got, expect)

@@ -734,7 +734,7 @@ def test_map_overlap_matches_numpy_padding(spark):
         return out
 
     for mode, np_mode in (("nearest", "edge"), ("constant", "constant"),
-                          ("reflect", "reflect")):
+                          ("reflect", "symmetric")):  # dask reflect includes the edge
         got = arr.map_overlap(sum3, depth=1, axis=0, boundary=mode).to_numpy()
         p = np.pad(full, ((1, 1), (0, 0)), mode=np_mode)
         assert np.array_equal(got, p[:-2] + p[1:-1] + p[2:]), mode
@@ -747,7 +747,7 @@ def test_map_overlap_matches_numpy_padding(spark):
         return out
 
     got = arr.map_overlap(sum5, depth=2, axis=1, boundary="reflect").to_numpy()
-    p = np.pad(full, ((0, 0), (2, 2)), mode="reflect")
+    p = np.pad(full, ((0, 0), (2, 2)), mode="symmetric")
     assert np.array_equal(
         got, p[:, :-4] + p[:, 1:-3] + p[:, 2:-2] + p[:, 3:-1] + p[:, 4:]
     )

@@ -28,8 +28,6 @@ def audit(plan: str) -> dict[str, object]:
         "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "bhj": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
-        "global_sort": "TakeOrdered" not in plan and "Sort [" in plan
-        and "rangepartitioning" in plan,
         "take_ordered": "TakeOrderedAndProject" in plan,
         "py_stages": plan.count("MapInPandas")
         + plan.count("ArrowEvalPython")
