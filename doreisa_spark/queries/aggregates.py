@@ -338,3 +338,38 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@register(
+    "agg_mode",
+    extended=True,
+    oracle="""
+SELECT o_orderpriority, o_orderstatus AS modal_status, n FROM (
+  SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY count(*) DESC, o_orderstatus) AS rk
+  FROM orders
+  GROUP BY o_orderpriority, o_orderstatus)
+WHERE rk = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal (most frequent) order status per priority — the mode
+    aggregate via count + deterministic argmax (ties break on the status
+    value, identical in both engines). Two narrow hash aggregates
+    sharing the priority key; the window ranks only one row per
+    (priority, status) pair."""
+    o = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    counts = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), F.col("o_orderstatus")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("o_orderpriority", F.col("o_orderstatus").alias("modal_status"), "n")
+    )

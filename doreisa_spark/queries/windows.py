@@ -258,3 +258,40 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rk"
     )
+
+
+@register(
+    "window_ntile",
+    extended=True,
+    oracle="""
+SELECT o_orderpriority, quartile,
+       count(*) AS n,
+       CAST(min(o_orderkey) AS BIGINT) AS first_key
+FROM (
+  SELECT o_orderpriority, o_orderkey,
+         ntile(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey) AS quartile
+  FROM orders)
+GROUP BY o_orderpriority, quartile
+""",
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartile bucketing within each order priority — the
+    equal-height binning shape (price-tier assignment). The window is
+    PARTITIONED (never all-to-one) and its order is total
+    (totalprice, orderkey), so bucket boundaries are deterministic in
+    both engines; the output aggregates per-bucket stats."""
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").cast("bigint").alias("first_key"),
+        )
+    )
