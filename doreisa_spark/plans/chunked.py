@@ -2750,6 +2750,27 @@ class ChunkedArray:
             "coords", (F.col("total").cast("double") / F.lit(float(n))).alias("value")
         )
 
+    def axis_std(self, axis: int) -> DataFrame:
+        """Population std along one axis (numpy ``a.std(axis)``) →
+        (coords, value double): the (sum, sum-of-squares) sufficient
+        statistics per surviving coordinate — two fused axis_sum passes
+        whose partials are exact for integer grids — combined by the
+        explicit sqrt(sumsq/n - mean^2) expression. An oracle mirroring
+        the SAME expression over the same exact sums is bit-identical;
+        a closed-form variance formula may differ in the last ulp."""
+        n = float(self.meta.global_shape[axis])
+        sums = self.axis_sum(axis).select(
+            "coords", F.col("total").cast("double").alias("__s")
+        )
+        sq = self.map_numpy(lambda a: a * a)
+        sqs = sq.axis_sum(axis).select(
+            F.col("coords").alias("c2"), F.col("total").cast("double").alias("__s2")
+        )
+        joined = sums.join(sqs, sums["coords"] == sqs["c2"])
+        mean = F.col("__s") / F.lit(n)
+        var = F.col("__s2") / F.lit(n) - mean * mean
+        return joined.select("coords", F.sqrt(var).alias("value"))
+
     def axis_cumsum(self, axis: int) -> "ChunkedArray":
         """Cumulative sum along one axis — the classic two-pass distributed
         scan, returning a ChunkedArray on the SAME grid (dask

@@ -939,3 +939,30 @@ def tensor_map_overlap_sum3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
     return arr.map_overlap(_sum3_axis0, depth=1, axis=0, boundary="nearest").sum()
+
+
+@register(
+    "tensor_axis_std",
+    extended=True,
+    # Mirror the ENGINE's expression over the same exact integer sums
+    # (sumsq/n - mean^2 under one sqrt) — a closed-form variance constant
+    # could differ in the last ulp.
+    oracle=f"""
+SELECT c AS idx,
+       round(sqrt(sum((r + c) * (r + c)) / {float(_GRID[0] * _CHUNK[0])}
+                  - (sum(r + c) / {float(_GRID[0] * _CHUNK[0])})
+                    * (sum(r + c) / {float(_GRID[0] * _CHUNK[0])})), 6) AS std
+FROM {_DUCK_GRID}
+GROUP BY c
+""",
+)
+def tensor_axis_std(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-axis population std (dask ``a.std(axis=0)``): two fused
+    axis-sum passes (values and squares — both exact integer partials on
+    the ramp) joined on the surviving coordinate, one sqrt per output
+    element."""
+    df = _ramp(spark, sf_dir).axis_std(axis=0)
+    return df.select(
+        F.col("coords")[0].cast("bigint").alias("idx"),
+        F.round("value", 6).alias("std"),
+    )

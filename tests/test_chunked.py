@@ -852,3 +852,21 @@ def test_percentile_heavy_ties_with_spread(spark):
     got = arr.percentiles([30.0, 50.0, 75.0, 99.0])
     expect = [float(np.percentile(full, q)) for q in (30.0, 50.0, 75.0, 99.0)]
     assert all(abs(g - e) < 1e-9 for g, e in zip(got, expect)), (got, expect)
+
+
+def test_axis_std_matches_numpy(spark):
+    import numpy as np
+
+    from doreisa_spark.plans.chunked import ChunkedArray
+
+    rng = np.random.RandomState(9)
+    full = rng.randn(8, 6) * 10
+    chunks = {(i, j): full[i * 4 : (i + 1) * 4, j * 3 : (j + 1) * 3]
+              for i in range(2) for j in range(2)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "axstd", chunks)
+    for axis in (0, 1):
+        rows = arr.axis_std(axis).collect()
+        got = np.empty(full.shape[1 - axis])
+        for r in rows:
+            got[r["coords"][0]] = r["value"]
+        assert np.allclose(got, full.std(axis=axis), rtol=1e-9)
