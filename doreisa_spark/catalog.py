@@ -74,29 +74,33 @@ def table(
     if name == "events":
         from pyspark.sql import functions as F
 
-        # BOTH encodings produce a session-TZ-rendered TIMESTAMP column:
-        # the NTZ branch reinterprets wall-clock fields in the session TZ,
-        # and the nanos branch's rebuilt timestamp is rendered/truncated in
-        # the session TZ by every downstream date_trunc/hour/collect. Either
-        # way the session must be UTC to match a DuckDB oracle reading the
-        # same file as naive-UTC wall clock, so the pin applies to ANY
-        # events read. This is a GLOBAL session mutation; callers that
-        # deliberately run under another TZ are warned rather than silently
-        # overridden (ADVICE r5: no silent conf clobbering).
-        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-            import warnings
-
-            warnings.warn(
-                "doreisa_spark.catalog: normalizing events.ts requires "
-                "spark.sql.session.timeZone=UTC (both for the NTZ "
-                "reinterpretation and for truncation/rendering of the "
-                "rebuilt timestamps); pinning it for this session. Set the "
-                "TZ back after running catalog queries if your application "
-                "needs another zone.",
-                stacklevel=2,
-            )
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
         ts_type = dict(df.dtypes).get("ts")
+        if ts_type in ("bigint", "timestamp_ntz"):
+            # Both REBUILT/REINTERPRETED encodings produce a
+            # session-TZ-rendered TIMESTAMP column: the NTZ branch
+            # reinterprets wall-clock fields in the session TZ, and the
+            # nanos branch's rebuilt timestamp is rendered/truncated in the
+            # session TZ by every downstream date_trunc/hour/collect.
+            # Either way the session must be UTC to match a DuckDB oracle
+            # reading the same file as naive-UTC wall clock. The pin is
+            # SCOPED to these two branches (ADVICE r6): a testdata
+            # generation shipping plain TIMESTAMP needs no normalization
+            # and gets no session mutation. Callers that deliberately run
+            # under another TZ are warned rather than silently overridden
+            # (ADVICE r5: no silent conf clobbering).
+            if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+                import warnings
+
+                warnings.warn(
+                    "doreisa_spark.catalog: normalizing events.ts requires "
+                    "spark.sql.session.timeZone=UTC (both for the NTZ "
+                    "reinterpretation and for truncation/rendering of the "
+                    "rebuilt timestamps); pinning it for this session. Set "
+                    "the TZ back after running catalog queries if your "
+                    "application needs another zone.",
+                    stacklevel=2,
+                )
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
         if ts_type == "bigint":
             # integer division — double division drifts ±1µs at 1e18 magnitudes
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -55,7 +55,18 @@ def _scopes() -> list[list[DataFrame]]:
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """persist() that registers with this thread's innermost cache_scope
-    (if any)."""
+    (if any).
+
+    Cross-thread behavior (deliberate, but silent — so stated here): the
+    scope stack is THREAD-LOCAL. A scoped_persist call on a worker thread
+    while a cache_scope is open only on the main thread sees NO active
+    scope and persists UNSCOPED — the cache lives until the session ends
+    (the one-shot default), it is NOT adopted by the other thread's scope.
+    Parallelizing registry queries over a driver-side thread pool therefore
+    requires each worker to open its own cache_scope (or the pool submitter
+    to wrap each task in one); there is no scope inheritance across
+    threads, by design — inherited scopes would let one thread's exit
+    unpersist another thread's live cache mid-query."""
     out = df.persist()
     scopes = _scopes()
     if scopes:

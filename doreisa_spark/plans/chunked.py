@@ -1984,12 +1984,18 @@ class ChunkedArray:
             counts = [0] * self._PCTL_BINS
             for r in self.histogram(self._PCTL_BINS, (lo, hi)).collect():
                 counts[r["bin"]] = r["count"]
-            width = (hi - lo) / self._PCTL_BINS
+            # the EXACT edges np.histogram used inside the map-side pass —
+            # lo + b*width can disagree with linspace-derived edges by an
+            # ulp, shrinking the collected candidate set below the counted
+            # bin population (ADVICE r6)
+            edges = np.histogram_bin_edges(
+                np.empty(0), bins=self._PCTL_BINS, range=(lo, hi)
+            )
             cum = below
             for b, c in enumerate(counts):
                 if cum + c > rank:
-                    blo = lo + b * width
-                    bhi = hi if b == self._PCTL_BINS - 1 else lo + (b + 1) * width
+                    blo = float(edges[b])
+                    bhi = hi if b == self._PCTL_BINS - 1 else float(edges[b + 1])
                     if c <= self._PCTL_COLLECT or (bhi - blo) <= 0:
                         # degenerate width (massive ties narrowed the range
                         # to one representable value) must collect
@@ -2008,20 +2014,41 @@ class ChunkedArray:
     def _collect_rank(self, blo, bhi, closed, local_rank, rows_fn) -> float:
         """Gather the candidates inside one bin and pick the local rank —
         the only driver-side materialization, bounded by the bin count."""
-        def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for _, arr in rows_fn(pdf):
-                    a = arr.astype(np.float64, copy=False).ravel()
-                    m = (a >= blo) & ((a <= bhi) if closed else (a < bhi))
-                    out.append(a[m])
-                vals = np.concatenate(out) if out else np.empty(0)
-                yield pd.DataFrame({"v": pd.Series(vals, dtype="float64")})
+        def gather(glo: float, ghi: float, gclosed: bool) -> np.ndarray:
+            def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    out = []
+                    for _, arr in rows_fn(pdf):
+                        a = arr.astype(np.float64, copy=False).ravel()
+                        m = (a >= glo) & ((a <= ghi) if gclosed else (a < ghi))
+                        out.append(a[m])
+                    vals = np.concatenate(out) if out else np.empty(0)
+                    yield pd.DataFrame({"v": pd.Series(vals, dtype="float64")})
 
-        # Arrow transfer (toPandas), NOT collect(): a threshold-sized bin
-        # is ~8 MB as a float64 block but hundreds of MB as boxed Rows
-        pdf = self.df.mapInPandas(extract, schema="v double").toPandas()
-        vals = np.sort(pdf["v"].to_numpy(dtype=np.float64))
+            # Arrow transfer (toPandas), NOT collect(): a threshold-sized bin
+            # is ~8 MB as a float64 block but hundreds of MB as boxed Rows
+            pdf = self.df.mapInPandas(extract, schema="v double").toPandas()
+            return np.sort(pdf["v"].to_numpy(dtype=np.float64))
+
+        vals = gather(blo, bhi, closed)
+        if local_rank >= len(vals):
+            # belt-and-suspenders vs last-ulp edge disagreement between the
+            # driver's bin bounds and the map-side histogram's: widen the
+            # window a few ulps each side and collect CLOSED. A boundary
+            # straggler belongs to THIS bin (the map-side count placed it
+            # here), so the rank is NOT shifted.
+            glo, ghi = blo, bhi
+            for _ in range(4):
+                glo = np.nextafter(glo, -np.inf)
+                ghi = np.nextafter(ghi, np.inf)
+            vals = gather(float(glo), float(ghi), True)
+            if local_rank >= len(vals):
+                raise RuntimeError(
+                    f"percentile candidate window [{blo}, {bhi}] holds "
+                    f"{len(vals)} elements, rank {local_rank} requested — "
+                    "map-side histogram and driver bin edges disagree "
+                    "beyond 4 ulps"
+                )
         return float(vals[local_rank])
 
     def sort(self, axis: int = -1) -> "ChunkedArray":
@@ -2755,9 +2782,20 @@ class ChunkedArray:
         (coords, value double): the (sum, sum-of-squares) sufficient
         statistics per surviving coordinate — two fused axis_sum passes
         whose partials are exact for integer grids — combined by the
-        explicit sqrt(sumsq/n - mean^2) expression. An oracle mirroring
-        the SAME expression over the same exact sums is bit-identical;
-        a closed-form variance formula may differ in the last ulp."""
+        explicit sqrt(max(sumsq/n - mean^2, 0)) expression. An oracle
+        mirroring the SAME expression over the same exact sums is
+        bit-identical; a closed-form variance formula may differ in the
+        last ulp.
+
+        Precision limit: the one-pass formula cancels catastrophically
+        when |mean| >> std (e.g. values ~1e8 with std ~1e-4): the true
+        variance is below the rounding noise of sumsq/n, so the result
+        collapses toward 0.0 (numpy's two-pass centered std keeps the
+        small-variance digits). The clamp guarantees sqrt never sees a
+        rounding-negative variance (no NaN); callers needing
+        ill-conditioned accuracy should center the data first
+        (``arr - arr.mean()`` via the elementwise ops) and take std of
+        the centered array."""
         n = float(self.meta.global_shape[axis])
         sums = self.axis_sum(axis).select(
             "coords", F.col("total").cast("double").alias("__s")
@@ -2768,7 +2806,7 @@ class ChunkedArray:
         )
         joined = sums.join(sqs, sums["coords"] == sqs["c2"])
         mean = F.col("__s") / F.lit(n)
-        var = F.col("__s2") / F.lit(n) - mean * mean
+        var = F.greatest(F.col("__s2") / F.lit(n) - mean * mean, F.lit(0.0))
         return joined.select("coords", F.sqrt(var).alias("value"))
 
     def axis_cumsum(self, axis: int) -> "ChunkedArray":
@@ -2862,51 +2900,14 @@ class ChunkedArray:
         df = joined.mapInPandas(final, schema=CHUNK_SCHEMA)
         return ChunkedArray(df, meta, ts)
 
-    def map_overlap(
-        self,
-        fn: Callable[[np.ndarray], np.ndarray],
-        depth: int,
-        axis: int = 0,
-        boundary: str = "nearest",
-    ) -> "ChunkedArray":
-        """dask.array.map_overlap (single-axis): apply a SHAPE-PRESERVING
-        numpy kernel to every chunk padded with ``depth`` halo planes from
-        each axis-neighbor, then trim the halos — the general stencil
-        primitive (moving windows, convolution, morphological ops) that
-        axis_diff special-cases.
-
-        Halo exchange cost: each chunk ships exactly 2 x depth planes
-        (narrow frames keyed to neighbor positions, LEFT-joined back);
-        bodies move once. Grid-edge chunks pad with ``boundary``:
-        'nearest' (replicate edge plane), 'reflect', or 'constant'
-        (zeros) — numpy.pad modes. ``depth`` must not exceed the smallest
-        chunk extent on the axis (dask's own constraint: halos come from
-        the IMMEDIATE neighbor only). ``fn`` receives the padded block
-        and must return an array of the same shape; output dtype is
-        coerced back to the array's dtype."""
-        ndim = self.meta.ndim
-        if not (0 <= axis < ndim):
-            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
-        if depth < 1:
-            raise ValueError("depth must be >= 1")
-        if depth > min(self.meta.chunks[axis]):
-            raise ValueError(
-                f"depth {depth} exceeds the smallest axis-{axis} chunk "
-                f"extent {min(self.meta.chunks[axis])}; rechunk first "
-                "(halos come from the immediate neighbor only)"
-            )
-        if boundary not in ("nearest", "reflect", "constant"):
-            raise ValueError(f"unsupported boundary {boundary!r}")
-        # dask's boundary='reflect' INCLUDES the edge element (numpy mode
-        # 'symmetric'); numpy's own 'reflect' excludes it and raises when
-        # the pad width equals the block extent
-        np_mode = {"nearest": "edge", "reflect": "symmetric", "constant": "constant"}[
-            boundary
-        ]
-        m = self.materialize()
-        src = np.dtype(m.meta.dtype)
-        name, ts = self.meta.name, self.timestep
+    def _overlap_join(self, blocks: DataFrame, axis: int, depth: int, src) -> DataFrame:
+        """One axis's halo exchange over (possibly already-padded) blocks:
+        every block emits its leading/trailing ``depth`` slabs keyed to
+        the neighbor position that needs them; the slabs pivot to
+        (h_before, h_after) columns and LEFT-join back onto the blocks.
+        Only the narrow slabs shuffle — 2·depth/extent of each block."""
         meta = self.meta
+        nb_axis = meta.nb_chunks_per_dim[axis]
 
         def halos(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -2921,7 +2922,7 @@ class ChunkedArray:
                         out["hpos"].append(prev)
                         out["side"].append("after")
                         out["halo"].append(np.ascontiguousarray(lead).tobytes())
-                    if k < meta.nb_chunks_per_dim[axis] - 1:
+                    if k < nb_axis - 1:
                         trail = np.take(
                             arr, range(shape[axis] - depth, shape[axis]), axis=axis
                         )
@@ -2932,14 +2933,139 @@ class ChunkedArray:
                 if out["hpos"]:
                     yield pd.DataFrame(out)
 
-        halo_df = m.df.mapInPandas(halos, schema="hpos array<int>, side string, halo binary")
+        halo_df = blocks.mapInPandas(halos, schema="hpos array<int>, side string, halo binary")
         import pyspark.sql.functions as _F
 
         pivoted = halo_df.groupBy("hpos").agg(
             _F.max(_F.when(_F.col("side") == "before", _F.col("halo"))).alias("h_before"),
             _F.max(_F.when(_F.col("side") == "after", _F.col("halo"))).alias("h_after"),
         )
-        joined = m.df.join(pivoted, m.df["pos"] == pivoted["hpos"], "left")
+        return blocks.join(pivoted, blocks["pos"] == pivoted["hpos"], "left")
+
+    @staticmethod
+    def _pad_block(arr, hb, ha, axis: int, depth: int, np_mode: str, src) -> np.ndarray:
+        """Assemble one block's padded array along one axis: concatenate
+        received halos, numpy-pad the grid edges that had no neighbor."""
+        shape = arr.shape
+        hshape = tuple(depth if i == axis else s for i, s in enumerate(shape))
+        parts = []
+        pad_lo = pad_hi = 0
+        if hb is not None:
+            parts.append(np.frombuffer(bytes(hb), dtype=src).reshape(hshape))
+        else:
+            pad_lo = depth
+        parts.append(arr)
+        if ha is not None:
+            parts.append(np.frombuffer(bytes(ha), dtype=src).reshape(hshape))
+        else:
+            pad_hi = depth
+        padded = np.concatenate(parts, axis=axis)
+        if pad_lo or pad_hi:
+            widths = [
+                (pad_lo, pad_hi) if d == axis else (0, 0) for d in range(arr.ndim)
+            ]
+            padded = np.pad(padded, widths, mode=np_mode)
+        return padded
+
+    def map_overlap(
+        self,
+        fn: Callable[[np.ndarray], np.ndarray],
+        depth,
+        axis: int = 0,
+        boundary: str = "nearest",
+    ) -> "ChunkedArray":
+        """dask.array.map_overlap: apply a SHAPE-PRESERVING numpy kernel
+        to every chunk padded with halo planes from its neighbors, then
+        trim the halos — the general stencil primitive (moving windows,
+        convolution, morphological ops, N-d Laplacians) that axis_diff
+        special-cases.
+
+        ``depth`` is an int (single axis, selected by ``axis``) or a
+        dask-style per-axis dict ``{0: d0, 1: d1}`` — axes with depth 0
+        are skipped. Multi-axis overlap composes one halo exchange per
+        axis, exactly dask's construction: pass i exchanges slabs of the
+        ALREADY-padded blocks, so corner/edge diagonal halos arrive
+        transitively through the axis neighbors (a 2-d corner travels
+        axis-0 into the row neighbor's pad, then axis-1 into the corner
+        cell) — no 3^N-neighbor bookkeeping, and numpy.pad's sequential
+        per-axis boundary semantics are matched by construction.
+
+        Halo exchange cost: per axis, each block ships exactly 2 x depth
+        slabs (narrow frames keyed to neighbor positions, LEFT-joined
+        back); bodies move once per overlap axis (the composition price —
+        k axis passes move bodies k times; the slab volume is unchanged).
+        ``fn`` runs ONCE, fused into the last axis's assembly stage, so
+        the single-axis path keeps its original two-Python-stage shape.
+        Grid-edge chunks pad with ``boundary``: 'nearest' (replicate edge
+        plane), 'reflect', or 'constant' (zeros). Each axis's depth must
+        not exceed that axis's smallest chunk extent (dask's constraint:
+        halos come from the IMMEDIATE neighbor only). ``fn`` receives the
+        padded block and must return an array of the same shape; output
+        dtype is coerced back to the array's dtype."""
+        ndim = self.meta.ndim
+        if isinstance(depth, dict):
+            depths = {int(a): int(d) for a, d in depth.items() if int(d) != 0}
+        else:
+            depths = {axis: int(depth)}
+        if not depths:
+            raise ValueError("at least one axis needs depth >= 1")
+        for ax, d in depths.items():
+            if not (0 <= ax < ndim):
+                raise ValueError(f"axis {ax} out of range for ndim {ndim}")
+            if d < 1:
+                raise ValueError("depth must be >= 1")
+            if d > min(self.meta.chunks[ax]):
+                raise ValueError(
+                    f"depth {d} exceeds the smallest axis-{ax} chunk "
+                    f"extent {min(self.meta.chunks[ax])}; rechunk first "
+                    "(halos come from the immediate neighbor only)"
+                )
+        if boundary not in ("nearest", "reflect", "constant"):
+            raise ValueError(f"unsupported boundary {boundary!r}")
+        # dask's boundary='reflect' INCLUDES the edge element (numpy mode
+        # 'symmetric'); numpy's own 'reflect' excludes it and raises when
+        # the pad width equals the block extent
+        np_mode = {"nearest": "edge", "reflect": "symmetric", "constant": "constant"}[
+            boundary
+        ]
+        m = self.materialize()
+        src = np.dtype(m.meta.dtype)
+        name, ts = self.meta.name, self.timestep
+        meta = self.meta
+        axes = sorted(depths)
+        pad_block = self._pad_block
+
+        blocks = m.df
+        # intermediate passes: exchange + assemble padded blocks (no fn)
+        for ax in axes[:-1]:
+            d = depths[ax]
+            joined = self._overlap_join(blocks, ax, d, src)
+
+            def assemble(batches, _ax=ax, _d=d):
+                for pdf in batches:
+                    out = {"name": [], "timestep": [], "pos": [],
+                           "chunk_shape": [], "data": []}
+                    for pos, sh, raw, hb, ha in zip(
+                        pdf["pos"], pdf["chunk_shape"], pdf["data"],
+                        pdf["h_before"], pdf["h_after"],
+                    ):
+                        arr = np.frombuffer(raw, dtype=src).reshape(
+                            tuple(int(s) for s in sh)
+                        )
+                        padded = pad_block(arr, hb, ha, _ax, _d, np_mode, src)
+                        out["name"].append(name)
+                        out["timestep"].append(ts)
+                        out["pos"].append(list(pos))
+                        out["chunk_shape"].append(list(padded.shape))
+                        out["data"].append(np.ascontiguousarray(padded).tobytes())
+                    if out["pos"]:
+                        yield pd.DataFrame(out)
+
+            blocks = joined.mapInPandas(assemble, schema=CHUNK_SCHEMA)
+
+        last_ax, last_d = axes[-1], depths[axes[-1]]
+        joined = self._overlap_join(blocks, last_ax, last_d, src)
+        chunks_per_axis = {ax: meta.chunks[ax] for ax in axes}
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -2948,36 +3074,20 @@ class ChunkedArray:
                     pdf["pos"], pdf["chunk_shape"], pdf["data"],
                     pdf["h_before"], pdf["h_after"],
                 ):
-                    shape = tuple(int(s) for s in sh)
-                    arr = np.frombuffer(raw, dtype=src).reshape(shape)
-                    hshape = tuple(depth if i == axis else s for i, s in enumerate(shape))
-                    parts = []
-                    pad_lo = pad_hi = 0
-                    if hb is not None:
-                        parts.append(np.frombuffer(bytes(hb), dtype=src).reshape(hshape))
-                    else:
-                        pad_lo = depth
-                    parts.append(arr)
-                    if ha is not None:
-                        parts.append(np.frombuffer(bytes(ha), dtype=src).reshape(hshape))
-                    else:
-                        pad_hi = depth
-                    padded = np.concatenate(parts, axis=axis)
-                    if pad_lo or pad_hi:
-                        widths = [
-                            (pad_lo, pad_hi) if d == axis else (0, 0)
-                            for d in range(ndim)
-                        ]
-                        padded = np.pad(padded, widths, mode=np_mode)
+                    arr = np.frombuffer(raw, dtype=src).reshape(
+                        tuple(int(s) for s in sh)
+                    )
+                    padded = pad_block(arr, hb, ha, last_ax, last_d, np_mode, src)
                     res = np.asarray(fn(padded))
                     if res.shape != padded.shape:
                         raise ValueError(
                             f"map_overlap fn must preserve shape: got {res.shape} "
                             f"for padded {padded.shape}"
                         )
-                    res = np.take(
-                        res, range(depth, depth + shape[axis]), axis=axis
-                    ).astype(src, copy=False)
+                    for ax in axes:  # trim every axis back to the chunk extent
+                        extent = chunks_per_axis[ax][int(pos[ax])]
+                        res = np.take(res, range(depths[ax], depths[ax] + extent), axis=ax)
+                    res = res.astype(src, copy=False)
                     out["name"].append(name)
                     out["timestep"].append(ts)
                     out["pos"].append(list(pos))

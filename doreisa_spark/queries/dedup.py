@@ -29,16 +29,21 @@ from doreisa_spark.registry import register
 
 # Scratch root for the incremental-store entries: per-invocation stores
 # must be FRESH (idempotent gate runs) but not LEAKED — every store lands
-# under one session dir removed at interpreter exit.
+# under one session dir removed at interpreter exit. Created LAZILY on
+# first use (ADVICE r6): importing the queries package must not have a
+# filesystem side effect for sessions that never touch incremental stores.
 import atexit as _atexit
 import shutil as _shutil
 import tempfile as _tempfile
 
-_STORE_TMP = _tempfile.mkdtemp(prefix="doreisa_stores_")
-_atexit.register(_shutil.rmtree, _STORE_TMP, ignore_errors=True)
+_STORE_TMP: "str | None" = None
 
 
 def _fresh_store_dir(tag: str) -> str:
+    global _STORE_TMP
+    if _STORE_TMP is None:
+        _STORE_TMP = _tempfile.mkdtemp(prefix="doreisa_stores_")
+        _atexit.register(_shutil.rmtree, _STORE_TMP, ignore_errors=True)
     return _tempfile.mkdtemp(prefix=tag + "_", dir=_STORE_TMP)
 
 

@@ -288,8 +288,12 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The temporal diff runs INSIDE the Arrow kernel (frames of one payload
     are adjacent in memory), so unlike the SQL formulation there is no
     per-frame window shuffle — one map-only pass emits per-asset cut
-    statistics directly. Exact integer sums + one exact division keep the
-    oracle bit-for-bit."""
+    statistics directly, and the per-doc frame loop is fully vectorized
+    (``np.add.reduceat`` frame sums + one elementwise division +
+    ``np.diff`` — r6 verdict nit #1: the per-frame Python loop dominated
+    long videos). Exact integer sums + one exact IEEE division per frame
+    keep the oracle bit-for-bit (identical float ops to the scalar loop:
+    int64 sum, /, subtract, abs)."""
     d = table(spark, sf_dir, "documents", spread=True)
     payload = d.select("doc_id", F.col("text").cast("binary").alias("payload"))
 
@@ -301,17 +305,16 @@ def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue  # oracle's unnest emits no rows for empty docs
                 px = np.frombuffer(bytes(raw), dtype=np.uint8)
                 n_frames = (len(px) + _FRAME - 1) // _FRAME
-                prev = None
-                n_cuts = 0
-                first = -1
-                for f in range(n_frames):
-                    fr = px[f * _FRAME : (f + 1) * _FRAME]
-                    mb = float(fr.astype(np.int64).sum()) / len(fr)
-                    if prev is not None and abs(mb - prev) > _CUT_TAU:
-                        n_cuts += 1
-                        if first < 0:
-                            first = f
-                    prev = mb
+                starts = np.arange(n_frames, dtype=np.int64) * _FRAME
+                sums = np.add.reduceat(px.astype(np.int64), starts)
+                lens = np.full(n_frames, _FRAME, dtype=np.int64)
+                lens[-1] = len(px) - (n_frames - 1) * _FRAME
+                means = sums / lens
+                cut = np.abs(np.diff(means)) > _CUT_TAU
+                n_cuts = int(cut.sum())
+                # diff index i = pair (frame i, frame i+1); the cut lands
+                # on the LATER frame, matching the scalar loop's f
+                first = int(np.argmax(cut)) + 1 if n_cuts else -1
                 ids.append(doc_id)
                 nf.append(n_frames)
                 nc.append(n_cuts)

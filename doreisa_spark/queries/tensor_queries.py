@@ -941,17 +941,55 @@ def tensor_map_overlap_sum3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.map_overlap(_sum3_axis0, depth=1, axis=0, boundary="nearest").sum()
 
 
+def _five_point_sum(a):
+    """5-point (von-Neumann) sum stencil — the canonical 2-D Laplacian
+    shape for in-situ simulation analytics; integer-valued sums keep the
+    oracle exact."""
+    out = a.copy()
+    out[1:-1, 1:-1] = (
+        a[:-2, 1:-1] + a[2:, 1:-1] + a[1:-1, :-2] + a[1:-1, 2:] + a[1:-1, 1:-1]
+    )
+    return out
+
+
+@register(
+    "tensor_map_overlap_2d",
+    extended=True,
+    # nearest-boundary 5-point sum over the ramp: each output element is
+    # v(clamp(r-1),c)+v(clamp(r+1),c)+v(r,clamp(c-1))+v(r,clamp(c+1))+v(r,c)
+    # with v(r,c)=r+c — closed-form clamped-index oracle, summed exactly.
+    oracle=f"""
+SELECT CAST(sum(  (greatest(r - 1, 0) + c) + (least(r + 1, {_ROWS - 1}) + c)
+                + (r + greatest(c - 1, 0)) + (r + least(c + 1, {_COLS - 1}))
+                + (r + c)) AS DOUBLE) AS total
+FROM {_DUCK_GRID}
+""",
+)
+def tensor_map_overlap_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-d dask map_overlap (r6 verdict ask #3): a 2-D 5-point sum
+    stencil with per-axis depth dict ``{0:1, 1:1}`` and nearest-boundary
+    padding (plans/chunked.py:map_overlap — one halo exchange per axis;
+    corner halos arrive transitively through the composed passes, the
+    dask construction), then global sum vs the closed-form clamped-index
+    oracle. tests/test_map_overlap_nd.py checks full numpy parity
+    (values, corners, ragged grids, 3-d, all boundary modes)."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.map_overlap(_five_point_sum, depth={0: 1, 1: 1}, boundary="nearest").sum()
+
+
 @register(
     "tensor_axis_std",
     extended=True,
     # Mirror the ENGINE's expression over the same exact integer sums
-    # (sumsq/n - mean^2 under one sqrt) — a closed-form variance constant
+    # (max(sumsq/n - mean^2, 0) under one sqrt — the engine clamps
+    # rounding-negative variance) — a closed-form variance constant
     # could differ in the last ulp.
     oracle=f"""
 SELECT c AS idx,
-       round(sqrt(sum((r + c) * (r + c)) / {float(_GRID[0] * _CHUNK[0])}
+       round(sqrt(greatest(
+                  sum((r + c) * (r + c)) / {float(_GRID[0] * _CHUNK[0])}
                   - (sum(r + c) / {float(_GRID[0] * _CHUNK[0])})
-                    * (sum(r + c) / {float(_GRID[0] * _CHUNK[0])})), 6) AS std
+                    * (sum(r + c) / {float(_GRID[0] * _CHUNK[0])}), 0.0)), 6) AS std
 FROM {_DUCK_GRID}
 GROUP BY c
 """,

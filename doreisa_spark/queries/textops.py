@@ -573,27 +573,51 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The MG guarantee is ASSERTED at runtime: the {_HH_TOP}-th exact count
     must exceed n_tokens/(K+1), else the candidate set could have missed
     a true heavy hitter and the query raises instead of silently
-    under-reporting. At 100 TB this shuffles candidate token strings
-    only; the full-groupBy formulation (text_ngram_top's shape) shuffles
-    the whole vocabulary."""
+    under-reporting. ``n_tokens`` RIDES THE MG PASS (each partition emits
+    one sentinel row carrying its token total — r6 verdict nit #2: the
+    guard used to be a third corpus scan), so the corpus is read exactly
+    twice: the MG pass and the exact recount. At 100 TB this shuffles
+    candidate token strings only; the full-groupBy formulation
+    (text_ngram_top's shape) shuffles the whole vocabulary."""
     import pandas as pd
 
     from pyspark.sql import Window as W
+
+    from doreisa_spark.lifecycle import scoped_persist
 
     d = table(spark, sf_dir, "documents", spread=True)
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
 
     def mg(batches):
         s = pd.Series(dtype="int64")
+        seen = 0
         for pdf in batches:
+            seen += len(pdf)
             s = s.add(pdf["token"].value_counts(), fill_value=0)
             if len(s) > _HH_K:
                 thr = s.nlargest(_HH_K + 1).iloc[-1]
                 s = s - thr
                 s = s[s > 0]
-        yield pd.DataFrame({"token": s.index.astype(str)})
+        yield pd.DataFrame(
+            {
+                "token": s.index.astype(str),
+                "part_total": pd.Series([None] * len(s), dtype="Int64"),
+            }
+        )
+        # sentinel: this partition's token count, NULL token key
+        yield pd.DataFrame(
+            {
+                "token": pd.Series([None], dtype=object),
+                "part_total": pd.Series([seen], dtype="Int64"),
+            }
+        )
 
-    cands = toks.mapInPandas(mg, schema="token string").distinct()
+    # tiny frame (<= (K+1) x n_partitions rows) feeding two consumers —
+    # persist so the corpus-wide MG scan runs once
+    mg_out = scoped_persist(
+        toks.mapInPandas(mg, schema="token string, part_total bigint")
+    )
+    cands = mg_out.where(F.col("token").isNotNull()).select("token").distinct()
     exact = (
         toks.join(F.broadcast(cands), "token", "left_semi")
         .groupBy("token")
@@ -604,7 +628,11 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _HH_TOP)
     )
-    n_tokens = d.select(F.sum(F.size(F.split(F.col("text"), " "))).alias("n")).first()["n"]
+    n_tokens = (
+        mg_out.where(F.col("token").isNull())
+        .agg(F.sum("part_total").alias("n"))
+        .first()["n"]
+    ) or 0
     kth = top.agg(F.min("n").alias("kth")).first()["kth"]
     if kth is not None and kth * (_HH_K + 1) <= n_tokens:
         raise ValueError(

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from doreisa_spark.operators import vectors as V
+from doreisa_spark.streaming import batch_commit as BC
 
 EMBEDDINGS_DDL = "vec_id bigint, embedding array<float>, label int"
 
@@ -55,19 +56,25 @@ class LSHVectorStore:
         self._members = f"{self.root}/members"
 
     def members(self) -> DataFrame:
-        import os
-
         ddl = "bucket bigint, vec_id bigint, embedding array<float>"
-        if not os.path.isdir(self._members):
-            return self.spark.createDataFrame([], ddl)
-        return self.spark.read.schema(ddl).parquet(self._members)
+        return BC.read_committed(self.spark, self._members, ddl)
 
-    def process_batch(self, vectors: DataFrame, batch_id: int = 0) -> None:
-        vectors.select(
-            F.expr(V.lsh_bucket_expr("embedding")).cast("bigint").alias("bucket"),
-            "vec_id",
-            "embedding",
-        ).write.mode("append").parquet(self._members)
+    def process_batch(self, vectors: DataFrame, batch_id: int | None = None) -> None:
+        """Exactly-once ingest: the batch's bucket rows rename-commit under
+        their batch id (batch_commit.py) — an at-least-once redelivery
+        commits nothing, so the index never holds duplicate vectors.
+        ``batch_id=None`` auto-increments (driver-loop callers)."""
+        if batch_id is None:
+            batch_id = BC.next_batch_id(self._members)
+        BC.commit_batch(
+            vectors.select(
+                F.expr(V.lsh_bucket_expr("embedding")).cast("bigint").alias("bucket"),
+                "vec_id",
+                "embedding",
+            ),
+            self._members,
+            batch_id,
+        )
 
     def query_topk(self, query_ids_below: int, k: int) -> DataFrame:
         """Top-k per query vector (vec_id < query_ids_below, the batch

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doreisa_spark.queries.pipeline import quality_filter
+from doreisa_spark.streaming import batch_commit as BC
 
 
 class CurationStore:
@@ -52,20 +53,25 @@ class CurationStore:
         self._seen = f"{self.root}/seen"
         self._kept = f"{self.root}/kept"
 
-    def _read(self, path: str, ddl: str) -> DataFrame:
-        import os
-
-        if not os.path.isdir(path):
-            return self.spark.createDataFrame([], ddl)
-        return self.spark.read.schema(ddl).parquet(path)
-
-    def seen(self) -> DataFrame:
-        return self._read(self._seen, "fp string")
+    def seen(self, *, before: int | None = None) -> DataFrame:
+        return BC.read_committed(self.spark, self._seen, "fp string", before=before)
 
     def kept(self) -> DataFrame:
-        return self._read(self._kept, "doc_id bigint, lang string, n_tokens int")
+        return BC.read_committed(
+            self.spark, self._kept, "doc_id bigint, lang string, n_tokens int"
+        )
 
-    def process_batch(self, docs: DataFrame, batch_id: int = 0) -> None:
+    def process_batch(self, docs: DataFrame, batch_id: int | None = None) -> None:
+        """Exactly-once: both logs rename-commit under the batch id
+        (batch_commit.py); the seen-store read excludes this batch's own
+        (possibly partially-committed) output so a replay recomputes
+        against the pre-batch state. ``batch_id=None`` auto-increments."""
+        if batch_id is None:
+            batch_id = BC.next_batch_id(self._seen)
+        if BC.is_committed(self._seen, batch_id) and BC.is_committed(
+            self._kept, batch_id
+        ):
+            return  # fully-committed redelivery
         fp = F.md5(F.col("text").cast("binary")).alias("fp")
         batch = docs.select("doc_id", "lang", "text", fp)
         # in-batch canonicalization: smallest doc_id wins its fingerprint
@@ -76,10 +82,10 @@ class CurationStore:
             "left_semi",
         )
         # admission: fingerprints never seen before this batch
-        admitted = canon.join(self.seen(), "fp", "left_anti").persist()
+        admitted = canon.join(self.seen(before=batch_id), "fp", "left_anti").persist()
         try:
-            quality_filter(admitted).write.mode("append").parquet(self._kept)
-            admitted.select("fp").write.mode("append").parquet(self._seen)
+            BC.commit_batch(quality_filter(admitted), self._kept, batch_id)
+            BC.commit_batch(admitted.select("fp"), self._seen, batch_id)
         finally:
             admitted.unpersist()
 

@@ -45,10 +45,17 @@ driver's oracle gate). A pair is emitted exactly once — in the batch
 where its LARGER doc arrives — so no cross-batch dedup of the result log
 is needed. Out-of-order arrival degrades gracefully to a recall-only
 approximation (a late tiny doc_id cannot retroactively evict a stored
-member); at-least-once redelivery of a whole file is idempotent for
-members (bucket cap readmits the same rows) but would duplicate pairs —
-production deployments should make the pairs append transactional per
-epoch (Delta/Iceberg) keyed by batch id.
+member).
+
+Exactly-once (r6 verdict ask #2): every store write goes through
+streaming/batch_commit.py's rename-commit protocol, keyed by batch id —
+a staging write + atomic directory rename that a redelivered batch cannot
+repeat, and store reads inside ``process_batch`` see only batches
+< batch_id, so a replay after a partial crash recomputes against exactly
+the pre-batch state (deterministic, byte-equivalent to what the first
+attempt committed). At-least-once redelivery is therefore a no-op:
+pytest re-invokes process_batch with the same batch_id and asserts
+pairs/members/shingles unchanged.
 
 100 TB posture: every stage is an equi-join on (band_id, sig) — the
 candidate volume is linear in bucket collisions, never O(batch×history).
@@ -68,8 +75,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from doreisa_spark.queries.dedup import _MAX_BUCKET, _NGRAM_TAU, minhash_signature_frame
 from doreisa_spark.operators import text as TX
+from doreisa_spark.queries.dedup import _MAX_BUCKET, _NGRAM_TAU, minhash_signature_frame
+from doreisa_spark.streaming import batch_commit as BC
 
 _MEMBERS_DDL = "band_id int, sig string, doc_id bigint"
 _SHINGLES_DDL = "doc_id bigint, shingles array<string>"
@@ -82,8 +90,8 @@ DOCUMENTS_DDL = (
 
 class LSHSignatureStore:
     """Filesystem-backed LSH state: members / shingles / pairs subdirs
-    under one root. Parquet append-only; empty-but-typed frames before
-    the first batch."""
+    under one root, each a set of per-batch rename-committed directories
+    (batch_commit.py). Empty-but-typed frames before the first batch."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -92,26 +100,32 @@ class LSHSignatureStore:
         self.shingles_dir = os.path.join(root, "shingles")
         self.pairs_dir = os.path.join(root, "pairs")
 
-    def _read(self, path: str, ddl: str) -> DataFrame:
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
-            return self.spark.read.schema(ddl).parquet(path)
-        return self.spark.createDataFrame([], ddl)
+    def _read(self, path: str, ddl: str, before: int | None = None) -> DataFrame:
+        return BC.read_committed(self.spark, path, ddl, before=before)
 
-    def members(self) -> DataFrame:
-        return self._read(self.members_dir, _MEMBERS_DDL)
+    def members(self, *, before: int | None = None) -> DataFrame:
+        return self._read(self.members_dir, _MEMBERS_DDL, before)
 
-    def shingles(self) -> DataFrame:
-        return self._read(self.shingles_dir, _SHINGLES_DDL)
+    def shingles(self, *, before: int | None = None) -> DataFrame:
+        return self._read(self.shingles_dir, _SHINGLES_DDL, before)
 
     def pairs(self) -> DataFrame:
         """The accumulated near-dup pairs — the operator's result."""
         return self._read(self.pairs_dir, _PAIRS_DDL)
 
     # ------------------------------------------------------------ core step
-    def process_batch(self, batch_docs: DataFrame, batch_id: int = 0) -> None:
-        """Ingest one micro-batch of documents (see module docstring)."""
+    def process_batch(self, batch_docs: DataFrame, batch_id: int | None = None) -> None:
+        """Ingest one micro-batch of documents (see module docstring).
+        ``batch_id=None`` (driver-loop callers without stream ids)
+        auto-increments past the highest committed batch."""
+        if batch_id is None:
+            batch_id = BC.next_batch_id(self.members_dir)
+        if (
+            BC.is_committed(self.pairs_dir, batch_id)
+            and BC.is_committed(self.members_dir, batch_id)
+            and BC.is_committed(self.shingles_dir, batch_id)
+        ):
+            return  # fully-committed redelivery: exactly-once no-op
         spark = self.spark
         sig = minhash_signature_frame(batch_docs).persist()
         sig.count()  # eager: bands + verify-a + verify-b subtrees reuse it
@@ -119,7 +133,11 @@ class LSHSignatureStore:
             bands_new = sig.select(
                 "doc_id", F.posexplode("band_sigs").alias("band_id", "sig")
             )
-            old_members = self.members()
+            # before=batch_id: a replayed batch must see exactly the
+            # pre-batch state, even if a crash committed some of its own
+            # outputs — that makes the recomputation deterministic and the
+            # skipped re-commits byte-equivalent
+            old_members = self.members(before=batch_id)
             old_counts = old_members.groupBy("band_id", "sig").agg(
                 F.count(F.lit(1)).alias("n_old")
             )
@@ -165,7 +183,9 @@ class LSHSignatureStore:
                 )
             )
             cand = a_old.unionByName(a_new).distinct()
-            sh_all = self.shingles().unionByName(sig.select("doc_id", "shingles"))
+            sh_all = self.shingles(before=batch_id).unionByName(
+                sig.select("doc_id", "shingles")
+            )
             sa = sh_all.select(
                 F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
             )
@@ -179,14 +199,16 @@ class LSHSignatureStore:
                 .where(jac >= _NGRAM_TAU)
                 .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
             )
-            new_pairs.write.mode("append").parquet(self.pairs_dir)
-            admitted.write.mode("append").parquet(self.members_dir)
+            BC.commit_batch(new_pairs, self.pairs_dir, batch_id)
+            BC.commit_batch(admitted, self.members_dir, batch_id)
             # shingles are stored only for docs future batches can ever
             # meet in a bucket — i.e. admitted somewhere
-            sig.join(
-                admitted.select("doc_id").distinct(), "doc_id", "left_semi"
-            ).select("doc_id", "shingles").write.mode("append").parquet(
-                self.shingles_dir
+            BC.commit_batch(
+                sig.join(
+                    admitted.select("doc_id").distinct(), "doc_id", "left_semi"
+                ).select("doc_id", "shingles"),
+                self.shingles_dir,
+                batch_id,
             )
         finally:
             sig.unpersist()

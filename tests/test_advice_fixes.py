@@ -248,6 +248,60 @@ def test_take_distributed_plan_matches_closure_path(spark, monkeypatch):
     assert np.array_equal(got2, np.take(dense, idx2, axis=1))
 
 
+# ----------------------------------------------------------- round-6 ADVICE
+
+
+def test_axis_std_ill_conditioned_never_nan(spark):
+    """Catastrophic cancellation (|mean| >> std) must clamp to 0.0, never
+    NaN: sumsq/n - mean^2 rounds negative for data = 1e8 + eps*randn."""
+    rng = np.random.default_rng(7)
+    base = 1e8 + rng.normal(scale=1e-4, size=(4, 4))
+    chunks = {(i, 0): base[2 * i : 2 * i + 2] for i in range(2)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "illstd", chunks)
+    vals = [r["value"] for r in arr.axis_std(axis=0).collect()]
+    assert len(vals) == 4
+    assert all(not np.isnan(v) for v in vals), vals
+    assert all(v >= 0.0 for v in vals)
+    # well-conditioned data still matches numpy closely
+    good = rng.normal(size=(4, 4))
+    gchunks = {(i, 0): good[2 * i : 2 * i + 2] for i in range(2)}
+    garr = ChunkedArray.from_numpy_chunks(spark, "goodstd", gchunks)
+    got = {tuple(r["coords"]): r["value"] for r in garr.axis_std(axis=0).collect()}
+    expect = good.std(axis=0)
+    for c in range(4):
+        assert got[(c,)] == pytest.approx(expect[c], rel=1e-9)
+
+
+def test_store_tmp_is_lazy(monkeypatch):
+    """Importing the dedup module must not create a scratch dir; the first
+    _fresh_store_dir call does (ADVICE r6: no import-time fs side effect)."""
+    import os
+
+    from doreisa_spark.queries import dedup as D
+
+    monkeypatch.setattr(D, "_STORE_TMP", None)
+    # no dir springs into existence from module state alone
+    d = D._fresh_store_dir("lazytest")
+    assert os.path.isdir(d)
+    assert D._STORE_TMP is not None and d.startswith(D._STORE_TMP)
+
+
+def test_percentile_collect_rank_widen_fallback(spark):
+    """The widened re-collect guard: if the candidate window misses the
+    target rank (simulated last-ulp edge disagreement), the fallback must
+    still return the exact order statistic instead of IndexError."""
+    chunks = {(0,): np.arange(10, dtype=np.float64), (1,): np.arange(10, 20, dtype=np.float64)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "pctlwide", chunks)
+    rows_fn = arr._rows_fn()
+    # ask for local rank 0 of a window whose lower edge sits an ulp ABOVE
+    # the true element 7.0 — the unwidened gather returns empty, the
+    # ulp-widened closed re-collect recovers the boundary straggler
+    blo = np.nextafter(7.0, np.inf)
+    bhi = np.nextafter(7.0 + 1e-9, np.inf)
+    got = arr._collect_rank(float(blo), float(bhi), False, 0, rows_fn)
+    assert got == 7.0
+
+
 def test_boolean_select_all_false_gives_numpy_empty_semantics(spark):
     """a[all-False mask] is numpy's EMPTY array: size 0, sum 0.0 — it
     must compose with reductions, not raise and not crash obscurely

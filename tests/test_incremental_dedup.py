@@ -79,8 +79,7 @@ def test_pairs_emitted_in_arriving_batch_only(spark, tmp_path):
     out = store.pairs().collect()
     assert {(r["doc_a"], r["doc_b"]) for r in out} == {(0, 10)}
     assert out[0]["jaccard"] > 0.5
-    # redelivery of an already-admitted batch must not re-admit members
-    # beyond the cap path, but WILL duplicate pairs (documented contract:
-    # production pairs sink is transactional per epoch)
+    # redelivery is exactly-once (rename-commit, batch_commit.py):
+    # tests/test_batch_commit.py asserts the full no-op contract
     n_members = store.members().count()
     assert n_members > 0

@@ -1,0 +1,163 @@
+"""Binary-staged chunk ingest (sources/staged.py): the zero-Python data
+plane must be bit-equivalent to the DataSource/driver-Ingest paths.
+
+Covers: filename round-trip (incl. ragged + 0-d edge shapes), pure-JVM
+path parsing, the sealed-barrier contract, the ordered driver loop with
+producer overlap + cleanup, and the Structured Streaming firehose."""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from doreisa_spark.plans.chunked import ChunkedArray, GridMeta, ramp_chunk
+from doreisa_spark.sources import staged
+
+
+def _ramp_chunks(meta: GridMeta, scale: float = 1.0):
+    from itertools import product
+
+    out = {}
+    for pos in product(*(range(n) for n in meta.nb_chunks_per_dim)):
+        out[pos] = scale * ramp_chunk(pos, meta.shape_of(pos))
+    return out
+
+
+def test_filename_roundtrip_parses_jvm_side(spark, tmp_path):
+    meta = GridMeta("grid", (2, 3), (4, 5))
+    chunks = _ramp_chunks(meta)
+    staged.write_timestep(str(tmp_path), "grid", 7, chunks)
+    df = staged.read_staged_timestep(spark, str(tmp_path), 7)
+    assert df.columns == ["name", "timestep", "pos", "chunk_shape", "data"]
+    rows = df.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["name"] == "grid" and r["timestep"] == 7
+        arr = np.frombuffer(r["data"], dtype=np.float64).reshape(r["chunk_shape"])
+        assert np.array_equal(arr, chunks[tuple(r["pos"])])
+
+
+def test_staged_equals_datasource_content(spark, tmp_path):
+    """The staged plane and the from_function plane produce the same
+    dense array — exact global sum and exact per-element equality."""
+    meta = GridMeta("grid", (3, 2), (8, 8))
+    staged.write_timestep(str(tmp_path), "grid", 0, _ramp_chunks(meta))
+    a = ChunkedArray(staged.read_staged_timestep(spark, str(tmp_path), 0), meta)
+    b = ChunkedArray.from_function(spark, meta, ramp_chunk)
+    assert np.array_equal(a.to_numpy(), b.to_numpy())
+    assert a.sum().first()["total"] == b.sum().first()["total"]
+
+
+def test_ragged_and_0d_filenames(spark, tmp_path):
+    # ragged tiling: per-dim size tuples
+    meta = GridMeta("rag", (2,), ((3, 2),))
+    chunks = {(0,): np.array([10.0, 11.0, 12.0]), (1,): np.array([20.0, 21.0])}
+    staged.write_timestep(str(tmp_path), "rag", 0, chunks)
+    arr = ChunkedArray(staged.read_staged_timestep(spark, str(tmp_path), 0), meta)
+    assert np.array_equal(arr.to_numpy(), np.array([10.0, 11.0, 12.0, 20.0, 21.0]))
+    # 0-d: empty pos and shape segments
+    zdir = str(tmp_path / "zero")
+    staged.write_chunk(zdir, "z", 0, (), np.array(42.0))
+    staged.seal_timestep(zdir, 0, n_chunks=1)
+    r = staged.read_staged_timestep(spark, zdir, 0).collect()[0]
+    assert list(r["pos"]) == [] and list(r["chunk_shape"]) == []
+    assert np.frombuffer(r["data"], dtype=np.float64)[0] == 42.0
+
+
+def test_unsealed_timestep_raises(spark, tmp_path):
+    staged.write_chunk(str(tmp_path), "g", 0, (0,), np.zeros(4))
+    with pytest.raises(FileNotFoundError, match="not sealed"):
+        staged.read_staged_timestep(spark, str(tmp_path), 0)
+    staged.seal_timestep(str(tmp_path), 0, n_chunks=1)
+    assert staged.expected_chunks(str(tmp_path), 0) == 1
+    assert staged.read_staged_timestep(spark, str(tmp_path), 0).count() == 1
+
+
+def test_staged_timesteps_overlapped_producer_cleanup(spark, tmp_path):
+    """Producer thread seals timesteps while the consumer loop runs: every
+    step arrives in order with (t+1)-scaled content; cleanup bounds disk."""
+    meta = GridMeta("grid", (2, 2), (4, 4))
+    n_steps = 4
+
+    def produce():
+        for ts in range(n_steps):
+            staged.write_timestep(
+                str(tmp_path), "grid", ts, _ramp_chunks(meta, scale=float(ts + 1))
+            )
+
+    t = threading.Thread(target=produce)
+    t.start()
+    expect_base = None
+    seen = []
+    for ts, df in staged.staged_timesteps(
+        spark, str(tmp_path), max_timesteps=n_steps, timeout_s=60, cleanup=True
+    ):
+        total = ChunkedArray(df, meta).sum().first()["total"]
+        if expect_base is None:
+            dense = np.zeros((8, 8))
+            for pos, c in _ramp_chunks(meta).items():
+                dense[pos[0] * 4 : pos[0] * 4 + 4, pos[1] * 4 : pos[1] * 4 + 4] = c
+            expect_base = dense.sum()
+        assert total == (ts + 1) * expect_base
+        seen.append(ts)
+    t.join()
+    assert seen == list(range(n_steps))
+    # cleanup removed every consumed step's staging dir
+    leftovers = [d for d in os.listdir(tmp_path) if d.startswith("t")]
+    assert leftovers == []
+
+
+def test_staged_bench_scale_bounded(tmp_path):
+    """Bench-scale staged pipeline (r6 verdict ask #1) in a SUBPROCESS
+    with its own bench-parallelism session (same rationale as
+    test_stream_bench_scale_bounded_memory): 20 timesteps of the
+    16x16x512x512 grid — 10 GiB — through multi-process producers +
+    the pure-JVM binaryFile consumer, asserting closed-form sums, zero
+    cached-RDD growth, and fully-reclaimed staging."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [sys.executable, str(repo / "tools" / "stream_stress_staged.py"), "20"],
+        capture_output=True, text=True, timeout=900, cwd=str(repo),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["batches"] == 20, report
+    assert report["sums_correct"], report
+    assert report["max_extra_cached"] == 0, report
+    assert report["staging_leftover_dirs"] == 0, report
+
+
+def test_stream_staged_firehose(spark, tmp_path):
+    """The Structured Streaming source drains landed chunk files into
+    CHUNK_SCHEMA rows (availableNow semantics via processAllAvailable)."""
+    meta = GridMeta("grid", (2, 2), (4, 4))
+    for ts in range(2):
+        staged.write_timestep(str(tmp_path), "grid", ts, _ramp_chunks(meta, float(ts + 1)))
+    got = []
+    stream = staged.stream_staged(spark, str(tmp_path))
+    assert stream.isStreaming
+
+    def sink(df, epoch):
+        got.extend(df.collect())
+
+    ckpt = str(tmp_path / "_ckpt")
+    q = stream.writeStream.foreachBatch(sink).option("checkpointLocation", ckpt).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(got) == 8  # 4 chunks x 2 timesteps
+    by_ts = {}
+    for r in got:
+        a = np.frombuffer(r["data"], dtype=np.float64).reshape(r["chunk_shape"])
+        by_ts.setdefault(r["timestep"], 0.0)
+        by_ts[r["timestep"]] += float(a.sum())
+    assert by_ts[1] == pytest.approx(2 * by_ts[0])
