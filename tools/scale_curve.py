@@ -1,21 +1,27 @@
-"""Spark-vs-DuckDB scaling curve on the compute-heavy document queries.
+"""Spark-vs-DuckDB scaling curve on compute-heavy registry queries.
 
 BASELINE.md's 3.4x sf1 claim extrapolates "scheduling floor amortizes,
 per-row compute partitions" from a two-point line (sf0.1, sf1). This tool
-measures the curve directly: the two queries that dominate the pipeline
-(dedup_minhash_lsh, text_quality_score) run on both engines at each given
-sf dir, min-over-passes with raw per-pass times recorded.
+measures the curve directly: each query runs on both engines at each
+given sf dir, min-over-passes with raw per-pass times recorded.
 
     python tools/scale_curve.py out.json passes dir1 dir2 ...
 
+``SCALE_QUERIES`` (comma-separated registry names) overrides the default
+two document queries — r7 adds q3_shipping_priority,
+join_asof_purchase_click, stream_session_window so the curve covers
+join/window shapes, not only map-shaped compute (r6 verdict ask #8).
+DuckDB views are registered for every parquet file present in the dir,
+so table-subset dirs (SF1_TABLES=... in make_sf1.py) work for any query
+whose inputs are present.
+
 Same protocol as tools/baseline_run.py: Spark materializes to a noop sink,
-DuckDB runs the registry's own oracle SQL fetched to Arrow. sf10 dirs may
-contain only documents.parquet (SF1_TABLES=documents in make_sf1.py) —
-these queries read nothing else.
+DuckDB runs the registry's own oracle SQL fetched to Arrow.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -28,7 +34,13 @@ import duckdb  # noqa: E402
 from doreisa_spark.registry import EXTENDED, REGISTRY, _ensure_loaded  # noqa: E402
 from doreisa_spark.session import get_spark  # noqa: E402
 
-QUERIES = ["dedup_minhash_lsh", "text_quality_score"]
+QUERIES = [
+    q
+    for q in os.environ.get(
+        "SCALE_QUERIES", "dedup_minhash_lsh,text_quality_score"
+    ).split(",")
+    if q
+]
 
 
 def main() -> None:
@@ -40,7 +52,8 @@ def main() -> None:
 
     spark = get_spark("scale-curve")
     # JVM + Python-worker warm on the smallest dir
-    spark.read.parquet(f"{sf_dirs[0]}/documents.parquet").count()
+    warm = glob.glob(f"{sf_dirs[0]}/*.parquet")[0]
+    spark.read.parquet(warm).count()
     qs[QUERIES[0]].fn(spark, sf_dirs[0]).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()
 
@@ -58,10 +71,11 @@ def main() -> None:
                 spark.catalog.clearCache()
             con = duckdb.connect()
             con.execute(f"SET threads TO {os.cpu_count() or 8}")
-            con.execute(
-                "CREATE VIEW documents AS "
-                f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
-            )
+            for pq_path in sorted(glob.glob(f"{sf_dir}/*.parquet")):
+                t = os.path.basename(pq_path)[: -len(".parquet")]
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pq_path}')"
+                )
             for _ in range(n_passes):
                 t0 = time.perf_counter()
                 con.execute(qs[name].oracle).fetch_arrow_table()
