@@ -2900,12 +2900,18 @@ class ChunkedArray:
         df = joined.mapInPandas(final, schema=CHUNK_SCHEMA)
         return ChunkedArray(df, meta, ts)
 
-    def _overlap_join(self, blocks: DataFrame, axis: int, depth: int, src) -> DataFrame:
+    def _overlap_join(
+        self, blocks: DataFrame, axis: int, depth: int, src, periodic: bool = False
+    ) -> DataFrame:
         """One axis's halo exchange over (possibly already-padded) blocks:
         every block emits its leading/trailing ``depth`` slabs keyed to
         the neighbor position that needs them; the slabs pivot to
         (h_before, h_after) columns and LEFT-join back onto the blocks.
-        Only the narrow slabs shuffle — 2·depth/extent of each block."""
+        Only the narrow slabs shuffle — 2·depth/extent of each block.
+        ``periodic``: grid-edge slabs wrap to the OPPOSITE edge chunk
+        (dask boundary='periodic' — simulation wrap-around boundary
+        conditions), so every block receives both halos and no numpy
+        edge-pad ever fires."""
         meta = self.meta
         nb_axis = meta.nb_chunks_per_dim[axis]
 
@@ -2916,17 +2922,25 @@ class ChunkedArray:
                     k = int(pos[axis])
                     shape = tuple(int(s) for s in sh)
                     arr = np.frombuffer(raw, dtype=src).reshape(shape)
-                    if k > 0:  # my leading planes become predecessor's tail halo
+                    if k > 0 or periodic:
+                        # my leading planes: predecessor's tail halo
+                        # (wrapping to the last chunk at the grid edge)
                         lead = np.take(arr, range(depth), axis=axis)
-                        prev = [int(p) - (1 if d == axis else 0) for d, p in enumerate(pos)]
+                        kk = k - 1 if k > 0 else nb_axis - 1
+                        prev = [
+                            kk if d == axis else int(p) for d, p in enumerate(pos)
+                        ]
                         out["hpos"].append(prev)
                         out["side"].append("after")
                         out["halo"].append(np.ascontiguousarray(lead).tobytes())
-                    if k < nb_axis - 1:
+                    if k < nb_axis - 1 or periodic:
                         trail = np.take(
                             arr, range(shape[axis] - depth, shape[axis]), axis=axis
                         )
-                        nxt = [int(p) + (1 if d == axis else 0) for d, p in enumerate(pos)]
+                        kk = k + 1 if k < nb_axis - 1 else 0
+                        nxt = [
+                            kk if d == axis else int(p) for d, p in enumerate(pos)
+                        ]
                         out["hpos"].append(nxt)
                         out["side"].append("before")
                         out["halo"].append(np.ascontiguousarray(trail).tobytes())
@@ -2997,11 +3011,14 @@ class ChunkedArray:
         ``fn`` runs ONCE, fused into the last axis's assembly stage, so
         the single-axis path keeps its original two-Python-stage shape.
         Grid-edge chunks pad with ``boundary``: 'nearest' (replicate edge
-        plane), 'reflect', or 'constant' (zeros). Each axis's depth must
-        not exceed that axis's smallest chunk extent (dask's constraint:
-        halos come from the IMMEDIATE neighbor only). ``fn`` receives the
-        padded block and must return an array of the same shape; output
-        dtype is coerced back to the array's dtype."""
+        plane), 'reflect', 'constant' (zeros), or 'periodic' (dask
+        wrap-around — edge slabs exchange with the OPPOSITE edge chunk,
+        the standard simulation boundary condition; numpy mode 'wrap').
+        Each axis's depth must not exceed that axis's smallest chunk
+        extent (dask's constraint: halos come from the IMMEDIATE neighbor
+        only). ``fn`` receives the padded block and must return an array
+        of the same shape; output dtype is coerced back to the array's
+        dtype."""
         ndim = self.meta.ndim
         if isinstance(depth, dict):
             depths = {int(a): int(d) for a, d in depth.items() if int(d) != 0}
@@ -3020,14 +3037,20 @@ class ChunkedArray:
                     f"extent {min(self.meta.chunks[ax])}; rechunk first "
                     "(halos come from the immediate neighbor only)"
                 )
-        if boundary not in ("nearest", "reflect", "constant"):
+        if boundary not in ("nearest", "reflect", "constant", "periodic"):
             raise ValueError(f"unsupported boundary {boundary!r}")
+        periodic = boundary == "periodic"
         # dask's boundary='reflect' INCLUDES the edge element (numpy mode
         # 'symmetric'); numpy's own 'reflect' excludes it and raises when
-        # the pad width equals the block extent
-        np_mode = {"nearest": "edge", "reflect": "symmetric", "constant": "constant"}[
-            boundary
-        ]
+        # the pad width equals the block extent. 'periodic' never pads
+        # (every block receives both halos via the wrap exchange); 'wrap'
+        # is only the defensive numpy analog.
+        np_mode = {
+            "nearest": "edge",
+            "reflect": "symmetric",
+            "constant": "constant",
+            "periodic": "wrap",
+        }[boundary]
         m = self.materialize()
         src = np.dtype(m.meta.dtype)
         name, ts = self.meta.name, self.timestep
@@ -3039,7 +3062,7 @@ class ChunkedArray:
         # intermediate passes: exchange + assemble padded blocks (no fn)
         for ax in axes[:-1]:
             d = depths[ax]
-            joined = self._overlap_join(blocks, ax, d, src)
+            joined = self._overlap_join(blocks, ax, d, src, periodic)
 
             def assemble(batches, _ax=ax, _d=d):
                 for pdf in batches:
@@ -3064,7 +3087,7 @@ class ChunkedArray:
             blocks = joined.mapInPandas(assemble, schema=CHUNK_SCHEMA)
 
         last_ax, last_d = axes[-1], depths[axes[-1]]
-        joined = self._overlap_join(blocks, last_ax, last_d, src)
+        joined = self._overlap_join(blocks, last_ax, last_d, src, periodic)
         chunks_per_axis = {ax: meta.chunks[ax] for ax in axes}
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -941,6 +941,42 @@ def tensor_map_overlap_sum3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.map_overlap(_sum3_axis0, depth=1, axis=0, boundary="nearest").sum()
 
 
+@register(
+    "tensor_staged_roundtrip",
+    extended=True,
+    oracle=f"SELECT CAST(sum(r + c) AS DOUBLE) AS total FROM {_DUCK_GRID}",
+)
+def tensor_staged_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-staged ingest plane (sources/staged.py, r6 verdict ask #1)
+    under the oracle gate: the ramp grid is written as raw chunk files by
+    the producer API (atomic write + sealed-timestep barrier), read back
+    through the pure-JVM binaryFile scan + Catalyst path-parse, and
+    globally summed — byte-for-byte the DataSource/from_function planes'
+    result. Scale path: tools/stream_stress_staged.py measures the same
+    pipeline at 512 MiB/timestep (351-406 MiB/s vs the Python DataSource's
+    122, BASELINE.md)."""
+    import shutil
+    import tempfile
+    from itertools import product as _product
+
+    from doreisa_spark.sources import staged
+
+    d = tempfile.mkdtemp(prefix="staged_rt_")
+    try:
+        chunks = {
+            pos: ramp_chunk(pos, _META.shape_of(pos))
+            for pos in _product(*(range(n) for n in _META.nb_chunks_per_dim))
+        }
+        staged.write_timestep(d, _META.name, 0, chunks)
+        arr = ChunkedArray(staged.read_staged_timestep(spark, d, 0), _META)
+        # force the scan NOW (the staging dir is reclaimed in finally; a
+        # lazily-returned plan would read deleted files at driver-collect)
+        total = arr.sum().first()["total"]
+        return spark.createDataFrame([(float(total),)], "total double")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _five_point_sum(a):
     """5-point (von-Neumann) sum stencil — the canonical 2-D Laplacian
     shape for in-situ simulation analytics; integer-valued sums keep the

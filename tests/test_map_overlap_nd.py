@@ -146,6 +146,38 @@ def test_ragged_chunks_2d(spark):
     assert np.array_equal(got.to_numpy(), expect)
 
 
+def test_periodic_boundary_2d(spark):
+    """dask boundary='periodic' (numpy 'wrap'): edge halos come from the
+    opposite grid edge — corners wrap diagonally through the composition."""
+    rng = np.random.default_rng(17)
+    dense = rng.integers(0, 30, size=(8, 6)).astype(np.float64)
+    chunks = {
+        (i, j): dense[4 * i : 4 * i + 4, 3 * j : 3 * j + 3]
+        for i in range(2)
+        for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "moper", chunks)
+    got = arr.map_overlap(_diag, depth={0: 1, 1: 1}, boundary="periodic")
+    widths = [(1, 1), (1, 1)]
+    expect = _make_diag()(np.pad(dense, widths, mode="wrap"))[1:-1, 1:-1]
+    assert np.array_equal(got.to_numpy(), expect)
+
+
+def test_periodic_single_chunk_axis(spark):
+    """nb_chunks=1 along the axis: a chunk is its own wrap neighbor."""
+
+    def k(a):
+        out = a.copy()
+        out[1:-1] = a[:-2] + a[1:-1] + a[2:]
+        return out
+
+    dense = np.arange(5, dtype=np.float64)
+    arr = ChunkedArray.from_numpy_chunks(spark, "moper1", {(0,): dense})
+    got = arr.map_overlap(k, depth=1, axis=0, boundary="periodic")
+    expect = k(np.pad(dense, (1, 1), mode="wrap"))[1:-1]
+    assert np.array_equal(got.to_numpy(), expect)
+
+
 def test_int_depth_back_compat_single_axis(spark):
     """The original single-axis signature (int depth + axis) unchanged."""
 
