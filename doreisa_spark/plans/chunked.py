@@ -3013,12 +3013,13 @@ class ChunkedArray:
         Grid-edge chunks pad with ``boundary``: 'nearest' (replicate edge
         plane), 'reflect', 'constant' (zeros), or 'periodic' (dask
         wrap-around — edge slabs exchange with the OPPOSITE edge chunk,
-        the standard simulation boundary condition; numpy mode 'wrap').
-        Each axis's depth must not exceed that axis's smallest chunk
-        extent (dask's constraint: halos come from the IMMEDIATE neighbor
-        only). ``fn`` receives the padded block and must return an array
-        of the same shape; output dtype is coerced back to the array's
-        dtype."""
+        the standard simulation boundary condition; numpy mode 'wrap');
+        a dask-style per-axis dict ``{0: 'periodic', 1: 'reflect'}``
+        mixes modes (axes default to 'nearest'). Each axis's depth must
+        not exceed that axis's smallest chunk extent (dask's constraint:
+        halos come from the IMMEDIATE neighbor only). ``fn`` receives the
+        padded block and must return an array of the same shape; output
+        dtype is coerced back to the array's dtype."""
         ndim = self.meta.ndim
         if isinstance(depth, dict):
             depths = {int(a): int(d) for a, d in depth.items() if int(d) != 0}
@@ -3037,20 +3038,25 @@ class ChunkedArray:
                     f"extent {min(self.meta.chunks[ax])}; rechunk first "
                     "(halos come from the immediate neighbor only)"
                 )
-        if boundary not in ("nearest", "reflect", "constant", "periodic"):
-            raise ValueError(f"unsupported boundary {boundary!r}")
-        periodic = boundary == "periodic"
+        if isinstance(boundary, dict):
+            boundaries = {int(a): b for a, b in boundary.items()}
+        else:
+            boundaries = {ax: boundary for ax in depths}
+        for ax in depths:
+            b = boundaries.setdefault(ax, "nearest")
+            if b not in ("nearest", "reflect", "constant", "periodic"):
+                raise ValueError(f"unsupported boundary {b!r} for axis {ax}")
         # dask's boundary='reflect' INCLUDES the edge element (numpy mode
         # 'symmetric'); numpy's own 'reflect' excludes it and raises when
         # the pad width equals the block extent. 'periodic' never pads
         # (every block receives both halos via the wrap exchange); 'wrap'
         # is only the defensive numpy analog.
-        np_mode = {
+        _NP_MODE = {
             "nearest": "edge",
             "reflect": "symmetric",
             "constant": "constant",
             "periodic": "wrap",
-        }[boundary]
+        }
         m = self.materialize()
         src = np.dtype(m.meta.dtype)
         name, ts = self.meta.name, self.timestep
@@ -3062,9 +3068,12 @@ class ChunkedArray:
         # intermediate passes: exchange + assemble padded blocks (no fn)
         for ax in axes[:-1]:
             d = depths[ax]
-            joined = self._overlap_join(blocks, ax, d, src, periodic)
+            np_mode = _NP_MODE[boundaries[ax]]
+            joined = self._overlap_join(
+                blocks, ax, d, src, boundaries[ax] == "periodic"
+            )
 
-            def assemble(batches, _ax=ax, _d=d):
+            def assemble(batches, _ax=ax, _d=d, _mode=np_mode):
                 for pdf in batches:
                     out = {"name": [], "timestep": [], "pos": [],
                            "chunk_shape": [], "data": []}
@@ -3075,7 +3084,7 @@ class ChunkedArray:
                         arr = np.frombuffer(raw, dtype=src).reshape(
                             tuple(int(s) for s in sh)
                         )
-                        padded = pad_block(arr, hb, ha, _ax, _d, np_mode, src)
+                        padded = pad_block(arr, hb, ha, _ax, _d, _mode, src)
                         out["name"].append(name)
                         out["timestep"].append(ts)
                         out["pos"].append(list(pos))
@@ -3087,7 +3096,10 @@ class ChunkedArray:
             blocks = joined.mapInPandas(assemble, schema=CHUNK_SCHEMA)
 
         last_ax, last_d = axes[-1], depths[axes[-1]]
-        joined = self._overlap_join(blocks, last_ax, last_d, src, periodic)
+        last_mode = _NP_MODE[boundaries[last_ax]]
+        joined = self._overlap_join(
+            blocks, last_ax, last_d, src, boundaries[last_ax] == "periodic"
+        )
         chunks_per_axis = {ax: meta.chunks[ax] for ax in axes}
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3100,7 +3112,7 @@ class ChunkedArray:
                     arr = np.frombuffer(raw, dtype=src).reshape(
                         tuple(int(s) for s in sh)
                     )
-                    padded = pad_block(arr, hb, ha, last_ax, last_d, np_mode, src)
+                    padded = pad_block(arr, hb, ha, last_ax, last_d, last_mode, src)
                     res = np.asarray(fn(padded))
                     if res.shape != padded.shape:
                         raise ValueError(

@@ -189,6 +189,55 @@ def staged_timesteps(
         ts += 1
 
 
+def staged_sliding_windows(
+    spark: SparkSession,
+    stage_dir: str,
+    meta,
+    window_size: int,
+    *,
+    start: int = 0,
+    max_timesteps: int | None = None,
+    poll_s: float = 0.05,
+    timeout_s: float = 600.0,
+    cleanup: bool = False,
+) -> "Iterator[tuple[int, list]]":
+    """The reference's sliding-window callback contract
+    (doreisa/window_api.py:88-97: last W arrays, fewer at stream start)
+    over the binary-staged plane: yields ``(timestep, [ChunkedArray,...])``
+    with the newest array LAST, window length growing to ``window_size``.
+
+    ``cleanup=True`` reclaims a timestep's staging files only when it
+    LEAVES the window (the eviction point of window_api.py:105-114) —
+    staged arrays are re-scanned per use, not persisted, so deleting at
+    consumption (staged_timesteps' behavior) would tear the older window
+    members out from under the next iteration."""
+    import shutil
+
+    from doreisa_spark.plans.chunked import ChunkedArray
+
+    if window_size < 1:
+        raise ValueError("window_size must be >= 1")
+    window: list = []
+    for ts, df in staged_timesteps(
+        spark,
+        stage_dir,
+        start=start,
+        max_timesteps=max_timesteps,
+        poll_s=poll_s,
+        timeout_s=timeout_s,
+        cleanup=False,
+    ):
+        window.append((ts, ChunkedArray(df, meta, ts)))
+        if len(window) > window_size:
+            old_ts, _old = window.pop(0)
+            if cleanup:
+                shutil.rmtree(_ts_dir(stage_dir, old_ts), ignore_errors=True)
+        yield ts, [a for _, a in window]
+    if cleanup:
+        for old_ts, _old in window:
+            shutil.rmtree(_ts_dir(stage_dir, old_ts), ignore_errors=True)
+
+
 def stream_staged(
     spark: SparkSession, stage_dir: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -178,6 +178,27 @@ def test_periodic_single_chunk_axis(spark):
     assert np.array_equal(got.to_numpy(), expect)
 
 
+def test_mixed_per_axis_boundaries(spark):
+    """dask-style boundary dict {0:'periodic', 1:'reflect'}: each axis
+    pads by its own mode — matched against numpy padding each axis
+    sequentially with its mode."""
+    rng = np.random.default_rng(23)
+    dense = rng.integers(0, 30, size=(8, 6)).astype(np.float64)
+    chunks = {
+        (i, j): dense[4 * i : 4 * i + 4, 3 * j : 3 * j + 3]
+        for i in range(2)
+        for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "momix", chunks)
+    got = arr.map_overlap(
+        _five_point, depth={0: 1, 1: 1}, boundary={0: "periodic", 1: "reflect"}
+    )
+    padded = np.pad(dense, [(1, 1), (0, 0)], mode="wrap")
+    padded = np.pad(padded, [(0, 0), (1, 1)], mode="symmetric")
+    expect = _make_five_point()(padded)[1:-1, 1:-1]
+    assert np.array_equal(got.to_numpy(), expect)
+
+
 def test_int_depth_back_compat_single_axis(spark):
     """The original single-axis signature (int depth + axis) unchanged."""
 

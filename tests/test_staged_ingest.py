@@ -110,6 +110,62 @@ def test_staged_timesteps_overlapped_producer_cleanup(spark, tmp_path):
     assert leftovers == []
 
 
+def test_staged_sliding_windows_short_at_start_and_eviction_cleanup(spark, tmp_path):
+    """window_api.py:88-97 semantics on the staged plane: last W arrays,
+    fewer at stream start; eviction-deferred cleanup reclaims a step's
+    files only when it leaves the window (older members stay readable)."""
+    meta = GridMeta("grid", (2, 2), (4, 4))
+    n_steps, W = 4, 2
+    for ts in range(n_steps):
+        staged.write_timestep(str(tmp_path), "grid", ts, _ramp_chunks(meta, float(ts + 1)))
+    base = None
+    seen = []
+    for ts, window in staged.staged_sliding_windows(
+        spark, str(tmp_path), meta, W, max_timesteps=n_steps, timeout_s=60, cleanup=True
+    ):
+        assert len(window) == min(ts + 1, W)
+        # EVERY window member still readable (its staging files live)
+        totals = [a.sum().first()["total"] for a in window]
+        if base is None:
+            base = totals[0]
+        assert totals == [(t + 1) * base for t in range(max(0, ts - W + 1), ts + 1)]
+        seen.append(ts)
+        live = sorted(os.listdir(tmp_path))
+        assert f"t{max(0, ts - W + 1):08d}" in live  # window members live
+        if ts >= W:
+            assert f"t{ts - W:08d}" not in live  # evicted step reclaimed
+    assert seen == list(range(n_steps))
+    assert [d for d in os.listdir(tmp_path) if d.startswith("t")] == []
+
+
+def test_staged_multi_array_and_complex_dtype(spark, tmp_path):
+    """Several named arrays multiplex through one timestep dir (the
+    reference's several-arrays sync); raw-byte payloads round-trip any
+    dtype — complex128 checked end-to-end through a ChunkedArray sum."""
+    rng = np.random.default_rng(31)
+    a = {(0,): rng.normal(size=4), (1,): rng.normal(size=4)}
+    b = {(0,): (rng.normal(size=3) + 1j * rng.normal(size=3)).astype(np.complex128),
+         (1,): (rng.normal(size=3) + 1j * rng.normal(size=3)).astype(np.complex128)}
+    for pos, arr in a.items():
+        staged.write_chunk(str(tmp_path), "a", 0, pos, arr)
+    for pos, arr in b.items():
+        staged.write_chunk(str(tmp_path), "b", 0, pos, arr)
+    staged.seal_timestep(str(tmp_path), 0, n_chunks=4)
+    df = staged.read_staged_timestep(spark, str(tmp_path), 0)
+    meta_a = GridMeta("a", (2,), (4,))
+    meta_b = GridMeta("b", (2,), (3,), "complex128")
+    arr_a = ChunkedArray(df.where(df["name"] == "a"), meta_a)
+    arr_b = ChunkedArray(df.where(df["name"] == "b"), meta_b)
+    import pytest as _pytest
+
+    dense_a = np.concatenate([a[(0,)], a[(1,)]])
+    assert arr_a.sum().first()["total"] == _pytest.approx(dense_a.sum(), rel=1e-12)
+    dense_b = np.concatenate([b[(0,)], b[(1,)]])
+    row = arr_b.sum().first()
+    assert row["total_re"] == _pytest.approx(dense_b.sum().real, rel=1e-12)
+    assert row["total_im"] == _pytest.approx(dense_b.sum().imag, rel=1e-12)
+
+
 def test_staged_bench_scale_bounded(tmp_path):
     """Bench-scale staged pipeline (r6 verdict ask #1) in a SUBPROCESS
     with its own bench-parallelism session (same rationale as
