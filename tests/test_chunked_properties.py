@@ -134,3 +134,46 @@ def test_boolean_select_matches_numpy(spark, data, thresh):
     mask = _arr(spark, {p: (c > thresh).astype(c.dtype) for p, c in chunks.items()})
     got = arr.boolean_select(mask).to_numpy()
     assert np.array_equal(np.sort(got), np.sort(full[mask_np]))
+
+
+@settings(**_SETTINGS)
+@given(
+    data=chunked_2d(),
+    boundary=st.sampled_from(["nearest", "reflect", "constant", "periodic"]),
+    d0=st.integers(0, 1),
+    d1=st.integers(0, 1),
+)
+def test_map_overlap_nd_matches_global_pad(spark, data, boundary, d0, d1):
+    """N-d map_overlap ≡ pad-the-DENSE-array-globally, apply, trim (the
+    dask definition), for any ragged tiling / boundary / per-axis depth —
+    the radius-1 cross kernel reads every halo cell incl. corners."""
+    full, chunks = data
+    if d0 == 0 and d1 == 0:
+        return
+    depths = {a: d for a, d in ((0, d0), (1, d1)) if d}
+    for ax, d in depths.items():
+        if d > min(c.shape[ax] for c in chunks.values()):
+            return  # depth must fit the smallest chunk extent
+    np_mode = {"nearest": "edge", "reflect": "symmetric",
+               "constant": "constant", "periodic": "wrap"}[boundary]
+
+    def make_kernel():
+        def kernel(a):
+            out = a.copy()
+            if 0 in depths and 1 in depths:
+                out[1:-1, 1:-1] = (a[:-2, :-2] + a[2:, 2:] + a[1:-1, 1:-1]
+                                   + a[:-2, 2:] + a[2:, :-2])
+            elif 0 in depths:
+                out[1:-1, :] = a[:-2, :] + a[1:-1, :] + a[2:, :]
+            else:
+                out[:, 1:-1] = a[:, :-2] + a[:, 1:-1] + a[:, 2:]
+            return out
+        return kernel
+
+    arr = _arr(spark, chunks)
+    got = arr.map_overlap(make_kernel(), depth=depths, boundary=boundary).to_numpy()
+    widths = [(depths.get(a, 0),) * 2 for a in range(2)]
+    padded = np.pad(full, widths, mode=np_mode)
+    sl = tuple(slice(depths.get(a, 0), depths.get(a, 0) + full.shape[a]) for a in range(2))
+    expect = make_kernel()(padded)[sl].astype(full.dtype)
+    assert np.array_equal(got, expect)
