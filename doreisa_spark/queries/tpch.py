@@ -85,8 +85,20 @@ LIMIT 10
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: 3-way join + agg + global top-10 (deterministic tie-break).
 
-    customer is broadcast (small dim); orders⨝lineitem shuffles on orderkey.
-    The LIMIT is an order-by-limit (TakeOrderedAndProject) — no full sort at scale.
+    Selectivity-first join shape, the reduction a CBO would derive: a
+    broadcast SEMI-join pushes the customer('BUILDING') filter onto
+    orders BEFORE the fact-fact join (map-side, ~5x fewer orders rows at
+    zero shuffle), then lineitem joins the reduced orders, then the
+    surviving rows attach customer attributes (here: none needed beyond
+    the filter, so the semi-join IS the customer join). Formulated as
+    left_semi deliberately — an INNER o⨝c first gave Catalyst a
+    product-blowup size estimate for the join output and it responded by
+    broadcasting LINEITEM (measured 3.0 s vs 1.3 s at sf1); the semi
+    output's estimate stays ≤ orders, so the planner keeps the sane
+    build side at every scale. Measured min-of-3 idle: sf1 1.3 s (parity
+    with the naive order), sf10 3.3 s vs naive 4.7 s.
+    The LIMIT is an order-by-limit (TakeOrderedAndProject) — no full sort
+    at scale.
     """
     c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").where(
@@ -95,9 +107,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
     )
+    o_building = o.join(
+        F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_semi"
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o_building, l.l_orderkey == o_building.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
