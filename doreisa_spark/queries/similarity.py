@@ -941,7 +941,8 @@ def sim_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_PQ_ORACLE = f"""
+def _ivf_pq_oracle(shortlist: int) -> str:
+    return f"""
 WITH {_pq_ctes()},
 cent AS (
   SELECT vec_id - {_IVF_CENT_LO} AS cell, embedding AS cemb
@@ -984,7 +985,7 @@ cent AS (
     SELECT qid, cid, adc,
            row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid) AS srk
     FROM pq_adc)
-  WHERE srk <= {_PQ_SHORTLIST}
+  WHERE srk <= {shortlist}
 ), pq_rerank AS (
   SELECT s.qid, s.cid, s.adc, {V.duck_cosine('q.qe', 'c.ce')} AS cos_sim
   FROM pq_short s
@@ -997,6 +998,13 @@ SELECT qid, cid, round(adc, 6) AS adc, round(cos_sim, 6) AS cos_sim, rk FROM (
   FROM pq_rerank)
 WHERE rk <= {_TOP_K}
 """
+
+
+_IVF_PQ_ORACLE = _ivf_pq_oracle(_PQ_SHORTLIST)
+# rerank depth for corpora whose neighbors sit BELOW PQ resolution
+# (RECALL_r07.md: near-identical intra-cluster vectors make ADC ranking
+# within a cell arbitrary, so the shortlist must cover the probe set)
+_PQ_SHORTLIST_DEEP = 400
 
 
 @register("sim_ann_ivf_pq", extended=True, oracle=_IVF_PQ_ORACLE)
@@ -1020,6 +1028,26 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     operation-for-operation (see _py_normalize/_py_dot), ADC sums the
     {_PQ_M} lookups in subspace order on both sides, ties break on cid —
     the whole index, shortlist, and rerank are bit-reproducible."""
+    return _ivf_pq_topk(spark, sf_dir, _PQ_SHORTLIST)
+
+
+@register(
+    "sim_ann_ivf_pq_deep", extended=True, oracle=_ivf_pq_oracle(_PQ_SHORTLIST_DEEP)
+)
+def sim_ann_ivf_pq_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with the rerank-depth knob turned for below-resolution
+    corpora ({_PQ_SHORTLIST_DEEP}-candidate shortlist vs the default
+    {_PQ_SHORTLIST}): when intra-cluster neighbors are closer than the
+    {_PQ_M}x{_PQ_K}-code quantization can rank, the ADC shortlist is an
+    arbitrary cell subset and recall collapses (measured 0.125 on the
+    planted-cluster corpus, RECALL_r07.md); deepening the exact rerank to
+    cover the probe set restores recall at shortlist-proportional rerank
+    cost (the FAISS guidance, expressed as a measured knob). Same plan
+    shape — only the shortlist row_number bound changes."""
+    return _ivf_pq_topk(spark, sf_dir, _PQ_SHORTLIST_DEEP)
+
+
+def _ivf_pq_topk(spark: SparkSession, sf_dir: str, shortlist: int) -> DataFrame:
     e = table(spark, sf_dir, "embeddings", spread=True)
     cb = _pq_codebook(e)
     corpus = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
@@ -1065,7 +1093,7 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = W.partitionBy("qid").orderBy(F.col("adc").desc(), F.col("cid"))
     short = (
         cands.withColumn("srk", F.row_number().over(sw))
-        .where(F.col("srk") <= _PQ_SHORTLIST)
+        .where(F.col("srk") <= shortlist)
         .select("qid", "cid", "adc")
     )
     rerank = (

@@ -38,6 +38,9 @@ def main() -> None:
          f"{S._IVF_NPROBE} cells"),
         ("IVF-PQ (4x16 codes + exact rerank)", S.sim_ann_ivf_pq,
          f"{S._IVF_NPROBE} cells of 4-byte codes"),
+        (f"IVF-PQ deep rerank (shortlist {S._PQ_SHORTLIST_DEEP})",
+         S.sim_ann_ivf_pq_deep,
+         f"{S._IVF_NPROBE} cells of codes + {S._PQ_SHORTLIST_DEEP}-row rerank"),
     ]
     print(f"dir={sf_dir} k={S._TOP_K} queries={S._N_QUERIES}")
     for name, fn, cost in rows:
