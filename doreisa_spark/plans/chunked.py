@@ -2987,6 +2987,7 @@ class ChunkedArray:
         depth,
         axis: int = 0,
         boundary: str = "nearest",
+        persist_blocks: bool = False,
     ) -> "ChunkedArray":
         """dask.array.map_overlap: apply a SHAPE-PRESERVING numpy kernel
         to every chunk padded with halo planes from its neighbors, then
@@ -3019,7 +3020,18 @@ class ChunkedArray:
         not exceed that axis's smallest chunk extent (dask's constraint:
         halos come from the IMMEDIATE neighbor only). ``fn`` receives the
         padded block and must return an array of the same shape; output
-        dtype is coerced back to the array's dtype."""
+        dtype is coerced back to the array's dtype.
+
+        Recompute vs cache: each axis pass consumes its input blocks
+        TWICE (the slab-emit branch and the body that joins the pivoted
+        halos back), so by default the producing subtree runs twice per
+        axis — bounded memory, the right default when blocks come from a
+        cheap scan (staged files, parquet) or a cheap generator.
+        ``persist_blocks=True`` caches each pass's input (scoped_persist,
+        eagerly materialized — released by the caller's cache_scope, the
+        repo's cache-lifecycle convention) so an expensive upstream
+        pipeline computes once per pass — dask's shared-graph behavior,
+        at one timestep's array of executor storage."""
         ndim = self.meta.ndim
         if isinstance(depth, dict):
             depths = {int(a): int(d) for a, d in depth.items() if int(d) != 0}
@@ -3064,7 +3076,16 @@ class ChunkedArray:
         axes = sorted(depths)
         pad_block = self._pad_block
 
-        blocks = m.df
+        def maybe_cache(df: DataFrame) -> DataFrame:
+            if not persist_blocks:
+                return df
+            from doreisa_spark.lifecycle import scoped_persist
+
+            out = scoped_persist(df)
+            out.count()  # eager: both consumers below must hit the cache
+            return out
+
+        blocks = maybe_cache(m.df)
         # intermediate passes: exchange + assemble padded blocks (no fn)
         for ax in axes[:-1]:
             d = depths[ax]
@@ -3093,7 +3114,7 @@ class ChunkedArray:
                     if out["pos"]:
                         yield pd.DataFrame(out)
 
-            blocks = joined.mapInPandas(assemble, schema=CHUNK_SCHEMA)
+            blocks = maybe_cache(joined.mapInPandas(assemble, schema=CHUNK_SCHEMA))
 
         last_ax, last_d = axes[-1], depths[axes[-1]]
         last_mode = _NP_MODE[boundaries[last_ax]]

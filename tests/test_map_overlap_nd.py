@@ -216,6 +216,38 @@ def test_int_depth_back_compat_single_axis(spark):
     assert np.array_equal(got.to_numpy(), expect)
 
 
+def test_persist_blocks_same_result_and_scope_release(spark):
+    """persist_blocks=True caches each pass's input under the caller's
+    cache_scope (computed once per pass, released on scope exit) and
+    returns bit-identical results."""
+    from doreisa_spark import lifecycle
+
+    rng = np.random.default_rng(29)
+    dense = rng.integers(0, 20, size=(8, 6)).astype(np.float64)
+    chunks = {
+        (i, j): dense[4 * i : 4 * i + 4, 3 * j : 3 * j + 3]
+        for i in range(2)
+        for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "mopers", chunks)
+    plain = arr.map_overlap(_five_point, depth={0: 1, 1: 1}, boundary="nearest")
+    expect = plain.to_numpy()
+
+    def cached_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    spark.catalog.clearCache()
+    baseline = cached_ids()
+    with lifecycle.cache_scope():
+        cached = arr.map_overlap(
+            _five_point, depth={0: 1, 1: 1}, boundary="nearest", persist_blocks=True
+        )
+        got = cached.to_numpy()
+        assert cached_ids() - baseline  # pass inputs live in cache
+    assert not cached_ids() - baseline  # released on scope exit
+    assert np.array_equal(got, expect)
+
+
 def test_depth_validation(spark):
     chunks = {(0, 0): np.zeros((2, 2)), (0, 1): np.zeros((2, 2)),
               (1, 0): np.zeros((2, 2)), (1, 1): np.zeros((2, 2))}
