@@ -2074,6 +2074,47 @@ class ChunkedArray:
             )
         return src._compose(lambda pos, arr: np.sort(arr, axis=axis))
 
+    def fft(self, axis: int = -1) -> "ChunkedArray":
+        """Discrete Fourier transform along one axis (dask
+        ``da.fft.fft`` semantics: the transform axis must be one chunk) —
+        the canonical in-situ spectral analytic for the simulation grids
+        the reference targets.
+
+        Same distribution shape as ``sort``: the transform axis is first
+        rechunked contiguous (the one unavoidable all-to-all for a
+        cross-chunk DFT — dask imposes the identical constraint), then
+        every slab transforms in-kernel via ``np.fft.fft``,
+        embarrassingly parallel over the other axes. Output is a
+        complex128 ChunkedArray on the same grid; compose with the
+        complex elementwise ops (e.g. ``x * conj`` for the power
+        spectrum) and sum()/mean()'s paired-double complex folds."""
+        ndim = self.meta.ndim
+        if not (-ndim <= axis < ndim):
+            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
+        axis %= ndim
+        src = self
+        if self.meta.nb_chunks_per_dim[axis] > 1:
+            src = self.rechunk(
+                tuple(
+                    (self.meta.global_shape[d],) if d == axis else self.meta.chunks[d]
+                    for d in range(ndim)
+                )
+            )
+        return src._compose(
+            lambda pos, arr: np.fft.fft(arr, axis=axis),
+            src.meta._replaced(dtype="complex128"),
+        )
+
+    def power_spectrum(self, axis: int = -1) -> "ChunkedArray":
+        """|FFT|² along one axis → float64 array (periodogram, unscaled).
+        One fused pipeline: rechunk + DFT + squared magnitude never leave
+        the per-slab kernel."""
+        f = self.fft(axis)
+        return f._compose(
+            lambda pos, arr: (arr * np.conj(arr)).real,
+            f.meta._replaced(dtype="float64"),
+        )
+
     def diagonal(self, offset: int = 0) -> "ChunkedArray":
         """Diagonal of a 2-D array as a 1-D array (numpy ``diagonal``,
         positive offset above the main diagonal): lowered onto

@@ -942,6 +942,34 @@ def tensor_map_overlap_sum3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tensor_fft_parseval",
+    extended=True,
+    # Parseval's theorem pins the spectrum's total energy EXACTLY in
+    # closed form: sum_k |X_k|^2 = N * sum_n x_n^2 per transformed column.
+    # FFT floating error (~1e-12 relative) rules out the bit-hash gate, so
+    # this rides the band oracle at a tight 1e-6 — far below any
+    # algorithmic mistake, far above IEEE noise.
+    band_oracle=f"""
+SELECT 'grid' AS name,
+       CAST({_GRID[0] * _CHUNK[0]} AS DOUBLE) * sum((r + c) * (r + c)) AS energy
+FROM {_DUCK_GRID}
+""",
+    band_rtol=1e-6,
+)
+def tensor_fft_parseval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DFT (dask ``da.fft.fft``, plans/chunked.py:fft): the
+    ramp grid transforms along axis 0 (rechunked contiguous — the same
+    all-to-all dask requires), the power spectrum |X|^2 stays inside the
+    fused per-slab kernel, and the global energy sum is checked against
+    Parseval's closed form N*sum(x^2) in DuckDB. numpy cross-check
+    (per-element spectrum equality) is pytest `test_fft.py`."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    return arr.power_spectrum(axis=0).sum().select(
+        F.lit("grid").alias("name"), F.col("total").alias("energy")
+    )
+
+
+@register(
     "tensor_staged_roundtrip",
     extended=True,
     oracle=f"SELECT CAST(sum(r + c) AS DOUBLE) AS total FROM {_DUCK_GRID}",
