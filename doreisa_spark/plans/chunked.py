@@ -2105,6 +2105,28 @@ class ChunkedArray:
             src.meta._replaced(dtype="complex128"),
         )
 
+    def ifft(self, axis: int = -1) -> "ChunkedArray":
+        """Inverse DFT along one axis (dask ``da.fft.ifft``) — same
+        rechunk-contiguous slab shape as ``fft``; complex128 output
+        (``ifft(fft(x))`` recovers x up to IEEE rounding; take ``.real``
+        via map_numpy for real signals)."""
+        ndim = self.meta.ndim
+        if not (-ndim <= axis < ndim):
+            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
+        axis %= ndim
+        src = self
+        if self.meta.nb_chunks_per_dim[axis] > 1:
+            src = self.rechunk(
+                tuple(
+                    (self.meta.global_shape[d],) if d == axis else self.meta.chunks[d]
+                    for d in range(ndim)
+                )
+            )
+        return src._compose(
+            lambda pos, arr: np.fft.ifft(arr, axis=axis),
+            src.meta._replaced(dtype="complex128"),
+        )
+
     def power_spectrum(self, axis: int = -1) -> "ChunkedArray":
         """|FFT|² along one axis → float64 array (periodogram, unscaled).
         One fused pipeline: rechunk + DFT + squared magnitude never leave

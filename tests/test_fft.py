@@ -43,6 +43,23 @@ def test_fft_complex_input_and_negative_axis(spark):
     assert np.allclose(got, np.fft.fft(dense, axis=-1), rtol=1e-12, atol=1e-12)
 
 
+def test_ifft_roundtrip_and_2d_composition(spark):
+    rng = np.random.default_rng(53)
+    dense = rng.normal(size=(4, 6))
+    chunks = {
+        (i, j): dense[2 * i : 2 * i + 2, 3 * j : 3 * j + 3]
+        for i in range(2)
+        for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "fftrt", chunks)
+    back = _dense_of(arr.fft(axis=0).ifft(axis=0))
+    assert np.allclose(back.real, dense, rtol=1e-12, atol=1e-12)
+    assert np.allclose(back.imag, 0.0, atol=1e-12)
+    # 2-D FFT = per-axis composition (dask fft2 lowering)
+    got2d = _dense_of(arr.fft(axis=0).fft(axis=1))
+    assert np.allclose(got2d, np.fft.fft2(dense), rtol=1e-12, atol=1e-10)
+
+
 def test_power_spectrum_fused_and_parseval(spark):
     rng = np.random.default_rng(47)
     dense = rng.normal(size=(6, 5))
