@@ -69,6 +69,16 @@ def _ts_dir(stage_dir: str, timestep: int) -> str:
 
 def chunk_filename(name: str, timestep: int, pos: tuple[int, ...],
                    shape: tuple[int, ...]) -> str:
+    import re
+
+    # the name is parsed back out of the filename by a non-greedy match up
+    # to the FIRST __t<digits>__ token — a name embedding that token (or a
+    # path separator) would silently mis-parse every downstream column
+    if "/" in name or re.search(r"__t\d+__", name):
+        raise ValueError(
+            f"array name {name!r} may not contain '/' or a '__t<digits>__' "
+            "token (reserved by the staged-file name contract)"
+        )
     p = "-".join(str(int(x)) for x in pos)
     s = "-".join(str(int(x)) for x in shape)
     return f"{name}__t{timestep:08d}__p{p}__s{s}.chunk"

@@ -94,7 +94,13 @@ def commit_batch(df: DataFrame, root: str, batch_id: int) -> bool:
         return False
     os.makedirs(root, exist_ok=True)
     staging = os.path.join(root, f"_staging_b{batch_id:012d}_{uuid.uuid4().hex[:8]}")
-    df.write.mode("overwrite").parquet(staging)
+    try:
+        df.write.mode("overwrite").parquet(staging)
+    except Exception:
+        # a failed write must not strand an orphan staging dir (invisible
+        # to readers, but it would accumulate across crash-retry loops)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     try:
         os.rename(staging, dest)  # atomic; fails if dest exists
         return True

@@ -67,6 +67,20 @@ def test_ragged_and_0d_filenames(spark, tmp_path):
     assert np.frombuffer(r["data"], dtype=np.float64)[0] == 42.0
 
 
+def test_reserved_name_tokens_rejected(spark, tmp_path):
+    """Names embedding the filename contract's reserved token (or a path
+    separator) must be rejected at write time, not mis-parsed at read."""
+    with pytest.raises(ValueError, match="reserved"):
+        staged.write_chunk(str(tmp_path), "x__t5__y", 0, (0,), np.zeros(2))
+    with pytest.raises(ValueError, match="reserved"):
+        staged.write_chunk(str(tmp_path), "a/b", 0, (0,), np.zeros(2))
+    # plain double underscores NOT followed by the t-token parse correctly
+    staged.write_chunk(str(tmp_path), "a__b", 0, (0,), np.arange(2.0))
+    staged.seal_timestep(str(tmp_path), 0, n_chunks=1)
+    r = staged.read_staged_timestep(spark, str(tmp_path), 0).collect()[0]
+    assert r["name"] == "a__b" and r["timestep"] == 0
+
+
 def test_unsealed_timestep_raises(spark, tmp_path):
     staged.write_chunk(str(tmp_path), "g", 0, (0,), np.zeros(4))
     with pytest.raises(FileNotFoundError, match="not sealed"):
