@@ -55,7 +55,10 @@ repeat, and store reads inside ``process_batch`` see only batches
 the pre-batch state (deterministic, byte-equivalent to what the first
 attempt committed). At-least-once redelivery is therefore a no-op:
 pytest re-invokes process_batch with the same batch_id and asserts
-pairs/members/shingles unchanged.
+pairs/members/shingles unchanged. Long streams periodically fold the
+per-batch directories with ``batch_commit.compact`` (crash-safe
+manifest flip; tests/test_batch_commit.py covers content preservation,
+leftover invisibility, and post-compaction redelivery).
 
 100 TB posture: every stage is an equi-join on (band_id, sig) — the
 candidate volume is linear in bucket collisions, never O(batch×history).

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from doreisa_spark.streaming import batch_commit as BC
@@ -64,6 +65,108 @@ def test_empty_batch_commits_and_reads(spark, tmp_path):
     assert BC.committed_ids(root) == [5]
     assert BC.read_committed(spark, root, "v int").count() == 0
     assert BC.next_batch_id(root) == 6
+
+
+# --------------------------------------------------------------- compaction
+
+
+def _vals(spark, root):
+    return sorted(r["v"] for r in BC.read_committed(spark, root, "v int").collect())
+
+
+def test_compact_preserves_content_and_merges_dirs(spark, tmp_path):
+    root = str(tmp_path / "log")
+    for b in range(6):
+        BC.commit_batch(spark.createDataFrame([(b,), (100 + b,)], "v int"), root, b)
+    before = _vals(spark, root)
+    assert BC.compact(spark, root, "v int", keep_last=2) is True
+    assert _vals(spark, root) == before
+    # batches 0..3 folded; 4,5 remain as batch dirs
+    assert BC.committed_ids(root) == [4, 5]
+    assert BC.is_committed(root, 0) and BC.is_committed(root, 3)
+    assert BC.next_batch_id(root) == 6
+    names = os.listdir(root)
+    assert sum(1 for n in names if n.startswith("b0")) == 2
+    assert sum(1 for n in names if n.startswith("m")) == 1
+    # a second compact folds the old segment + newly eligible batches
+    BC.commit_batch(spark.createDataFrame([(7,)], "v int"), root, 6)
+    assert BC.compact(spark, root, "v int", keep_last=2) is True
+    assert _vals(spark, root) == sorted(before + [7])
+    assert sum(1 for n in os.listdir(root) if n.startswith("m")) == 1
+
+
+def test_compact_noop_when_nothing_to_fold(spark, tmp_path):
+    root = str(tmp_path / "log")
+    for b in range(2):
+        BC.commit_batch(spark.createDataFrame([(b,)], "v int"), root, b)
+    assert BC.compact(spark, root, "v int", keep_last=2) is False
+    with pytest.raises(ValueError, match="keep_last"):
+        BC.compact(spark, root, "v int", keep_last=0)
+
+
+def test_compact_crash_leftovers_invisible(spark, tmp_path):
+    """Crash simulation: a merged-away batch dir that cleanup never
+    reclaimed, and an orphan merged segment from a crashed attempt, are
+    both ignored by readers (the manifest is the truth)."""
+    import shutil
+
+    root = str(tmp_path / "log")
+    for b in range(5):
+        BC.commit_batch(spark.createDataFrame([(b,)], "v int"), root, b)
+    before = _vals(spark, root)
+    assert BC.compact(spark, root, "v int", keep_last=2)
+    # a batch dir BELOW the horizon reappearing (crash before rmtree, or a
+    # late redelivery writing it again) must be invisible to readers and
+    # refused by commit_batch (the manifest says id 0 is committed)
+    assert BC.is_committed(root, 0)
+    stray = os.path.join(root, "b000000000000")
+    os.makedirs(stray, exist_ok=True)
+    spark.createDataFrame([(999,)], "v int").write.mode("overwrite").parquet(stray)
+    assert _vals(spark, root) == before
+    # orphan merged dir from a crashed attempt (never entered the
+    # manifest), with real data inside — also invisible
+    orphan = os.path.join(root, "m000000000001_deadbeef")
+    spark.createDataFrame([(888,)], "v int").write.mode("overwrite").parquet(orphan)
+    assert _vals(spark, root) == before
+    # the next compact reclaims both leftovers
+    BC.commit_batch(spark.createDataFrame([(5,)], "v int"), root, 5)
+    BC.compact(spark, root, "v int", keep_last=1)
+    assert not os.path.isdir(orphan)
+    assert not os.path.isdir(stray)
+    assert _vals(spark, root) == sorted(before + [5])
+
+
+def test_compact_replay_depth_guard(spark, tmp_path):
+    root = str(tmp_path / "log")
+    for b in range(5):
+        BC.commit_batch(spark.createDataFrame([(b,)], "v int"), root, b)
+    BC.compact(spark, root, "v int", keep_last=2)  # horizon = 2
+    # replay of the redeliverable tail still works
+    assert {r["v"] for r in BC.read_committed(spark, root, "v int", before=4).collect()} == {0, 1, 2, 3}
+    with pytest.raises(ValueError, match="unsupported"):
+        BC.read_committed(spark, root, "v int", before=2)
+
+
+def test_curation_store_survives_compaction(spark, tmp_path):
+    """End-to-end: compacting a live store's logs changes nothing the
+    operator can observe, and later batches still admit correctly."""
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    store = CurationStore(spark, str(tmp_path / "cur"))
+    for i, bid in enumerate(range(4)):
+        lo, hi = i * 50, (i + 1) * 50
+        store.process_batch(
+            d.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), bid
+        )
+    kept = sorted(map(tuple, store.kept().collect()))
+    BC.compact(spark, store._seen, "fp string", keep_last=2)
+    BC.compact(spark, store._kept, "doc_id bigint, lang string, n_tokens int", keep_last=2)
+    assert sorted(map(tuple, store.kept().collect())) == kept
+    # a duplicate of an already-seen doc in a NEW batch is still rejected
+    store.process_batch(d.where(F.col("doc_id") < 50), 4)
+    assert sorted(map(tuple, store.kept().collect())) == kept
+    # redelivery of the tail batch stays a no-op
+    store.process_batch(d.where(F.col("doc_id") < 50), 4)
+    assert sorted(map(tuple, store.kept().collect())) == kept
 
 
 # ------------------------------------------------------------- dedup store
