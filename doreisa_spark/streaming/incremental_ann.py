@@ -49,15 +49,19 @@ from doreisa_spark.streaming import batch_commit as BC
 EMBEDDINGS_DDL = "vec_id bigint, embedding array<float>, label int"
 
 
+_MEMBERS_DDL = "bucket bigint, vec_id bigint, embedding array<float>"
+
+
 class LSHVectorStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, *,
+                 compact_every: int | None = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self._members = f"{self.root}/members"
+        self.compact_every = compact_every
 
     def members(self) -> DataFrame:
-        ddl = "bucket bigint, vec_id bigint, embedding array<float>"
-        return BC.read_committed(self.spark, self._members, ddl)
+        return BC.read_committed(self.spark, self._members, _MEMBERS_DDL)
 
     def process_batch(self, vectors: DataFrame, batch_id: int | None = None) -> None:
         """Exactly-once ingest: the batch's bucket rows rename-commit under
@@ -75,6 +79,9 @@ class LSHVectorStore:
             self._members,
             batch_id,
         )
+        ce = self.compact_every
+        if ce and batch_id % ce == ce - 1:
+            BC.compact(self.spark, self._members, _MEMBERS_DDL)
 
     def query_topk(self, query_ids_below: int, k: int) -> DataFrame:
         """Top-k per query vector (vec_id < query_ids_below, the batch

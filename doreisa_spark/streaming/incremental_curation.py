@@ -46,20 +46,24 @@ from doreisa_spark.queries.pipeline import quality_filter
 from doreisa_spark.streaming import batch_commit as BC
 
 
+_SEEN_DDL = "fp string"
+_KEPT_DDL = "doc_id bigint, lang string, n_tokens int"
+
+
 class CurationStore:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, *,
+                 compact_every: int | None = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self._seen = f"{self.root}/seen"
         self._kept = f"{self.root}/kept"
+        self.compact_every = compact_every
 
     def seen(self, *, before: int | None = None) -> DataFrame:
-        return BC.read_committed(self.spark, self._seen, "fp string", before=before)
+        return BC.read_committed(self.spark, self._seen, _SEEN_DDL, before=before)
 
     def kept(self) -> DataFrame:
-        return BC.read_committed(
-            self.spark, self._kept, "doc_id bigint, lang string, n_tokens int"
-        )
+        return BC.read_committed(self.spark, self._kept, _KEPT_DDL)
 
     def process_batch(self, docs: DataFrame, batch_id: int | None = None) -> None:
         """Exactly-once: both logs rename-commit under the batch id
@@ -88,6 +92,10 @@ class CurationStore:
             BC.commit_batch(admitted.select("fp"), self._seen, batch_id)
         finally:
             admitted.unpersist()
+        ce = self.compact_every
+        if ce and batch_id % ce == ce - 1:
+            BC.compact(self.spark, self._seen, _SEEN_DDL)
+            BC.compact(self.spark, self._kept, _KEPT_DDL)
 
 
 def run_incremental_curation(

@@ -96,12 +96,24 @@ class LSHSignatureStore:
     under one root, each a set of per-batch rename-committed directories
     (batch_commit.py). Empty-but-typed frames before the first batch."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, *,
+                 compact_every: int | None = None):
         self.spark = spark
         self.root = root
         self.members_dir = os.path.join(root, "members")
         self.shingles_dir = os.path.join(root, "shingles")
         self.pairs_dir = os.path.join(root, "pairs")
+        # fold per-batch log dirs every N batches (None = never): long
+        # streams otherwise accumulate one directory per batch, and the
+        # per-batch history read pays the file-count cost
+        self.compact_every = compact_every
+
+    def _maybe_compact(self, batch_id: int) -> None:
+        ce = self.compact_every
+        if ce and batch_id % ce == ce - 1:
+            BC.compact(self.spark, self.members_dir, _MEMBERS_DDL)
+            BC.compact(self.spark, self.shingles_dir, _SHINGLES_DDL)
+            BC.compact(self.spark, self.pairs_dir, _PAIRS_DDL)
 
     def _read(self, path: str, ddl: str, before: int | None = None) -> DataFrame:
         return BC.read_committed(self.spark, path, ddl, before=before)
@@ -219,6 +231,7 @@ class LSHSignatureStore:
                 admitted.unpersist()
             except NameError:
                 pass
+        self._maybe_compact(batch_id)
 
 
 def read_document_stream(

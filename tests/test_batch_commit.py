@@ -169,6 +169,46 @@ def test_curation_store_survives_compaction(spark, tmp_path):
     assert sorted(map(tuple, store.kept().collect())) == kept
 
 
+def test_stores_auto_compaction_equivalence(spark, tmp_path):
+    """compact_every=2 folding DURING the stream changes no observable
+    result for any of the three stores (vs the never-compacted run)."""
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    batches_d = [
+        d.where((F.col("doc_id") >= i * 80) & (F.col("doc_id") < (i + 1) * 80))
+        for i in range(5)
+    ]
+    batches_e = [
+        e.where((F.col("vec_id") >= i * 60) & (F.col("vec_id") < (i + 1) * 60))
+        for i in range(5)
+    ]
+    plain_cur = CurationStore(spark, str(tmp_path / "c0"))
+    auto_cur = CurationStore(spark, str(tmp_path / "c1"), compact_every=2)
+    plain_ann = LSHVectorStore(spark, str(tmp_path / "a0"))
+    auto_ann = LSHVectorStore(spark, str(tmp_path / "a1"), compact_every=2)
+    plain_lsh = LSHSignatureStore(spark, str(tmp_path / "l0"))
+    auto_lsh = LSHSignatureStore(spark, str(tmp_path / "l1"), compact_every=2)
+    for bid in range(5):
+        for s in (plain_cur, auto_cur):
+            s.process_batch(batches_d[bid], bid)
+        for s in (plain_ann, auto_ann):
+            s.process_batch(batches_e[bid], bid)
+        for s in (plain_lsh, auto_lsh):
+            s.process_batch(batches_d[bid], bid)
+    assert sorted(map(tuple, auto_cur.kept().collect())) == sorted(
+        map(tuple, plain_cur.kept().collect())
+    )
+    assert sorted(map(tuple, auto_ann.query_topk(8, 5).collect())) == sorted(
+        map(tuple, plain_ann.query_topk(8, 5).collect())
+    )
+    assert sorted(map(tuple, auto_lsh.pairs().collect())) == sorted(
+        map(tuple, plain_lsh.pairs().collect())
+    )
+    # the folding actually happened: fewer batch dirs than batches
+    assert len(BC.committed_ids(auto_ann._members)) < 5
+    assert os.path.exists(os.path.join(auto_ann._members, "_manifest.json"))
+
+
 # ------------------------------------------------------------- dedup store
 
 
