@@ -2887,6 +2887,39 @@ class ChunkedArray:
         full-data shuffle) and a fused kernel adds local-cumsum + offset.
         At 100×, passes 1-2 move only reduced cross-sections; chunk bodies
         move once, same as any non-co-partitioned binary chunk op."""
+        return self._axis_scan(
+            axis,
+            chunk_reduce=lambda a, ax, acc: a.sum(axis=ax, dtype=acc),
+            local_scan=lambda a, ax, acc: a.cumsum(axis=ax, dtype=acc),
+            identity=np.zeros,
+            combine=lambda local, off: local + off,
+        )
+
+    def axis_cumprod(self, axis: int) -> "ChunkedArray":
+        """Cumulative product along one axis (dask ``da.cumprod``) — the
+        same two-pass distributed scan as axis_cumsum with (×, 1) in
+        place of (+, 0): per-chunk axis-products roll into exclusive
+        prefix products, then a fused kernel multiplies local-cumprod by
+        each chunk's offset. Accumulator dtype follows _acc (ints promote
+        to int64 exactly as numpy's cumprod does; int64 overflow wraps —
+        numpy semantics; float32 accumulates in float64, the repo's
+        standing accumulator contract)."""
+        return self._axis_scan(
+            axis,
+            chunk_reduce=lambda a, ax, acc: a.prod(axis=ax, dtype=acc),
+            local_scan=lambda a, ax, acc: a.cumprod(axis=ax, dtype=acc),
+            identity=np.ones,
+            combine=lambda local, off: local * off,
+        )
+
+    def _axis_scan(
+        self, axis: int, *, chunk_reduce, local_scan, identity, combine
+    ) -> "ChunkedArray":
+        """Shared two-pass scan machinery (see axis_cumsum's docstring for
+        the distribution shape). ``chunk_reduce(arr, axis, acc_dtype)``
+        folds a chunk to its cross-section total, ``identity(shape,
+        dtype)`` seeds the exclusive prefix, ``combine`` merges each
+        chunk's local scan with its offset cross-section."""
         ndim = self.meta.ndim
         if not (0 <= axis < ndim):
             raise ValueError(f"axis {axis} out of range for ndim {ndim}")
@@ -2903,7 +2936,7 @@ class ChunkedArray:
                 for pos, sh, raw in zip(pdf["pos"], pdf["chunk_shape"], pdf["data"]):
                     shape = tuple(int(s) for s in sh)
                     arr = np.frombuffer(raw, dtype=src).reshape(shape)
-                    t = arr.sum(axis=axis, dtype=np_acc)
+                    t = np.asarray(chunk_reduce(arr, axis, np_acc))
                     out["cross"].append([int(p) for d, p in enumerate(pos) if d != axis])
                     out["k"].append(int(pos[axis]))
                     out["pos"].append(list(pos))
@@ -2918,7 +2951,7 @@ class ChunkedArray:
 
         def prefix(key, pdf: pd.DataFrame) -> pd.DataFrame:
             # chunks at one cross position share their cross shape by grid
-            # construction; running-sum their totals in axis order
+            # construction; running-combine their totals in axis order
             pdf = pdf.sort_values("k")
             acc = None
             poss, offs = [], []
@@ -2926,10 +2959,10 @@ class ChunkedArray:
                 shape = tuple(int(s) for s in r["tshape"])
                 cur = np.frombuffer(bytes(r["tot"]), dtype=np_acc).reshape(shape)
                 if acc is None:
-                    acc = np.zeros(shape, dtype=np_acc)
+                    acc = identity(shape, dtype=np_acc)
                 poss.append(list(r["pos"]))
                 offs.append(acc.tobytes())
-                acc = acc + cur
+                acc = combine(acc, cur)
             return pd.DataFrame({"pos": poss, "off": offs})
 
         off_df = tot_df.groupBy("cross").applyInPandas(
@@ -2949,10 +2982,10 @@ class ChunkedArray:
                 ):
                     shape = tuple(int(s) for s in sh)
                     arr = np.frombuffer(raw, dtype=src).reshape(shape)
-                    local = arr.cumsum(axis=axis, dtype=np_acc)
+                    local = np.asarray(local_scan(arr, axis, np_acc))
                     cross_shape = tuple(s for d, s in enumerate(shape) if d != axis)
                     off = np.frombuffer(bytes(offb), dtype=np_acc).reshape(cross_shape)
-                    res = local + np.expand_dims(off, axis)
+                    res = combine(local, np.expand_dims(off, axis))
                     out["name"].append(name)
                     out["timestep"].append(ts)
                     out["pos"].append(list(pos))

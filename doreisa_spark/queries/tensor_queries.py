@@ -33,6 +33,8 @@ from __future__ import annotations
 import os
 import re
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -939,6 +941,40 @@ def tensor_map_overlap_sum3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
     return arr.map_overlap(_sum3_axis0, depth=1, axis=0, boundary="nearest").sum()
+
+
+def _pow2_chunk(pos, shape):
+    """v(r,c) = 2^(((r+c) mod 3) - 1) ∈ {1/2, 1, 2}: exponents along any
+    column prefix stay within ±2, so every cumulative PRODUCT is an exact
+    dyadic in [1/4, 4] — float products are exact under ANY association
+    order, making the distributed scan bit-comparable cross-engine."""
+    base = ramp_chunk(pos, shape)
+    return np.power(2.0, np.mod(base, 3.0) - 1.0)
+
+
+@register(
+    "tensor_cumprod_sum",
+    extended=True,
+    # the oracle forms the same cumulative product as pow(2, running sum
+    # of exponents) — a windowed integer sum, then an exact dyadic power
+    oracle=f"""
+WITH exps AS (
+  SELECT r, c, CAST((r + c) % 3 AS INTEGER) - 1 AS e FROM {_DUCK_GRID}
+), cp AS (
+  SELECT power(2.0, sum(e) OVER (PARTITION BY c ORDER BY r)) AS v FROM exps
+)
+SELECT CAST(sum(v) AS DOUBLE) AS total FROM cp
+""",
+)
+def tensor_cumprod_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dask ``da.cumprod``: the two-pass distributed scan
+    (plans/chunked.py:_axis_scan with ×/1 in place of +/0) over a
+    powers-of-two grid whose cumulative products are exact dyadics —
+    bit-identical to the oracle's pow(2, windowed exponent sum) under any
+    association order. numpy parity on arbitrary values is pytest
+    `test_chunked.py::test_axis_cumprod_matches_numpy`."""
+    arr = ChunkedArray.from_function(spark, _META, _pow2_chunk)
+    return arr.axis_cumprod(axis=0).sum()
 
 
 @register(

@@ -870,3 +870,34 @@ def test_axis_std_matches_numpy(spark):
         for r in rows:
             got[r["coords"][0]] = r["value"]
         assert np.allclose(got, full.std(axis=axis), rtol=1e-9)
+
+
+def test_axis_cumprod_matches_numpy(spark):
+    """da.cumprod parity: integer grids promote to int64 exactly as
+    numpy's cumprod; multi-chunk axes combine via prefix products."""
+    chunks = {
+        (0,): np.array([1, 2, 3], dtype=np.int32),
+        (1,): np.array([2, 1, 2], dtype=np.int32),
+        (2,): np.array([3, 1, 1], dtype=np.int32),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "cp1", chunks)
+    out = arr.axis_cumprod(axis=0)
+    assert out.meta.dtype == "int64"
+    dense = np.concatenate([chunks[(i,)] for i in range(3)])
+    assert np.array_equal(out.to_numpy(), dense.cumprod())
+
+
+def test_axis_cumprod_2d_both_axes_float(spark):
+    rng = np.random.default_rng(61)
+    dense = rng.uniform(0.5, 1.5, size=(6, 4))
+    chunks = {
+        (i, j): dense[2 * i : 2 * i + 2, 2 * j : 2 * j + 2]
+        for i in range(3)
+        for j in range(2)
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "cp2", chunks)
+    for axis in range(2):
+        got = arr.axis_cumprod(axis).to_numpy()
+        # association differs from numpy's strict sequential order by one
+        # chunk-prefix regrouping — equal to ~1 ulp
+        assert np.allclose(got, dense.cumprod(axis=axis), rtol=1e-13)
