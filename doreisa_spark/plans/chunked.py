@@ -2630,6 +2630,50 @@ class ChunkedArray:
             F.coalesce(F.sum("__p"), F.lit(0.0)).cast("double").alias("total")
         )
 
+    def _nan_extreme(self, which: str) -> DataFrame:
+        """Shared nanmin/nanmax plan: NaN-skipping per-chunk partial →
+        tiny final agg. An all-NaN chunk's partial is NaN, which the
+        Arrow hop nulls and the JVM MIN/MAX skip — exactly the semantics
+        wanted here (unlike min/max, where that silent skip is the bug
+        the __nan marker exists to prevent). All partials NaN (all-NaN
+        array) → numpy returns NaN, emitted explicitly because Spark's
+        empty MIN is NULL."""
+        kind = np.dtype(self.meta.dtype).kind
+        if kind != "f":
+            return self.min() if which == "min" else self.max()
+        rows_fn = self._rows_fn()
+        np_red = np.nanmin if which == "min" else np.nanmax
+        alias = f"{which}_value"
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import warnings
+
+            for pdf in batches:
+                vals = []
+                for _, arr in rows_fn(pdf):
+                    with warnings.catch_warnings():
+                        # all-NaN chunk: the RuntimeWarning is the
+                        # expected path, the NaN partial is correct
+                        warnings.simplefilter("ignore", RuntimeWarning)
+                        vals.append(float(np_red(arr)) if arr.size else np.nan)
+                yield pd.DataFrame({"__p": pd.Series(vals, dtype="float64")})
+
+        partials = self.df.mapInPandas(partial, schema="__p double")
+        agg = F.min("__p") if which == "min" else F.max("__p")
+        return partials.agg(
+            F.coalesce(agg, F.lit(float("nan"))).cast("double").alias(alias)
+        )
+
+    def nanmin(self) -> DataFrame:
+        """dask/numpy ``nanmin``: NaN-skipping global minimum (all-NaN →
+        NaN). One row, column ``min_value``."""
+        return self._nan_extreme("min")
+
+    def nanmax(self) -> DataFrame:
+        """dask/numpy ``nanmax``: NaN-skipping global maximum (all-NaN →
+        NaN). One row, column ``max_value``."""
+        return self._nan_extreme("max")
+
     def nanmean(self) -> DataFrame:
         """dask/numpy ``nanmean``: mean over non-NaN elements via
         (nansum, non-NaN count) partials. An all-NaN array yields NaN

@@ -887,6 +887,30 @@ def tensor_nanmean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tensor_nanminmax",
+    extended=True,
+    # the %97 pattern NaNs out 0 and the striped multiples; the remaining
+    # extremes are closed-form: min = 1 (value 0 is NaN'd), max = the
+    # largest r+c not divisible by 97
+    oracle=f"""
+SELECT CAST(min(CASE WHEN (r + c) % 97 = 0 THEN NULL ELSE r + c END) AS DOUBLE) AS min_value,
+       CAST(max(CASE WHEN (r + c) % 97 = 0 THEN NULL ELSE r + c END) AS DOUBLE) AS max_value
+FROM {_DUCK_GRID}
+""",
+)
+def tensor_nanminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NaN-skipping extremes (dask/numpy nanmin/nanmax) over the same
+    missing-data ramp as tensor_nansum — the NaN partials null out across
+    the Arrow hop and the JVM MIN/MAX skip them, which is exactly the
+    wanted semantics here (min/max instead carry the __nan marker to
+    PREVENT that skip; the two contracts share one kernel family)."""
+    arr = ChunkedArray.from_function(spark, _META, nan_ramp_chunk)
+    lo = arr.nanmin().select(F.col("min_value"))
+    hi = arr.nanmax().select(F.col("max_value"))
+    return lo.crossJoin(hi)
+
+
+@register(
     "tensor_percentiles",
     extended=True,
     # quantile_cont == numpy linear interpolation; ramp values are ints so

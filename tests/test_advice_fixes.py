@@ -316,3 +316,25 @@ def test_boolean_select_all_false_gives_numpy_empty_semantics(spark):
     assert empty.meta.global_shape == (0,)
     assert empty.sum().first()["total"] == 0.0
     assert empty.to_numpy().size == 0
+
+
+def test_nanmin_nanmax_numpy_contract(spark):
+    """NaN-skipping extremes: skip NaN, all-NaN -> NaN, ints delegate."""
+    chunks = {
+        (0,): np.array([np.nan, 5.0, 2.0]),
+        (1,): np.array([np.nan, np.nan, np.nan]),
+        (2,): np.array([7.0, -1.0, np.nan]),
+    }
+    arr = ChunkedArray.from_numpy_chunks(spark, "nanext", chunks)
+    assert arr.nanmin().first()["min_value"] == -1.0
+    assert arr.nanmax().first()["max_value"] == 7.0
+    all_nan = ChunkedArray.from_numpy_chunks(
+        spark, "nanall", {(0,): np.full(3, np.nan), (1,): np.full(2, np.nan)}
+    )
+    assert np.isnan(all_nan.nanmin().first()["min_value"])
+    assert np.isnan(all_nan.nanmax().first()["max_value"])
+    ints = ChunkedArray.from_numpy_chunks(
+        spark, "nanint", {(0,): np.array([4, 9], dtype=np.int64)}
+    )
+    assert ints.nanmin().first()["min_value"] == 4
+    assert ints.nanmax().first()["max_value"] == 9
