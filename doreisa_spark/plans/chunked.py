@@ -2956,6 +2956,30 @@ class ChunkedArray:
             combine=lambda local, off: local * off,
         )
 
+    def axis_nancumsum(self, axis: int) -> "ChunkedArray":
+        """NaN-skipping cumulative sum (numpy ``nancumsum``: NaNs count as
+        zero) — the same two-pass scan with NaN-free partials, so nothing
+        can vanish across the Arrow hop. Integer dtypes have no NaN —
+        identical to axis_cumsum."""
+        return self._axis_scan(
+            axis,
+            chunk_reduce=lambda a, ax, acc: np.nansum(a, axis=ax, dtype=acc),
+            local_scan=lambda a, ax, acc: np.nancumsum(a, axis=ax, dtype=acc),
+            identity=np.zeros,
+            combine=lambda local, off: local + off,
+        )
+
+    def axis_nancumprod(self, axis: int) -> "ChunkedArray":
+        """NaN-skipping cumulative product (numpy ``nancumprod``: NaNs
+        count as one)."""
+        return self._axis_scan(
+            axis,
+            chunk_reduce=lambda a, ax, acc: np.nanprod(a, axis=ax, dtype=acc),
+            local_scan=lambda a, ax, acc: np.nancumprod(a, axis=ax, dtype=acc),
+            identity=np.ones,
+            combine=lambda local, off: local * off,
+        )
+
     def _axis_scan(
         self, axis: int, *, chunk_reduce, local_scan, identity, combine
     ) -> "ChunkedArray":

@@ -901,3 +901,18 @@ def test_axis_cumprod_2d_both_axes_float(spark):
         # association differs from numpy's strict sequential order by one
         # chunk-prefix regrouping — equal to ~1 ulp
         assert np.allclose(got, dense.cumprod(axis=axis), rtol=1e-13)
+
+
+def test_axis_nancumsum_nancumprod_match_numpy(spark):
+    """NaN-skipping scans: NaN counts as 0 (+) / 1 (x), per numpy."""
+    dense = np.array(
+        [[1.0, np.nan], [2.0, 3.0], [np.nan, 4.0], [0.5, np.nan]]
+    )
+    chunks = {(i, 0): dense[2 * i : 2 * i + 2] for i in range(2)}
+    arr = ChunkedArray.from_numpy_chunks(spark, "nanscan", chunks)
+    got_s = arr.axis_nancumsum(axis=0).to_numpy()
+    assert np.allclose(got_s, np.nancumsum(dense, axis=0), rtol=1e-13)
+    assert not np.isnan(got_s).any()
+    got_p = arr.axis_nancumprod(axis=0).to_numpy()
+    assert np.allclose(got_p, np.nancumprod(dense, axis=0), rtol=1e-13)
+    assert not np.isnan(got_p).any()
