@@ -2034,14 +2034,18 @@ class ChunkedArray:
         if local_rank >= len(vals):
             # belt-and-suspenders vs last-ulp edge disagreement between the
             # driver's bin bounds and the map-side histogram's: widen the
-            # window a few ulps each side and collect CLOSED. A boundary
-            # straggler belongs to THIS bin (the map-side count placed it
-            # here), so the rank is NOT shifted.
-            glo, ghi = blo, bhi
+            # UPPER edge a few ulps and collect CLOSED. The lower edge is
+            # NOT widened — blo is bit-identical to the map-side
+            # np.histogram edge (histogram_bin_edges, r6 fix), so every
+            # element the map-side counted into THIS bin satisfies
+            # v >= blo already, while a widened lower edge would pull in
+            # bin b-1 stragglers that sort before the target and shift
+            # local_rank (ADVICE r7). An upper straggler belongs to this
+            # bin and sorts after the target, so the rank is unshifted.
+            ghi = bhi
             for _ in range(4):
-                glo = np.nextafter(glo, -np.inf)
                 ghi = np.nextafter(ghi, np.inf)
-            vals = gather(float(glo), float(ghi), True)
+            vals = gather(blo, float(ghi), True)
             if local_rank >= len(vals):
                 raise RuntimeError(
                     f"percentile candidate window [{blo}, {bhi}] holds "

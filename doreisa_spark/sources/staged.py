@@ -127,16 +127,24 @@ def write_timestep(stage_dir: str, name: str, timestep: int,
 
 def _parse_chunk_path(df: DataFrame) -> DataFrame:
     """CHUNK_SCHEMA columns from a binaryFile scan — Catalyst expressions
-    only (regexp over ``path``), zero Python in the plan."""
+    only (regexp over ``path``), zero Python in the plan.
+
+    Every extraction is anchored to the single trailing
+    ``__t<ts>__p<pos>__s<shape>`` token run (``$``-anchored), so an array
+    name that itself contains a ``__p2__``-style token can never donate a
+    stray first match — only ``__t<digits>__`` is reserved (rejected at
+    write time by ``chunk_filename``); ``__p``/``__s`` inside names are
+    harmless because the parse never looks at them."""
     base = F.regexp_extract("path", r"([^/]+)\.chunk$", 1)
+    tail = r"__t(\d+)__p([0-9\-]*)__s([0-9\-]*)$"
     to_ints = lambda seg: F.when(  # noqa: E731 — local expr builder
         seg == "", F.array().cast("array<int>")
     ).otherwise(F.transform(F.split(seg, "-"), lambda x: x.cast("int")))
     return df.select(
-        F.regexp_extract(base, r"^(.+?)__t\d+__", 1).alias("name"),
-        F.regexp_extract(base, r"__t(\d+)__", 1).cast("bigint").alias("timestep"),
-        to_ints(F.regexp_extract(base, r"__p([0-9\-]*)__", 1)).alias("pos"),
-        to_ints(F.regexp_extract(base, r"__s([0-9\-]*)$", 1)).alias("chunk_shape"),
+        F.regexp_extract(base, r"^(.+?)__t\d+__p[0-9\-]*__s[0-9\-]*$", 1).alias("name"),
+        F.regexp_extract(base, tail, 1).cast("bigint").alias("timestep"),
+        to_ints(F.regexp_extract(base, tail, 2)).alias("pos"),
+        to_ints(F.regexp_extract(base, tail, 3)).alias("chunk_shape"),
         F.col("content").alias("data"),
     )
 

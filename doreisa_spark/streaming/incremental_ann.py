@@ -54,22 +54,29 @@ _MEMBERS_DDL = "bucket bigint, vec_id bigint, embedding array<float>"
 
 class LSHVectorStore:
     def __init__(self, spark: SparkSession, root: str, *,
-                 compact_every: int | None = None):
+                 compact_every: int | None = 64,
+                 commit_mode: str = BC.RENAME):
         self.spark = spark
         self.root = root.rstrip("/")
         self._members = f"{self.root}/members"
+        # default ON (see LSHSignatureStore): bounds read-planning cost on
+        # long streams; None disables for raw-dir-inspecting tests
         self.compact_every = compact_every
+        self.commit_mode = commit_mode
 
     def members(self) -> DataFrame:
-        return BC.read_committed(self.spark, self._members, _MEMBERS_DDL)
+        return BC.read_committed(
+            self.spark, self._members, _MEMBERS_DDL, mode=self.commit_mode
+        )
 
     def process_batch(self, vectors: DataFrame, batch_id: int | None = None) -> None:
-        """Exactly-once ingest: the batch's bucket rows rename-commit under
-        their batch id (batch_commit.py) — an at-least-once redelivery
-        commits nothing, so the index never holds duplicate vectors.
-        ``batch_id=None`` auto-increments (driver-loop callers)."""
+        """Exactly-once ingest: the batch's bucket rows commit under
+        their batch id (batch_commit.py, rename or manifest mode) — an
+        at-least-once redelivery commits nothing, so the index never
+        holds duplicate vectors. ``batch_id=None`` auto-increments
+        (driver-loop callers)."""
         if batch_id is None:
-            batch_id = BC.next_batch_id(self._members)
+            batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
         BC.commit_batch(
             vectors.select(
                 F.expr(V.lsh_bucket_expr("embedding")).cast("bigint").alias("bucket"),
@@ -78,10 +85,12 @@ class LSHVectorStore:
             ),
             self._members,
             batch_id,
+            mode=self.commit_mode,
         )
         ce = self.compact_every
         if ce and batch_id % ce == ce - 1:
-            BC.compact(self.spark, self._members, _MEMBERS_DDL)
+            BC.compact(self.spark, self._members, _MEMBERS_DDL,
+                       mode=self.commit_mode)
 
     def query_topk(self, query_ids_below: int, k: int) -> DataFrame:
         """Top-k per query vector (vec_id < query_ids_below, the batch

@@ -52,18 +52,27 @@ _KEPT_DDL = "doc_id bigint, lang string, n_tokens int"
 
 class CurationStore:
     def __init__(self, spark: SparkSession, root: str, *,
-                 compact_every: int | None = None):
+                 compact_every: int | None = 64,
+                 commit_mode: str = BC.RENAME):
         self.spark = spark
         self.root = root.rstrip("/")
         self._seen = f"{self.root}/seen"
         self._kept = f"{self.root}/kept"
+        # default ON (see LSHSignatureStore): bounds read-planning cost on
+        # long streams; None disables for raw-dir-inspecting tests
         self.compact_every = compact_every
+        self.commit_mode = commit_mode
 
     def seen(self, *, before: int | None = None) -> DataFrame:
-        return BC.read_committed(self.spark, self._seen, _SEEN_DDL, before=before)
+        return BC.read_committed(
+            self.spark, self._seen, _SEEN_DDL, before=before,
+            mode=self.commit_mode,
+        )
 
     def kept(self) -> DataFrame:
-        return BC.read_committed(self.spark, self._kept, _KEPT_DDL)
+        return BC.read_committed(
+            self.spark, self._kept, _KEPT_DDL, mode=self.commit_mode
+        )
 
     def process_batch(self, docs: DataFrame, batch_id: int | None = None) -> None:
         """Exactly-once: both logs rename-commit under the batch id
@@ -71,10 +80,15 @@ class CurationStore:
         (possibly partially-committed) output so a replay recomputes
         against the pre-batch state. ``batch_id=None`` auto-increments."""
         if batch_id is None:
-            batch_id = BC.next_batch_id(self._seen)
-        if BC.is_committed(self._seen, batch_id) and BC.is_committed(
-            self._kept, batch_id
-        ):
+            # max over BOTH log roots so a crash that committed only one
+            # of seen/kept can never hand a new batch a reused id (its
+            # commit against the leftover dir would no-op — ADVICE r7)
+            batch_id = BC.next_batch_id(
+                self._seen, self._kept, mode=self.commit_mode
+            )
+        if BC.is_committed(
+            self._seen, batch_id, mode=self.commit_mode
+        ) and BC.is_committed(self._kept, batch_id, mode=self.commit_mode):
             return  # fully-committed redelivery
         fp = F.md5(F.col("text").cast("binary")).alias("fp")
         batch = docs.select("doc_id", "lang", "text", fp)
@@ -88,14 +102,15 @@ class CurationStore:
         # admission: fingerprints never seen before this batch
         admitted = canon.join(self.seen(before=batch_id), "fp", "left_anti").persist()
         try:
-            BC.commit_batch(quality_filter(admitted), self._kept, batch_id)
-            BC.commit_batch(admitted.select("fp"), self._seen, batch_id)
+            m = self.commit_mode
+            BC.commit_batch(quality_filter(admitted), self._kept, batch_id, mode=m)
+            BC.commit_batch(admitted.select("fp"), self._seen, batch_id, mode=m)
         finally:
             admitted.unpersist()
         ce = self.compact_every
         if ce and batch_id % ce == ce - 1:
-            BC.compact(self.spark, self._seen, _SEEN_DDL)
-            BC.compact(self.spark, self._kept, _KEPT_DDL)
+            BC.compact(self.spark, self._seen, _SEEN_DDL, mode=self.commit_mode)
+            BC.compact(self.spark, self._kept, _KEPT_DDL, mode=self.commit_mode)
 
 
 def run_incremental_curation(

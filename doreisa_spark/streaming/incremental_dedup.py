@@ -97,26 +97,35 @@ class LSHSignatureStore:
     (batch_commit.py). Empty-but-typed frames before the first batch."""
 
     def __init__(self, spark: SparkSession, root: str, *,
-                 compact_every: int | None = None):
+                 compact_every: int | None = 64,
+                 commit_mode: str = BC.RENAME):
         self.spark = spark
         self.root = root
         self.members_dir = os.path.join(root, "members")
         self.shingles_dir = os.path.join(root, "shingles")
         self.pairs_dir = os.path.join(root, "pairs")
-        # fold per-batch log dirs every N batches (None = never): long
-        # streams otherwise accumulate one directory per batch, and the
-        # per-batch history read pays the file-count cost
+        # fold per-batch log dirs every N batches: long streams otherwise
+        # accumulate one directory per batch and the per-batch history
+        # read pays the file-count planning cost. DEFAULT ON (64 — a
+        # thousand-batch stream never unions more than ~65 dirs per read);
+        # None disables for tests that inspect raw per-batch dirs
         self.compact_every = compact_every
+        # BC.RENAME (POSIX/HDFS atomic rename) or BC.MANIFEST (object
+        # stores without atomic rename — S3 and friends)
+        self.commit_mode = commit_mode
 
     def _maybe_compact(self, batch_id: int) -> None:
         ce = self.compact_every
         if ce and batch_id % ce == ce - 1:
-            BC.compact(self.spark, self.members_dir, _MEMBERS_DDL)
-            BC.compact(self.spark, self.shingles_dir, _SHINGLES_DDL)
-            BC.compact(self.spark, self.pairs_dir, _PAIRS_DDL)
+            m = self.commit_mode
+            BC.compact(self.spark, self.members_dir, _MEMBERS_DDL, mode=m)
+            BC.compact(self.spark, self.shingles_dir, _SHINGLES_DDL, mode=m)
+            BC.compact(self.spark, self.pairs_dir, _PAIRS_DDL, mode=m)
 
     def _read(self, path: str, ddl: str, before: int | None = None) -> DataFrame:
-        return BC.read_committed(self.spark, path, ddl, before=before)
+        return BC.read_committed(
+            self.spark, path, ddl, before=before, mode=self.commit_mode
+        )
 
     def members(self, *, before: int | None = None) -> DataFrame:
         return self._read(self.members_dir, _MEMBERS_DDL, before)
@@ -128,22 +137,53 @@ class LSHSignatureStore:
         """The accumulated near-dup pairs — the operator's result."""
         return self._read(self.pairs_dir, _PAIRS_DDL)
 
+    # ------------------------------------------------- store-layout hooks
+    # Identity in the base store (full-log reads, test-deterministic);
+    # PrunedLSHSignatureStore overrides all four to keep the log sorted
+    # and push the batch's touched keys into the parquet scan.
+
+    def _members_to_commit(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def _shingles_to_commit(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def _probe_members(self, bands_new: DataFrame, batch_id: int) -> DataFrame:
+        """History members the batch can possibly touch. ``bands_new`` is
+        the batch's (doc_id, band_id, sig) rows — the base store ignores
+        it and reads the full committed log."""
+        return self.members(before=batch_id)
+
+    def _probe_shingles(self, cand: DataFrame, batch_id: int) -> DataFrame:
+        """History shingles the verify stage can possibly touch. ``cand``
+        is the batch's candidate (doc_a, doc_b) pairs — the base store
+        ignores it and reads the full committed log."""
+        return self.shingles(before=batch_id)
+
     # ------------------------------------------------------------ core step
     def process_batch(self, batch_docs: DataFrame, batch_id: int | None = None) -> None:
         """Ingest one micro-batch of documents (see module docstring).
         ``batch_id=None`` (driver-loop callers without stream ids)
         auto-increments past the highest committed batch."""
         if batch_id is None:
-            batch_id = BC.next_batch_id(self.members_dir)
+            # max over ALL three log roots: a crash that committed e.g.
+            # pairs but not members must not let the next different-data
+            # batch reuse the id (its pairs commit would silently no-op
+            # against the crashed batch's leftover dir — ADVICE r7)
+            batch_id = BC.next_batch_id(
+                self.members_dir, self.shingles_dir, self.pairs_dir,
+                mode=self.commit_mode,
+            )
         if (
-            BC.is_committed(self.pairs_dir, batch_id)
-            and BC.is_committed(self.members_dir, batch_id)
-            and BC.is_committed(self.shingles_dir, batch_id)
+            BC.is_committed(self.pairs_dir, batch_id, mode=self.commit_mode)
+            and BC.is_committed(self.members_dir, batch_id, mode=self.commit_mode)
+            and BC.is_committed(self.shingles_dir, batch_id, mode=self.commit_mode)
         ):
             return  # fully-committed redelivery: exactly-once no-op
         spark = self.spark
         sig = minhash_signature_frame(batch_docs).persist()
         sig.count()  # eager: bands + verify-a + verify-b subtrees reuse it
+        admitted = cand = None
         try:
             bands_new = sig.select(
                 "doc_id", F.posexplode("band_sigs").alias("band_id", "sig")
@@ -152,7 +192,7 @@ class LSHSignatureStore:
             # pre-batch state, even if a crash committed some of its own
             # outputs — that makes the recomputation deterministic and the
             # skipped re-commits byte-equivalent
-            old_members = self.members(before=batch_id)
+            old_members = self._probe_members(bands_new, batch_id)
             old_counts = old_members.groupBy("band_id", "sig").agg(
                 F.count(F.lit(1)).alias("n_old")
             )
@@ -197,8 +237,10 @@ class LSHSignatureStore:
                     F.col("y.doc_id").alias("doc_b"),
                 )
             )
-            cand = a_old.unionByName(a_new).distinct()
-            sh_all = self.shingles(before=batch_id).unionByName(
+            # persisted: the pruned store's shingle probe collects the
+            # candidate ids, then the verify join re-reads the same frame
+            cand = a_old.unionByName(a_new).distinct().persist()
+            sh_all = self._probe_shingles(cand, batch_id).unionByName(
                 sig.select("doc_id", "shingles")
             )
             sa = sh_all.select(
@@ -214,24 +256,119 @@ class LSHSignatureStore:
                 .where(jac >= _NGRAM_TAU)
                 .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
             )
-            BC.commit_batch(new_pairs, self.pairs_dir, batch_id)
-            BC.commit_batch(admitted, self.members_dir, batch_id)
+            m = self.commit_mode
+            BC.commit_batch(new_pairs, self.pairs_dir, batch_id, mode=m)
+            BC.commit_batch(
+                self._members_to_commit(admitted), self.members_dir, batch_id,
+                mode=m,
+            )
             # shingles are stored only for docs future batches can ever
             # meet in a bucket — i.e. admitted somewhere
             BC.commit_batch(
-                sig.join(
-                    admitted.select("doc_id").distinct(), "doc_id", "left_semi"
-                ).select("doc_id", "shingles"),
+                self._shingles_to_commit(
+                    sig.join(
+                        admitted.select("doc_id").distinct(), "doc_id", "left_semi"
+                    ).select("doc_id", "shingles")
+                ),
                 self.shingles_dir,
                 batch_id,
+                mode=m,
             )
         finally:
             sig.unpersist()
-            try:
-                admitted.unpersist()
-            except NameError:
-                pass
+            for frame in (admitted, cand):
+                if frame is not None:
+                    frame.unpersist()
         self._maybe_compact(batch_id)
+
+
+class PrunedLSHSignatureStore(LSHSignatureStore):
+    """The deployment-scale store layout the base class's docstring
+    promised (r7 verdict ask #1): per-batch probe cost scales with the
+    BATCH, not the corpus.
+
+    Why sorted-log + predicate pushdown, not metastore ``bucketBy`` or
+    directory partitioning: an LSH probe is UNIFORM over buckets (sigs
+    are hashes), so a batch of B docs × n bands touches keys spread
+    evenly across the whole key space — directory-level partition
+    pruning and bucket pruning can never drop a partition, and there is
+    no shuffle for bucketing to save because the batch side is tiny and
+    broadcast (the history side of every join already stays in place).
+    What CAN shrink with store growth is the *scan*: the store's real
+    index is parquet row-group min/max statistics, which work exactly
+    when the data is sorted on the probe key. So this store:
+
+    - commits every members batch sorted by ``sig`` and every shingles
+      batch sorted by ``doc_id`` (one file per batch — batches are small
+      by definition);
+    - compacts with ``order_by`` so merged segments stay range-
+      partitioned + sorted (row-group locality survives folding);
+    - probes with the batch's touched keys pushed INTO the parquet scan
+      as an IN filter (`sig IN (batch sigs)` / `doc_id IN (candidate
+      ids)`) — the driver-side key collect is bounded by batch_size ×
+      n_bands (members) and the bucket-capped candidate count
+      (shingles), the same bounded-collect discipline as the ANN query
+      sets. Parquet evaluates the IN against row-group stats and skips
+      every group whose [min,max] contains none of the keys — the probe
+      reads O(keys × row-group) bytes, not O(store).
+
+    ``spark.sql.parquet.pushdown.inFilterThreshold`` defaults to 10,
+    past which Spark degrades the pushdown to a [min,max] range check —
+    useless for uniform keys — so the constructor raises it (session
+    conf, execution-time) to keep point-IN pushdown at batch sizes.
+
+    tools/bench_incremental_store.py measures the per-batch wall-time
+    curve at store sizes 1×/10×/100× the batch for this store vs the
+    base full-read store (BASELINE.md, r8)."""
+
+    IN_PUSHDOWN = 100_000  # point-IN pushdown up to batch_size × bands keys
+
+    def __init__(self, spark: SparkSession, root: str, *,
+                 compact_every: int | None = 64,
+                 commit_mode: str = BC.RENAME):
+        super().__init__(spark, root, compact_every=compact_every,
+                         commit_mode=commit_mode)
+        cur = int(spark.conf.get(
+            "spark.sql.parquet.pushdown.inFilterThreshold", "10"))
+        if cur < self.IN_PUSHDOWN:
+            spark.conf.set(
+                "spark.sql.parquet.pushdown.inFilterThreshold",
+                str(self.IN_PUSHDOWN),
+            )
+
+    def _members_to_commit(self, df: DataFrame) -> DataFrame:
+        return df.coalesce(1).sortWithinPartitions("sig")
+
+    def _shingles_to_commit(self, df: DataFrame) -> DataFrame:
+        return df.coalesce(1).sortWithinPartitions("doc_id")
+
+    def _maybe_compact(self, batch_id: int) -> None:
+        ce = self.compact_every
+        if ce and batch_id % ce == ce - 1:
+            m = self.commit_mode
+            BC.compact(self.spark, self.members_dir, _MEMBERS_DDL, mode=m,
+                       order_by=["sig"])
+            BC.compact(self.spark, self.shingles_dir, _SHINGLES_DDL, mode=m,
+                       order_by=["doc_id"])
+            BC.compact(self.spark, self.pairs_dir, _PAIRS_DDL, mode=m)
+
+    def _probe_members(self, bands_new: DataFrame, batch_id: int) -> DataFrame:
+        # bounded collect: ≤ batch_size × n_bands distinct sigs. sig alone
+        # (without band_id) is a superset filter — the downstream join
+        # still matches on (band_id, sig), so exactness is untouched.
+        touched = [r["sig"] for r in bands_new.select("sig").distinct().collect()]
+        if not touched:
+            return self.members(before=batch_id).limit(0)
+        return self.members(before=batch_id).where(F.col("sig").isin(touched))
+
+    def _probe_shingles(self, cand: DataFrame, batch_id: int) -> DataFrame:
+        # bounded collect: candidate pairs are bucket-cap bounded. Only
+        # doc_a can reference history (doc_b is always in-batch); the
+        # in-batch side of the union supplies the rest.
+        ids = [r["doc_a"] for r in cand.select("doc_a").distinct().collect()]
+        if not ids:
+            return self.shingles(before=batch_id).limit(0)
+        return self.shingles(before=batch_id).where(F.col("doc_id").isin(ids))
 
 
 def read_document_stream(

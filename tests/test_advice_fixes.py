@@ -287,19 +287,29 @@ def test_store_tmp_is_lazy(monkeypatch):
 
 
 def test_percentile_collect_rank_widen_fallback(spark):
-    """The widened re-collect guard: if the candidate window misses the
-    target rank (simulated last-ulp edge disagreement), the fallback must
-    still return the exact order statistic instead of IndexError."""
+    """The widened re-collect guard (r7 ADVICE: rank-safe version). Only
+    the UPPER edge widens — blo is bit-identical to the map-side
+    np.histogram edge, so an upper straggler (counted into this bin, lost
+    to a driver-side last-ulp bhi) is recovered, while a value just BELOW
+    blo belongs to bin b-1 and must NOT slip in and shift local_rank."""
     chunks = {(0,): np.arange(10, dtype=np.float64), (1,): np.arange(10, 20, dtype=np.float64)}
     arr = ChunkedArray.from_numpy_chunks(spark, "pctlwide", chunks)
     rows_fn = arr._rows_fn()
-    # ask for local rank 0 of a window whose lower edge sits an ulp ABOVE
-    # the true element 7.0 — the unwidened gather returns empty, the
-    # ulp-widened closed re-collect recovers the boundary straggler
-    blo = np.nextafter(7.0, np.inf)
-    bhi = np.nextafter(7.0 + 1e-9, np.inf)
-    got = arr._collect_rank(float(blo), float(bhi), False, 0, rows_fn)
-    assert got == 7.0
+    # window that narrowly misses its true member 8.0 at the TOP (bhi one
+    # ulp below), with 7.0 sitting just below blo. The rank-0 answer for
+    # this bin's population is 8.0; the old both-edges widening would
+    # have pulled in the bin-b-1 straggler 7.0 and returned it (shifted
+    # rank). The upper-only widening recovers exactly 8.0.
+    blo = float(np.nextafter(7.0, np.inf))
+    bhi = float(np.nextafter(8.0, -np.inf))
+    got = arr._collect_rank(blo, bhi, False, 0, rows_fn)
+    assert got == 8.0
+    # a window that is empty even after upper widening raises loudly
+    # instead of returning a wrong-bin value
+    lo2 = float(np.nextafter(7.0, np.inf))
+    hi2 = 7.5
+    with pytest.raises(RuntimeError, match="disagree"):
+        arr._collect_rank(lo2, hi2, False, 0, rows_fn)
 
 
 def test_boolean_select_all_false_gives_numpy_empty_semantics(spark):

@@ -81,6 +81,99 @@ def test_reserved_name_tokens_rejected(spark, tmp_path):
     assert r["name"] == "a__b" and r["timestep"] == 0
 
 
+def test_name_with_p_s_tokens_parses_correctly(spark, tmp_path):
+    """ADVICE r7: an array name containing a '__p<digits>__' (or
+    '__s<digits>') token is LEGAL and must parse to its own grid
+    position — the pos/shape extraction anchors to the unique trailing
+    __t__p__s run, never to a first-match inside the name."""
+    chunks = {(0, 1): np.arange(6.0).reshape(2, 3)}
+    staged.write_chunk(str(tmp_path), "sensor__p2__temp", 0, (0, 1), chunks[(0, 1)])
+    staged.write_chunk(str(tmp_path), "gauge__s9", 0, (0, 1), chunks[(0, 1)])
+    staged.seal_timestep(str(tmp_path), 0, n_chunks=2)
+    rows = {r["name"]: r for r in
+            staged.read_staged_timestep(spark, str(tmp_path), 0).collect()}
+    assert set(rows) == {"sensor__p2__temp", "gauge__s9"}
+    for r in rows.values():
+        assert list(r["pos"]) == [0, 1], r
+        assert list(r["chunk_shape"]) == [2, 3], r
+        got = np.frombuffer(r["data"], dtype=np.float64).reshape(2, 3)
+        assert np.array_equal(got, chunks[(0, 1)])
+
+
+def test_staged_timesteps_chaos_producers(spark, tmp_path):
+    """r7 verdict ask #8: slow/bursty producers land chunks in shuffled
+    per-producer order and SEAL steps out of timestep order; the
+    consumer loop must still yield strictly ordered, COMPLETE steps,
+    and cleanup must bound staging occupancy to the unconsumed tail."""
+    import random
+    import time as _time
+
+    meta = GridMeta("grid", (2, 2), (4, 4))
+    n_steps = 6
+    all_pos = [(i, j) for i in range(2) for j in range(2)]
+
+    def produce(half: int, order: list[int], seed: int):
+        rng = random.Random(seed)
+        mine = all_pos[:2] if half == 0 else all_pos[2:]
+        for ts in order:
+            for pos in mine:
+                _time.sleep(rng.uniform(0, 0.01))  # bursty jitter
+                staged.write_chunk(
+                    str(tmp_path), "grid", ts, pos,
+                    ramp_chunk(pos, meta.shape_of(pos)) * float(ts + 1),
+                )
+
+    orders = [list(range(n_steps)), list(range(n_steps))]
+    random.Random(1).shuffle(orders[0])  # producers disagree on step order,
+    random.Random(2).shuffle(orders[1])  # so completion order is chaotic
+
+    # barrier owner (the reference's head-node role): seals each step
+    # exactly once the moment its 4 chunks have landed — seal order =
+    # completion order, i.e. OUT of timestep order
+    def sealer():
+        sealed: set[int] = set()
+        deadline = _time.monotonic() + 30
+        while len(sealed) < n_steps and _time.monotonic() < deadline:
+            for ts in range(n_steps):
+                if ts in sealed:
+                    continue
+                d = os.path.join(str(tmp_path), f"t{ts:08d}")
+                if os.path.isdir(d) and len(
+                    [f for f in os.listdir(d) if f.endswith(".chunk")]
+                ) == 4:
+                    staged.seal_timestep(str(tmp_path), ts, n_chunks=4)
+                    sealed.add(ts)
+            _time.sleep(0.005)
+
+    threads = [
+        threading.Thread(target=produce, args=(h, orders[h], 10 + h))
+        for h in range(2)
+    ] + [threading.Thread(target=sealer)]
+    for t in threads:
+        t.start()
+    seen = []
+    for ts, df in staged.staged_timesteps(
+        spark, str(tmp_path), max_timesteps=n_steps, timeout_s=60, cleanup=True
+    ):
+        rows = df.collect()
+        # COMPLETE: all 4 chunks present with this step's scaled content
+        assert len(rows) == 4, (ts, len(rows))
+        for r in rows:
+            got = np.frombuffer(r["data"], dtype=np.float64).reshape(r["chunk_shape"])
+            expect = ramp_chunk(tuple(r["pos"]), meta.shape_of(tuple(r["pos"])))
+            assert np.array_equal(got, expect * float(ts + 1))
+        seen.append(ts)
+        # bounded occupancy: every FULLY consumed step's staging dir is
+        # gone (the generator reclaims step t when it advances past it,
+        # so inside the body for ts only steps < ts are reclaimed yet)
+        live = [d for d in os.listdir(tmp_path) if d.startswith("t")]
+        assert not [d for d in live if int(d[1:]) < ts], (ts, live)
+    for t in threads:
+        t.join()
+    assert seen == list(range(n_steps))  # strictly ordered despite chaos
+    assert [d for d in os.listdir(tmp_path) if d.startswith("t")] == []
+
+
 def test_unsealed_timestep_raises(spark, tmp_path):
     staged.write_chunk(str(tmp_path), "g", 0, (0,), np.zeros(4))
     with pytest.raises(FileNotFoundError, match="not sealed"):
