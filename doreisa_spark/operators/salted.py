@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from doreisa_spark.operators.broadcast import bcast
+
 
 def salted_join(
     big: DataFrame,
@@ -44,7 +46,7 @@ def salted_join(
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     b = big.withColumn("__salt", salt)
     s = small.crossJoin(
-        F.broadcast(
+        bcast(
             # spark.range would need the session; sequence+explode keeps
             # this a pure DataFrame transform
             small.sparkSession.range(n_salts).withColumnRenamed("id", "__salt")

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from doreisa_spark.catalog import table
+from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.lifecycle import checkpoint, scoped_persist
 from doreisa_spark.operators import text as TX
 from doreisa_spark.operators import vectors as V
@@ -595,7 +596,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(TX.shingles_expr("text", 3))).alias("sh"))
     )
     shared = (
-        train.join(F.broadcast(bench), "sh")
+        train.join(bcast(bench, bounded=True), "sh")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= _CONTAM_MIN_SHARED)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import table
+from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.operators.asof import asof_join
 from doreisa_spark.registry import register
 
@@ -32,8 +33,8 @@ def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
     return (
-        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        s.join(bcast(n), s.s_nationkey == n.n_nationkey)
+        .join(bcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "n_name", "r_name")
     )
 
@@ -211,7 +212,7 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(
-            F.broadcast(bands),
+            bcast(bands),
             (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
         )
         .groupBy("band_id")

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import table
+from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.queries.textops import _STOPWORDS
 from doreisa_spark.registry import register
 
@@ -234,7 +235,7 @@ def pipeline_rag_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     scored = (
-        indexed.join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        indexed.join(bcast(q, bounded=True), F.col("bucket") == F.col("qb"))
         .where(~((F.col("doc_id") == 0) & (F.col("chunk_no") == 0)))
         .select("doc_id", "chunk_no", cos.alias("cos_sim"))
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import table
+from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.operators import text as TX
 from doreisa_spark.registry import register
 
@@ -239,7 +240,7 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("total"),
     )
     w = F.sqrt(F.col("n").cast("double")) / F.col("z")
-    return src.crossJoin(F.broadcast(tot)).select(
+    return src.crossJoin(bcast(tot)).select(
         "source",
         "n",
         F.round(w, 6).alias("weight"),

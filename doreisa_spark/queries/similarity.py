@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import table
+from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.operators import vectors as V
 from doreisa_spark.registry import REGISTRY, register
 
@@ -69,7 +70,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ce = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     cos = F.expr(V.cosine_expr("qe", "ce"))
     return (
-        F.broadcast(cand)
+        bcast(cand, bounded=True)
         .join(qe, "qid")
         .join(ce, "cid")
         .select("qid", "cid", F.round(cos, 6).alias("cos_sim"), "rk")
@@ -146,7 +147,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = F.expr(V.cosine_expr("qe", "ce"))
     scored = (
-        F.broadcast(q)
+        bcast(q, bounded=True)
         .join(c, (F.col("cb") == F.col("bucket")) & (F.col("cid") != F.col("qid")))
         .select("qid", "cid", cos.alias("cos_sim"))
     )
@@ -394,7 +395,7 @@ def _ivf_assign_expr(cent: DataFrame, corpus: DataFrame) -> DataFrame:
     tie-break — the fold keeps Spark and DuckDB bit-identical."""
     aw = W.partitionBy("cid").orderBy(F.col("a_cos").desc(), F.col("cell"))
     return (
-        corpus.crossJoin(F.broadcast(cent))
+        corpus.crossJoin(bcast(cent, bounded=True))
         .select("cid", "cell", F.expr(V.cosine_expr("ce", "cemb")).alias("a_cos"))
         .withColumn("arnk", F.row_number().over(aw))
         .where(F.col("arnk") == 1)
@@ -418,17 +419,17 @@ def _ivf_query(
     )
     pw = W.partitionBy("qid").orderBy(F.col("p_cos").desc(), F.col("cell"))
     probes = (
-        q.crossJoin(F.broadcast(cent))
+        q.crossJoin(bcast(cent, bounded=True))
         .select("qid", "cell", F.expr(V.cosine_expr("qe", "cemb")).alias("p_cos"))
         .withColumn("prnk", F.row_number().over(pw))
         .where(F.col("prnk") <= _IVF_NPROBE)
         .select("qid", "cell")
     )
     scored = (
-        assigned.join(F.broadcast(probes), "cell")
+        assigned.join(bcast(probes, bounded=True), "cell")
         .where(F.col("cid") != F.col("qid"))
         .join(corpus, "cid")
-        .join(F.broadcast(q), "qid")
+        .join(bcast(q, bounded=True), "qid")
         .select("qid", "cid", F.expr(V.cosine_expr("qe", "ce")).alias("cos_sim"))
     )
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
@@ -515,7 +516,7 @@ def sim_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = F.expr(V.cosine_expr("qe", "ce"))
     scored = (
-        F.broadcast(q)
+        bcast(q, bounded=True)
         .join(c, (F.col("cb") == F.col("pb")) & (F.col("cid") != F.col("qid")))
         .select("qid", "cid", cos.alias("cos_sim"))
     )
@@ -1058,7 +1059,7 @@ def _ivf_pq_topk(spark: SparkSession, sf_dir: str, shortlist: int) -> DataFrame:
     )
     pw = W.partitionBy("qid").orderBy(F.col("p_cos").desc(), F.col("cell"))
     probes = (
-        q.crossJoin(F.broadcast(cent))
+        q.crossJoin(bcast(cent, bounded=True))
         .select("qid", "cell", F.expr(V.cosine_expr("qe", "cemb")).alias("p_cos"))
         .withColumn("prnk", F.row_number().over(pw))
         .where(F.col("prnk") <= _IVF_NPROBE)
@@ -1078,10 +1079,10 @@ def _ivf_pq_topk(spark: SparkSession, sf_dir: str, shortlist: int) -> DataFrame:
         lut_rows.append((r["qid"], lut))
     lut_df = spark.createDataFrame(lut_rows, "qid bigint, lut array<array<double>>")
     cands = (
-        assigned.join(F.broadcast(probes), "cell")
+        assigned.join(bcast(probes, bounded=True), "cell")
         .where(F.col("cid") != F.col("qid"))
         .join(codes, "cid")
-        .join(F.broadcast(lut_df), "qid")
+        .join(bcast(lut_df), "qid")
         .withColumn(
             "adc",
             F.expr(
@@ -1098,7 +1099,7 @@ def _ivf_pq_topk(spark: SparkSession, sf_dir: str, shortlist: int) -> DataFrame:
     )
     rerank = (
         short.join(corpus, "cid")
-        .join(F.broadcast(q), "qid")
+        .join(bcast(q, bounded=True), "qid")
         .select("qid", "cid", "adc", F.expr(V.cosine_expr("qe", "ce")).alias("cos_sim"))
     )
     w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))

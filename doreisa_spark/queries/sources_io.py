@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import table
+from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.registry import register
 from doreisa_spark.sources import files as IO
 
@@ -252,7 +253,7 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stored = spark.read.parquet(path)
     affected = delta.select("pbucket").distinct()
-    keep = stored.join(F.broadcast(affected), "pbucket", "left_semi").join(
+    keep = stored.join(bcast(affected), "pbucket", "left_semi").join(
         delta.select("c_custkey"), "c_custkey", "left_anti"
     )
     with_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

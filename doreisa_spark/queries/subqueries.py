@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import table
+from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.registry import register
 
 
@@ -27,7 +28,7 @@ def subq_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
     c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "MACHINERY")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        o.join(bcast(c), o.o_custkey == c.c_custkey, "left_semi")
         .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
     )
 
@@ -63,7 +64,7 @@ def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     avg_qty = l.agg(F.avg("l_quantity").alias("__avg_qty"))
     return (
-        l.crossJoin(F.broadcast(avg_qty))
+        l.crossJoin(bcast(avg_qty))
         .where(F.col("l_quantity") > 1.5 * F.col("__avg_qty"))
         .select("l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("quantity"))
     )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import table
+from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.operators import text as TX
 from doreisa_spark.registry import register
 
@@ -619,7 +620,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = mg_out.where(F.col("token").isNotNull()).select("token").distinct()
     exact = (
-        toks.join(F.broadcast(cands), "token", "left_semi")
+        toks.join(bcast(cands, bounded=True), "token", "left_semi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )

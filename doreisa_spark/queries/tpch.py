@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import table
+from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.registry import register
 
 Q1_ORACLE = """
@@ -108,7 +109,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
     )
     o_building = o.join(
-        F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_semi"
+        bcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_semi"
     )
     return (
         l.join(o_building, l.l_orderkey == o_building.o_orderkey)
@@ -160,13 +161,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast(c), o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            bcast(s),
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(bcast(n), s.s_nationkey == n.n_nationkey)
+        .join(bcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -238,8 +239,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(bcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -285,7 +286,7 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-03-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(bcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_revenue_pct")
         )
@@ -379,10 +380,10 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
     return (
         l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(bcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(bcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(bcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(bcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .where(pair)
         .groupBy(
             "supp_nation",
@@ -420,13 +421,13 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
     thresholds = (
-        l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        l.join(bcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.col("l_partkey").alias("t_partkey"))
         .agg((0.2 * F.avg("l_quantity")).alias("qty_threshold"))
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(thresholds), F.col("t_partkey") == F.col("l_partkey"))
+        l.join(bcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(bcast(thresholds), F.col("t_partkey") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -475,7 +476,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        l.join(bcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .where(bracket)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -573,8 +574,8 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     return (
-        l.join(F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(bcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -640,7 +641,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(stats, "l_orderkey")
         .where((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(bcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
@@ -684,7 +685,7 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("2000-06-01 00:00:00").cast("timestamp")
     ).select("o_custkey")
     return (
-        c.join(F.broadcast(avg_bal))
+        c.join(bcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("ab"))
         .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
         .groupBy(F.col("c_mktsegment").alias("segment"))
@@ -739,10 +740,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "AUTOMOBILE")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bcast(s), l.l_suppkey == s.s_suppkey)
+        .join(bcast(n), s.s_nationkey == n.n_nationkey)
+        .join(bcast(r), n.n_regionkey == r.r_regionkey)
+        .join(bcast(c), o.o_custkey == c.c_custkey)
         .groupBy(
             F.year("o_orderdate").cast("int").alias("o_year"),
             F.col("n_name").alias("supp_nation"),
@@ -866,9 +867,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     s = table(spark, sf_dir, "supplier")
     return (
-        revenue.join(F.broadcast(mx))
+        revenue.join(bcast(mx))
         .where(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(bcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -948,10 +949,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eligible = (
         _ps_view(l)
-        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
-        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(bcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(bcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(bcast(n), s.s_nationkey == n.n_nationkey)
+        .join(bcast(r), n.n_regionkey == r.r_regionkey)
         .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "ps_cost")
     )
     mc = F.min("ps_cost").over(W.partitionBy("p_partkey"))
@@ -1013,9 +1014,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey")),
         )
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(bcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(bcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(bcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -1058,8 +1059,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
     natsupp = (
         _ps_view(l)
-        .join(F.broadcast(s), F.col("ps_suppkey") == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(bcast(s), F.col("ps_suppkey") == s.s_suppkey)
+        .join(bcast(n), s.s_nationkey == n.n_nationkey)
         .select("ps_partkey", (F.col("ps_cost") * F.col("ps_availqty")).alias("val"))
     )
     per_part = natsupp.groupBy(F.col("ps_partkey").alias("p_partkey")).agg(
@@ -1067,7 +1068,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = natsupp.agg(F.sum("val").cast("double").alias("total"))
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.crossJoin(bcast(total))
         .where(F.col("val_sum").cast("double") * 1000 > F.col("total"))
         .select("p_partkey", F.col("val_sum").cast("double").alias("value"))
     )
@@ -1119,7 +1120,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     excess = (
         _ps_view(l)
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(bcast(p), F.col("p_partkey") == F.col("ps_partkey"))
         .join(
             shipped,
             (F.col("l_partkey") == F.col("ps_partkey"))

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.operators import vectors as V
 from doreisa_spark.streaming import batch_commit as BC
 
@@ -106,7 +107,7 @@ class LSHVectorStore:
         )
         cos = F.expr(V.cosine_expr("qe", "ce"))
         scored = (
-            F.broadcast(q)
+            bcast(q, bounded=True)
             .join(c, (F.col("cb") == F.col("bucket")) & (F.col("cid") != F.col("qid")))
             .select("qid", "cid", cos.alias("cos_sim"))
         )

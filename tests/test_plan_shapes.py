@@ -268,3 +268,54 @@ def test_heavy_hitters_candidates_broadcast(spark):
     plan = _plan(spark, "text_heavy_hitters")
     assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bcast_guard_hints_small_and_drops_oversized(spark):
+    """r7 verdict perf nit #1: forced broadcast hints are size-guarded.
+    Under the threshold the hint fires (BroadcastHashJoin, the measured
+    win); an 'oversized' build side (threshold forced to 1 byte) falls
+    back to the plain join and Catalyst/AQE picks a non-forced strategy."""
+    from doreisa_spark.catalog import table
+    from doreisa_spark.operators.broadcast import CONF, bcast, estimated_size_bytes
+
+    c = table(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    est = estimated_size_bytes(c)
+    assert est is not None and est > 0
+    hinted = o.join(bcast(c), o.o_custkey == c.c_custkey)
+    plan = hinted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # explicit per-call ceiling below the estimate → no hint in the plan
+    unhinted = o.join(bcast(c, max_bytes=1), o.o_custkey == c.c_custkey)
+    lplan = unhinted._jdf.queryExecution().optimizedPlan().toString()
+    assert "UnresolvedHint" not in lplan and "ResolvedHint" not in lplan
+    # session-conf ceiling drives the default path the 60 call sites use
+    prior = spark.conf.get(CONF, None)
+    try:
+        spark.conf.set(CONF, "1")
+        guarded = o.join(bcast(c), o.o_custkey == c.c_custkey)
+        gplan = guarded._jdf.queryExecution().optimizedPlan().toString()
+        assert "ResolvedHint" not in gplan
+    finally:
+        if prior is None:
+            spark.conf.unset(CONF)
+        else:
+            spark.conf.set(CONF, prior)
+
+
+def test_bcast_scalar_aggregates_keep_hint_at_any_scale(spark):
+    """Ungrouped aggregates are estimated at ONE row, so scalar frames
+    (avg_qty / max-revenue style) keep their broadcast hints even under
+    a tiny ceiling — the guard only kills SF-scaling builds."""
+    from pyspark.sql import functions as F
+
+    from doreisa_spark.catalog import table
+    from doreisa_spark.operators.broadcast import bcast, estimated_size_bytes
+
+    li = table(spark, SF_SMALL, "lineitem")
+    scalar = li.agg(F.avg("l_quantity").alias("aq"))
+    est = estimated_size_bytes(scalar)
+    assert est is not None and est < 1024  # one-row estimate
+    joined = li.crossJoin(bcast(scalar, max_bytes=4096))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
