@@ -21,11 +21,18 @@ constant-size driver state + a broadcast.
 Oracle strategy: the sufficient statistics are exactly SQL-expressible and
 gate-checked bit-for-bit (`emb_dim_stats`, the same rounded-sufficient-sum
 convention as sim_kmeans_refine). The eigendecomposition itself is NOT
-SQL-expressible (iterative LAPACK), so `emb_pca_project` registers without
-an oracle — the driver records its rows-only check — and the full numeric
-contract is pinned by tests/test_pca.py against an independent numpy
-closed-loop (eigenvalues, explained ratios, and the projected-variance ≡
-eigenvalue invariant).
+SQL-expressible (iterative LAPACK; a power-iteration SQL was considered
+and rejected — this corpus's spectrum is near-flat, λ2/λ1 ≈ 0.99, so it
+cannot converge inside a tolerance band), but its INVARIANTS are: the
+`emb_pca_project` registry entry emits the eigenvalue sum over the
+complete basis and the total variance of the distributed full-basis
+projection, both of which must equal the covariance trace that DuckDB
+computes exactly from per-dimension moments — a band oracle closes the
+loop across engines through two independent distributed passes plus
+LAPACK (r7 verdict ask #7). The per-component detail (top-{_PCA_K}
+eigenvalues, explained ratios, projected variance ≡ eigenvalue) remains
+available as :func:`pca_components` and is pinned by tests/test_pca.py
+against an independent numpy closed-loop.
 """
 
 from __future__ import annotations
@@ -127,29 +134,15 @@ def _top_components(cov):
     return comps
 
 
-@register("emb_pca_project", extended=True)
-def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA: top-{_PCA_K} principal components of the embedding
-    corpus, each reported with its eigenvalue, the variance of the
-    actual distributed projection along it, and explained-variance
-    ratios.
-
-    The projected-variance column is computed by a SECOND distributed
-    pass over the corpus (project → per-dimension moments) and must equal
-    the eigenvalue up to float noise — the query carries its own
-    end-to-end invariant. No SQL oracle (see module docstring);
-    tests/test_pca.py pins the numbers against an independent numpy
-    closed-loop."""
+def _projection_moments(e: DataFrame, mu, W):
+    """Second distributed pass: variance of the corpus projected onto the
+    rows of ``W`` (per-partition Arrow-batched moments, combined on the
+    driver — the same tiny-partials shape as _cov_stats)."""
     import numpy as np
 
-    e = table(spark, sf_dir, "embeddings", spread=True)
-    n, mu, cov = _cov_stats(e)
-    comps = _top_components(cov)
-    total_var = float(np.trace(cov))
-    W = np.array([vec for _, vec in comps])  # (_PCA_K, _DIM)
-
-    bmu = mu.tolist()
-    bW = W.tolist()
+    bmu = list(mu)
+    bW = [list(r) for r in W]
+    k = len(bW)
 
     def project_moments(batches):
         import pandas as pd
@@ -157,8 +150,8 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         M = np.array(bW)
         m = np.array(bmu)
         cnt = 0
-        s1 = np.zeros(_PCA_K)
-        s2 = np.zeros(_PCA_K)
+        s1 = np.zeros(k)
+        s2 = np.zeros(k)
         for pdf in batches:
             X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
             if len(X):
@@ -178,7 +171,30 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = sum(r["cnt"] for r in rows)
     s1 = np.sum([np.asarray(r["s1"]) for r in rows], axis=0)
     s2 = np.sum([np.asarray(r["s2"]) for r in rows], axis=0)
-    proj_var = s2 / cnt - (s1 / cnt) ** 2
+    return s2 / cnt - (s1 / cnt) ** 2
+
+
+def pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: top-{_PCA_K} principal components of the embedding
+    corpus, each reported with its eigenvalue, the variance of the
+    actual distributed projection along it, and explained-variance
+    ratios.
+
+    The projected-variance column is computed by a SECOND distributed
+    pass over the corpus (project → per-dimension moments) and must equal
+    the eigenvalue up to float noise — the query carries its own
+    end-to-end invariant; tests/test_pca.py pins the numbers against an
+    independent numpy closed-loop. The registry gate surface is
+    ``emb_pca_project`` (band-checked trace invariants, module
+    docstring)."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    n, mu, cov = _cov_stats(e)
+    comps = _top_components(cov)
+    total_var = float(np.trace(cov))
+    W = np.array([vec for _, vec in comps])  # (_PCA_K, _DIM)
+    proj_var = _projection_moments(e, mu.tolist(), W.tolist())
 
     cum = 0.0
     out = []
@@ -197,4 +213,69 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "component string, eigenvalue double, projected_variance double, "
         "explained_ratio double, cum_explained double",
+    )
+
+
+_TRACE_SQL = f"""
+SELECT 'summary' AS component,
+       t AS eigensum,
+       t AS projected_total,
+       t AS total_variance,
+       1.0 AS monotone
+FROM (
+  SELECT sum(sq / n - (s / n) * (s / n)) AS t FROM (
+    SELECT count(*) AS n,
+           sum(CAST(embedding[d.range + 1] AS DOUBLE)) AS s,
+           sum(CAST(embedding[d.range + 1] AS DOUBLE)
+               * CAST(embedding[d.range + 1] AS DOUBLE)) AS sq
+    FROM embeddings CROSS JOIN range(0, {_DIM}) d
+    GROUP BY d.range
+  )
+)
+"""
+
+
+@register(
+    "emb_pca_project", extended=True, band_oracle=_TRACE_SQL, band_rtol=0.001
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCA pipeline's cross-engine gate (r7 verdict ask #7): one
+    summary row whose every numeric cell must equal the covariance trace
+    DuckDB computes exactly from per-dimension moments —
+
+    - ``eigensum``: Σ of ALL {_DIM} eigenvalues from the driver ``eigh``
+      of the distributed sufficient-statistics covariance (checks pass 1
+      + the LAPACK decomposition: eigenvalue sum ≡ trace);
+    - ``projected_total``: total variance of the corpus projected onto
+      the COMPLETE eigenbasis by a second distributed pass (checks the
+      projection path end-to-end: an orthonormal basis preserves total
+      variance);
+    - ``total_variance``: the trace of the pass-1 covariance itself;
+    - ``monotone``: 1.0 iff the eigenvalues come out non-increasing (the
+      ordering invariant, encoded as a checkable cell).
+
+    Per-component detail (not SQL-expressible — see module docstring)
+    lives in :func:`pca_components`, pinned by tests/test_pca.py."""
+    import numpy as np
+
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    n, mu, cov = _cov_stats(e)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w_desc = w[order]
+    V = v[:, order].T  # complete basis, rows = eigenvectors
+    proj_var = _projection_moments(e, mu.tolist(), V.tolist())
+    monotone = float(all(a >= b - 1e-12 for a, b in zip(w_desc, w_desc[1:])))
+    return spark.createDataFrame(
+        [
+            (
+                "summary",
+                float(w.sum()),
+                float(proj_var.sum()),
+                float(np.trace(cov)),
+                monotone,
+            )
+        ],
+        "component string, eigensum double, projected_total double, "
+        "total_variance double, monotone double",
     )

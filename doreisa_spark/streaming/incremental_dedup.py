@@ -79,6 +79,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from doreisa_spark.operators import text as TX
+from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.queries.dedup import _MAX_BUCKET, _NGRAM_TAU, minhash_signature_frame
 from doreisa_spark.streaming import batch_commit as BC
 
@@ -315,13 +316,21 @@ class PrunedLSHSignatureStore(LSHSignatureStore):
     ``spark.sql.parquet.pushdown.inFilterThreshold`` defaults to 10,
     past which Spark degrades the pushdown to a [min,max] range check —
     useless for uniform keys — so the constructor raises it (session
-    conf, execution-time) to keep point-IN pushdown at batch sizes.
+    conf, execution-time). It is capped at IN_PUSHDOWN=256 because
+    parquet-mr evaluates the pushed IN as a left-deep OR tree whose
+    depth is the list length: a batch-sized list (500 docs x 9 bands =
+    4,500 terms) overflows the reader's stack (measured). Above the
+    cap the IN still prunes — Spark pushes the [min,max] range and
+    evaluates the full list post-scan as an InSet hash probe, which
+    keeps every downstream join/shuffle batch-sized; true row-group
+    skipping is reserved for the SMALL lists where it matters most:
+    the candidate doc_id probe into the bytes-heavy shingle store.
 
     tools/bench_incremental_store.py measures the per-batch wall-time
     curve at store sizes 1×/10×/100× the batch for this store vs the
     base full-read store (BASELINE.md, r8)."""
 
-    IN_PUSHDOWN = 100_000  # point-IN pushdown up to batch_size × bands keys
+    IN_PUSHDOWN = 256  # point-IN pushdown cap (parquet OR-tree stack depth)
 
     def __init__(self, spark: SparkSession, root: str, *,
                  compact_every: int | None = 64,
@@ -353,13 +362,17 @@ class PrunedLSHSignatureStore(LSHSignatureStore):
             BC.compact(self.spark, self.pairs_dir, _PAIRS_DDL, mode=m)
 
     def _probe_members(self, bands_new: DataFrame, batch_id: int) -> DataFrame:
-        # bounded collect: ≤ batch_size × n_bands distinct sigs. sig alone
-        # (without band_id) is a superset filter — the downstream join
-        # still matches on (band_id, sig), so exactness is untouched.
-        touched = [r["sig"] for r in bands_new.select("sig").distinct().collect()]
-        if not touched:
-            return self.members(before=batch_id).limit(0)
-        return self.members(before=batch_id).where(F.col("sig").isin(touched))
+        # broadcast semi-join reduction against the batch's touched keys:
+        # the history side never shuffles (the batch key set broadcasts),
+        # every downstream join/aggregate input becomes batch-sized, and
+        # Spark's runtime row-level filtering can inject the build side
+        # as a bloom filter into the members scan. Chosen over a
+        # collect+IN literal: zero driver round-trips and no 4,500-term
+        # expression to construct per batch.
+        keys = bands_new.select("band_id", "sig").distinct()
+        return self.members(before=batch_id).join(
+            bcast(keys, bounded=True), ["band_id", "sig"], "left_semi"
+        )
 
     def _probe_shingles(self, cand: DataFrame, batch_id: int) -> DataFrame:
         # bounded collect: candidate pairs are bucket-cap bounded. Only

@@ -27,7 +27,7 @@ def _numpy_pca(spark):
 
 def test_pca_matches_numpy(spark):
     X, cov, w = _numpy_pca(spark)
-    out = {r["component"]: r for r in pca.emb_pca_project(spark, SF_SMALL).collect()}
+    out = {r["component"]: r for r in pca.pca_components(spark, SF_SMALL).collect()}
     assert len(out) == pca._PCA_K
     total = float(np.trace(cov))
     cum = 0.0
@@ -53,3 +53,16 @@ def test_cov_stats_match_numpy(spark):
     assert n == len(X)
     assert np.allclose(mu, X.mean(axis=0), atol=1e-9)
     assert np.allclose(cov_d, cov, atol=1e-9)
+
+
+def test_pca_summary_trace_invariants(spark):
+    """The band-checked registry entry: every numeric cell equals the
+    covariance trace (complete-basis eigenvalue sum, full-basis projected
+    total, and the trace itself), and the ordering invariant holds."""
+    _, cov, _ = _numpy_pca(spark)
+    row = pca.emb_pca_project(spark, SF_SMALL).collect()[0]
+    t = float(np.trace(cov))
+    assert abs(row["eigensum"] - t) < 1e-9
+    assert abs(row["projected_total"] - t) < 1e-6
+    assert abs(row["total_variance"] - t) < 1e-9
+    assert row["monotone"] == 1.0
