@@ -47,6 +47,7 @@ only) — at 100 TB the grid is just a big DataFrame.
 
 from __future__ import annotations
 
+import math
 from bisect import bisect_right
 from collections import Counter
 from collections.abc import Callable, Iterator
@@ -2078,64 +2079,246 @@ class ChunkedArray:
             )
         return src._compose(lambda pos, arr: np.sort(arr, axis=axis))
 
-    def fft(self, axis: int = -1) -> "ChunkedArray":
-        """Discrete Fourier transform along one axis (dask
-        ``da.fft.fft`` semantics: the transform axis must be one chunk) —
-        the canonical in-situ spectral analytic for the simulation grids
-        the reference targets.
+    def _split_axis(self, axis: int) -> "ChunkedArray":
+        """View axis ``d`` of length N = P·c (equal chunks of c) as the
+        axis pair (P, c) with the SAME bytes: chunk p along d becomes the
+        (p, 0) tile of the pair. Pure metadata — pos/chunk_shape column
+        rewrite; a chunk's C-order buffer for (..., c, ...) is identical
+        to (..., 1, c, ...). The distributed-FFT building block."""
+        ndim = self.meta.ndim
+        sizes = self.meta.chunks[axis]
+        if len(set(sizes)) != 1:
+            raise ValueError("_split_axis needs equal chunks along the axis")
+        c = sizes[0]
+        P = len(sizes)
+        src = self.materialize()
+        pos_expr = "array(" + ", ".join(
+            [f"pos[{d}]" for d in range(axis + 1)]
+            + ["0"]
+            + [f"pos[{d}]" for d in range(axis + 1, ndim)]
+        ) + ")"
+        shp_expr = "array(" + ", ".join(
+            [f"chunk_shape[{d}]" for d in range(axis)]
+            + ["1", f"chunk_shape[{axis}]"]
+            + [f"chunk_shape[{d}]" for d in range(axis + 1, ndim)]
+        ) + ")"
+        df = src.df.select(
+            "name",
+            "timestep",
+            F.expr(pos_expr).alias("pos"),
+            F.expr(shp_expr).alias("chunk_shape"),
+            "data",
+        )
+        meta = self.meta._replaced(
+            nb_chunks_per_dim=self.meta.nb_chunks_per_dim[:axis]
+            + (P, 1)
+            + self.meta.nb_chunks_per_dim[axis + 1 :],
+            chunk_shape=self.meta.chunks[:axis]
+            + ((1,) * P, (c,))
+            + self.meta.chunks[axis + 1 :],
+        )
+        return ChunkedArray(df, meta, self.timestep)
 
-        Same distribution shape as ``sort``: the transform axis is first
-        rechunked contiguous (the one unavoidable all-to-all for a
-        cross-chunk DFT — dask imposes the identical constraint), then
-        every slab transforms in-kernel via ``np.fft.fft``,
-        embarrassingly parallel over the other axes. Output is a
-        complex128 ChunkedArray on the same grid; compose with the
-        complex elementwise ops (e.g. ``x * conj`` for the power
-        spectrum) and sum()/mean()'s paired-double complex folds."""
+    def _merge_axis_pair(self, axis: int) -> "ChunkedArray":
+        """Inverse of ``_split_axis``: merge axes (d, d+1) into one axis
+        with C-order index ``major·len(minor) + minor``. Requires the
+        minor axis to be ONE chunk (full extent per tile) so every chunk
+        covers a contiguous span of the merged axis — then the merge is
+        again a pure metadata rewrite of the same bytes."""
+        ndim = self.meta.ndim
+        if self.meta.nb_chunks_per_dim[axis + 1] != 1:
+            raise ValueError("_merge_axis_pair needs a single chunk on the minor axis")
+        m = self.meta.chunks[axis + 1][0]
+        src = self.materialize()
+        pos_expr = "array(" + ", ".join(
+            [f"pos[{d}]" for d in range(axis + 1)]
+            + [f"pos[{d}]" for d in range(axis + 2, ndim)]
+        ) + ")"
+        shp_expr = "array(" + ", ".join(
+            [f"chunk_shape[{d}]" for d in range(axis)]
+            + [f"chunk_shape[{axis}] * chunk_shape[{axis + 1}]"]
+            + [f"chunk_shape[{d}]" for d in range(axis + 2, ndim)]
+        ) + ")"
+        df = src.df.select(
+            "name",
+            "timestep",
+            F.expr(pos_expr).alias("pos"),
+            F.expr(shp_expr).alias("chunk_shape"),
+            "data",
+        )
+        meta = self.meta._replaced(
+            nb_chunks_per_dim=self.meta.nb_chunks_per_dim[:axis]
+            + (self.meta.nb_chunks_per_dim[axis],)
+            + self.meta.nb_chunks_per_dim[axis + 2 :],
+            chunk_shape=self.meta.chunks[:axis]
+            + (tuple(t * m for t in self.meta.chunks[axis]),)
+            + self.meta.chunks[axis + 2 :],
+        )
+        return ChunkedArray(df, meta, self.timestep)
+
+    # one slab chunk after the rechunk-contiguous FFT path may hold at most
+    # this many elements (64M ≈ 1 GiB complex128); a longer multi-chunk
+    # transform axis takes the four-step distributed DFT instead
+    _FFT_SLAB_MAX = 64 * (1 << 20)
+
+    def _fft_four_step(self, axis: int, inverse: bool) -> "ChunkedArray":
+        """Distributed DFT along a multi-chunk axis — the classic
+        four-step (transpose) algorithm, expressed over the existing
+        rechunk/transpose/compose machinery so every data move is one of
+        the verified primitives:
+
+        with N = P·c (P chunks of c) and the index splits n = p·c + j,
+        k = k1 + P·k2 (k1 < P, k2 < c):
+
+            X[k1 + P·k2] = Σ_j W_c^{j·k2} · W_N^{j·k1} · Σ_p W_P^{p·k1} x[p·c + j]
+
+        1. view the axis as the (P, c) pair (metadata-only split);
+        2. rechunk to j-slabs (all p per slab — all-to-all #1), then
+           FFT over the length-P axis + twiddle W_N^{±j·k1} in one fused
+           kernel;
+        3. rechunk to k1-slabs (full j extent — all-to-all #2), then
+           FFT over the length-c axis;
+        4. transpose the pair (map-only), rechunk the k1 axis contiguous
+           (all-to-all #3) and merge (metadata-only) — the natural-order
+           spectrum, chunked along the transform axis.
+
+        Three all-to-alls is the textbook lower-bound shape for a
+        natural-order distributed FFT; each moves every element once.
+        Inverse: conjugate twiddles + ifft in both stages (the two 1/n
+        normalizations compose to the required 1/N)."""
+        ndim = self.meta.ndim
+        sizes = self.meta.chunks[axis]
+        c = sizes[0]
+        P = len(sizes)
+        n_total = P * c
+        split = self._split_axis(axis)  # axes: axis -> (P as d, c as d+1)
+        d = axis
+        other = lambda m: m.chunks[:d] + m.chunks[d + 2 :]  # noqa: E731
+
+        # ---- stage 1: j-slabs, FFT over p (length P), twiddle
+        cj = _tile(c, max(1, math.ceil(c / P)))
+        s1 = split.rechunk(
+            split.meta.chunks[:d] + ((P,), cj) + split.meta.chunks[d + 2 :]
+        )
+        j_offs = tuple(int(x) for x in np.concatenate([[0], np.cumsum(cj)]))
+        sign = 2j if inverse else -2j  # twiddle rotation matches the kernels'
+        base_fft = np.fft.ifft if inverse else np.fft.fft
+
+        def stage1(pos, arr):
+            E = base_fft(arr, axis=d)
+            j0 = j_offs[pos[d + 1]]
+            jj = j0 + np.arange(arr.shape[d + 1])
+            tw = np.exp(
+                sign * np.pi * np.outer(np.arange(P), jj) / n_total
+            )
+            shape = [1] * arr.ndim
+            shape[d], shape[d + 1] = P, len(jj)
+            return E * tw.reshape(shape)
+
+        e1 = s1._compose(stage1, s1.meta._replaced(dtype="complex128"))
+
+        # ---- stage 2: k1-slabs (full j), FFT over j (length c)
+        pq = _tile(P, max(1, math.ceil(P / max(1, len(cj)))))
+        s2 = e1.rechunk(e1.meta.chunks[:d] + (pq, (c,)) + e1.meta.chunks[d + 2 :])
+        f2 = s2._compose(
+            lambda pos, arr: base_fft(arr, axis=d + 1),
+            s2.meta._replaced(dtype="complex128"),
+        )
+
+        # ---- stage 3: natural order — swap (k1, k2), k1 contiguous, merge
+        perm = list(range(ndim + 1))
+        perm[d], perm[d + 1] = perm[d + 1], perm[d]
+        t = f2.transpose(tuple(perm))  # axes: d = k2 (one chunk c), d+1 = k1 (pq)
+        c2 = _tile(c, max(1, math.ceil(c / P)))
+        t2 = t.rechunk(t.meta.chunks[:d] + (c2, (P,)) + t.meta.chunks[d + 2 :])
+        return t2._merge_axis_pair(d)
+
+    def _fft_impl(self, axis: int, inverse: bool, method: str) -> "ChunkedArray":
         ndim = self.meta.ndim
         if not (-ndim <= axis < ndim):
             raise ValueError(f"axis {axis} out of range for ndim {ndim}")
         axis %= ndim
+        if method not in ("auto", "slab", "fourstep"):
+            raise ValueError(f"unknown fft method {method!r}")
+        sizes = self.meta.chunks[axis]
+        n_total = self.meta.global_shape[axis]
+        # worst-case slab size if the axis were rechunked contiguous
+        other_max = 1
+        for dd in range(ndim):
+            if dd != axis:
+                other_max *= max(self.meta.chunks[dd])
+        slab_elems = n_total * other_max
+        can_four = len(sizes) > 1 and len(set(sizes)) == 1
+        if method == "auto":
+            method = (
+                "fourstep"
+                if can_four and slab_elems > self._FFT_SLAB_MAX
+                else "slab"
+            )
+        if method == "fourstep":
+            if not can_four:
+                raise ValueError(
+                    "four-step FFT needs >1 EQUAL chunks along the transform "
+                    f"axis (got sizes {sizes}); rechunk to an equal tiling "
+                    "whose size divides the axis length first"
+                )
+            return self._fft_four_step(axis, inverse)
+        if slab_elems > self._FFT_SLAB_MAX and len(sizes) > 1:
+            # auto chose slab only because the tiling is unequal
+            raise ValueError(
+                f"FFT axis {axis} would need a {slab_elems}-element slab "
+                f"(> _FFT_SLAB_MAX={self._FFT_SLAB_MAX}) and its unequal "
+                f"chunk tiling {sizes} blocks the four-step path — rechunk "
+                "the axis to equal chunks first"
+            )
         src = self
-        if self.meta.nb_chunks_per_dim[axis] > 1:
+        if len(sizes) > 1:
             src = self.rechunk(
                 tuple(
-                    (self.meta.global_shape[d],) if d == axis else self.meta.chunks[d]
-                    for d in range(ndim)
+                    (n_total,) if dd == axis else self.meta.chunks[dd]
+                    for dd in range(ndim)
                 )
             )
+        kern = np.fft.ifft if inverse else np.fft.fft
         return src._compose(
-            lambda pos, arr: np.fft.fft(arr, axis=axis),
+            lambda pos, arr: kern(arr, axis=axis),
             src.meta._replaced(dtype="complex128"),
         )
 
-    def ifft(self, axis: int = -1) -> "ChunkedArray":
+    def fft(self, axis: int = -1, method: str = "auto") -> "ChunkedArray":
+        """Discrete Fourier transform along one axis — the canonical
+        in-situ spectral analytic for the simulation grids the reference
+        targets.
+
+        Two physical strategies (``method='auto'`` picks):
+
+        - **slab** (dask ``da.fft.fft`` shape): the transform axis is
+          rechunked contiguous — one all-to-all — then every slab
+          transforms in-kernel via ``np.fft.fft``, embarrassingly
+          parallel over the other axes. Right whenever a slab fits an
+          executor (``_FFT_SLAB_MAX`` elements).
+        - **fourstep**: the distributed transpose DFT for axes too long
+          for one slab (see ``_fft_four_step``) — dask itself cannot do
+          this (it imposes the one-chunk contract); needed for e.g. a
+          10^9-sample simulation time axis at 100x scale.
+
+        Output is a complex128 ChunkedArray; compose with the complex
+        elementwise ops (e.g. ``x * conj`` for the power spectrum) and
+        sum()/mean()'s paired-double complex folds."""
+        return self._fft_impl(axis, inverse=False, method=method)
+
+    def ifft(self, axis: int = -1, method: str = "auto") -> "ChunkedArray":
         """Inverse DFT along one axis (dask ``da.fft.ifft``) — same
-        rechunk-contiguous slab shape as ``fft``; complex128 output
+        slab/four-step strategy split as ``fft``; complex128 output
         (``ifft(fft(x))`` recovers x up to IEEE rounding; take ``.real``
         via map_numpy for real signals)."""
-        ndim = self.meta.ndim
-        if not (-ndim <= axis < ndim):
-            raise ValueError(f"axis {axis} out of range for ndim {ndim}")
-        axis %= ndim
-        src = self
-        if self.meta.nb_chunks_per_dim[axis] > 1:
-            src = self.rechunk(
-                tuple(
-                    (self.meta.global_shape[d],) if d == axis else self.meta.chunks[d]
-                    for d in range(ndim)
-                )
-            )
-        return src._compose(
-            lambda pos, arr: np.fft.ifft(arr, axis=axis),
-            src.meta._replaced(dtype="complex128"),
-        )
+        return self._fft_impl(axis, inverse=True, method=method)
 
-    def power_spectrum(self, axis: int = -1) -> "ChunkedArray":
+    def power_spectrum(self, axis: int = -1, method: str = "auto") -> "ChunkedArray":
         """|FFT|² along one axis → float64 array (periodogram, unscaled).
         One fused pipeline: rechunk + DFT + squared magnitude never leave
-        the per-slab kernel."""
-        f = self.fft(axis)
+        the per-slab kernel (``method`` as in :meth:`fft`)."""
+        f = self.fft(axis, method)
         return f._compose(
             lambda pos, arr: (arr * np.conj(arr)).real,
             f.meta._replaced(dtype="float64"),

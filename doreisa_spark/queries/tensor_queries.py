@@ -1030,6 +1030,36 @@ def tensor_fft_parseval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tensor_fft_fourstep_parseval",
+    extended=True,
+    band_oracle=f"""
+SELECT 'grid' AS name,
+       CAST({_GRID[0] * _CHUNK[0]} AS DOUBLE) * sum((r + c) * (r + c)) AS energy
+FROM {_DUCK_GRID}
+""",
+    band_rtol=1e-6,
+)
+def tensor_fft_fourstep_parseval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED four-step DFT (r7 verdict ask #4) under the same
+    Parseval band gate as `tensor_fft_parseval`: the slab cap is lowered
+    below the grid's axis size so ``method='auto'`` routes to the
+    transpose algorithm (plans/chunked.py:_fft_four_step — three
+    all-to-alls over the verified rechunk/transpose primitives; dask's
+    da.fft cannot transform a multi-chunk axis at all), the power
+    spectrum fuses into the final stage, and the total energy must equal
+    the closed form N·Σx². Per-element numpy parity incl. the hypothesis
+    shape sweep is pytest `test_fft.py`."""
+    arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
+    # the 256-row transform axis "exceeds" a 1-element slab cap — the
+    # honest way to exercise the >slab code path at test scale (the
+    # production cap is 64M elements per slab)
+    arr._FFT_SLAB_MAX = 1
+    return arr.power_spectrum(axis=0).sum().select(
+        F.lit("grid").alias("name"), F.col("total").alias("energy")
+    )
+
+
+@register(
     "tensor_staged_roundtrip",
     extended=True,
     oracle=f"SELECT CAST(sum(r + c) AS DOUBLE) AS total FROM {_DUCK_GRID}",
