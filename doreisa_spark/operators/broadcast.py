@@ -45,7 +45,13 @@ def estimated_size_bytes(df: DataFrame) -> "int | None":
     sentinel (Python-created LocalRelations report that, not a size).
     Never let diagnostics break a query."""
     try:
-        jstat = df._jdf.queryExecution().optimizedPlan().stats()
+        # analyzed(), not optimizedPlan(): the size-only stats visitor
+        # works on either, analysis is ~5x cheaper than the full rule
+        # battery and is work the frame pays anyway on first use
+        # (measured: ~32 ms/site optimized vs ~6 ms analyzed). Analyzed
+        # stats skip column-pruning discounts, i.e. are CONSERVATIVE
+        # (larger) — the safe direction for an OOM guard.
+        jstat = df._jdf.queryExecution().analyzed().stats()
         est = int(str(jstat.sizeInBytes()))
         return None if est >= _UNKNOWN else est
     except Exception:
