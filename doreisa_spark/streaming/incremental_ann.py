@@ -75,7 +75,13 @@ class LSHVectorStore:
         their batch id (batch_commit.py, rename or manifest mode) — an
         at-least-once redelivery commits nothing, so the index never
         holds duplicate vectors. ``batch_id=None`` auto-increments
-        (driver-loop callers)."""
+        (driver-loop callers).
+
+        Every committed file is SORTED by bucket (and compaction
+        preserves that via ``order_by``), so a query's bucket probe
+        prunes the scan by parquet row-group min/max stats — the
+        embedding column is the bytes-heavy payload, and a probe touches
+        one bucket in 2^planes."""
         if batch_id is None:
             batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
         BC.commit_batch(
@@ -83,7 +89,7 @@ class LSHVectorStore:
                 F.expr(V.lsh_bucket_expr("embedding")).cast("bigint").alias("bucket"),
                 "vec_id",
                 "embedding",
-            ),
+            ).coalesce(1).sortWithinPartitions("bucket"),
             self._members,
             batch_id,
             mode=self.commit_mode,
@@ -91,16 +97,25 @@ class LSHVectorStore:
         ce = self.compact_every
         if ce and batch_id % ce == ce - 1:
             BC.compact(self.spark, self._members, _MEMBERS_DDL,
-                       mode=self.commit_mode)
+                       mode=self.commit_mode, order_by=["bucket"])
 
     def query_topk(self, query_ids_below: int, k: int) -> DataFrame:
         """Top-k per query vector (vec_id < query_ids_below, the batch
-        entry's query-set contract), probing only each query's bucket."""
+        entry's query-set contract), probing only each query's bucket.
+
+        The probed buckets (bounded: one per query) are collected and
+        pushed INTO the candidate scan as a point-IN filter — on the
+        bucket-sorted log (see process_batch) parquet skips every
+        row-group outside the probed buckets, so a query reads
+        O(bucket) embedding bytes, not O(corpus)."""
         m = self.members()
         q = m.where(F.col("vec_id") < query_ids_below).select(
             F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
         )
-        c = m.select(
+        probed = sorted({r["bucket"] for r in q.select("bucket").collect()})
+        c = m.where(
+            F.col("bucket").isin(probed) if probed else F.lit(False)
+        ).select(
             F.col("vec_id").alias("cid"),
             F.col("embedding").alias("ce"),
             F.col("bucket").alias("cb"),
