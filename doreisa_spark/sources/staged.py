@@ -188,7 +188,13 @@ def staged_timesteps(
     one — the reference's per-iteration callback loop over the staged data
     plane. ``cleanup=True`` removes the step's staging directory after the
     consumer's iteration returns (bounded disk; only safe once the
-    callback has materialized everything it needs from the step)."""
+    callback has materialized everything it needs from the step).
+
+    Poll cost: each ``poll_s`` tick is ONE ``stat()`` on the next step's
+    marker path (``os.path.exists``), never a directory listing — at the
+    default 50 ms that is 20 syscalls/s of driver load regardless of step
+    rate or chunk count; directory contents are only read once per SEALED
+    step by the binaryFile scan itself."""
     import shutil
 
     ts = start
