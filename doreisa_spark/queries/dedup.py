@@ -637,6 +637,39 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return store.pairs()
 
 
+@register("dedup_minhash_lsh_incremental_pruned", extended=True, oracle=_lsh_oracle())
+def dedup_minhash_lsh_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 DEPLOYMENT paths of the incremental dedup store under the
+    same batch-equivalence oracle: `PrunedLSHSignatureStore` (sorted log
+    segments, broadcast-semi-join members probe, candidate-id parquet
+    pushdown into the shingle store — per-batch cost scales with the
+    batch, BASELINE.md r8 curve) committing in MANIFEST mode (the
+    object-store-safe protocol: nonce data dirs + atomic manifest
+    replace, streaming/batch_commit.py), with auto-compaction folding
+    mid-stream (compact_every=2 over 3 batches). Hash-equal to the
+    one-shot `dedup_minhash_lsh` — the driver's gate now covers both new
+    storage paths end-to-end, not just pytest."""
+    from doreisa_spark.streaming import batch_commit as BC
+    from doreisa_spark.streaming.incremental_dedup import PrunedLSHSignatureStore
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    store = PrunedLSHSignatureStore(
+        spark,
+        _fresh_store_dir("incdedup_pruned"),
+        commit_mode=BC.MANIFEST,
+        compact_every=2,
+    )
+    for cond in (
+        F.col("doc_id") <= cut1,
+        (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+        F.col("doc_id") > cut2,
+    ):
+        store.process_batch(d.where(cond))
+    return store.pairs()
+
+
 _PF_TAU = 0.8  # Jaccard threshold; prefix math uses the exact 4/5 rational
 
 
