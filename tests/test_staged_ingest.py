@@ -101,10 +101,13 @@ def test_name_with_p_s_tokens_parses_correctly(spark, tmp_path):
 
 
 def test_staged_timesteps_chaos_producers(spark, tmp_path):
-    """r7 verdict ask #8: slow/bursty producers land chunks in shuffled
-    per-producer order and SEAL steps out of timestep order; the
-    consumer loop must still yield strictly ordered, COMPLETE steps,
-    and cleanup must bound staging occupancy to the unconsumed tail."""
+    """r7 verdict ask #8: slow/bursty producer PROCESSES (fork — the
+    realistic simulation-rank shape, as in tools/stream_stress_staged)
+    land chunks in shuffled per-producer order and steps get SEALED out
+    of timestep order; the consumer loop must still yield strictly
+    ordered, COMPLETE steps, and cleanup must bound staging occupancy to
+    the unconsumed tail."""
+    import multiprocessing as mp
     import random
     import time as _time
 
@@ -145,10 +148,15 @@ def test_staged_timesteps_chaos_producers(spark, tmp_path):
                     sealed.add(ts)
             _time.sleep(0.005)
 
-    threads = [
-        threading.Thread(target=produce, args=(h, orders[h], 10 + h))
+    ctx = mp.get_context("fork")  # fork: closures need no pickling, and
+    # the children never touch the parent's JVM/py4j state
+    procs = [
+        ctx.Process(target=produce, args=(h, orders[h], 10 + h))
         for h in range(2)
-    ] + [threading.Thread(target=sealer)]
+    ]
+    threads = [threading.Thread(target=sealer)]
+    for p in procs:
+        p.start()
     for t in threads:
         t.start()
     seen = []
@@ -168,6 +176,9 @@ def test_staged_timesteps_chaos_producers(spark, tmp_path):
         # so inside the body for ts only steps < ts are reclaimed yet)
         live = [d for d in os.listdir(tmp_path) if d.startswith("t")]
         assert not [d for d in live if int(d[1:]) < ts], (ts, live)
+    for p in procs:
+        p.join(timeout=30)
+        assert p.exitcode == 0
     for t in threads:
         t.join()
     assert seen == list(range(n_steps))  # strictly ordered despite chaos
