@@ -462,6 +462,94 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from doreisa_spark.queries.similarity import _IVF_CELLS, _IVF_CENT_LO  # noqa: E402
+# (shared coarse-quantizer constants: SemDeDup reuses the ANN index's cells)
+
+_SEM_TAU = 0.35  # looser than _EMB_TAU: cell-mates share a centroid, so
+# the interesting near-dup band inside a cell starts lower than the
+# random-pair band the LSH entry filters
+
+
+@register(
+    "dedup_semantic",
+    extended=True,
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id - {_IVF_CENT_LO} AS cell, embedding AS cemb
+  FROM embeddings
+  WHERE vec_id >= {_IVF_CENT_LO} AND vec_id < {_IVF_CENT_LO + _IVF_CELLS}
+), assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, cent.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {V.duck_cosine('e.embedding', 'cent.cemb')} DESC, cent.cell
+           ) AS rnk
+    FROM embeddings e CROSS JOIN cent)
+  WHERE rnk = 1
+), dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {V.duck_cosine('a.embedding', 'b.embedding')} >= {_SEM_TAU}
+)
+SELECT s.vec_id, s.cell, (d.vec_id IS NULL) AS keep
+FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
+""",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus embeddings with a k-means coarse
+    quantizer, then compare pairs ONLY within a cluster and drop every
+    vector that has a smaller-id cluster-mate at cosine >= {_SEM_TAU} —
+    keep = the minimal member of each within-cluster near-dup group. The
+    third semantic-dedup blocking strategy next to sign-LSH
+    (dedup_embedding_cosine) and MinHash text shingles: k-means cells
+    capture semantic neighborhoods that random hyperplanes split, at the
+    cost of missing cross-cluster duplicates (SemDeDup's documented
+    approximation; raise the cluster count and the miss rate trades
+    against per-cell candidate volume).
+
+    Plan: the IVF cell assignment is REUSED verbatim from the ANN index
+    (queries/similarity.py `_ivf_assign_expr`: broadcast centroid
+    cross-join + narrow (cid, cell, cos) window — embeddings never enter
+    the assignment shuffle; the production-scale path is the map-only BLAS
+    GEMM of `_ivf_assign_blas`, same contract). The pair join shuffles on
+    cell id, so candidates are bounded per cell, never all-pairs; the drop
+    set is a DISTINCT over pair right-members and the verdict a left
+    join. At 100 TB: train real k-means centroids (kmeans_refine entry),
+    raise cells so cells stay ~10^4 rows, and the per-cell join stays
+    local to one shuffle partition.
+
+    Reference analog: the reference has no dedup surface at all (its
+    domain is in-situ simulation arrays); this family exists for the
+    LLM-training-data pipeline the brief adds on top, and the oracle runs
+    the identical algorithm in DuckDB SQL."""
+    from doreisa_spark.queries.similarity import _ivf_assign_expr, _seed_centroids
+
+    e = table(spark, sf_dir, "embeddings", spread=True)
+    corpus = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    assigned = _ivf_assign_expr(_seed_centroids(e), corpus)
+    withemb = assigned.join(corpus, "cid").select(
+        F.col("cid").alias("vec_id"), "cell", F.col("ce").alias("embedding")
+    )
+    a = withemb.alias("a")
+    b = withemb.alias("b")
+    dup = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(F.expr(V.cosine_expr("a.embedding", "b.embedding")) >= _SEM_TAU)
+        .select(F.col("b.vec_id").alias("dup_id"))
+        .distinct()
+    )
+    return withemb.join(
+        dup, withemb["vec_id"] == dup["dup_id"], "left"
+    ).select("vec_id", "cell", F.col("dup_id").isNull().alias("keep"))
+
+
 @register(
     "dedup_components",
     extended=True,
