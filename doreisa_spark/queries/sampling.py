@@ -246,3 +246,109 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w, 6).alias("weight"),
         F.round(w * F.col("total"), 2).alias("expected_docs"),
     )
+
+
+_DSIR_BUCKETS = 4096  # hashed n-gram feature space (DSIR uses 10^4-10^6;
+# small here so bucket collisions actually exercise the hashing path)
+_DSIR_TARGET = ("src0", "src1")  # stand-in target domain (DSIR: the
+# formal/quality corpus whose distribution the sample should match)
+_DSIR_TOP = 100
+
+
+def _grams_sql(text: str) -> str:
+    """Word unigrams + bigrams WITH multiplicity (Spark SQL): DSIR's
+    features are bag-of-hashed-ngram counts, not the distinct shingle
+    sets the dedup family uses."""
+    toks = f"split({text}, ' ')"
+    bi = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat_ws(' ', element_at({toks}, i), element_at({toks}, i + 1))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return f"concat({toks}, {bi})"
+
+
+def _duck_grams(text: str) -> str:
+    toks = f"string_split({text}, ' ')"
+    bi = f"list_transform(range(1, len({toks})), i -> {toks}[i] || ' ' || {toks}[i + 1])"
+    return f"list_concat({toks}, {bi})"
+
+
+@register(
+    "sample_dsir",
+    extended=True,
+    oracle=f"""
+WITH feat AS (
+  SELECT d.doc_id, d.source,
+         ({TX.duck_hash60('g')} % {_DSIR_BUCKETS}) AS bucket
+  FROM documents d, unnest({_duck_grams('d.text')}) AS t(g)
+), raw AS (
+  SELECT bucket, count(*) AS cr FROM feat GROUP BY bucket
+), tgt AS (
+  SELECT bucket, count(*) AS ct FROM feat
+  WHERE source IN {_DSIR_TARGET} GROUP BY bucket
+), llr AS (
+  SELECT r.bucket,
+         (1000 * (COALESCE(t.ct, 0) + 1)) // (r.cr + 1) AS pts
+  FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket
+)
+SELECT f.doc_id, min(f.source) AS source,
+       sum(l.pts) AS dsir_score
+FROM feat f JOIN llr l ON f.bucket = l.bucket
+GROUP BY f.doc_id
+ORDER BY dsir_score DESC, f.doc_id
+LIMIT {_DSIR_TOP}
+""",
+)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, arXiv:2302.03169): score every raw document by how much its
+    hashed-n-gram bag looks like a small TARGET domain versus the raw
+    corpus, keep the top-{_DSIR_TOP}. Features are word uni+bigrams WITH
+    multiplicity hashed into {_DSIR_BUCKETS} buckets (DSIR's hashed
+    bag-of-ngrams); the target here is two sources standing in for the
+    formal corpus (Wikipedia/books in the paper).
+
+    Per-feature weight: integer ratio points
+    ``(1000 * (ct+1)) DIV (cr+1)`` — the add-one-smoothed target/raw
+    contrast in exact integer arithmetic instead of DSIR's
+    log-likelihood ratio, the same integer-surrogate convention as
+    text_tfidf_top's integer idf: cross-engine float logs cannot be
+    summed bit-identically under Spark's unordered partial aggregation,
+    and an integer-linear surrogate keeps the selection fully
+    deterministic in both engines. (The paper's sampled-Gumbel step is
+    likewise replaced by deterministic top-N — resampling noise is a
+    training-time choice, not an engine capability.)
+
+    Plan at 100 TB: the gram explode is map-side; both count aggs
+    shuffle NARROW (bucket) rows into {_DSIR_BUCKETS} groups; the
+    per-feature weight table is {_DSIR_BUCKETS} rows — broadcast to
+    score the exploded stream map-side; per-doc score is one (doc_id)
+    shuffle of integer partial sums; the final top-N is
+    TakeOrderedAndProject, never a global sort. Raw-corpus statistics
+    are computed once and reusable across selection runs (persist the
+    llr frame in a real pipeline)."""
+    d = table(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id", "source", F.explode(F.expr(_grams_sql("text"))).alias("g")
+    ).select(
+        "doc_id", "source", (F.expr(TX.hash60_expr("g")) % _DSIR_BUCKETS).alias("bucket")
+    )
+    raw = feat.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        feat.where(F.col("source").isin(*_DSIR_TARGET))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    llr = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        F.expr("(1000 * (COALESCE(ct, 0) + 1)) DIV (cr + 1)").alias("pts"),
+    )
+    return (
+        feat.join(bcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.min("source").alias("source"), F.sum("pts").alias("dsir_score"))
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(_DSIR_TOP)
+    )
