@@ -52,6 +52,26 @@ def lsh_bucket_expr(a: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def lsh_bucket_py(a) -> int:
+    """Driver-side mirror of lsh_bucket_expr for application-provided
+    query vectors (incremental_ann.query_topk_vectors): SAME sequential
+    double fold, SAME integer hyperplanes — a float32 embedding must
+    land in the identical bucket whether bucketed by the JVM expression
+    at ingest or here at query time."""
+    import struct
+
+    a32 = [struct.unpack("f", struct.pack("f", float(x)))[0] for x in a]
+    bucket = 0
+    for k in range(LSH_PLANES):
+        acc = 0.0
+        for i, x in enumerate(a32):
+            w = ((LSH_A[k] * (i + 1) + LSH_B[k]) % LSH_MOD) - LSH_MOD // 2
+            acc += float(x) * float(w)
+        if acc > 0:
+            bucket += 2**k
+    return bucket
+
+
 def sqdist_expr(a: str, b: str) -> str:
     """Sequential-fold squared L2 distance of two array<double> columns
     (Spark SQL) — same element order and accumulation as duck_sqdist."""

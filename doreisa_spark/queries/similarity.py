@@ -1281,3 +1281,31 @@ def sim_ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         store.process_batch(e.where(cond))
     return store.query_topk(_N_QUERIES, _TOP_K)
+
+
+@register(
+    "sim_ann_store_query_vectors",
+    extended=True,
+    oracle=REGISTRY["sim_ann_lsh"].oracle,
+)
+def sim_ann_store_query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector store's DEPLOYMENT query shape under the batch oracle:
+    query embeddings arrive application-side (`query_topk_vectors`), the
+    store is probed with driver-computed buckets (the Python mirror of
+    the JVM sign-LSH, operators/vectors.lsh_bucket_py) and touched by
+    exactly ONE bucket-pruned scan — no store lookup for the queries.
+    Must hash-match the one-shot `sim_ann_lsh` oracle, which proves the
+    driver-side bucketing bit-agrees with the ingest expression end to
+    end (the direct per-vector assertion is in
+    tests/test_incremental_ann.py)."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_ann import LSHVectorStore
+
+    e = table(spark, sf_dir, "embeddings")
+    store = LSHVectorStore(spark, _fresh_store_dir("incannq"))
+    store.process_batch(e, 0)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
+    ]
+    return store.query_topk_vectors(queries, _TOP_K)

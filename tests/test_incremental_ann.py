@@ -55,3 +55,55 @@ def test_stream_index_equals_batch(spark, tmp_path, vec_stream_dir):
     n = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").count()
     assert store.members().count() == n
     assert store.members().select("vec_id").distinct().count() == n
+
+
+def test_query_topk_vectors_matches_lookup(spark, tmp_path):
+    """The deployment query shape (application-provided vectors,
+    query_topk_vectors) returns row-for-row what the store-lookup shape
+    returns — which requires the driver-side bucketing to bit-agree
+    with the JVM ingest expression for every query vector."""
+    from doreisa_spark.operators import vectors as V
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    store = LSHVectorStore(spark, str(tmp_path / "store"))
+    store.process_batch(e, 0)
+    # driver-side bucket mirror == JVM expression, on every corpus vector
+    jvm = {
+        r["vec_id"]: r["b"]
+        for r in e.select(
+            "vec_id", F.expr(V.lsh_bucket_expr("embedding")).alias("b")
+        ).collect()
+    }
+    emb = {r["vec_id"]: r["embedding"] for r in e.collect()}
+    assert all(V.lsh_bucket_py(emb[v]) == jvm[v] for v in jvm)
+    queries = [(v, emb[v]) for v in sorted(emb) if v < _N_QUERIES]
+    got = store.query_topk_vectors(queries, _TOP_K)
+    expect = store.query_topk(_N_QUERIES, _TOP_K)
+    assert _rows(got) == _rows(expect)
+
+
+def test_blas_scoring_matches_expr(spark, tmp_path):
+    """scoring='blas' (GEMM kernel, per-bucket masked) ranks the same
+    neighbors as the oracle-exact fold path: identical (qid, cid, rk)
+    and cosines equal to 1e-9 (the BLAS sum order may differ in the
+    last ulps — ann.py's documented tie caveat; this corpus has no
+    exact ties, so ranks cannot flip)."""
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    store = LSHVectorStore(spark, str(tmp_path / "store"))
+    store.process_batch(e, 0)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
+    ]
+    expr_rows = {
+        (r["qid"], r["cid"], r["rk"]): r["cos_sim"]
+        for r in store.query_topk_vectors(queries, _TOP_K).collect()
+    }
+    blas_rows = {
+        (r["qid"], r["cid"], r["rk"]): r["cos_sim"]
+        for r in store.query_topk_vectors(
+            queries, _TOP_K, scoring="blas"
+        ).collect()
+    }
+    assert expr_rows.keys() == blas_rows.keys()
+    assert all(abs(expr_rows[k] - blas_rows[k]) < 1e-9 for k in expr_rows)
