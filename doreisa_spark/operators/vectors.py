@@ -20,6 +20,24 @@ LSH_B = [29, 157, 311, 487, 601, 757, 919, 1093]
 LSH_MOD = 1009  # weights in [-504, 504]
 
 
+def lsh_params(planes: int) -> tuple[list[int], list[int]]:
+    """Hyperplane parameters for an arbitrary plane count — the
+    deployment sizes planes to the corpus (more planes → 2^planes
+    buckets → bounded bucket occupancy) without changing the store
+    layout or probe. The first LSH_PLANES planes are the fixed
+    constants (so the default is bit-identical to the DuckDB oracle);
+    further planes extend them by a deterministic integer recurrence
+    (any fixed parameters define a valid signed hyperplane — the
+    recurrence just makes them reproducible everywhere)."""
+    if not 1 <= planes <= 30:  # bucket ids must fit a positive int32 sum
+        raise ValueError(f"planes must be in [1, 30], got {planes}")
+    a, b = list(LSH_A), list(LSH_B)
+    while len(a) < planes:
+        a.append((a[-1] * 31 + 971) % 99991)
+        b.append((b[-1] * 17 + 409) % 99991)
+    return a[:planes], b[:planes]
+
+
 # ---------------------------------------------------------------- Spark side
 def dot_expr(a: str, b: str) -> str:
     """Sequential-fold dot product of two array<float> columns (Spark SQL)."""
@@ -37,12 +55,13 @@ def cosine_expr(a: str, b: str) -> str:
     return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
 
 
-def lsh_bucket_expr(a: str) -> str:
+def lsh_bucket_expr(a: str, planes: int = LSH_PLANES) -> str:
     """Sign-LSH bucket id: bit k = (w_k · a > 0), integer hyperplane
     weights w_k[i] = ((A_k*(i+1) + B_k) % MOD) - MOD//2 (Spark SQL)."""
+    A, B = lsh_params(planes)
     bits = []
-    for k in range(LSH_PLANES):
-        w_i = f"CAST(((({LSH_A[k]} * (i + 1) + {LSH_B[k]}) % {LSH_MOD}) - {LSH_MOD // 2}) AS DOUBLE)"
+    for k in range(planes):
+        w_i = f"CAST(((({A[k]} * (i + 1) + {B[k]}) % {LSH_MOD}) - {LSH_MOD // 2}) AS DOUBLE)"
         proj = (
             f"aggregate(zip_with({a}, sequence(0, size({a}) - 1), "
             f"(x, i) -> CAST(x AS DOUBLE) * {w_i}), "
@@ -52,7 +71,7 @@ def lsh_bucket_expr(a: str) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def lsh_bucket_py(a) -> int:
+def lsh_bucket_py(a, planes: int = LSH_PLANES) -> int:
     """Driver-side mirror of lsh_bucket_expr for application-provided
     query vectors (incremental_ann.query_topk_vectors): SAME sequential
     double fold, SAME integer hyperplanes — a float32 embedding must
@@ -60,12 +79,13 @@ def lsh_bucket_py(a) -> int:
     at ingest or here at query time."""
     import struct
 
+    A, B = lsh_params(planes)
     a32 = [struct.unpack("f", struct.pack("f", float(x)))[0] for x in a]
     bucket = 0
-    for k in range(LSH_PLANES):
+    for k in range(planes):
         acc = 0.0
         for i, x in enumerate(a32):
-            w = ((LSH_A[k] * (i + 1) + LSH_B[k]) % LSH_MOD) - LSH_MOD // 2
+            w = ((A[k] * (i + 1) + B[k]) % LSH_MOD) - LSH_MOD // 2
             acc += float(x) * float(w)
         if acc > 0:
             bucket += 2**k
@@ -98,10 +118,11 @@ def duck_cosine(a: str, b: str) -> str:
     return f"({duck_dot(a, b)} / ({duck_norm(a)} * {duck_norm(b)}))"
 
 
-def duck_lsh_bucket(a: str) -> str:
+def duck_lsh_bucket(a: str, planes: int = LSH_PLANES) -> str:
+    A, B = lsh_params(planes)
     bits = []
-    for k in range(LSH_PLANES):
-        w_i = f"CAST(((({LSH_A[k]} * i + {LSH_B[k]}) % {LSH_MOD}) - {LSH_MOD // 2}) AS DOUBLE)"
+    for k in range(planes):
+        w_i = f"CAST(((({A[k]} * i + {B[k]}) % {LSH_MOD}) - {LSH_MOD // 2}) AS DOUBLE)"
         proj = (
             f"list_reduce(list_transform(range(1, len({a}) + 1), "
             f"i -> CAST({a}[i] AS DOUBLE) * {w_i}), (x, y) -> x + y)"

@@ -56,7 +56,8 @@ _MEMBERS_DDL = "bucket bigint, vec_id bigint, embedding array<float>"
 class LSHVectorStore:
     def __init__(self, spark: SparkSession, root: str, *,
                  compact_every: int | None = 64,
-                 commit_mode: str = BC.RENAME):
+                 commit_mode: str = BC.RENAME,
+                 planes: int | None = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self._members = f"{self.root}/members"
@@ -64,6 +65,46 @@ class LSHVectorStore:
         # long streams; None disables for raw-dir-inspecting tests
         self.compact_every = compact_every
         self.commit_mode = commit_mode
+        # the deployment sizes the plane count to the corpus (2^planes
+        # buckets bound per-probe candidate volume — BASELINE.md's ANN
+        # store section); the store records its plane count so readers
+        # self-configure and a mismatched writer fails loudly instead of
+        # silently splitting the index across two bucket spaces
+        stored = self._stored_planes()
+        if planes is None:
+            self.planes = stored if stored is not None else V.LSH_PLANES
+        elif stored is not None and stored != planes:
+            raise ValueError(
+                f"store at {self.root} was built with planes={stored}, "
+                f"got planes={planes}"
+            )
+        else:
+            self.planes = planes
+
+    def _stored_planes(self) -> int | None:
+        import json
+        import os
+
+        marker = f"{self.root}/_planes.json"
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            return int(json.load(f)["planes"])
+
+    def _record_planes(self) -> None:
+        """Atomic write-once marker (underscore name: invisible to Spark
+        file listing), written before the first commit."""
+        import json
+        import os
+
+        marker = f"{self.root}/_planes.json"
+        if os.path.exists(marker):
+            return
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{marker}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"planes": self.planes}, f)
+        os.replace(tmp, marker)
 
     def members(self) -> DataFrame:
         return BC.read_committed(
@@ -84,9 +125,12 @@ class LSHVectorStore:
         one bucket in 2^planes."""
         if batch_id is None:
             batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
+        self._record_planes()
         BC.commit_batch(
             vectors.select(
-                F.expr(V.lsh_bucket_expr("embedding")).cast("bigint").alias("bucket"),
+                F.expr(V.lsh_bucket_expr("embedding", self.planes))
+                .cast("bigint")
+                .alias("bucket"),
                 "vec_id",
                 "embedding",
             ).coalesce(1).sortWithinPartitions("bucket"),
@@ -154,7 +198,11 @@ class LSHVectorStore:
         sizes LSH_PLANES to the corpus (more planes → smaller buckets)
         to bound the candidate set itself."""
         qrows = [
-            {"qid": int(qid), "qe": list(emb), "bucket": V.lsh_bucket_py(emb)}
+            {
+                "qid": int(qid),
+                "qe": list(emb),
+                "bucket": V.lsh_bucket_py(emb, self.planes),
+            }
             for qid, emb in queries
         ]
         if scoring == "blas":

@@ -107,3 +107,63 @@ def test_blas_scoring_matches_expr(spark, tmp_path):
     }
     assert expr_rows.keys() == blas_rows.keys()
     assert all(abs(expr_rows[k] - blas_rows[k]) < 1e-9 for k in expr_rows)
+
+
+def test_planes_knob(spark, tmp_path):
+    """The deployment scale knob: planes=12 → 4096 buckets with the SAME
+    store layout and probe (BASELINE.md's ANN-store scale note, as code).
+    Pins (1) JVM-12 ≡ driver-12 bucketing on every vector, (2) bucket
+    count grows / mean occupancy shrinks vs the 8-plane default, (3) the
+    probe returns exactly the fold-exact top-k computed per-bucket by a
+    python reference, (4) a reopened store adopts its recorded plane
+    count, (5) a mismatched writer raises."""
+    from collections import Counter
+
+    from doreisa_spark.operators import vectors as V
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    store = LSHVectorStore(spark, str(tmp_path / "s12"), planes=12)
+    store.process_batch(e, 0)
+    emb = {r["vec_id"]: r["embedding"] for r in e.collect()}
+    jvm = {
+        r["vec_id"]: r["bucket"]
+        for r in store.members().select("vec_id", "bucket").collect()
+    }
+    assert jvm.keys() == emb.keys()
+    assert all(V.lsh_bucket_py(emb[v], 12) == b for v, b in jvm.items())
+    c8 = Counter(V.lsh_bucket_py(v) for v in emb.values())
+    c12 = Counter(jvm.values())
+    assert len(c12) > len(c8)  # occupancy spreads over more buckets
+
+    def fold_cos(a, b):
+        # the oracle fold: float32 elements, double sequential left fold
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        return dot / (na**0.5 * nb**0.5)
+
+    queries = [(v, emb[v]) for v in sorted(emb) if v < _N_QUERIES]
+    expect = {}
+    for qid, qe in queries:
+        cands = [v for v in emb if jvm[v] == jvm[qid] and v != qid]
+        scored = sorted(
+            ((fold_cos(qe, emb[c]), c) for c in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:_TOP_K]
+        for rk, (cos, cid) in enumerate(scored, 1):
+            expect[(qid, cid, rk)] = cos
+    got = {
+        (r["qid"], r["cid"], r["rk"]): r["cos_sim"]
+        for r in store.query_topk_vectors(queries, _TOP_K).collect()
+    }
+    assert got.keys() == expect.keys()
+    assert all(abs(got[k] - expect[k]) < 1e-6 for k in got)  # got is round(6)
+
+    reopened = LSHVectorStore(spark, str(tmp_path / "s12"))
+    assert reopened.planes == 12
+    with pytest.raises(ValueError, match="planes"):
+        LSHVectorStore(spark, str(tmp_path / "s12"), planes=8)
