@@ -14,9 +14,11 @@ curated-output log. Per micro-batch (foreachBatch):
 1. fingerprint the batch (md5 of text — identical to the batch operator);
 2. in-batch canonicalization: keep the smallest doc_id per fingerprint
    within the batch;
-3. admission: anti-join the batch fingerprints against ``seen/`` —
-   history is touched only through this equi-join on 128-bit keys, never
-   rescanned as text;
+3. admission: the batch's bounded fingerprint set broadcasts into a
+   left-semi probe of ``seen/``, and the (batch-bounded) hit set
+   broadcasts back for the anti-join — history is scanned map-only on a
+   narrow 128-bit key column, never shuffled, never rescanned as text
+   (see ``_admit``);
 4. the admitted docs flow through the SHARED `quality_filter` expressions
    (queries/pipeline.py) — survivors append to ``kept/``;
 5. every admitted fingerprint (kept or not — a low-quality first copy
@@ -30,11 +32,13 @@ foreachBatch drive, and by the `pipeline_curation_incremental` registry
 entry under the batch entry's own DuckDB oracle.
 
 100 TB posture: stages 1–2 and 4 are map-only expression work on the
-BATCH; the only history touch is the fingerprint anti-join (128-bit keys).
-The store here is plain parquet re-read per batch for test determinism; a
-deployment keeps ``seen/`` as a bucketed table or Delta merge target so
-the probe is co-partitioned and per-batch cost scales with the batch, not
-the corpus.
+BATCH; the only history touch is the broadcast-semi fingerprint probe —
+a map-only scan of the narrow ``seen/`` key column with the batch's key
+set broadcast (and injectable as a runtime bloom filter), so no shuffle
+ever carries history. Fingerprints are uniformly distributed, so scan
+pruning cannot drop row groups (the dedup store's BASELINE.md section
+explains why); the scan term is the floor, and compaction (default-on)
+keeps its file count bounded.
 """
 
 from __future__ import annotations
@@ -42,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.queries.pipeline import quality_filter
 from doreisa_spark.streaming import batch_commit as BC
 
@@ -100,7 +105,7 @@ class CurationStore:
             "left_semi",
         )
         # admission: fingerprints never seen before this batch
-        admitted = canon.join(self.seen(before=batch_id), "fp", "left_anti").persist()
+        admitted = self._admit(canon, batch_id).persist()
         try:
             m = self.commit_mode
             BC.commit_batch(quality_filter(admitted), self._kept, batch_id, mode=m)
@@ -111,6 +116,24 @@ class CurationStore:
         if ce and batch_id % ce == ce - 1:
             BC.compact(self.spark, self._seen, _SEEN_DDL, mode=self.commit_mode)
             BC.compact(self.spark, self._kept, _KEPT_DDL, mode=self.commit_mode)
+
+    def _admit(self, canon: DataFrame, batch_id: int) -> DataFrame:
+        """Batch rows whose fingerprint is NOT in the seen store — as a
+        broadcast-semi probe (the dedup store's `_probe_members` shape):
+        the batch's bounded fingerprint set broadcasts INTO the seen
+        scan (left-semi; Spark's runtime row-level filtering can inject
+        it as a bloom filter), and the resulting hit set — at most
+        batch-sized — broadcasts back for the anti-join. The naive
+        ``canon ANTI JOIN seen`` instead shuffles the ever-growing seen
+        log on fp EVERY batch: a left-anti join can only broadcast its
+        right side, and the right side is the corpus-sized one. With
+        this shape history is scanned map-only (narrow 32-char fp
+        column) and never shuffled; plan pinned by
+        tests/test_plan_shapes.py::test_curation_admission_never_shuffles_history."""
+        hits = self.seen(before=batch_id).join(
+            bcast(canon.select("fp"), bounded=True), "fp", "left_semi"
+        )
+        return canon.join(bcast(hits, bounded=True), "fp", "left_anti")
 
 
 def run_incremental_curation(

@@ -319,3 +319,35 @@ def test_bcast_scalar_aggregates_keep_hint_at_any_scale(spark):
     joined = li.crossJoin(bcast(scalar, max_bytes=4096))
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_curation_admission_never_shuffles_history(spark, tmp_path):
+    """The curation store's seen-history probe must scan history
+    map-only: the batch's fingerprint set broadcasts into the semi
+    probe and the bounded hit set broadcasts back for the anti-join —
+    no Exchange may carry the (corpus-sized) seen log. The naive
+    batch-ANTI-JOIN-seen shape would: a left-anti join can only
+    broadcast its right side."""
+    from pyspark.sql import functions as F
+
+    from doreisa_spark.streaming.incremental_curation import CurationStore
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    store = CurationStore(spark, str(tmp_path / "cur"))
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    store.process_batch(half, 0)  # seed real history
+    fp = F.md5(F.col("text").cast("binary")).alias("fp")
+    canon = docs.select("doc_id", "lang", "text", fp)
+    admit = store._admit(canon, batch_id=1)
+    plan = admit._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    # and the shape is value-correct: exactly the odd docs get admitted
+    admitted_ids = {r["doc_id"] for r in admit.select("doc_id").collect()}
+    dup = {
+        r["doc_id"]
+        for r in canon.join(store.seen(before=1), "fp", "left_semi").collect()
+    }
+    expect = {r["doc_id"] for r in docs.collect()} - dup
+    assert admitted_ids == expect
