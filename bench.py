@@ -100,10 +100,11 @@ def main() -> None:
     total = round(sum(times.values()), 3)
 
     # Extras: measured but NOT in the headline total (keeps cross-round
-    # totals comparable). Currently the IVF assignment-kernel pair — the
-    # interpreted fold-expression path vs the Arrow-batched BLAS GEMM path.
+    # totals comparable). The IVF assignment-kernel pair (interpreted
+    # fold-expression vs Arrow-batched BLAS GEMM) plus the vector store's
+    # deployment probe (ingest + one bucket-pruned scan + fold top-k).
     extras: dict[str, float] = {}
-    for name in ("sim_ann_ivf", "sim_ann_ivf_blas"):
+    for name in ("sim_ann_ivf", "sim_ann_ivf_blas", "sim_ann_store_query_vectors"):
         best = None
         for _pass in range(2):
             t0 = time.perf_counter()

@@ -57,7 +57,8 @@ class LSHVectorStore:
     def __init__(self, spark: SparkSession, root: str, *,
                  compact_every: int | None = 64,
                  commit_mode: str = BC.RENAME,
-                 planes: int | None = None):
+                 planes: int | None = None,
+                 batch_files: int = 1):
         self.spark = spark
         self.root = root.rstrip("/")
         self._members = f"{self.root}/members"
@@ -65,6 +66,11 @@ class LSHVectorStore:
         # long streams; None disables for raw-dir-inspecting tests
         self.compact_every = compact_every
         self.commit_mode = commit_mode
+        # stream-sized batches (hundreds of vectors) want ONE sorted file;
+        # bulk-load-sized batches parallelize the sorted write across
+        # batch_files range partitions (each file then spans a contiguous
+        # bucket range, preserving the probe's row-group pruning)
+        self.batch_files = batch_files
         # the deployment sizes the plane count to the corpus (2^planes
         # buckets bound per-probe candidate volume — BASELINE.md's ANN
         # store section); the store records its plane count so readers
@@ -126,18 +132,22 @@ class LSHVectorStore:
         if batch_id is None:
             batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
         self._record_planes()
-        BC.commit_batch(
-            vectors.select(
-                F.expr(V.lsh_bucket_expr("embedding", self.planes))
-                .cast("bigint")
-                .alias("bucket"),
-                "vec_id",
-                "embedding",
-            ).coalesce(1).sortWithinPartitions("bucket"),
-            self._members,
-            batch_id,
-            mode=self.commit_mode,
+        bucketed = vectors.select(
+            F.expr(V.lsh_bucket_expr("embedding", self.planes))
+            .cast("bigint")
+            .alias("bucket"),
+            "vec_id",
+            "embedding",
         )
+        nf = self.batch_files
+        shaped = (
+            bucketed.coalesce(1).sortWithinPartitions("bucket")
+            if nf <= 1
+            else bucketed.repartitionByRange(nf, "bucket").sortWithinPartitions(
+                "bucket"
+            )
+        )
+        BC.commit_batch(shaped, self._members, batch_id, mode=self.commit_mode)
         ce = self.compact_every
         if ce and batch_id % ce == ce - 1:
             BC.compact(self.spark, self._members, _MEMBERS_DDL,

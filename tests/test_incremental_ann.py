@@ -167,3 +167,32 @@ def test_planes_knob(spark, tmp_path):
     assert reopened.planes == 12
     with pytest.raises(ValueError, match="planes"):
         LSHVectorStore(spark, str(tmp_path / "s12"), planes=8)
+
+
+def test_batch_files_parallel_sorted_write(spark, tmp_path):
+    """batch_files=4 (bulk-load shape) commits 4 range-partitioned
+    sorted files whose query results are row-identical to the
+    single-file stream shape — the parallel write must preserve the
+    bucket-sorted layout the probe's row-group pruning relies on."""
+    import glob
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    s1 = LSHVectorStore(spark, str(tmp_path / "one"))
+    s4 = LSHVectorStore(spark, str(tmp_path / "four"), batch_files=4)
+    s1.process_batch(e, 0)
+    s4.process_batch(e, 0)
+    files = glob.glob(str(tmp_path / "four" / "members" / "b*" / "*.parquet"))
+    assert len(files) == 4
+    # each file holds a contiguous, sorted bucket range
+    prev_hi = None
+    ranges = []
+    for f in files:
+        pdf = spark.read.parquet(f).select("bucket").toPandas()
+        assert pdf["bucket"].is_monotonic_increasing
+        ranges.append((pdf["bucket"].min(), pdf["bucket"].max()))
+    for lo, hi in sorted(ranges):
+        assert prev_hi is None or lo >= prev_hi
+        prev_hi = hi
+    assert _rows(s4.query_topk(_N_QUERIES, _TOP_K)) == _rows(
+        s1.query_topk(_N_QUERIES, _TOP_K)
+    )

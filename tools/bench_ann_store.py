@@ -53,11 +53,7 @@ from pyspark.sql import Window as W  # noqa: E402
 from doreisa_spark.operators import vectors as V  # noqa: E402
 from doreisa_spark.operators.broadcast import bcast  # noqa: E402
 from doreisa_spark.session import get_spark  # noqa: E402
-from doreisa_spark.streaming import batch_commit as BC  # noqa: E402
-from doreisa_spark.streaming.incremental_ann import (  # noqa: E402
-    _MEMBERS_DDL,
-    LSHVectorStore,
-)
+from doreisa_spark.streaming.incremental_ann import LSHVectorStore  # noqa: E402
 
 BATCH = 500
 DIM = 64
@@ -134,27 +130,15 @@ def main() -> None:
         while mult <= max_mult:
             hist = BATCH * mult
             root = str(Path(scratch) / f"m{mult}")
-            store = LSHVectorStore(spark, root)
-            # bulk-load the history directly in the steady compacted
-            # layout (range-partitioned + sorted on bucket, the exact
-            # shape BC.compact(order_by=["bucket"]) produces) — parallel
-            # generation instead of process_batch's single-file coalesce;
-            # ~32 MiB files (≈280 B/row) so file count stays bounded and
-            # each file spans ~a bucket at the top sizes
+            # bulk-load the history through the store's own parallel
+            # sorted-write path (batch_files range partitions — the
+            # steady compacted layout, ~32 MiB files at ≈280 B/row),
+            # then drop to stream-shape single-file batches for the
+            # timed ingest passes
             nf = max(1, (hist * 280) // (32 << 20))
-            bulk = (
-                synth_vectors(spark, 0, hist)
-                .select(
-                    F.expr(V.lsh_bucket_expr("embedding"))
-                    .cast("bigint")
-                    .alias("bucket"),
-                    "vec_id",
-                    "embedding",
-                )
-                .repartitionByRange(nf, "bucket")
-                .sortWithinPartitions("bucket")
-            )
-            assert BC.commit_batch(bulk, store._members, 0)
+            store = LSHVectorStore(spark, root, batch_files=nf)
+            store.process_batch(synth_vectors(spark, 0, hist), 0)
+            store.batch_files = 1
             # the deployment query shape: application-side vectors,
             # collected ONCE outside the timed region — both paths get
             # the identical local query relation, so the measured
