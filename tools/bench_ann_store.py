@@ -33,7 +33,11 @@ Protocol (mirrors the dedup-store bench):
 
 Output: one JSON line for BASELINE.md.
 
-Usage: python tools/bench_ann_store.py [out.json] [max_mult]
+Usage: python tools/bench_ann_store.py [out.json] [max_mult] [planes]
+
+``planes`` (default 8, the oracle-tied constant) exercises the
+deployment scale knob: more planes → 2^planes buckets → smaller
+candidate sets per probe (BASELINE.md's ANN-store section).
 """
 
 from __future__ import annotations
@@ -78,7 +82,11 @@ def query_full(store: LSHVectorStore, queries, k: int):
 
     q = store.spark.createDataFrame(
         [
-            {"qid": int(i), "qe": list(e), "bucket": VV.lsh_bucket_py(e)}
+            {
+                "qid": int(i),
+                "qe": list(e),
+                "bucket": VV.lsh_bucket_py(e, store.planes),
+            }
             for i, e in queries
         ],
         schema="qid bigint, qe array<float>, bucket bigint",
@@ -115,6 +123,7 @@ def best_of(fn, passes: int = 2) -> float:
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
     max_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    planes = int(sys.argv[3]) if len(sys.argv) > 3 else None
     spark = get_spark("bench-ann-store")
     # row-group size must be set on the live hadoop conf (a runtime
     # spark.conf.set of spark.hadoop.* does NOT propagate post-start);
@@ -136,7 +145,7 @@ def main() -> None:
             # then drop to stream-shape single-file batches for the
             # timed ingest passes
             nf = max(1, (hist * 280) // (32 << 20))
-            store = LSHVectorStore(spark, root, batch_files=nf)
+            store = LSHVectorStore(spark, root, batch_files=nf, planes=planes)
             store.process_batch(synth_vectors(spark, 0, hist), 0)
             store.batch_files = 1
             # the deployment query shape: application-side vectors,
@@ -161,7 +170,7 @@ def main() -> None:
             # un-timed byte probes: decoded embedding bytes per candidate
             # scan — the deployment-scale cost the pruning targets
             m = store.members()
-            probed = sorted({V.lsh_bucket_py(e) for _, e in queries})
+            probed = sorted({V.lsh_bucket_py(e, store.planes) for _, e in queries})
             nbytes = F.sum(F.size("embedding") * 4).alias("b")
             pruned_bytes = (
                 m.where(F.col("bucket").isin(probed)).agg(nbytes).collect()[0]["b"]
@@ -189,7 +198,12 @@ def main() -> None:
             mult *= 10
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
-    result = {"batch_vecs": BATCH, "dim": DIM, "rows": rows}
+    result = {
+        "batch_vecs": BATCH,
+        "dim": DIM,
+        "planes": planes or 8,
+        "rows": rows,
+    }
     line = json.dumps(result)
     print(line)
     if out_path:
