@@ -129,7 +129,14 @@ class CurationStore:
         right side, and the right side is the corpus-sized one. With
         this shape history is scanned map-only (narrow 32-char fp
         column) and never shuffled; plan pinned by
-        tests/test_plan_shapes.py::test_curation_admission_never_shuffles_history."""
+        tests/test_plan_shapes.py::test_curation_admission_never_shuffles_history.
+
+        Measured at a 50M-fp store (tools/bench_curation_store.py):
+        both shapes are scan-bound on local tmpfs (wall overlaps), but
+        the naive shape writes the history through the exchange —
+        1.6 GB of shuffle per 500-doc batch vs ZERO here. On a cluster
+        that per-batch disk+network write is the term that grows
+        forever; the map-only scan is the floor, bounded by compaction."""
         hits = self.seen(before=batch_id).join(
             bcast(canon.select("fp"), bounded=True), "fp", "left_semi"
         )
