@@ -24,6 +24,23 @@ N_BANDS = 4
 BAND_ROWS = 2
 assert len(MINHASH_A) == N_BANDS * BAND_ROWS
 
+
+def minhash_params(n_perms: int) -> tuple[list[int], list[int]]:
+    """Affine-permutation parameters for an arbitrary minhash count —
+    the deployment sizes (bands × rows) to its recall/precision target
+    without changing the pipeline. The first 8 are the fixed constants
+    (prefix-stable, so default band signatures — and the DuckDB oracle —
+    are untouched); further perms extend them by Lehmer/LCG recurrences
+    mod the Mersenne prime (a stays nonzero: a pure multiplicative step
+    from a nonzero seed; both stay < 2^31 so `a*h` fits a BIGINT)."""
+    if n_perms < 1:
+        raise ValueError(f"n_perms must be >= 1, got {n_perms}")
+    a, b = list(MINHASH_A), list(MINHASH_B)
+    while len(a) < n_perms:
+        a.append((a[-1] * 48271) % MERSENNE_P)
+        b.append((b[-1] * 69069 + 1) % MERSENNE_P)
+    return a[:n_perms], b[:n_perms]
+
 SIMHASH_BITS = 16  # bits of the simhash signature (each needs a ±1 vote sum)
 
 
@@ -60,7 +77,8 @@ def hashes_expr(shingle_array: str) -> str:
 
 def minhash_from_hashes_expr(hashes_array: str, k: int) -> str:
     """k-th minhash from the precomputed hash array (Spark SQL text)."""
-    a, b = MINHASH_A[k], MINHASH_B[k]
+    A, B = minhash_params(k + 1)
+    a, b = A[k], B[k]
     return f"array_min(transform({hashes_array}, h -> ({a}L * h + {b}L) % {MERSENNE_P}))"
 
 

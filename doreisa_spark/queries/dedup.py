@@ -144,21 +144,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_BUCKET = 64
 
 
-def minhash_signature_frame(d: DataFrame) -> DataFrame:
+def minhash_signature_frame(
+    d: DataFrame,
+    n_bands: int = TX.N_BANDS,
+    band_rows: int = TX.BAND_ROWS,
+) -> DataFrame:
     """(doc_id, shingles, band_sigs) for a documents frame — the shared
     signature pass of batch `dedup_minhash_lsh` and the streaming
     incremental store (streaming/incremental_dedup.py): distinct word
-    3-gram shingles, K = N_BANDS×BAND_ROWS affine minhashes over one
-    md5-derived 28-bit hash per shingle, banded into N_BANDS 'lo-hi'
-    signature strings. One fused JVM expression pipeline, no Python."""
+    3-gram shingles, K = n_bands×band_rows affine minhashes over one
+    md5-derived 28-bit hash per shingle, banded into n_bands
+    '-'-joined signature strings. One fused JVM expression pipeline,
+    no Python. The default (4×2) is the DuckDB-oracle-tied setting;
+    other shapes draw prefix-stable extended perms from
+    TX.minhash_params (the deployment's recall/precision knob —
+    candidate probability 1-(1-s^rows)^bands)."""
     band_sigs = F.array(
         *[
             F.concat_ws(
                 "-",
-                F.expr(TX.minhash_from_hashes_expr("hashes", band * TX.BAND_ROWS)),
-                F.expr(TX.minhash_from_hashes_expr("hashes", band * TX.BAND_ROWS + 1)),
+                *[
+                    F.expr(
+                        TX.minhash_from_hashes_expr(
+                            "hashes", band * band_rows + r
+                        )
+                    )
+                    for r in range(band_rows)
+                ],
             )
-            for band in range(TX.N_BANDS)
+            for band in range(n_bands)
         ]
     )
     return (

@@ -99,7 +99,9 @@ class LSHSignatureStore:
 
     def __init__(self, spark: SparkSession, root: str, *,
                  compact_every: int | None = 64,
-                 commit_mode: str = BC.RENAME):
+                 commit_mode: str = BC.RENAME,
+                 n_bands: int | None = None,
+                 band_rows: int | None = None):
         self.spark = spark
         self.root = root
         self.members_dir = os.path.join(root, "members")
@@ -114,6 +116,49 @@ class LSHSignatureStore:
         # BC.RENAME (POSIX/HDFS atomic rename) or BC.MANIFEST (object
         # stores without atomic rename — S3 and friends)
         self.commit_mode = commit_mode
+        # the deployment's recall/precision knob: candidate probability
+        # is 1-(1-s^rows)^bands, so a production corpus sizes (bands ×
+        # rows) to its similarity target (default 4×2 is the
+        # oracle-tied test-scale setting; extra perms are prefix-stable,
+        # TX.minhash_params). Recorded in a write-once marker so readers
+        # self-configure and a mismatched writer fails loudly — bands
+        # from two different signature spaces must never share a log.
+        stored = self._stored_bands()
+        want = (n_bands, band_rows)
+        if want == (None, None):
+            self.n_bands, self.band_rows = stored or (TX.N_BANDS, TX.BAND_ROWS)
+        else:
+            self.n_bands = n_bands if n_bands is not None else TX.N_BANDS
+            self.band_rows = band_rows if band_rows is not None else TX.BAND_ROWS
+            if stored is not None and stored != (self.n_bands, self.band_rows):
+                raise ValueError(
+                    f"store at {root} was built with (bands, rows)={stored}, "
+                    f"got {(self.n_bands, self.band_rows)}"
+                )
+
+    def _stored_bands(self) -> "tuple[int, int] | None":
+        import json
+
+        marker = os.path.join(self.root, "_bands.json")
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            d = json.load(f)
+        return int(d["n_bands"]), int(d["band_rows"])
+
+    def _record_bands(self) -> None:
+        """Atomic write-once marker (underscore name: invisible to Spark
+        file listing), written before the first commit."""
+        import json
+
+        marker = os.path.join(self.root, "_bands.json")
+        if os.path.exists(marker):
+            return
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{marker}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"n_bands": self.n_bands, "band_rows": self.band_rows}, f)
+        os.replace(tmp, marker)
 
     def _maybe_compact(self, batch_id: int) -> None:
         ce = self.compact_every
@@ -182,7 +227,10 @@ class LSHSignatureStore:
         ):
             return  # fully-committed redelivery: exactly-once no-op
         spark = self.spark
-        sig = minhash_signature_frame(batch_docs).persist()
+        self._record_bands()
+        sig = minhash_signature_frame(
+            batch_docs, self.n_bands, self.band_rows
+        ).persist()
         sig.count()  # eager: bands + verify-a + verify-b subtrees reuse it
         admitted = cand = None
         try:

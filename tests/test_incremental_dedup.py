@@ -117,3 +117,45 @@ def test_pruned_store_equals_base_store(spark, tmp_path):
     before = _pairs_set(pruned.pairs())
     pruned.process_batch(batches[-1], len(batches) - 1)
     assert _pairs_set(pruned.pairs()) == before
+
+
+def test_bands_knob(spark, tmp_path):
+    """The deployment recall knob: (bands, rows)=(8, 2) draws 16
+    prefix-stable perms (TX.minhash_params — the first 8 ARE the
+    oracle-tied constants), so the default store's candidates are a
+    subset of the 8-band store's (same sigs on shared bands, same
+    caps) and verified pairs at the same tau are a SUPERSET with
+    identical jaccard on the overlap. Also pins: members span the new
+    band ids, a reopened store adopts the marker, a mismatched writer
+    raises."""
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    batches = [
+        d.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in [(0, 250), (250, 10**9)]
+    ]
+    s4 = LSHSignatureStore(spark, str(tmp_path / "b4"))
+    s8 = LSHSignatureStore(spark, str(tmp_path / "b8"), n_bands=8)
+    for bid, b in enumerate(batches):
+        s4.process_batch(b, bid)
+        s8.process_batch(b, bid)
+    p4 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in s4.pairs().collect()
+    }
+    p8 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for r in s8.pairs().collect()
+    }
+    assert set(p4) <= set(p8)
+    assert all(abs(p8[k] - p4[k]) < 1e-9 for k in p4)
+    bands_seen = {
+        r["band_id"] for r in s8.members().select("band_id").distinct().collect()
+    }
+    assert bands_seen == set(range(8))
+    assert {
+        r["band_id"] for r in s4.members().select("band_id").distinct().collect()
+    } == set(range(4))
+    reopened = LSHSignatureStore(spark, str(tmp_path / "b8"))
+    assert (reopened.n_bands, reopened.band_rows) == (8, 2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        LSHSignatureStore(spark, str(tmp_path / "b8"), n_bands=4)
