@@ -748,7 +748,9 @@ def dedup_minhash_lsh_incremental_pruned(spark: SparkSession, sf_dir: str) -> Da
     batch, BASELINE.md r8 curve) committing in MANIFEST mode (the
     object-store-safe protocol: nonce data dirs + atomic manifest
     replace, streaming/batch_commit.py), with auto-compaction folding
-    mid-stream (compact_every=2 over 3 batches). Hash-equal to the
+    mid-stream (compact_every=2 over FOUR batches, so the fold at batch 3
+    really merges batches 0–1 past keep_last — with 3 batches the fold
+    set was empty and the path never ran, ADVICE r8). Hash-equal to the
     one-shot `dedup_minhash_lsh` — the driver's gate now covers both new
     storage paths end-to-end, not just pytest."""
     from doreisa_spark.streaming import batch_commit as BC
@@ -756,7 +758,7 @@ def dedup_minhash_lsh_incremental_pruned(spark: SparkSession, sf_dir: str) -> Da
 
     d = table(spark, sf_dir, "documents", spread=True)
     lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
-    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    cuts = [lo + i * (hi - lo) // 4 for i in (1, 2, 3)]
     store = PrunedLSHSignatureStore(
         spark,
         _fresh_store_dir("incdedup_pruned"),
@@ -764,9 +766,10 @@ def dedup_minhash_lsh_incremental_pruned(spark: SparkSession, sf_dir: str) -> Da
         compact_every=2,
     )
     for cond in (
-        F.col("doc_id") <= cut1,
-        (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
-        F.col("doc_id") > cut2,
+        F.col("doc_id") <= cuts[0],
+        (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1]),
+        (F.col("doc_id") > cuts[1]) & (F.col("doc_id") <= cuts[2]),
+        F.col("doc_id") > cuts[2],
     ):
         store.process_batch(d.where(cond))
     return store.pairs()

@@ -220,8 +220,7 @@ _TRACE_SQL = f"""
 SELECT 'summary' AS component,
        t AS eigensum,
        t AS projected_total,
-       t AS total_variance,
-       1.0 AS monotone
+       t AS total_variance
 FROM (
   SELECT sum(sq / n - (s / n) * (s / n)) AS t FROM (
     SELECT count(*) AS n,
@@ -250,9 +249,13 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
       the COMPLETE eigenbasis by a second distributed pass (checks the
       projection path end-to-end: an orthonormal basis preserves total
       variance);
-    - ``total_variance``: the trace of the pass-1 covariance itself;
-    - ``monotone``: 1.0 iff the eigenvalues come out non-increasing (the
-      ordering invariant, encoded as a checkable cell).
+    - ``total_variance``: the trace of the pass-1 covariance itself.
+
+    (An earlier ``monotone`` cell — "eigenvalues non-increasing" — was
+    dropped per ADVICE r8: the values came from a descending argsort, so
+    the check was true by construction and pinned nothing. The ordering
+    is pinned where it is falsifiable, against numpy in
+    tests/test_pca.py.)
 
     Per-component detail (not SQL-expressible — see module docstring)
     lives in :func:`pca_components`, pinned by tests/test_pca.py."""
@@ -262,10 +265,8 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, mu, cov = _cov_stats(e)
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1]
-    w_desc = w[order]
     V = v[:, order].T  # complete basis, rows = eigenvectors
     proj_var = _projection_moments(e, mu.tolist(), V.tolist())
-    monotone = float(all(a >= b - 1e-12 for a, b in zip(w_desc, w_desc[1:])))
     return spark.createDataFrame(
         [
             (
@@ -273,9 +274,8 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                 float(w.sum()),
                 float(proj_var.sum()),
                 float(np.trace(cov)),
-                monotone,
             )
         ],
         "component string, eigensum double, projected_total double, "
-        "total_variance double, monotone double",
+        "total_variance double",
     )

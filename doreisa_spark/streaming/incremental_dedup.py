@@ -210,7 +210,19 @@ class LSHSignatureStore:
     def process_batch(self, batch_docs: DataFrame, batch_id: int | None = None) -> None:
         """Ingest one micro-batch of documents (see module docstring).
         ``batch_id=None`` (driver-loop callers without stream ids)
-        auto-increments past the highest committed batch."""
+        auto-increments past the highest committed batch.
+
+        CONTRACT — monotone doc_ids: batches must arrive with
+        non-decreasing ``doc_id`` (the natural ingest order; new ids
+        assigned at arrival satisfy it trivially). That is what makes
+        the bucket-cap admission reproduce the batch operator exactly
+        AND what lets the verify stage look up ``doc_b`` shingles from
+        the batch alone (doc_b = greatest(old, new) is then always
+        in-batch). Out-of-order arrival degrades to a recall-only
+        approximation: a late small doc_id cannot evict a stored member,
+        and a pair whose larger doc lives in history is not re-verified
+        (its shingles are not in the batch frame) — it is dropped, in
+        BOTH store layouts."""
         if batch_id is None:
             # max over ALL three log roots: a crash that committed e.g.
             # pairs but not members must not let the next different-data
@@ -380,18 +392,34 @@ class PrunedLSHSignatureStore(LSHSignatureStore):
 
     IN_PUSHDOWN = 256  # point-IN pushdown cap (parquet OR-tree stack depth)
 
-    def __init__(self, spark: SparkSession, root: str, *,
-                 compact_every: int | None = 64,
-                 commit_mode: str = BC.RENAME):
-        super().__init__(spark, root, compact_every=compact_every,
-                         commit_mode=commit_mode)
-        cur = int(spark.conf.get(
-            "spark.sql.parquet.pushdown.inFilterThreshold", "10"))
-        if cur < self.IN_PUSHDOWN:
-            spark.conf.set(
-                "spark.sql.parquet.pushdown.inFilterThreshold",
-                str(self.IN_PUSHDOWN),
-            )
+    def _in_threshold_scope(self):
+        """Raise ``spark.sql.parquet.pushdown.inFilterThreshold`` only
+        while THIS store's probe queries execute, restoring the prior
+        value on exit — the conf is read at execution time, and a
+        session-wide bump would silently change pushdown behavior for
+        unrelated queries sharing the session (ADVICE r8). All IN-filter
+        frames this store builds are executed inside process_batch (the
+        commits force them), so scoping the override there is exact."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def scope():
+            key = "spark.sql.parquet.pushdown.inFilterThreshold"
+            prev = self.spark.conf.get(key, "10")
+            bump = int(prev) < self.IN_PUSHDOWN
+            if bump:
+                self.spark.conf.set(key, str(self.IN_PUSHDOWN))
+            try:
+                yield
+            finally:
+                if bump:
+                    self.spark.conf.set(key, prev)
+
+        return scope()
+
+    def process_batch(self, batch_docs: DataFrame, batch_id: int | None = None) -> None:
+        with self._in_threshold_scope():
+            super().process_batch(batch_docs, batch_id)
 
     def _members_to_commit(self, df: DataFrame) -> DataFrame:
         return df.coalesce(1).sortWithinPartitions("sig")
@@ -423,9 +451,14 @@ class PrunedLSHSignatureStore(LSHSignatureStore):
         )
 
     def _probe_shingles(self, cand: DataFrame, batch_id: int) -> DataFrame:
-        # bounded collect: candidate pairs are bucket-cap bounded. Only
-        # doc_a can reference history (doc_b is always in-batch); the
-        # in-batch side of the union supplies the rest.
+        # bounded collect: candidate pairs are bucket-cap bounded. Under
+        # process_batch's monotone-doc_id contract only doc_a can
+        # reference history (doc_b = greatest(old, new) is then always
+        # in-batch); the in-batch side of the union supplies the rest.
+        # With NON-monotone ingest a history doc could become doc_b and
+        # its pair would drop at the verify join — same degradation as
+        # the base store (whose sb frame is also batch-only), see the
+        # contract note on process_batch.
         ids = [r["doc_a"] for r in cand.select("doc_a").distinct().collect()]
         if not ids:
             return self.shingles(before=batch_id).limit(0)

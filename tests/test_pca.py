@@ -58,11 +58,13 @@ def test_cov_stats_match_numpy(spark):
 def test_pca_summary_trace_invariants(spark):
     """The band-checked registry entry: every numeric cell equals the
     covariance trace (complete-basis eigenvalue sum, full-basis projected
-    total, and the trace itself), and the ordering invariant holds."""
+    total, and the trace itself). The eigenvalue ORDERING is pinned in
+    test_pca_components_match_numpy against an independent numpy
+    recomputation — the entry's former ``monotone`` cell was true by
+    construction and was dropped (ADVICE r8)."""
     _, cov, _ = _numpy_pca(spark)
     row = pca.emb_pca_project(spark, SF_SMALL).collect()[0]
     t = float(np.trace(cov))
     assert abs(row["eigensum"] - t) < 1e-9
     assert abs(row["projected_total"] - t) < 1e-6
     assert abs(row["total_variance"] - t) < 1e-9
-    assert row["monotone"] == 1.0
