@@ -58,10 +58,18 @@ class LSHVectorStore:
                  compact_every: int | None = 64,
                  commit_mode: str = BC.RENAME,
                  planes: int | None = None,
-                 batch_files: int = 1):
+                 batch_files: int = 1,
+                 fenced: bool = False):
         self.spark = spark
         self.root = root.rstrip("/")
         self._members = f"{self.root}/members"
+        # fenced=True (manifest mode only): this store instance acquires
+        # the writer epoch at construction — any LATER fenced instance on
+        # the same root supersedes it, and this one's next commit raises
+        # StaleWriterError instead of silently last-writer-winning
+        self._epoch = (
+            BC.acquire_writer(self._members, mode=commit_mode) if fenced else None
+        )
         # default ON (see LSHSignatureStore): bounds read-planning cost on
         # long streams; None disables for raw-dir-inspecting tests
         self.compact_every = compact_every
@@ -147,11 +155,26 @@ class LSHVectorStore:
                 "bucket"
             )
         )
-        BC.commit_batch(shaped, self._members, batch_id, mode=self.commit_mode)
+        BC.commit_batch(shaped, self._members, batch_id,
+                        mode=self.commit_mode, epoch=self._epoch)
         ce = self.compact_every
         if ce and batch_id % ce == ce - 1:
-            BC.compact(self.spark, self._members, _MEMBERS_DDL,
-                       mode=self.commit_mode, order_by=["bucket"])
+            # size-tiered: bounded write amplification (r8 verdict); each
+            # tier stays bucket-sorted so probe pruning survives folding
+            BC.compact_tiered(self.spark, self._members, _MEMBERS_DDL,
+                              mode=self.commit_mode, order_by=["bucket"],
+                              epoch=self._epoch)
+
+    def delete_vectors(self, vec_ids, batch_id: int | None = None) -> None:
+        """Takedown (r8 verdict ask #4): tombstone vectors out of the
+        index. Probes filter them immediately (read-time anti-join, tiny
+        broadcast); compaction physically drops the embedding bytes.
+        Exactly-once: a redelivered delete batch id commits nothing."""
+        ids = [int(i) for i in vec_ids]
+        if batch_id is None:
+            batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
+        BC.delete_keys(self.spark, self._members, ids, batch_id,
+                       key_cols="vec_id", mode=self.commit_mode)
 
     def query_topk(self, query_ids_below: int, k: int) -> DataFrame:
         """Top-k per query vector (vec_id < query_ids_below, the batch

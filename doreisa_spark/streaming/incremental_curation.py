@@ -58,11 +58,19 @@ _KEPT_DDL = "doc_id bigint, lang string, n_tokens int"
 class CurationStore:
     def __init__(self, spark: SparkSession, root: str, *,
                  compact_every: int | None = 64,
-                 commit_mode: str = BC.RENAME):
+                 commit_mode: str = BC.RENAME,
+                 fenced: bool = False):
         self.spark = spark
         self.root = root.rstrip("/")
         self._seen = f"{self.root}/seen"
         self._kept = f"{self.root}/kept"
+        # fenced=True (manifest mode only): per-root writer epochs — a
+        # later fenced instance supersedes this one, whose next commit
+        # then raises StaleWriterError (batch_commit.acquire_writer)
+        self._epochs = {
+            d: BC.acquire_writer(d, mode=commit_mode) if fenced else None
+            for d in (self._seen, self._kept)
+        }
         # default ON (see LSHSignatureStore): bounds read-planning cost on
         # long streams; None disables for raw-dir-inspecting tests
         self.compact_every = compact_every
@@ -108,14 +116,47 @@ class CurationStore:
         admitted = self._admit(canon, batch_id).persist()
         try:
             m = self.commit_mode
-            BC.commit_batch(quality_filter(admitted), self._kept, batch_id, mode=m)
-            BC.commit_batch(admitted.select("fp"), self._seen, batch_id, mode=m)
+            BC.commit_batch(quality_filter(admitted), self._kept, batch_id,
+                            mode=m, epoch=self._epochs[self._kept])
+            BC.commit_batch(admitted.select("fp"), self._seen, batch_id,
+                            mode=m, epoch=self._epochs[self._seen])
         finally:
             admitted.unpersist()
         ce = self.compact_every
         if ce and batch_id % ce == ce - 1:
-            BC.compact(self.spark, self._seen, _SEEN_DDL, mode=self.commit_mode)
-            BC.compact(self.spark, self._kept, _KEPT_DDL, mode=self.commit_mode)
+            # size-tiered: bounded write amplification (r8 verdict)
+            BC.compact_tiered(self.spark, self._seen, _SEEN_DDL,
+                              mode=self.commit_mode,
+                              epoch=self._epochs[self._seen])
+            BC.compact_tiered(self.spark, self._kept, _KEPT_DDL,
+                              mode=self.commit_mode,
+                              epoch=self._epochs[self._kept])
+
+    def delete_docs(
+        self, doc_ids, *, texts=None, batch_id: int | None = None
+    ) -> None:
+        """Takedown (r8 verdict ask #4): tombstone curated docs out of
+        ``kept/`` by doc_id; when the deleted TEXTS are supplied, also
+        free their fingerprints in ``seen/`` (same md5 as the ingest
+        path) so a future re-ingest of identical content is admitted
+        again rather than silently dropped as a duplicate — the correct
+        semantics for content removed then legitimately re-contributed.
+        Exactly-once: a redelivered delete batch id commits nothing."""
+        import hashlib
+
+        if batch_id is None:
+            batch_id = BC.next_batch_id(
+                self._seen, self._kept, mode=self.commit_mode
+            )
+        m = self.commit_mode
+        BC.delete_keys(self.spark, self._kept, [int(i) for i in doc_ids],
+                       batch_id, key_cols="doc_id", mode=m)
+        if texts:
+            # driver-side md5 hex == F.md5(text cast binary): both are the
+            # lowercase hex digest of the utf-8 bytes
+            fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+            BC.delete_keys(self.spark, self._seen, fps, batch_id,
+                           key_cols="fp", key_type="string", mode=m)
 
     def _admit(self, canon: DataFrame, batch_id: int) -> DataFrame:
         """Batch rows whose fingerprint is NOT in the seen store — as a

@@ -101,12 +101,20 @@ class LSHSignatureStore:
                  compact_every: int | None = 64,
                  commit_mode: str = BC.RENAME,
                  n_bands: int | None = None,
-                 band_rows: int | None = None):
+                 band_rows: int | None = None,
+                 fenced: bool = False):
         self.spark = spark
         self.root = root
         self.members_dir = os.path.join(root, "members")
         self.shingles_dir = os.path.join(root, "shingles")
         self.pairs_dir = os.path.join(root, "pairs")
+        # fenced=True (manifest mode only): per-root writer epochs — a
+        # later fenced instance supersedes this one, whose next commit
+        # then raises StaleWriterError (batch_commit.acquire_writer)
+        self._epochs = {
+            d: BC.acquire_writer(d, mode=commit_mode) if fenced else None
+            for d in (self.members_dir, self.shingles_dir, self.pairs_dir)
+        }
         # fold per-batch log dirs every N batches: long streams otherwise
         # accumulate one directory per batch and the per-batch history
         # read pays the file-count planning cost. DEFAULT ON (64 — a
@@ -161,12 +169,18 @@ class LSHSignatureStore:
         os.replace(tmp, marker)
 
     def _maybe_compact(self, batch_id: int) -> None:
+        # size-tiered (LSM) folding: per-batch amortized write cost is
+        # O(batch * log(store/batch)), not the full-rewrite O(store/N)
+        # the r8 verdict flagged — see batch_commit.compact_tiered
         ce = self.compact_every
         if ce and batch_id % ce == ce - 1:
             m = self.commit_mode
-            BC.compact(self.spark, self.members_dir, _MEMBERS_DDL, mode=m)
-            BC.compact(self.spark, self.shingles_dir, _SHINGLES_DDL, mode=m)
-            BC.compact(self.spark, self.pairs_dir, _PAIRS_DDL, mode=m)
+            BC.compact_tiered(self.spark, self.members_dir, _MEMBERS_DDL,
+                              mode=m, epoch=self._epochs[self.members_dir])
+            BC.compact_tiered(self.spark, self.shingles_dir, _SHINGLES_DDL,
+                              mode=m, epoch=self._epochs[self.shingles_dir])
+            BC.compact_tiered(self.spark, self.pairs_dir, _PAIRS_DDL,
+                              mode=m, epoch=self._epochs[self.pairs_dir])
 
     def _read(self, path: str, ddl: str, before: int | None = None) -> DataFrame:
         return BC.read_committed(
@@ -182,6 +196,27 @@ class LSHSignatureStore:
     def pairs(self) -> DataFrame:
         """The accumulated near-dup pairs — the operator's result."""
         return self._read(self.pairs_dir, _PAIRS_DDL)
+
+    def delete_docs(self, doc_ids, batch_id: int | None = None) -> None:
+        """Takedown (r8 verdict ask #4): tombstone the documents out of
+        every log — members and shingles by ``doc_id``, pairs by EITHER
+        endpoint (a near-dup pair naming a deleted doc must never be
+        served again). Reads filter immediately; compaction physically
+        drops the rows (batch_commit module docstring). Exactly-once
+        like any batch: a redelivered delete id commits nothing."""
+        ids = [int(i) for i in doc_ids]
+        if batch_id is None:
+            batch_id = BC.next_batch_id(
+                self.members_dir, self.shingles_dir, self.pairs_dir,
+                mode=self.commit_mode,
+            )
+        m = self.commit_mode
+        BC.delete_keys(self.spark, self.members_dir, ids, batch_id,
+                       key_cols="doc_id", mode=m)
+        BC.delete_keys(self.spark, self.shingles_dir, ids, batch_id,
+                       key_cols="doc_id", mode=m)
+        BC.delete_keys(self.spark, self.pairs_dir, ids, batch_id,
+                       key_cols=["doc_a", "doc_b"], mode=m)
 
     # ------------------------------------------------- store-layout hooks
     # Identity in the base store (full-log reads, test-deterministic);
@@ -318,10 +353,11 @@ class LSHSignatureStore:
                 .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
             )
             m = self.commit_mode
-            BC.commit_batch(new_pairs, self.pairs_dir, batch_id, mode=m)
+            BC.commit_batch(new_pairs, self.pairs_dir, batch_id, mode=m,
+                            epoch=self._epochs[self.pairs_dir])
             BC.commit_batch(
                 self._members_to_commit(admitted), self.members_dir, batch_id,
-                mode=m,
+                mode=m, epoch=self._epochs[self.members_dir],
             )
             # shingles are stored only for docs future batches can ever
             # meet in a bucket — i.e. admitted somewhere
@@ -334,6 +370,7 @@ class LSHSignatureStore:
                 self.shingles_dir,
                 batch_id,
                 mode=m,
+                epoch=self._epochs[self.shingles_dir],
             )
         finally:
             sig.unpersist()
@@ -428,14 +465,20 @@ class PrunedLSHSignatureStore(LSHSignatureStore):
         return df.coalesce(1).sortWithinPartitions("doc_id")
 
     def _maybe_compact(self, batch_id: int) -> None:
+        # tiered (see base class): every tier stays sorted on the probe
+        # key, so row-group min/max locality survives folding and the
+        # pruned probes just union a handful of sorted tiers
         ce = self.compact_every
         if ce and batch_id % ce == ce - 1:
             m = self.commit_mode
-            BC.compact(self.spark, self.members_dir, _MEMBERS_DDL, mode=m,
-                       order_by=["sig"])
-            BC.compact(self.spark, self.shingles_dir, _SHINGLES_DDL, mode=m,
-                       order_by=["doc_id"])
-            BC.compact(self.spark, self.pairs_dir, _PAIRS_DDL, mode=m)
+            BC.compact_tiered(self.spark, self.members_dir, _MEMBERS_DDL,
+                              mode=m, order_by=["sig"],
+                              epoch=self._epochs[self.members_dir])
+            BC.compact_tiered(self.spark, self.shingles_dir, _SHINGLES_DDL,
+                              mode=m, order_by=["doc_id"],
+                              epoch=self._epochs[self.shingles_dir])
+            BC.compact_tiered(self.spark, self.pairs_dir, _PAIRS_DDL,
+                              mode=m, epoch=self._epochs[self.pairs_dir])
 
     def _probe_members(self, bands_new: DataFrame, batch_id: int) -> DataFrame:
         # broadcast semi-join reduction against the batch's touched keys:
