@@ -71,25 +71,48 @@ def lsh_bucket_expr(a: str, planes: int = LSH_PLANES) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+def lsh_projections_py(a, planes: int = LSH_PLANES) -> list[float]:
+    """Driver-side per-plane projections w_k · a with the SAME sequential
+    double fold and integer hyperplanes as lsh_bucket_expr. The signs
+    give the bucket; the magnitudes are the multiprobe margins (a small
+    |w_k · a| means the vector sits close to hyperplane k, so the bucket
+    with bit k flipped is the likeliest home of a missed neighbor)."""
+    import struct
+
+    A, B = lsh_params(planes)
+    a32 = [struct.unpack("f", struct.pack("f", float(x)))[0] for x in a]
+    projs = []
+    for k in range(planes):
+        acc = 0.0
+        for i, x in enumerate(a32):
+            w = ((A[k] * (i + 1) + B[k]) % LSH_MOD) - LSH_MOD // 2
+            acc += float(x) * float(w)
+        projs.append(acc)
+    return projs
+
+
 def lsh_bucket_py(a, planes: int = LSH_PLANES) -> int:
     """Driver-side mirror of lsh_bucket_expr for application-provided
     query vectors (incremental_ann.query_topk_vectors): SAME sequential
     double fold, SAME integer hyperplanes — a float32 embedding must
     land in the identical bucket whether bucketed by the JVM expression
     at ingest or here at query time."""
-    import struct
+    return sum(
+        2**k for k, p in enumerate(lsh_projections_py(a, planes)) if p > 0
+    )
 
-    A, B = lsh_params(planes)
-    a32 = [struct.unpack("f", struct.pack("f", float(x)))[0] for x in a]
-    bucket = 0
-    for k in range(planes):
-        acc = 0.0
-        for i, x in enumerate(a32):
-            w = ((A[k] * (i + 1) + B[k]) % LSH_MOD) - LSH_MOD // 2
-            acc += float(x) * float(w)
-        if acc > 0:
-            bucket += 2**k
-    return bucket
+
+def lsh_probe_buckets_py(a, planes: int = LSH_PLANES, n_flip: int = 0) -> list[int]:
+    """Query-directed multiprobe bucket list: the vector's own bucket
+    first, then the ``n_flip`` Hamming-distance-1 neighbors obtained by
+    flipping the LOWEST-|margin| planes first (Lv et al.'s multi-probe
+    LSH ordering — the planes most likely to have mis-hashed a near
+    neighbor). ``n_flip=planes`` probes every Hamming-1 neighbor, which
+    is exactly the batch ``sim_ann_multiprobe`` probe set."""
+    projs = lsh_projections_py(a, planes)
+    base = sum(2**k for k, p in enumerate(projs) if p > 0)
+    order = sorted(range(planes), key=lambda k: abs(projs[k]))
+    return [base] + [base ^ (1 << k) for k in order[: max(0, n_flip)]]
 
 
 def sqdist_expr(a: str, b: str) -> str:

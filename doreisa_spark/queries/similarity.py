@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from doreisa_spark.catalog import table
 from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.operators import vectors as V
-from doreisa_spark.registry import REGISTRY, register
+from doreisa_spark.registry import EXTENDED, REGISTRY, register
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
 _TOP_K = 5
@@ -1309,3 +1309,32 @@ def sim_ann_store_query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
     ]
     return store.query_topk_vectors(queries, _TOP_K)
+
+
+@register(
+    "sim_ann_store_multiprobe",
+    extended=True,
+    oracle=EXTENDED["sim_ann_multiprobe"].oracle,
+)
+def sim_ann_store_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector store's multiprobe recall knob under the batch
+    multiprobe oracle (r8 verdict ask #2): ``query_topk_vectors`` with
+    ``n_flip=planes`` probes each query's bucket plus ALL Hamming-1
+    neighbors — by construction the same probe set as the one-shot
+    `sim_ann_multiprobe`, so the result must hash-match its DuckDB
+    oracle exactly. This pins (a) the driver-side margin-ordered probe
+    list against the JVM bucket space and (b) the store's multi-bucket
+    pruned scan + per-bucket masking end to end. Partial ``n_flip``
+    (the latency-for-recall trade) is measured, not oracled:
+    RECALL_r09.md / tools/recall_store_eval.py."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_ann import LSHVectorStore
+
+    e = table(spark, sf_dir, "embeddings")
+    store = LSHVectorStore(spark, _fresh_store_dir("incannmp"))
+    store.process_batch(e, 0)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
+    ]
+    return store.query_topk_vectors(queries, _TOP_K, n_flip=store.planes)

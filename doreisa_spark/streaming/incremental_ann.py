@@ -202,7 +202,7 @@ class LSHVectorStore:
         return self._topk_for(qrows, k)
 
     def query_topk_vectors(
-        self, queries, k: int, *, scoring: str = "expr"
+        self, queries, k: int, *, scoring: str = "expr", n_flip: int = 0
     ) -> DataFrame:
         """Top-k for APPLICATION-PROVIDED query vectors — the deployment
         query shape (a vector DB is handed the query embedding; it does
@@ -229,14 +229,27 @@ class LSHVectorStore:
         12.4 s vs BLAS probe 3.0 s — 4.1x, and 5.3x over the unpruned
         counterfactual (tools/bench_ann_store.py). A deployment also
         sizes LSH_PLANES to the corpus (more planes → smaller buckets)
-        to bound the candidate set itself."""
+        to bound the candidate set itself.
+
+        ``n_flip`` (r8 verdict ask #2) is the recall knob the planes
+        knob needs: each query probes its own bucket PLUS the ``n_flip``
+        Hamming-distance-1 neighbor buckets whose hyperplane margin is
+        smallest (query-directed multiprobe, the batch
+        ``sim_ann_multiprobe`` semantics — ``n_flip=planes`` probes the
+        identical Hamming-1 set, pinned by pytest). The fan-out lives
+        entirely on the driver-computed probe list; the store is still
+        touched by ONE pruned scan, each candidate still belongs to
+        exactly one bucket (no dedup needed), and cost grows with the
+        probed-bucket count — measured recall-vs-latency per (planes,
+        n_flip) in RECALL_r09.md / tools/recall_store_eval.py."""
         qrows = [
             {
                 "qid": int(qid),
                 "qe": list(emb),
-                "bucket": V.lsh_bucket_py(emb, self.planes),
+                "bucket": int(pb),
             }
             for qid, emb in queries
+            for pb in V.lsh_probe_buckets_py(emb, self.planes, n_flip)
         ]
         if scoring == "blas":
             return self._topk_blas(qrows, k)
