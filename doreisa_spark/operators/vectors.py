@@ -115,6 +115,47 @@ def lsh_probe_buckets_py(a, planes: int = LSH_PLANES, n_flip: int = 0) -> list[i
     return [base] + [base ^ (1 << k) for k in order[: max(0, n_flip)]]
 
 
+def lsh_probe_sequence_py(
+    a, planes: int = LSH_PLANES, n_probes: int = 0
+) -> list[int]:
+    """Full query-directed multiprobe sequence (Lv et al., VLDB'07): the
+    vector's bucket followed by ``n_probes`` perturbed buckets of ANY
+    Hamming distance, in nondecreasing sum-of-flipped-|margin| order —
+    the success-probability order. Hamming-1 probing saturates well
+    below recall 1 when the plane count is high relative to the
+    neighbor angle (at planes=14 and intra-cluster cosine ~0.95 the
+    probability a true neighbor lies within Hamming distance 1 is only
+    ~0.58 — measured in RECALL_r09.md); deeper perturbations recover
+    the tail at a per-probe cost that stays one bucket.
+
+    Enumeration is the classic extend/shift heap over margin-sorted
+    plane indices: from a perturbation set with largest index j, emit
+    ``S + {j+1}`` and ``S - {j} + {j+1}`` — every nonempty subset is
+    reachable and the heap pops them in score order, so generating
+    ``n_probes`` buckets costs O(n_probes log n_probes), never 2^planes."""
+    import heapq
+
+    projs = lsh_projections_py(a, planes)
+    base = sum(2**k for k, p in enumerate(projs) if p > 0)
+    out = [base]
+    if n_probes <= 0:
+        return out
+    order = sorted(range(planes), key=lambda k: abs(projs[k]))
+    m = [abs(projs[k]) for k in order]
+    heap: list[tuple[float, tuple[int, ...]]] = [(m[0], (0,))]
+    while heap and len(out) <= n_probes:
+        score, S = heapq.heappop(heap)
+        mask = 0
+        for i in S:
+            mask |= 1 << order[i]
+        out.append(base ^ mask)
+        j = S[-1]
+        if j + 1 < planes:
+            heapq.heappush(heap, (score + m[j + 1], S + (j + 1,)))
+            heapq.heappush(heap, (score - m[j] + m[j + 1], S[:-1] + (j + 1,)))
+    return out
+
+
 def sqdist_expr(a: str, b: str) -> str:
     """Sequential-fold squared L2 distance of two array<double> columns
     (Spark SQL) — same element order and accumulation as duck_sqdist."""

@@ -202,7 +202,8 @@ class LSHVectorStore:
         return self._topk_for(qrows, k)
 
     def query_topk_vectors(
-        self, queries, k: int, *, scoring: str = "expr", n_flip: int = 0
+        self, queries, k: int, *, scoring: str = "expr", n_flip: int = 0,
+        n_probes: int | None = None,
     ) -> DataFrame:
         """Top-k for APPLICATION-PROVIDED query vectors — the deployment
         query shape (a vector DB is handed the query embedding; it does
@@ -241,7 +242,25 @@ class LSHVectorStore:
         touched by ONE pruned scan, each candidate still belongs to
         exactly one bucket (no dedup needed), and cost grows with the
         probed-bucket count — measured recall-vs-latency per (planes,
-        n_flip) in RECALL_r09.md / tools/recall_store_eval.py."""
+        n_flip) in RECALL_r09.md / tools/recall_store_eval.py.
+
+        ``n_probes`` is the DEEP multiprobe knob (mutually exclusive
+        with n_flip): the full Lv et al. query-directed sequence —
+        perturbations of any Hamming distance in success-probability
+        order (vectors.lsh_probe_sequence_py). Hamming-1 saturates at
+        high plane counts (RECALL_r09.md measures the ceiling); the
+        deep sequence is how the planes=14 store buys recall@5 >= 0.9
+        back at a measured, still-pruned candidate volume."""
+        if n_probes is not None and n_flip:
+            raise ValueError("pass n_flip (Hamming-1) OR n_probes (deep)")
+        if n_probes is not None:
+            probe = lambda emb: V.lsh_probe_sequence_py(  # noqa: E731
+                emb, self.planes, n_probes
+            )
+        else:
+            probe = lambda emb: V.lsh_probe_buckets_py(  # noqa: E731
+                emb, self.planes, n_flip
+            )
         qrows = [
             {
                 "qid": int(qid),
@@ -249,7 +268,7 @@ class LSHVectorStore:
                 "bucket": int(pb),
             }
             for qid, emb in queries
-            for pb in V.lsh_probe_buckets_py(emb, self.planes, n_flip)
+            for pb in probe(emb)
         ]
         if scoring == "blas":
             return self._topk_blas(qrows, k)

@@ -259,3 +259,54 @@ def test_probe_bucket_ordering_by_margin(spark):
         margins = [abs(projs[b]) for b in flipped_bits]
         assert margins == sorted(margins)
         assert V.lsh_probe_buckets_py(emb, n_flip=0) == [base]
+
+
+def test_probe_sequence_deep_multiprobe(spark):
+    """lsh_probe_sequence_py (the n_probes knob): probes are distinct,
+    begin at the base bucket, come out in nondecreasing
+    sum-of-flipped-|margin| order (the Lv et al. success-probability
+    order), and enumerate the whole bucket space when asked for it."""
+    from doreisa_spark.operators import vectors as V
+
+    rows = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(4).collect()
+    for r in rows:
+        emb = r["embedding"]
+        projs = V.lsh_projections_py(emb)
+        base = V.lsh_bucket_py(emb)
+        seq = V.lsh_probe_sequence_py(emb, n_probes=40)
+        assert seq[0] == base and len(seq) == 41 == len(set(seq))
+        margins = [abs(p) for p in projs]
+
+        def score(bucket):
+            flipped = bucket ^ base
+            return sum(m for i, m in enumerate(margins) if flipped >> i & 1)
+
+        scores = [score(b) for b in seq[1:]]
+        assert scores == sorted(scores)
+        # exhaustive: 2^planes - 1 perturbations cover every bucket
+        full = V.lsh_probe_sequence_py(emb, n_probes=2**V.LSH_PLANES - 1)
+        assert sorted(full) == list(range(2**V.LSH_PLANES))
+
+
+def test_deep_multiprobe_store_paths_agree(spark, tmp_path):
+    """n_probes: expr and BLAS scoring agree; n_probes=0 equals
+    n_flip=0; n_flip and n_probes are mutually exclusive."""
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    store = LSHVectorStore(spark, str(tmp_path / "store"))
+    store.process_batch(e, 0)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
+    ]
+    assert _rows(store.query_topk_vectors(queries, _TOP_K, n_probes=0)) == _rows(
+        store.query_topk_vectors(queries, _TOP_K)
+    )
+    deep_expr = store.query_topk_vectors(queries, _TOP_K, n_probes=20)
+    deep_blas = store.query_topk_vectors(
+        queries, _TOP_K, n_probes=20, scoring="blas"
+    )
+    assert {(r["qid"], r["cid"], r["rk"]) for r in deep_expr.collect()} == {
+        (r["qid"], r["cid"], r["rk"]) for r in deep_blas.collect()
+    }
+    with pytest.raises(ValueError, match="n_flip"):
+        store.query_topk_vectors(queries, _TOP_K, n_flip=2, n_probes=4)
