@@ -1338,3 +1338,35 @@ def sim_ann_store_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
     ]
     return store.query_topk_vectors(queries, _TOP_K, n_flip=store.planes)
+
+
+@register("sim_ann_ivf_store", extended=True, oracle=_IVF_ORACLE)
+def sim_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF-Flat store (r8 verdict ask #3) under the batch
+    IVF oracle: the corpus streams into `IVFVectorStore` in three
+    batches (persisted quantizer marker, cell-sorted exactly-once log,
+    map-only assignment ingest), then the nprobe-pruned probe over the
+    ACCUMULATED store must hash-match the one-shot `sim_ann_ivf` DuckDB
+    oracle — which pins driver-side probe selection ≡ JVM fold, the
+    cell-IN pruned scan, and the per-cell masking end to end.
+    RECALL_r09.md reproduces the 100k recall@5 = 1.000 row from this
+    store (tools/ivf_store_recall.py)."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_ivf import IVFVectorStore
+
+    e = table(spark, sf_dir, "embeddings")
+    cent = [(r["cell"], r["cemb"]) for r in _seed_centroids(e).collect()]
+    store = IVFVectorStore(spark, _fresh_store_dir("incivf"), centroids=cent)
+    lo, hi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    for cond in (
+        F.col("vec_id") <= cut1,
+        (F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2),
+        F.col("vec_id") > cut2,
+    ):
+        store.process_batch(e.where(cond))
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
+    ]
+    return store.query_topk_vectors(queries, _TOP_K, nprobe=_IVF_NPROBE)

@@ -1,0 +1,365 @@
+"""Streaming-incremental IVF-Flat vector store (r8 verdict ask #3).
+
+RECALL_r08.md crowned IVF-Flat the measured-best index on hot data
+(recall@5 = 1.000 at 6.3 % of the corpus scanned, nprobe=1 on the
+planted 100k corpus) — but its amortized latency assumed a PERSISTED
+cell assignment, and the only incremental vector store was sign-LSH
+(incremental_ann.py). This module gives IVF the same deployment
+treatment on the same commit machinery:
+
+- **persisted centroids**: the coarse quantizer is recorded in a
+  write-once ``_centroids.json`` marker (the `_planes.json` pattern) —
+  a reopened store self-configures, a writer with different centroids
+  fails loudly (two quantizers must never share one inverted file);
+- **cell-sorted log segments**: every batch commits sorted by ``cell``
+  and compaction is size-tiered with ``order_by=["cell"]``, so an
+  nprobe-cell probe prunes the scan by parquet row-group min/max — the
+  inverted lists ARE the sort order, no directory partitioning needed;
+- **map-only ingest**: cell assignment is the oracle-exact broadcast
+  cross-join + argmax fold over the BATCH only (`sim_ann_ivf`'s
+  assignment semantics, queries/similarity.py) — history is never read
+  on the write path, exactly like the LSH store (the difference from
+  LSH: the quantizer is trained state, which is why it lives in the
+  marker; LSH's hyperplanes are stateless constants);
+- **nprobe-pruned point-IN probe**: probe cells are selected
+  driver-side with the same sequential-fold cosine as the JVM (bit
+  agreement pinned by pytest), pushed into ONE pruned scan; scoring is
+  the oracle-exact fold (default) or the BLAS GEMM kernel.
+
+Batch equivalence: after streaming a corpus in any batch split,
+``query_topk_vectors`` over the store equals the one-shot `sim_ann_ivf`
+(DuckDB-gated) row for row — pinned by tests/test_incremental_ivf.py
+and by the `sim_ann_ivf_store` registry entry under the batch oracle.
+Exactly-once, tombstone deletes (``delete_vectors``), tiered
+compaction, and writer fencing all come from streaming/batch_commit.py
+unchanged.
+
+100 TB posture: ingest is one broadcast (the centroid table — KB) per
+batch plus a sorted write; a probe reads nprobe inverted lists
+(~nprobe/cells of the store) via row-group pruning and never shuffles
+history. Retraining the quantizer is an explicit re-index (a new store
+root written by one job from the old store's committed log), never an
+in-place mutation — the marker makes the in-place variant impossible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from doreisa_spark.operators import vectors as V
+from doreisa_spark.operators.broadcast import bcast
+from doreisa_spark.streaming import batch_commit as BC
+
+_MEMBERS_DDL = "cell int, vec_id bigint, embedding array<float>"
+
+
+def fold_cosine_py(a, b) -> float:
+    """Driver-side mirror of operators/vectors.cosine_expr: float32
+    element casts, sequential double fold — bit-identical to the JVM
+    expression, so driver-side probe selection agrees with the oracle."""
+    import struct
+
+    f32 = lambda x: struct.unpack("f", struct.pack("f", float(x)))[0]  # noqa: E731
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        xd, yd = float(f32(x)), float(f32(y))
+        dot += xd * yd
+        na += xd * xd
+        nb += yd * yd
+    return dot / (na**0.5 * nb**0.5)
+
+
+class IVFVectorStore:
+    """Persisted IVF-Flat index: inverted lists as a cell-sorted
+    exactly-once parquet log, quantizer in a write-once marker."""
+
+    def __init__(self, spark: SparkSession, root: str, *,
+                 centroids=None,
+                 compact_every: int | None = 64,
+                 commit_mode: str = BC.RENAME,
+                 batch_files: int = 1,
+                 fenced: bool = False):
+        """``centroids``: list of (cell, embedding) for a NEW store —
+        typically the seed set (`similarity._seed_centroids(...).collect()`)
+        or a trained quantizer (`sim_kmeans_refine`'s output). A
+        reopened store loads its marker; passing centroids that differ
+        from the marker raises."""
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._members = f"{self.root}/members"
+        self.compact_every = compact_every
+        self.commit_mode = commit_mode
+        self.batch_files = batch_files
+        self._epoch = (
+            BC.acquire_writer(self._members, mode=commit_mode) if fenced else None
+        )
+        def _norm(r):
+            # accept (cell, embedding) pairs or Rows with cell/cemb fields
+            try:
+                return int(r["cell"]), [float(x) for x in r["cemb"]]
+            except (TypeError, KeyError):
+                c, emb = r
+                return int(c), [float(x) for x in emb]
+
+        stored = self._stored_centroids()
+        if centroids is not None:
+            cents = sorted(_norm(r) for r in centroids)
+            if stored is not None and stored != cents:
+                raise ValueError(
+                    f"store at {self.root} was built with a different "
+                    f"quantizer ({len(stored)} centroids); refusing to mix "
+                    "two coarse quantizers in one inverted file"
+                )
+            self.centroids = cents
+        elif stored is not None:
+            self.centroids = stored
+        else:
+            raise ValueError(
+                "a new IVF store needs centroids= (the coarse quantizer); "
+                "a reopened store reads its _centroids.json marker"
+            )
+
+    # ------------------------------------------------------------- marker
+    def _marker(self) -> str:
+        return f"{self.root}/_centroids.json"
+
+    def _stored_centroids(self):
+        if not os.path.exists(self._marker()):
+            return None
+        with open(self._marker()) as f:
+            return [(int(c), [float(x) for x in emb]) for c, emb in json.load(f)]
+
+    def _record_centroids(self) -> None:
+        """Atomic write-once marker, written before the first commit
+        (underscore name: invisible to Spark file listing)."""
+        if os.path.exists(self._marker()):
+            return
+        os.makedirs(self.root, exist_ok=True)
+        tmp = f"{self._marker()}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(self.centroids, f)
+        os.replace(tmp, self._marker())
+
+    def _centroid_frame(self) -> DataFrame:
+        return self.spark.createDataFrame(
+            [(c, emb) for c, emb in self.centroids],
+            schema="cell int, cemb array<float>",
+        )
+
+    # ------------------------------------------------------------- members
+    def members(self) -> DataFrame:
+        return BC.read_committed(
+            self.spark, self._members, _MEMBERS_DDL, mode=self.commit_mode
+        )
+
+    def delete_vectors(self, vec_ids, batch_id: int | None = None) -> None:
+        """Takedown: tombstone vectors out of the inverted file (same
+        contract as the LSH store — filtered at read, dropped at
+        compaction, exactly-once on redelivery)."""
+        ids = [int(i) for i in vec_ids]
+        if batch_id is None:
+            batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
+        BC.delete_keys(self.spark, self._members, ids, batch_id,
+                       key_cols="vec_id", mode=self.commit_mode)
+
+    def process_batch(
+        self, vectors: DataFrame, batch_id: int | None = None, *,
+        assign: str = "expr",
+    ) -> None:
+        """Map-only exactly-once ingest: assign each batch vector to its
+        nearest centroid, sort by cell, commit under the batch id.
+        History is never read.
+
+        ``assign="expr"`` (default) is the oracle-exact fold (broadcast
+        centroid cross join + row_number argmax, deterministic cell
+        tie-break — identical semantics to `sim_ann_ivf`'s assignment);
+        it costs O(batch × cells) fold rows, right for stream-sized
+        batches. ``assign="blas"`` is the bulk-load kernel: one GEMM of
+        each Arrow batch against the centroid matrix, argmax per row,
+        zero shuffle — the `sim_ann_ivf_blas` kernel shape, store-level
+        agreement pinned by pytest (ann.py's last-ulp tie caveat
+        applies; real corpora have no exact centroid-cosine ties)."""
+        if batch_id is None:
+            batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
+        self._record_centroids()
+        if assign == "blas":
+            assigned = self._assign_blas(vectors)
+        elif assign == "expr":
+            aw = W.partitionBy("vec_id").orderBy(F.col("a_cos").desc(), F.col("cell"))
+            assigned = (
+                vectors.select("vec_id", "embedding")
+                .crossJoin(bcast(self._centroid_frame(), bounded=True))
+                .select(
+                    "cell", "vec_id", "embedding",
+                    F.expr(V.cosine_expr("embedding", "cemb")).alias("a_cos"),
+                )
+                .withColumn("arnk", F.row_number().over(aw))
+                .where(F.col("arnk") == 1)
+                .select("cell", "vec_id", "embedding")
+            )
+        else:
+            raise ValueError(f"assign must be 'expr' or 'blas', got {assign!r}")
+        nf = self.batch_files
+        shaped = (
+            assigned.coalesce(1).sortWithinPartitions("cell")
+            if nf <= 1
+            else assigned.repartitionByRange(nf, "cell").sortWithinPartitions("cell")
+        )
+        BC.commit_batch(shaped, self._members, batch_id,
+                        mode=self.commit_mode, epoch=self._epoch)
+        ce = self.compact_every
+        if ce and batch_id % ce == ce - 1:
+            BC.compact_tiered(self.spark, self._members, _MEMBERS_DDL,
+                              mode=self.commit_mode, order_by=["cell"],
+                              epoch=self._epoch)
+
+    def _assign_blas(self, vectors: DataFrame) -> DataFrame:
+        """Bulk-load assignment: argmax over one normalized GEMM per
+        Arrow batch (cells tie-break by LOWEST cell id on equal cosine,
+        mirroring the expr path's deterministic order)."""
+        from collections.abc import Iterator
+
+        import numpy as np
+        import pandas as pd
+
+        cells = np.array([c for c, _ in self.centroids], dtype=np.int32)
+        cmat = np.array([emb for _, emb in self.centroids], dtype=np.float64)
+        cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+        order = np.argsort(cells)  # ascending-cell scan => argmax keeps lowest
+        cn, cells = cn[order], cells[order]
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                xn = np.linalg.norm(x, axis=1, keepdims=True)
+                sims = (x / np.where(xn > 0, xn, 1.0)) @ cn.T
+                best = cells[np.argmax(sims, axis=1)]
+                yield pd.DataFrame(
+                    {
+                        "cell": best.astype(np.int32),
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        return vectors.select("vec_id", "embedding").mapInPandas(
+            assign, schema=_MEMBERS_DDL
+        )
+
+    # --------------------------------------------------------------- query
+    def probe_cells(self, emb, nprobe: int) -> list[int]:
+        """The query's ``nprobe`` nearest cells by the driver-side fold
+        cosine (bit-identical to the JVM probe selection of
+        `sim_ann_ivf` — same tie-break: descending cosine, then cell)."""
+        scored = sorted(
+            ((-fold_cosine_py(emb, cemb), c) for c, cemb in self.centroids)
+        )
+        return [c for _, c in scored[: max(1, nprobe)]]
+
+    def query_topk_vectors(
+        self, queries, k: int, *, nprobe: int = 1, scoring: str = "expr"
+    ) -> DataFrame:
+        """Top-k for application-provided (qid, embedding) queries: ONE
+        scan of the store pruned to the probed cells (point-IN on the
+        cell-sorted log), each query scored only against its own probed
+        cells' members, self-match excluded — `sim_ann_ivf` semantics
+        from persisted state. ``scoring="blas"`` routes the candidates
+        through the GEMM kernel (identical (qid,cid,rk), pytest-pinned)."""
+        qrows = [
+            {"qid": int(qid), "qe": list(emb), "cell": int(c)}
+            for qid, emb in queries
+            for c in self.probe_cells(emb, nprobe)
+        ]
+        if scoring == "blas":
+            return self._topk_blas(qrows, k)
+        if scoring != "expr":
+            raise ValueError(f"scoring must be 'expr' or 'blas', got {scoring!r}")
+        probed = sorted({r["cell"] for r in qrows})
+        q = self.spark.createDataFrame(
+            qrows, schema="qid bigint, qe array<float>, cell int"
+        )
+        c = self.members().where(
+            F.col("cell").isin(probed) if probed else F.lit(False)
+        ).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col("cell").alias("cc"),
+        )
+        cos = F.expr(V.cosine_expr("qe", "ce"))
+        scored = (
+            bcast(q, bounded=True)
+            .join(c, (F.col("cc") == F.col("cell")) & (F.col("cid") != F.col("qid")))
+            .select("qid", "cid", cos.alias("cos_sim"))
+        )
+        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+        )
+
+    def _topk_blas(self, qrows, k: int) -> DataFrame:
+        """GEMM-scored probe (the incremental_ann._topk_blas shape): one
+        pruned scan → per-(query,probed-cell) masked GEMM → per-batch
+        top-k → tiny global reduction. A candidate belongs to exactly
+        one cell, so the per-probe-row masking needs no dedup."""
+        from collections.abc import Iterator
+
+        import numpy as np
+        import pandas as pd
+
+        qid = np.array([r["qid"] for r in qrows], dtype=np.int64)
+        qc = np.array([r["cell"] for r in qrows], dtype=np.int64)
+        q = np.array([r["qe"] for r in qrows], dtype=np.float64)
+        qnorm = np.linalg.norm(q, axis=1, keepdims=True)
+        qn = q / np.where(qnorm > 0, qnorm, 1.0)
+        probed = sorted({int(c) for c in qc})
+        cand = self.members().where(
+            F.col("cell").isin(probed) if probed else F.lit(False)
+        )
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                c = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                cnorm = np.linalg.norm(c, axis=1)
+                cn = c / np.where(cnorm > 0, cnorm, 1.0)[:, None]
+                sims = qn @ cn.T
+                cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                ccs = pdf["cell"].to_numpy(dtype=np.int64)
+                sims[qc[:, None] != ccs[None, :]] = -np.inf
+                sims[qid[:, None] == cids[None, :]] = -np.inf
+                sims[:, cnorm == 0] = -np.inf
+                kk = min(k, sims.shape[1])
+                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                flat = np.take_along_axis(sims, top, axis=1).ravel()
+                keep = np.isfinite(flat)
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(qid, kk)[keep],
+                        "cid": cids[top].ravel()[keep],
+                        "cos_sim": flat[keep],
+                    }
+                )
+
+        partials = cand.mapInPandas(
+            score, schema="qid bigint, cid bigint, cos_sim double"
+        )
+        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+        return (
+            partials.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+        )
