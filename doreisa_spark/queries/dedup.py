@@ -159,6 +159,20 @@ def minhash_signature_frame(
     other shapes draw prefix-stable extended perms from
     TX.minhash_params (the deployment's recall/precision knob —
     candidate probability 1-(1-s^rows)^bands)."""
+    return signatures_from_shingles(
+        d.select("doc_id", F.expr(TX.shingles_expr("text", 3)).alias("shingles")),
+        n_bands,
+        band_rows,
+    )
+
+
+def signatures_from_shingles(
+    sh: DataFrame, n_bands: int = TX.N_BANDS, band_rows: int = TX.BAND_ROWS
+) -> DataFrame:
+    """The banding half of minhash_signature_frame, from an existing
+    (doc_id, shingles) frame — shared with the store re-band migration
+    (streaming/migrate.py), which re-derives band signatures from the
+    RETAINED shingle log instead of the original text."""
     band_sigs = F.array(
         *[
             F.concat_ws(
@@ -176,8 +190,7 @@ def minhash_signature_frame(
         ]
     )
     return (
-        d.select("doc_id", F.expr(TX.shingles_expr("text", 3)).alias("shingles"))
-        .withColumn("hashes", F.expr(TX.hashes_expr("shingles")))
+        sh.withColumn("hashes", F.expr(TX.hashes_expr("shingles")))
         .select("doc_id", "shingles", band_sigs.alias("band_sigs"))
     )
 

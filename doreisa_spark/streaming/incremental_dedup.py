@@ -412,8 +412,9 @@ class PrunedLSHSignatureStore(LSHSignatureStore):
 
     ``spark.sql.parquet.pushdown.inFilterThreshold`` defaults to 10,
     past which Spark degrades the pushdown to a [min,max] range check —
-    useless for uniform keys — so the constructor raises it (session
-    conf, execution-time). It is capped at IN_PUSHDOWN=256 because
+    useless for uniform keys — so process_batch raises it, SCOPED to
+    its own execution and restored on exit (the conf is read at
+    execution time; ADVICE r8). It is capped at IN_PUSHDOWN=256 because
     parquet-mr evaluates the pushed IN as a left-deep OR tree whose
     depth is the list length: a batch-sized list (500 docs x 9 bands =
     4,500 terms) overflows the reader's stack (measured). Above the

@@ -1,0 +1,128 @@
+"""One-job store re-index migrations (r8 verdict ask #8).
+
+A store's knob (planes / bands / centroids) is sized to its corpus
+(streaming/sizing.py); corpus growth eventually moves the right value,
+and the knob markers deliberately REFUSE in-place changes (two bucket
+spaces must never share a log). Migration is therefore an explicit
+one-job re-index: read the OLD store's committed state, re-derive the
+index structure under the NEW knob, and commit it as batch 0 of a
+FRESH store root under a new marker. Properties, pinned by
+tests/test_sizing_migration.py:
+
+- the old store is never written — readers keep working on it until
+  the deployment flips the root (blue/green);
+- tombstoned rows are excluded by construction (`read_committed`
+  filters them), so a migration is also a physical purge;
+- the new store is byte-equivalent to one freshly built at the new
+  knob from the same retained corpus: queries return identical rows;
+- streaming resumes against the new root with auto-incremented batch
+  ids (the migrated state is batch 0).
+
+Caveat for the dedup store, stated rather than hidden: re-banding
+derives signatures from the RETAINED shingle log. A doc the old
+banding rejected in every bucket (cap overflow in a near-dup flood)
+left no shingles and cannot be re-banded — migration preserves exactly
+what the store retained, which is the store's contract. Verified pairs
+are banding-independent ground truth (exact Jaccard >= tau) and are
+copied as-is; a different banding changes future candidate RECALL, not
+the validity of past pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from doreisa_spark.streaming import batch_commit as BC
+
+
+def _batch_files_for(n_rows: int, row_bytes: int = 280) -> int:
+    return max(1, (n_rows * row_bytes) // (32 << 20))
+
+
+def migrate_lsh_vector_store(
+    spark: SparkSession, old_root: str, new_root: str, *, planes: int,
+    commit_mode: "str | None" = None,
+):
+    """Re-bucket an LSHVectorStore under a new plane count: one job,
+    map-only (the new bucket expression over the retained vectors),
+    committed sorted as batch 0 of the new root. Returns the new store."""
+    from doreisa_spark.streaming.incremental_ann import LSHVectorStore
+
+    old = LSHVectorStore(spark, old_root)
+    mode = commit_mode or old.commit_mode
+    vectors = old.members().select("vec_id", "embedding")
+    new = LSHVectorStore(
+        spark, new_root, planes=planes, commit_mode=mode,
+        batch_files=_batch_files_for(vectors.count()),
+    )
+    new.process_batch(vectors, 0)
+    return new
+
+
+def migrate_ivf_store(
+    spark: SparkSession, old_root: str, new_root: str, *, centroids,
+    commit_mode: "str | None" = None, assign: str = "blas",
+):
+    """Re-assign an IVFVectorStore under a new (e.g. retrained) coarse
+    quantizer: one job, map-only, batch 0 of the new root. ``assign``
+    defaults to the bulk GEMM kernel (a migration IS a bulk load);
+    pass "expr" for the oracle-exact fold."""
+    from doreisa_spark.streaming.incremental_ivf import IVFVectorStore
+
+    old = IVFVectorStore(spark, old_root)
+    mode = commit_mode or old.commit_mode
+    vectors = old.members().select("vec_id", "embedding")
+    new = IVFVectorStore(
+        spark, new_root, centroids=centroids, commit_mode=mode,
+        batch_files=_batch_files_for(vectors.count()),
+    )
+    new.process_batch(vectors, 0, assign=assign)
+    return new
+
+
+def migrate_lsh_signature_store(
+    spark: SparkSession, old_root: str, new_root: str, *,
+    n_bands: int, band_rows: int, pruned: bool = True,
+    commit_mode: "str | None" = None,
+):
+    """Re-band a dedup signature store under a new (bands, rows): band
+    signatures are re-derived from the retained shingle log with the
+    prefix-stable permutations (queries/dedup.signatures_from_shingles),
+    admitted under the batch bucket-cap semantics (identical to a
+    monotone-stream rebuild), and committed with shingles + verified
+    pairs as batch 0 of the new root. See the module-docstring caveat
+    on cap-rejected docs."""
+    from doreisa_spark.queries.dedup import _MAX_BUCKET, signatures_from_shingles
+    from doreisa_spark.streaming.incremental_dedup import (
+        LSHSignatureStore,
+        PrunedLSHSignatureStore,
+    )
+
+    old = LSHSignatureStore(spark, old_root)
+    mode = commit_mode or old.commit_mode
+    cls = PrunedLSHSignatureStore if pruned else LSHSignatureStore
+    new = cls(spark, new_root, n_bands=n_bands, band_rows=band_rows,
+              commit_mode=mode)
+    new._record_bands()
+    sig = signatures_from_shingles(old.shingles(), n_bands, band_rows)
+    bands = sig.select("doc_id", F.posexplode("band_sigs").alias("band_id", "sig"))
+    wb = W.partitionBy("band_id", "sig").orderBy("doc_id")
+    admitted = (
+        bands.withColumn("__r", F.row_number().over(wb))
+        .where(F.col("__r") <= F.lit(_MAX_BUCKET))
+        .select("band_id", "sig", "doc_id")
+    )
+    BC.commit_batch(
+        new._members_to_commit(admitted), new.members_dir, 0, mode=mode
+    )
+    BC.commit_batch(
+        new._shingles_to_commit(
+            sig.join(admitted.select("doc_id").distinct(), "doc_id", "left_semi")
+            .select("doc_id", "shingles")
+        ),
+        new.shingles_dir, 0, mode=mode,
+    )
+    BC.commit_batch(old.pairs(), new.pairs_dir, 0, mode=mode)
+    return new
