@@ -104,7 +104,15 @@ def main() -> None:
     # fold-expression vs Arrow-batched BLAS GEMM) plus the vector store's
     # deployment probe (ingest + one bucket-pruned scan + fold top-k).
     extras: dict[str, float] = {}
-    for name in ("sim_ann_ivf", "sim_ann_ivf_blas", "sim_ann_store_query_vectors"):
+    for name in (
+        "sim_ann_ivf",
+        "sim_ann_ivf_blas",
+        "sim_ann_store_query_vectors",
+        # r9: the persisted IVF-Flat store and the oracle-gated Hamming-1
+        # multiprobe probe shape (RECALL_r09.md carries the recall side)
+        "sim_ann_ivf_store",
+        "sim_ann_store_multiprobe",
+    ):
         best = None
         for _pass in range(2):
             t0 = time.perf_counter()

@@ -56,9 +56,13 @@ the pre-batch state (deterministic, byte-equivalent to what the first
 attempt committed). At-least-once redelivery is therefore a no-op:
 pytest re-invokes process_batch with the same batch_id and asserts
 pairs/members/shingles unchanged. Long streams periodically fold the
-per-batch directories with ``batch_commit.compact`` (crash-safe
-manifest flip; tests/test_batch_commit.py covers content preservation,
-leftover invisibility, and post-compaction redelivery).
+per-batch directories with ``batch_commit.compact_tiered`` (size-tiered
+LSM merging — bounded write amplification, r9; crash-safe manifest
+flip; tests/test_batch_commit.py + test_tiered_compaction.py cover
+content preservation, leftover invisibility, write-bytes separation,
+and post-compaction redelivery). Takedowns go through ``delete_docs``
+(tombstones filtered at read, physically dropped at compaction,
+tests/test_tombstones.py).
 
 100 TB posture: every stage is an equi-join on (band_id, sig) — the
 candidate volume is linear in bucket collisions, never O(batch×history).

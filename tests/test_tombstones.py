@@ -194,3 +194,33 @@ def test_curation_store_delete_docs_frees_fingerprint(spark, tmp_path):
     )
     store.process_batch(clone, 2)
     assert 10**9 in {r["doc_id"] for r in store.kept().collect()}
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_delete_physically_dropped_by_tiered_compaction(spark, tmp_path, mode):
+    """The tiered policy's merges run the same physical drop as the
+    full fold (the filter lives in the shared segment writer)."""
+    import json
+
+    root = str(tmp_path / "log")
+    for b in range(9):
+        _commit(spark, root, b, [(b * 10 + i, "x") for i in range(10)], mode)
+    BC.delete_keys(spark, root, [5, 42, 71], 0, key_cols="k", mode=mode)
+    BC.compact_tiered(spark, root, "k bigint, v string", keep_last=1,
+                      mode=mode, fanout=3, band_base_bytes=512)
+    with open(os.path.join(root, "_manifest.json")) as f:
+        man = json.load(f)
+    assert man["segments"]
+    for seg in man["segments"]:
+        raw = {
+            r["k"]
+            for r in spark.read.schema("k bigint, v string")
+            .parquet(os.path.join(root, seg))
+            .collect()
+        }
+        assert raw.isdisjoint({5, 42, 71})
+    got = {
+        r["k"]
+        for r in BC.read_committed(spark, root, "k bigint, v string", mode=mode).collect()
+    }
+    assert got == set(range(90)) - {5, 42, 71}

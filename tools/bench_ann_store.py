@@ -33,7 +33,12 @@ Protocol (mirrors the dedup-store bench):
 
 Output: one JSON line for BASELINE.md.
 
-Usage: python tools/bench_ann_store.py [out.json] [max_mult] [planes]
+Usage: python tools/bench_ann_store.py [out.json] [max_mult] [planes] [min_mult]
+
+``min_mult`` (default 1) skips the smaller decades — the 500M row
+(max_mult=min_mult=1000000) builds one store only. Stores too big for
+/dev/shm (>= 100M vectors ~ 28 GB+ each with scratch headroom) fall
+back to /tmp automatically.
 
 ``planes`` (default 8, the oracle-tied constant) exercises the
 deployment scale knob: more planes → 2^planes buckets → smaller
@@ -124,6 +129,7 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
     max_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     planes = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    min_mult = int(sys.argv[4]) if len(sys.argv) > 4 else 1
     spark = get_spark("bench-ann-store")
     # row-group size must be set on the live hadoop conf (a runtime
     # spark.conf.set of spark.hadoop.* does NOT propagate post-start);
@@ -131,11 +137,16 @@ def main() -> None:
     spark.sparkContext._jsc.hadoopConfiguration().set(
         "parquet.block.size", str(8 << 20)
     )
-    base = "/dev/shm" if Path("/dev/shm").is_dir() else None
-    scratch = tempfile.mkdtemp(prefix="ann_store_bench_", dir=base)
+    # a 500M-vector store is ~140 GB — bigger than the 126 GB tmpfs;
+    # disk-backed /tmp is the honest medium there anyway (bytes pruned
+    # is the metric that rules, and disk pays for bytes)
+    shm_ok = Path("/dev/shm").is_dir() and max_mult * BATCH < 100_000_000
+    scratch = tempfile.mkdtemp(
+        prefix="ann_store_bench_", dir="/dev/shm" if shm_ok else None
+    )
     rows = []
     try:
-        mult = 1
+        mult = max(1, min_mult)
         while mult <= max_mult:
             hist = BATCH * mult
             root = str(Path(scratch) / f"m{mult}")
