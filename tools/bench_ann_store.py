@@ -155,9 +155,20 @@ def main() -> None:
             # steady compacted layout, ~32 MiB files at ≈280 B/row),
             # then drop to stream-shape single-file batches for the
             # timed ingest passes
-            nf = max(1, (hist * 280) // (32 << 20))
-            store = LSHVectorStore(spark, root, batch_files=nf, planes=planes)
-            store.process_batch(synth_vectors(spark, 0, hist), 0)
+            # chunked bulk load: big histories commit as ~25M-vector
+            # sub-batches (a 56 GB one-shot repartitionByRange would need
+            # store+shuffle on disk simultaneously — past this box's free
+            # space), which also makes the store MULTI-SEGMENT, so the
+            # probe's row-group pruning is exercised across segments
+            chunk = 25_000_000
+            store = LSHVectorStore(spark, root, planes=planes)
+            lo_id, bid = 0, 0
+            while lo_id < hist:
+                n = min(chunk, hist - lo_id)
+                store.batch_files = max(1, (n * 280) // (32 << 20))
+                store.process_batch(synth_vectors(spark, lo_id, n), bid)
+                lo_id += n
+                bid += 1
             store.batch_files = 1
             # the deployment query shape: application-side vectors,
             # collected ONCE outside the timed region — both paths get
@@ -178,6 +189,8 @@ def main() -> None:
                     synth_vectors(spark, hist + ingest_pass[0] * BATCH, BATCH)
                 )
 
+            n_segments = bid
+
             # un-timed byte probes: decoded embedding bytes per candidate
             # scan — the deployment-scale cost the pruning targets
             m = store.members()
@@ -190,6 +203,7 @@ def main() -> None:
             row = {
                 "mult": mult,
                 "history_vecs": hist,
+                "load_segments": n_segments,
                 "ingest_s": best_of(fresh_ingest),
                 "query_pruned_s": best_of(
                     lambda: store.query_topk_vectors(queries, 5).count()
