@@ -20,7 +20,7 @@ this geometry, which is the r8 finding this table exists to expose) and reports 
   fixed job cost, bytes are what an object store charges for).
 
 The point of the table: planes trades candidate volume for recall loss
-at bucket boundaries; n_flip buys the recall back at a measured,
+at bucket boundaries; n_probes buys the recall back at a measured,
 bounded candidate-volume price — the knob pair makes the trade explicit
 instead of publishing latency alone.
 
