@@ -205,13 +205,23 @@ class IVFVectorStore:
         else:
             raise ValueError(f"assign must be 'expr' or 'blas', got {assign!r}")
         nf = self.batch_files
-        shaped = (
-            assigned.coalesce(1).sortWithinPartitions("cell")
-            if nf <= 1
-            else assigned.repartitionByRange(nf, "cell").sortWithinPartitions("cell")
-        )
-        BC.commit_batch(shaped, self._members, batch_id,
-                        mode=self.commit_mode, epoch=self._epoch)
+        if nf <= 1:
+            shaped = assigned.coalesce(1).sortWithinPartitions("cell")
+            BC.commit_batch(shaped, self._members, batch_id,
+                            mode=self.commit_mode, epoch=self._epoch)
+        else:
+            # bulk-load shape: materialize the assignment ONCE — the
+            # range sampler would otherwise recompute the whole
+            # assignment (cross join + window or GEMM) a second time
+            assigned = assigned.persist()
+            try:
+                shaped = assigned.repartitionByRange(
+                    nf, "cell"
+                ).sortWithinPartitions("cell")
+                BC.commit_batch(shaped, self._members, batch_id,
+                                mode=self.commit_mode, epoch=self._epoch)
+            finally:
+                assigned.unpersist()
         ce = self.compact_every
         if ce and batch_id % ce == ce - 1:
             BC.compact_tiered(self.spark, self._members, _MEMBERS_DDL,
