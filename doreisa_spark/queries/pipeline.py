@@ -119,6 +119,38 @@ def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return store.kept()
 
 
+@register(
+    "pipeline_curation_incremental_delete",
+    extended=True,
+    oracle=f"SELECT * FROM ({_CURATION_ORACLE}\n) __kept "
+           "WHERE doc_id NOT IN (0,1,2,3,4,5,6,7,8,9)",
+)
+def pipeline_curation_incremental_delete(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curation takedowns under the driver's DuckDB gate (r8 verdict
+    ask #4): after the 3-batch ingest, docs 0..9 are deleted through
+    the exactly-once tombstone log (delete_docs) and the kept() read
+    must hash-match the batch oracle minus those ids — read-time
+    masking end to end; physical drop at compaction and fingerprint
+    freeing on re-ingest are pinned by tests/test_tombstones.py."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_curation import CurationStore
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    store = CurationStore(spark, _fresh_store_dir("inccurdel"))
+    for cond in (
+        F.col("doc_id") <= cut1,
+        (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
+        F.col("doc_id") > cut2,
+    ):
+        store.process_batch(d.where(cond))
+    store.delete_docs(range(10))
+    return store.kept()
+
+
 # ---------------------------------------------------------------------------
 # End-to-end RAG indexing: chunk -> embed -> LSH index -> query.
 #

@@ -1340,6 +1340,52 @@ def sim_ann_store_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.query_topk_vectors(queries, _TOP_K, n_flip=store.planes)
 
 
+@register(
+    "sim_ann_store_delete",
+    extended=True,
+    oracle=f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {V.duck_lsh_bucket('embedding')} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, embedding AS qe, bucket FROM bucketed WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+         {V.duck_cosine('q.qe', 'c.embedding')} AS cos_sim
+  FROM q JOIN bucketed c
+    ON c.bucket = q.bucket AND c.vec_id <> q.qid
+   AND c.vec_id NOT BETWEEN {_N_QUERIES} AND 300
+)
+SELECT qid, cid, round(cos_sim, 6) AS cos_sim, rk FROM (
+  SELECT qid, cid, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rk
+  FROM scored)
+WHERE rk <= {_TOP_K}
+""",
+)
+def sim_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone deletes under the driver's DuckDB gate (r8 verdict ask
+    #4, beyond pytest): vectors {_N_QUERIES}..300 are deleted from the
+    store AFTER ingest, and the probe must hash-match an oracle whose
+    CANDIDATE set excludes them — which checks not just their absence
+    but the promotion of the next-best neighbors into the vacated top-k
+    ranks. The deletion goes through the exactly-once tombstone log
+    (read-time anti-join; physically dropped at compaction —
+    tests/test_tombstones.py covers the raw-bytes side)."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_ann import LSHVectorStore
+
+    e = table(spark, sf_dir, "embeddings")
+    store = LSHVectorStore(spark, _fresh_store_dir("incanndel"))
+    store.process_batch(e, 0)
+    store.delete_vectors(range(_N_QUERIES, 301), 1)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
+    ]
+    return store.query_topk_vectors(queries, _TOP_K)
+
+
 @register("sim_ann_ivf_store", extended=True, oracle=_IVF_ORACLE)
 def sim_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted IVF-Flat store (r8 verdict ask #3) under the batch
