@@ -286,12 +286,20 @@ def next_batch_id(*roots: str, mode: "str | None" = None) -> int:
     pairs/members/shingles, curation's seen/kept) must pass ALL of them:
     a crash that committed only some subdirs would otherwise hand the
     next different-data batch a reused id, and its commit against the
-    crashed batch's leftover dir would silently no-op (ADVICE r7)."""
+    crashed batch's leftover dir would silently no-op (ADVICE r7).
+
+    Each root's TOMBSTONE sub-log counts too: deletes commit batch ids
+    there without touching the main log, so two consecutive auto-id
+    deletes would otherwise be handed the same id and the second would
+    silently no-op as a "redelivery" of the first."""
     if not roots:
         raise ValueError("next_batch_id needs at least one log root")
     top = -1
     for root in roots:
         top = max([top, _horizon(root)] + committed_ids(root, mode=mode))
+        troot = _tomb_root(root)
+        if os.path.isdir(troot):
+            top = max([top, _horizon(troot)] + committed_ids(troot, mode=mode))
     return top + 1
 
 

@@ -224,3 +224,28 @@ def test_delete_physically_dropped_by_tiered_compaction(spark, tmp_path, mode):
         for r in BC.read_committed(spark, root, "k bigint, v string", mode=mode).collect()
     }
     assert got == set(range(90)) - {5, 42, 71}
+
+
+def test_consecutive_auto_id_deletes_both_land(spark, tmp_path):
+    """next_batch_id counts the tombstone sub-log too: deletes don't
+    touch the main log, so two back-to-back auto-id deletes used to be
+    handed the SAME id — the second silently no-oped as a 'redelivery'
+    of the first. Covers all three stores' delete APIs via the shared
+    auto-increment."""
+    from pyspark.sql import functions as F
+
+    from doreisa_spark.streaming.incremental_ann import LSHVectorStore
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = LSHVectorStore(spark, str(tmp_path / "ann"))
+    store.process_batch(e.where(F.col("vec_id") < 100), 0)
+    store.delete_vectors([11])          # auto id
+    store.delete_vectors([13])          # auto id — must NOT reuse 11's
+    got = {r["vec_id"] for r in store.members().select("vec_id").collect()}
+    assert 11 not in got and 13 not in got
+    assert sorted(
+        r["key"] for r in BC.deleted_keys(spark, store._members).collect()
+    ) == [11, 13]
+    # a later auto-id ingest skips past the delete ids
+    store.process_batch(e.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 120)))
+    assert store.members().count() == 118  # 120 ingested - 2 deleted
