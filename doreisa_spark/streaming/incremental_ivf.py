@@ -373,3 +373,30 @@ class IVFVectorStore:
             .where(F.col("rk") <= k)
             .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
         )
+
+
+def run_incremental_ivf(
+    spark: SparkSession,
+    source_dir: str,
+    store_root: str,
+    *,
+    centroids,
+    queries,
+    k: int,
+    nprobe: int = 1,
+    timeout_sec: float = 300,
+) -> DataFrame:
+    """Drive a vector file-stream into an IVF store via foreachBatch
+    until drained (the run_incremental_ann shape); returns the top-k
+    frame for ``queries`` over the accumulated inverted file."""
+    from doreisa_spark.streaming.incremental_ann import read_vector_stream
+    from doreisa_spark.streaming.structured import run_foreach_batch
+
+    store = IVFVectorStore(spark, store_root, centroids=centroids)
+    stream = read_vector_stream(spark, source_dir)
+    run_foreach_batch(
+        stream,
+        lambda df, bid: store.process_batch(df, bid),
+        timeout_sec=timeout_sec,
+    )
+    return store.query_topk_vectors(queries, k, nprobe=nprobe)

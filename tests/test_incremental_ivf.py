@@ -190,3 +190,30 @@ def test_blas_ingest_matches_expr_ingest(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="assign"):
         s_blas.process_batch(e, 5, assign="nope")
+
+
+def test_real_stream_equals_batch(spark, tmp_path):
+    """A REAL readStream + foreachBatch drive (one parquet file per
+    trigger, the LSH store's stream-equivalence shape) accumulates an
+    IVF store whose probe equals the one-shot sim_ann_ivf oracle entry."""
+    import os
+
+    from doreisa_spark.streaming.incremental_ivf import run_incremental_ivf
+
+    e = _corpus(spark)
+    src = tmp_path / "vecs_in"
+    src.mkdir()
+    for i in range(3):
+        part = e.where(F.col("vec_id") % 3 == i)
+        tmp = src / f"tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        data = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        dst = str(src / f"{i:05d}.parquet")
+        os.rename(str(tmp / data), dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+    got = run_incremental_ivf(
+        spark, str(src), str(tmp_path / "store"),
+        centroids=_centroids(spark), queries=_queries(spark),
+        k=_TOP_K, nprobe=_IVF_NPROBE,
+    )
+    assert _rows(got) == _rows(sim_ann_ivf(spark, SF_SMALL))
