@@ -185,7 +185,10 @@ class LSHVectorStore:
         BC.delete_keys(self.spark, self._members, ids, batch_id,
                        key_cols="vec_id", mode=self.commit_mode)
 
-    def query_topk(self, query_ids_below: int, k: int) -> DataFrame:
+    def query_topk(
+        self, query_ids_below: int, k: int, *, n_flip: int = 0,
+        n_probes: int | None = None,
+    ) -> DataFrame:
         """Top-k per query vector (vec_id < query_ids_below, the batch
         entry's query-set contract), probing only each query's bucket.
 
@@ -199,15 +202,22 @@ class LSHVectorStore:
         O(bucket) candidate embedding bytes, not O(corpus) twice.
         (A deployment that carries its query vectors application-side
         skips the lookup scan too — query_topk_vectors; measured curves
-        incl. decoded-byte pruning in tools/bench_ann_store.py.)"""
+        incl. decoded-byte pruning in tools/bench_ann_store.py.)
+
+        ``n_flip`` / ``n_probes`` (mutually exclusive) expand the probe
+        to Hamming-1 neighbors / the deep query-directed sequence —
+        query_topk_vectors' recall knobs, same semantics (RECALL_r09.md)."""
         m = self.members()
-        qrows = (
-            m.where(F.col("vec_id") < query_ids_below)
-            .select(
-                F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "bucket"
+        looked_up = m.where(F.col("vec_id") < query_ids_below).collect()
+        if n_probes is not None or n_flip:
+            return self.query_topk_vectors(
+                [(r["vec_id"], r["embedding"]) for r in looked_up], k,
+                n_flip=n_flip, n_probes=n_probes,
             )
-            .collect()
-        )
+        qrows = [
+            {"qid": r["vec_id"], "qe": r["embedding"], "bucket": r["bucket"]}
+            for r in looked_up
+        ]
         return self._topk_for(qrows, k)
 
     def query_topk_vectors(
