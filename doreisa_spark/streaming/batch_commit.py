@@ -35,14 +35,17 @@ point is one atomic replace of the store MANIFEST adding
 ``batches[id] = dirname``. Readers enumerate ONLY manifest-listed
 directories — an uncommitted / crashed / duplicate-delivery data dir is
 structurally invisible, and compaction garbage-collects unreferenced
-dirs. The manifest replace is the single linearization point: this
-module implements it as POSIX ``os.replace`` under an exclusive flock;
-on a real object store the same replace maps to a conditional PUT
-(If-Match/ETag CAS — S3, GCS and ABFS all support it) with no other
-change to the protocol, which is exactly how Delta's S3 LogStore and
-Iceberg's commit work. Exactly-once on redelivery holds because the
-manifest already names the batch id: the re-commit is refused BEFORE any
-manifest change, and the replay's orphan data dir is invisible + GC'd.
+dirs. Every manifest mutation in this module is a read-modify-write
+performed INSIDE one exclusive flock critical section
+(``_manifest_update``): the fresh manifest is loaded, the mutation is
+computed against it (redelivery checks included), and one atomic
+``os.replace`` publishes it. On a real object store the same
+read-check-replace maps to a conditional PUT (If-Match/ETag CAS — S3,
+GCS and ABFS all support it) with no other change to the protocol, which
+is exactly how Delta's S3 LogStore and Iceberg's commit work.
+Exactly-once on redelivery holds because the manifest already names the
+batch id: the re-commit is refused before any manifest change, and the
+replay's orphan data dir is invisible + GC'd.
 
 Compaction — size-tiered (LSM), the r8 verdict's write-amplification fix
 ---------------------------------------------------------------------
@@ -59,11 +62,13 @@ classic LSM size-tiered policy:
   ``keep_last`` batches) folds into ONE new small segment — cost is the
   NEW data only, old segments are not touched;
 - **merge policy**: segments are binned into size bands (band =
-  ``floor(log_fanout(bytes / band_base_bytes))``); whenever a band holds
-  ≥ ``fanout`` segments they merge into one segment, which lands in a
-  HIGHER band. Each byte is therefore rewritten at most once per band it
-  climbs through — O(log_fanout(store/batch)) times over the store's
-  lifetime, vs O(store/batch) under full rewrite;
+  ``floor(log_fanout(bytes / band_base_bytes))``, computed with integer
+  division so a size landing exactly on a band boundary cannot round a
+  band low); whenever a band holds ≥ ``fanout`` segments they merge into
+  one segment, which lands in a HIGHER band. Each byte is therefore
+  rewritten at most once per band it climbs through —
+  O(log_fanout(store/batch)) times over the store's lifetime, vs
+  O(store/batch) under full rewrite;
 - every segment is written sorted/range-partitioned on ``order_by``
   per-tier, so the pruned probes' row-group min/max locality survives —
   probes simply union a handful of sorted tiers instead of one;
@@ -85,31 +90,56 @@ unsupported after compaction).
 Tombstone deletes (takedowns / GDPR — r8 verdict ask #4)
 --------------------------------------------------------
 Append-only logs cannot serve takedowns. ``delete_keys`` writes
-tombstone rows (the deleted key values) through the SAME exactly-once
-commit protocol into a sub-log ``root/_tombstones`` (underscore prefix:
-invisible to the main log's readers and to Spark's file listing), with a
-write-once ``_key.json`` marker naming the data column(s) the keys mask.
-``read_committed`` then anti-filters every listed column against the
-tombstone set (a broadcast anti-join — tombstone sets are takedown-sized,
-orders of magnitude below the data), and compaction PHYSICALLY DROPS
-masked rows from every segment it writes, so deleted bytes leave the
-store at the next fold of their segment. Tombstones themselves persist
-(they are tiny and must keep masking rows in not-yet-compacted tiers and
-the keep_last tail); a redelivered delete batch is a no-op like any
-other batch. Deletes observe the single-writer contract: quiesce
-replays while deleting, or a replayed batch recomputes against the
-post-delete state (which is the intended semantics for takedowns).
+tombstone rows through the SAME exactly-once commit protocol into a
+sub-log ``root/_tombstones`` (underscore prefix: invisible to the main
+log's readers and to Spark's file listing), with a write-once
+``_key.json`` marker naming the data column(s) the keys mask. Each
+tombstone row carries, besides the key, its **sequence point**: the
+tombstone's batch id (``tid``) and the highest main-log batch id
+committed at delete time (``covers``). Masking is SCOPED by it (the r9
+ADVICE sequence-point fix): a tombstone masks only rows in batches
+committed at or before the delete (``batch_id <= covers``) — a key
+re-inserted by a LATER batch is live again, so freed fingerprints /
+re-ingested vectors behave like first-class inserts instead of silently
+vanishing forever. Segment writes record, in the manifest
+(``tomb_applied``), which tombstones they physically dropped; reads
+re-apply a tombstone only to directories that predate it (batch dirs
+with ``id <= covers``, segments written before the tombstone). Each
+still-pending directory group gets one broadcast anti-join (tombstone
+sets are takedown-sized); fully-applied groups plan a PLAIN scan.
+
+The tombstone sub-log has a bounded lifecycle of its own (r9 verdict
+ask #1 — previously the one unbounded-growth term):
+
+- the sub-log is itself an exactly-once log, auto-compacted with the
+  same ``compact_tiered`` policy once it accumulates enough delete
+  batches (every sub-log segment write drops rows whose tombstone has
+  been retired);
+- ``retire_tombstones`` (run automatically after every compaction of
+  the main log) drops every tombstone that is APPLIED EVERYWHERE — no
+  live batch dir at or below its ``covers`` and every live segment
+  recorded as having dropped it. When the last tombstone retires, the
+  sub-log is sealed empty (horizon preserved, so a redelivered delete
+  batch id still refuses) and all its directories are reclaimed — reads
+  converge back to ZERO anti-joins.
+
+A redelivered delete batch is a no-op like any other batch; a crash
+between the tombstone commit and the driver-side index update heals on
+the next read (the index is rebuilt from the committed rows, which carry
+``tid``/``covers``). Deletes observe the single-writer contract; pass
+``epoch=`` (below) to fence them like any other mutation.
 
 Writer fencing (manifest mode — r8 verdict ask #5)
 --------------------------------------------------
 The stores' contract is single-writer (foreachBatch is serial per
 query), but a misconfigured second query writing the same store root
 must fail LOUDLY, not last-writer-win. ``acquire_writer`` bumps a
-``writer_epoch`` in the manifest and returns it; every manifest replace
-made with ``epoch=`` verifies, under the same exclusive flock that makes
-the replace atomic (the conditional-PUT on an object store), that the
-manifest's epoch is still the caller's — a writer superseded by a newer
-``acquire_writer`` gets ``StaleWriterError`` instead of silently
+``writer_epoch`` in the manifest and returns it; every manifest mutation
+made with ``epoch=`` — batch commits, compaction, and ``delete_keys``
+(the r9 ADVICE fencing gap) — verifies, under the same exclusive flock
+that makes the replace atomic (the conditional-PUT on an object store),
+that the manifest's epoch is still the caller's — a writer superseded by
+a newer ``acquire_writer`` gets ``StaleWriterError`` instead of silently
 clobbering the newer writer's commits. Rename-mode batch commits never
 touch a manifest, so fencing is (and can only be) a manifest-mode
 feature; passing ``epoch`` with rename mode raises.
@@ -119,8 +149,8 @@ from __future__ import annotations
 
 import contextlib
 import fcntl
+import glob
 import json
-import math
 import os
 import re
 import shutil
@@ -135,6 +165,9 @@ _MANIFEST = "_manifest.json"
 _LOCK = "_manifest.lock"
 _TOMBSTONES = "_tombstones"
 _TOMB_KEY = "_key.json"
+_TOMB_INDEX = "_tomb_index.json"
+# delete batches before the sub-log's own tiered compaction kicks in
+_TOMB_COMPACT_EVERY = 16
 
 RENAME = "rename"
 MANIFEST = "manifest"
@@ -142,7 +175,7 @@ MANIFEST = "manifest"
 
 class StaleWriterError(RuntimeError):
     """A fenced writer's epoch was superseded by a newer acquire_writer —
-    its commit/compact was refused before any manifest change."""
+    its commit/compact/delete was refused before any manifest change."""
 
 
 def _batch_dir(root: str, batch_id: int) -> str:
@@ -160,8 +193,11 @@ def _manifest_load(root: str) -> "dict | None":
 @contextlib.contextmanager
 def _locked(root: str):
     """Exclusive flock serializing manifest read-check-replace. Local
-    stand-in for the object store's conditional PUT: the check and the
-    replace happen atomically with respect to other writers."""
+    stand-in for the object store's conditional PUT. NOT re-entrant
+    (flock treats a second fd in the same process as a contender) —
+    never nest two ``_locked`` on the SAME root; nesting a sub-log's
+    lock inside its parent's is fine (distinct lock files, and every
+    code path acquires them parent-first)."""
     os.makedirs(root, exist_ok=True)
     with open(os.path.join(root, _LOCK), "w") as lk:
         fcntl.flock(lk, fcntl.LOCK_EX)
@@ -178,36 +214,67 @@ def _manifest_write_locked(root: str, man: dict) -> None:
     os.replace(tmp, os.path.join(root, _MANIFEST))
 
 
-def _manifest_replace(
-    root: str, man: dict, *, expect_epoch: "int | None" = None
-) -> None:
-    """The commit point: one atomic replace of the manifest, under the
-    store lock. With ``expect_epoch`` the replace is a guarded CAS: it
-    verifies the manifest's writer_epoch is still the caller's (a stale
-    writer raises StaleWriterError, committing nothing). Without it, any
-    recorded epoch is carried over untouched so an unfenced code path
-    cannot erase a fence."""
+def _json_replace(path: str, obj) -> None:
+    tmp = f"{path}.tmp{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _stale(expect: int, cur: int, root: str) -> StaleWriterError:
+    return StaleWriterError(
+        f"writer epoch {expect} superseded by {cur} at {root}: a newer "
+        "writer owns this store (acquire_writer); refusing to commit"
+    )
+
+
+def _manifest_update(
+    root: str, mutate, *, expect_epoch: "int | None" = None
+) -> bool:
+    """The commit point: one read-modify-write of the manifest, entirely
+    inside the store lock (the r9 ADVICE atomicity fix — the redelivery
+    check and the replace can no longer straddle the critical section).
+    ``mutate(current_manifest) -> new_manifest | None``; returning None
+    declines the update (nothing is written, returns False). With
+    ``expect_epoch`` the update is a guarded CAS: it verifies the
+    manifest's writer_epoch is still the caller's (a stale writer raises
+    StaleWriterError, committing nothing). Without it, any recorded
+    epoch is carried over untouched so an unfenced code path cannot
+    erase a fence."""
     with _locked(root):
         cur = _manifest_load(root) or {}
         cur_epoch = int(cur.get("writer_epoch", 0))
+        if expect_epoch is not None and cur_epoch != expect_epoch:
+            raise _stale(expect_epoch, cur_epoch, root)
+        man = mutate(dict(cur))
+        if man is None:
+            return False
         if expect_epoch is not None:
-            if cur_epoch != expect_epoch:
-                raise StaleWriterError(
-                    f"writer epoch {expect_epoch} superseded by "
-                    f"{cur_epoch} at {root}: a newer writer owns this "
-                    "store (acquire_writer); refusing to commit"
-                )
             man = {**man, "writer_epoch": expect_epoch}
-        elif cur_epoch:
+        elif cur_epoch and "writer_epoch" not in man:
+            # an unfenced mutation that doesn't speak of epochs (e.g. a
+            # compaction flip) must not erase a recorded fence; a
+            # mutation that SETS one (acquire_writer's bump) wins
             man = {**man, "writer_epoch": cur_epoch}
         _manifest_write_locked(root, man)
+        return True
+
+
+def _manifest_replace(
+    root: str, man: dict, *, expect_epoch: "int | None" = None
+) -> None:
+    """Replace the manifest wholesale (epoch carried/CAS-checked as in
+    ``_manifest_update``). Callers that read the old manifest to build
+    ``man`` should prefer ``_manifest_update`` — this wrapper's read
+    happened outside the lock."""
+    _manifest_update(root, lambda _cur: man, expect_epoch=expect_epoch)
 
 
 def acquire_writer(root: str, *, mode: "str | None" = None) -> int:
     """Fence out every previous writer of a MANIFEST-mode store and
     return this writer's epoch. Pass the epoch to commit_batch /
     compact / compact_tiered / delete_keys: once any later caller
-    acquires the store, this writer's next manifest replace raises
+    acquires the store, this writer's next manifest mutation raises
     StaleWriterError instead of silently last-writer-winning (r8
     verdict ask #5). Maps to a conditional PUT on an object store."""
     resolved = _mode_of(root, mode)
@@ -216,15 +283,37 @@ def acquire_writer(root: str, *, mode: "str | None" = None) -> int:
             "writer fencing requires manifest commit mode (rename-mode "
             "batch commits never pass through a manifest)"
         )
+    box = {}
+
+    def bump(cur: dict) -> dict:
+        cur.setdefault("mode", MANIFEST)
+        cur.setdefault("horizon", -1)
+        cur.setdefault("segments", [])
+        cur.setdefault("batches", {})
+        box["epoch"] = int(cur.get("writer_epoch", 0)) + 1
+        cur["writer_epoch"] = box["epoch"]
+        return cur
+
+    _manifest_update(root, bump)
+    return box["epoch"]
+
+
+@contextlib.contextmanager
+def _epoch_guard(root: str, epoch: "int | None", resolved: str):
+    """Hold the store lock across a fenced mutation that does not itself
+    replace this root's manifest (e.g. a delete's sub-log commit): the
+    epoch check and the mutation become one critical section, so a
+    superseding acquire_writer serializes strictly before or after."""
+    if epoch is None:
+        yield
+        return
+    if resolved != MANIFEST:
+        raise ValueError("epoch fencing requires manifest commit mode")
     with _locked(root):
-        man = _manifest_load(root) or {
-            "mode": MANIFEST, "horizon": -1, "segments": [], "batches": {},
-        }
-        man.setdefault("mode", MANIFEST)
-        epoch = int(man.get("writer_epoch", 0)) + 1
-        man["writer_epoch"] = epoch
-        _manifest_write_locked(root, man)
-    return epoch
+        cur = int((_manifest_load(root) or {}).get("writer_epoch", 0))
+        if cur != epoch:
+            raise _stale(epoch, cur, root)
+        yield
 
 
 def _mode_of(root: str, mode: "str | None") -> str:
@@ -303,14 +392,19 @@ def next_batch_id(*roots: str, mode: "str | None" = None) -> int:
     return top + 1
 
 
-def _committed_dirs(
+def _committed_entries(
     root: str, *, before: int | None = None, mode: "str | None" = None
-) -> list[str]:
-    """Every directory a reader may see: compacted segments + committed
-    batch dirs above the horizon (< ``before`` if given)."""
+) -> list[tuple]:
+    """Every directory a reader may see, with the metadata tombstone
+    scoping needs: ``("seg", path, frozenset(applied_tids))`` for
+    compacted segments (which tombstones the segment write physically
+    dropped — manifest ``tomb_applied``; a pre-r10 segment without an
+    entry conservatively reports none applied) and
+    ``("batch", path, batch_id)`` for committed batch dirs above the
+    horizon (< ``before`` if given)."""
     man = _manifest_load(root)
     resolved = _mode_of(root, mode)
-    dirs: list[str] = []
+    entries: list[tuple] = []
     if man:
         if before is not None and before <= int(man["horizon"]):
             raise ValueError(
@@ -318,18 +412,31 @@ def _committed_dirs(
                 f"<= {man['horizon']} are compacted (raise keep_last if "
                 "deeper redelivery is possible in this deployment)"
             )
-        dirs += [os.path.join(root, d) for d in man["segments"]]
+        applied = man.get("tomb_applied", {})
+        entries += [
+            ("seg", os.path.join(root, d), frozenset(applied.get(d, [])))
+            for d in man["segments"]
+        ]
     if resolved == MANIFEST:
         batches = (man or {}).get("batches", {})
         h = _horizon(root)
-        dirs += [
-            os.path.join(root, batches[str(b)])
+        entries += [
+            ("batch", os.path.join(root, batches[str(b)]), b)
             for b in sorted(int(x) for x in batches)
             if b > h and (before is None or b < before)
         ]
     else:
-        dirs += [_batch_dir(root, b) for b in committed_ids(root, before=before)]
-    return dirs
+        entries += [
+            ("batch", _batch_dir(root, b), b)
+            for b in committed_ids(root, before=before)
+        ]
+    return entries
+
+
+def _committed_dirs(
+    root: str, *, before: int | None = None, mode: "str | None" = None
+) -> list[str]:
+    return [p for _, p, _ in _committed_entries(root, before=before, mode=mode)]
 
 
 # ---------------------------------------------------------------- tombstones
@@ -342,9 +449,59 @@ def _tomb_root(root: str) -> str:
 def _tomb_meta(root: str) -> "dict | None":
     try:
         with open(os.path.join(_tomb_root(root), _TOMB_KEY)) as f:
-            return json.load(f)
+            meta = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         return None
+    if int(meta.get("v", 1)) < 2:
+        raise RuntimeError(
+            f"tombstone log at {_tomb_root(root)} predates the scoped "
+            "(tid/covers) format; re-issue the deletes against a fresh "
+            "store — v1 rows carry no sequence point to scope by"
+        )
+    return meta
+
+
+def _tomb_ddl(meta: dict) -> str:
+    return f"key {meta['type']}, tid bigint, covers bigint"
+
+
+def _tomb_index(root: str, *, mode: "str | None" = None) -> dict[int, int]:
+    """Live (unretired) tombstones of ``root`` as ``{tid: covers}`` —
+    the driver-side scoping index. The JSON index file is a crash-safe
+    cache over the committed rows: any sub-log commit it has not seen
+    (``seen_max`` < highest committed delete batch — e.g. a crash
+    between the tombstone commit and this update) is healed here by
+    reading the tiny committed rows directly (pyarrow, no Spark job).
+    Retired tids stay excluded across heals because ``seen_max`` only
+    moves forward."""
+    meta = _tomb_meta(root)
+    if meta is None:
+        return {}
+    troot = _tomb_root(root)
+    idx_path = os.path.join(troot, _TOMB_INDEX)
+    try:
+        with open(idx_path) as f:
+            idx = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        idx = {"tids": {}, "seen_max": -1}
+    tids = {int(t): int(c) for t, c in idx.get("tids", {}).items()}
+    seen = int(idx.get("seen_max", -1))
+    sub_mode = _mode_of(troot, mode if _manifest_load(troot) is None else None)
+    top = max([_horizon(troot)] + committed_ids(troot, mode=sub_mode))
+    if top > seen:
+        import pyarrow.parquet as pq
+
+        for d in _committed_dirs(troot, mode=sub_mode):
+            for fpath in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                t = pq.read_table(fpath, columns=["tid", "covers"])
+                for tid, cov in zip(t["tid"].to_pylist(), t["covers"].to_pylist()):
+                    if int(tid) > seen:
+                        tids[int(tid)] = max(int(cov), tids.get(int(tid), -1))
+        _json_replace(idx_path, {
+            "tids": {str(t): c for t, c in sorted(tids.items())},
+            "seen_max": top,
+        })
+    return tids
 
 
 def delete_keys(
@@ -356,19 +513,28 @@ def delete_keys(
     key_cols,
     key_type: str = "bigint",
     mode: "str | None" = None,
+    epoch: "int | None" = None,
 ) -> bool:
     """Commit a tombstone batch masking every row of ``root`` whose value
-    in ANY of ``key_cols`` is in ``keys`` (takedowns / GDPR — r8 verdict
-    ask #4). The tombstones go through the SAME exactly-once commit
-    protocol as data (sub-log ``root/_tombstones``), so a redelivered
-    delete batch is a no-op; ``read_committed`` filters masked rows from
-    every read, and compaction physically drops them from each segment
-    it rewrites. ``key_cols`` is a column name or list of names (a pair
-    log masks on both endpoints); the choice is recorded in a write-once
-    marker — a later delete with different columns/type raises."""
+    in ANY of ``key_cols`` is in ``keys`` AND whose batch was committed
+    at or before this delete (takedowns / GDPR — r8 verdict ask #4; the
+    sequence point is the r9 ADVICE fix: a key re-inserted by a LATER
+    batch is live again). The tombstones go through the SAME
+    exactly-once commit protocol as data (sub-log ``root/_tombstones``),
+    so a redelivered delete batch is a no-op; ``read_committed`` filters
+    masked rows from every still-pending directory, compaction
+    physically drops them from each segment it writes, and fully-applied
+    tombstones are retired (``retire_tombstones``) so reads converge
+    back to plain scans. ``key_cols`` is a column name or list of names
+    (a pair log masks on both endpoints); the choice is recorded in a
+    write-once marker — a later delete with different columns/type
+    raises. ``epoch`` (manifest mode) fences the delete against newer
+    writers exactly like a data commit (r9 ADVICE: zombie writers must
+    not land destructive tombstones)."""
     cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     if not cols:
         raise ValueError("key_cols must name at least one column")
+    resolved = _mode_of(root, mode)
     troot = _tomb_root(root)
     meta = _tomb_meta(root)
     if meta is not None and (meta["cols"] != cols or meta["type"] != key_type):
@@ -378,44 +544,161 @@ def delete_keys(
         )
     os.makedirs(troot, exist_ok=True)
     if meta is None:
-        tmp = os.path.join(troot, f"{_TOMB_KEY}.tmp{os.getpid()}")
-        with open(tmp, "w") as f:
-            json.dump({"cols": cols, "type": key_type}, f)
-        os.replace(tmp, os.path.join(troot, _TOMB_KEY))
-    df = spark.createDataFrame([(k,) for k in keys], f"key {key_type}")
-    return commit_batch(df.coalesce(1), troot, batch_id, mode=mode)
+        _json_replace(
+            os.path.join(troot, _TOMB_KEY),
+            {"cols": cols, "type": key_type, "v": 2},
+        )
+        meta = _tomb_meta(root)
+    # the sequence point: rows in main-log batches <= covers are masked,
+    # anything committed after this delete is NOT (recorded in the rows
+    # themselves, so the index heals crash-consistently from them)
+    covers = max([_horizon(root)] + committed_ids(root, mode=resolved))
+    df = spark.createDataFrame(
+        [(k, int(batch_id), int(covers)) for k in keys], _tomb_ddl(meta)
+    )
+    with _epoch_guard(root, epoch, resolved):
+        committed = commit_batch(df.coalesce(1), troot, batch_id, mode=resolved)
+        _tomb_index(root, mode=resolved)  # fold the new rows into the index
+        sub_mode = _mode_of(troot, None)
+        if len(committed_ids(troot, mode=sub_mode)) >= _TOMB_COMPACT_EVERY:
+            # the sub-log is a log too: bound ITS directory count (r9
+            # verdict ask #1 — this was the one unbounded-growth term);
+            # retired rows are dropped by the sub-log's segment writer
+            compact_tiered(spark, troot, _tomb_ddl(meta), keep_last=1,
+                           mode=sub_mode, order_by=["key"])
+    return committed
 
 
 def deleted_keys(
     spark: SparkSession, root: str, *, mode: "str | None" = None
 ) -> "DataFrame | None":
-    """The committed tombstone keys of ``root`` (column ``key``), or None
-    if the store has no tombstone log."""
+    """The live (unretired) tombstone keys of ``root`` (column ``key``),
+    or None if the store has no tombstone log."""
     meta = _tomb_meta(root)
     if meta is None:
         return None
-    return read_committed(
-        spark, _tomb_root(root), f"key {meta['type']}", mode=mode
-    )
+    idx = _tomb_index(root, mode=mode)
+    rows = read_committed(spark, _tomb_root(root), _tomb_ddl(meta), mode=mode)
+    from pyspark.sql import functions as F
+
+    return rows.where(
+        F.col("tid").isin(sorted(idx)) if idx else F.lit(False)
+    ).select("key")
 
 
-def _apply_tombstones(
-    spark: SparkSession, root: str, df: DataFrame, *, mode: "str | None"
-) -> DataFrame:
-    """Anti-filter every marker-listed column against the tombstone set.
-    Tombstones are takedown-sized (orders of magnitude below the data),
-    so each filter is a broadcast anti-join — map-side, no shuffle of
-    the data. The tombstone sub-log has no sub-log of its own, so the
-    recursion terminates immediately for its reads."""
+def retire_tombstones(
+    spark: SparkSession, root: str, *, mode: "str | None" = None,
+    epoch: "int | None" = None,
+) -> list[int]:
+    """Drop every tombstone that is applied everywhere — no live batch
+    dir at or below its ``covers`` and every live segment recorded
+    (manifest ``tomb_applied``) as having physically dropped it — and
+    return the retired tids. When the last tombstone retires the
+    sub-log is sealed EMPTY (its horizon is preserved so a redelivered
+    delete batch id still refuses) and its directories reclaimed: reads
+    plan plain scans again, zero anti-joins (r9 verdict ask #1). Runs
+    automatically after every ``compact``/``compact_tiered`` of the
+    main log; safe to call any time."""
     meta = _tomb_meta(root)
     if meta is None:
-        return df
+        return []
+    resolved = _mode_of(root, mode)
+    idx = _tomb_index(root, mode=resolved)
+    if not idx:
+        return []
+    man = _manifest_load(root) or {}
+    applied = man.get("tomb_applied", {})
+    segs = man.get("segments", [])
+    live_ids = committed_ids(root, mode=resolved)
+    retired = sorted(
+        t for t, cov in idx.items()
+        if all(b > cov for b in live_ids)
+        and all(t in set(applied.get(s, [])) for s in segs)
+    )
+    if not retired:
+        return []
+    troot = _tomb_root(root)
+    with _epoch_guard(root, epoch, resolved):
+        try:
+            with open(os.path.join(troot, _TOMB_INDEX)) as f:
+                idx_file = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            idx_file = {"tids": {}, "seen_max": -1}
+        keep = {
+            t: c for t, c in idx_file.get("tids", {}).items()
+            if int(t) not in retired
+        }
+        # seen_max stays: a heal must never resurrect a retired tid
+        _json_replace(os.path.join(troot, _TOMB_INDEX),
+                      {"tids": keep, "seen_max": idx_file.get("seen_max", -1)})
+        sub_mode = _mode_of(troot, None)
+        if not keep:
+            # all applied: seal the sub-log empty, reclaim every dir
+            top = max([_horizon(troot)] + committed_ids(troot, mode=sub_mode))
+
+            def seal(cur: dict) -> dict:
+                cur.update(horizon=int(top), segments=[], batches={},
+                           segment_bytes={}, tomb_applied={})
+                if sub_mode == MANIFEST:
+                    cur["mode"] = MANIFEST
+                return cur
+
+            _manifest_update(troot, seal)
+            _gc(troot, _manifest_load(troot) or {})
+        else:
+            # partial: purge the retired rows at the next sub-log fold
+            compact(spark, troot, _tomb_ddl(meta), keep_last=1,
+                    mode=sub_mode, order_by=["key"])
+    return retired
+
+
+def _read_scoped(
+    spark: SparkSession, root: str, ddl: str, entries: list[tuple], *,
+    mode: "str | None",
+) -> DataFrame:
+    """Read committed directories with tombstone masking scoped per
+    directory: a tombstone applies to a batch dir only if the batch
+    predates it (``id <= covers``) and to a segment only if the segment
+    write did not already drop it (``tid`` not in its ``tomb_applied``).
+    Directories are grouped by their pending-tombstone set — each group
+    is one scan plus (only if pending) one broadcast anti-join per key
+    column; with nothing pending the whole read is a single plain scan
+    (the post-retirement steady state). Tombstone sets are
+    takedown-sized, so every join is a tiny broadcast."""
+    idx = _tomb_index(root, mode=mode)
+    groups: dict[frozenset, list[str]] = {}
+    for kind, path, info in entries:
+        if not idx:
+            pend: frozenset = frozenset()
+        elif kind == "seg":
+            pend = frozenset(t for t in idx if t not in info)
+        else:
+            pend = frozenset(t for t, cov in idx.items() if info <= cov)
+        groups.setdefault(pend, []).append(path)
+    if not any(groups):
+        # nothing pending anywhere: one plain scan, zero anti-joins
+        return spark.read.schema(ddl).parquet(
+            *[p for _, p, _ in entries]
+        )
+    from pyspark.sql import functions as F
+
     from doreisa_spark.operators.broadcast import bcast
 
-    tdf = deleted_keys(spark, root, mode=mode)
-    for c in meta["cols"]:
-        df = df.join(bcast(tdf.withColumnRenamed("key", c)), c, "left_anti")
-    return df
+    meta = _tomb_meta(root)
+    trows = read_committed(spark, _tomb_root(root), _tomb_ddl(meta), mode=mode)
+    parts = []
+    for pend in sorted(groups, key=sorted):
+        df = spark.read.schema(ddl).parquet(*groups[pend])
+        if pend:
+            tdf = trows.where(F.col("tid").isin(sorted(pend))).select("key")
+            for c in meta["cols"]:
+                df = df.join(bcast(tdf.withColumnRenamed("key", c)), c,
+                             "left_anti")
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_committed(
@@ -426,15 +709,28 @@ def read_committed(
     directories above the horizon (< ``before`` if given) — an
     explicitly-enumerated read, so uncommitted staging, a replayed
     batch's own partial commits, and crash-leftover merged-away dirs are
-    never visible. Tombstoned rows (delete_keys) are filtered out."""
-    dirs = _committed_dirs(root, before=before, mode=mode)
-    if not dirs:
+    never visible. Tombstoned rows (delete_keys) are filtered out of the
+    directories their delete still pends on (see ``_read_scoped``)."""
+    entries = _committed_entries(root, before=before, mode=mode)
+    if not entries:
         return spark.createDataFrame([], ddl)
-    df = spark.read.schema(ddl).parquet(*dirs)
-    return _apply_tombstones(spark, root, df, mode=mode)
+    return _read_scoped(spark, root, ddl, entries, mode=mode)
 
 
 # ---------------------------------------------------------------- compaction
+
+
+def _band_of(nbytes: int, band_base_bytes: int, fanout: int) -> int:
+    """Size band of a segment: ``floor(log_fanout(bytes / base))`` via
+    integer division, not float log — a size landing exactly on a band
+    boundary (``base * fanout**k``) must not round a band low (r9
+    ADVICE)."""
+    n = max(int(nbytes), band_base_bytes) // band_base_bytes
+    band = 0
+    while n >= fanout:
+        n //= fanout
+        band += 1
+    return band
 
 
 def _dir_bytes(path: str) -> int:
@@ -448,11 +744,16 @@ def _dir_bytes(path: str) -> int:
 
 def _segment_sizes(root: str, man: dict) -> dict:
     """Byte size per live segment, from the manifest where recorded
-    (compact writes it), else by walking (pre-r9 manifests)."""
+    (compact writes it), else by walking (pre-r9 manifests). A RECORDED
+    zero (a fully-tombstoned empty segment) is trusted — only a missing
+    entry triggers the walk (r9 ADVICE)."""
     sizes = dict(man.get("segment_bytes", {}))
     out = {}
     for s in man.get("segments", []):
-        out[s] = int(sizes.get(s, 0)) or _dir_bytes(os.path.join(root, s))
+        out[s] = (
+            int(sizes[s]) if s in sizes
+            else _dir_bytes(os.path.join(root, s))
+        )
     return out
 
 
@@ -460,24 +761,37 @@ def _write_segment(
     spark: SparkSession,
     root: str,
     ddl: str,
-    src_dirs: list[str],
+    entries: list[tuple],
     horizon: int,
     *,
     order_by: "list[str] | None",
     target_files: int,
     mode: "str | None",
-) -> tuple[str, int]:
-    """Write one merged segment from ``src_dirs`` directly under its
-    final nonce name — INVISIBLE to readers until the manifest names it
-    (the manifest is the commit point in both modes; nothing is renamed,
-    ADVICE r8). Tombstoned rows are physically dropped here: a deleted
-    key's bytes leave the store at the first fold of their segment.
-    ``order_by`` keeps the segment range-partitioned + sorted so pruned
-    probes retain row-group min/max locality through compaction."""
+) -> tuple[str, int, list[int]]:
+    """Write one merged segment from the source ``entries`` directly
+    under its final nonce name — INVISIBLE to readers until the manifest
+    names it (the manifest is the commit point in both modes; nothing is
+    renamed, ADVICE r8). Tombstoned rows are physically dropped here,
+    SCOPED per source (a key re-inserted after its delete survives the
+    fold); the returned applied-tid list goes into the manifest's
+    ``tomb_applied`` so reads stop re-masking this segment and
+    ``retire_tombstones`` can prove a tombstone fully applied. When the
+    root IS a tombstone sub-log, retired tombstone rows are dropped
+    instead (the sub-log's own lifecycle). ``order_by`` keeps the
+    segment range-partitioned + sorted so pruned probes retain row-group
+    min/max locality through compaction."""
     name = f"m{horizon:012d}_{uuid.uuid4().hex[:8]}"
     dest = os.path.join(root, name)
-    merged = spark.read.schema(ddl).parquet(*src_dirs)
-    merged = _apply_tombstones(spark, root, merged, mode=mode)
+    merged = _read_scoped(spark, root, ddl, entries, mode=mode)
+    applied = sorted(_tomb_index(root, mode=mode))
+    if os.path.basename(root) == _TOMBSTONES:
+        from pyspark.sql import functions as F
+
+        parent = os.path.dirname(root)
+        live = sorted(_tomb_index(parent, mode=None))
+        merged = merged.where(
+            F.col("tid").isin(live) if live else F.lit(False)
+        )
     if order_by:
         nf = max(1, target_files)
         merged = (
@@ -493,7 +807,7 @@ def _write_segment(
     except Exception:
         shutil.rmtree(dest, ignore_errors=True)
         raise
-    return name, _dir_bytes(dest)
+    return name, _dir_bytes(dest), applied
 
 
 def _gc(root: str, man: dict) -> None:
@@ -526,47 +840,55 @@ def compact(
     once; periodic auto-compaction on unbounded logs should use
     ``compact_tiered`` (the r8 verdict's write-amplification finding).
     Crash-safe by ordering (module docstring): segment data under a
-    reader-invisible nonce name → atomic manifest replace → best-effort
-    dir cleanup. Returns True if a new segment was written. ``epoch``
-    fences the manifest replace (acquire_writer)."""
+    reader-invisible nonce name → atomic manifest update → best-effort
+    dir cleanup. Fully-applied tombstones retire afterwards
+    (``retire_tombstones``). Returns True if a new segment was written.
+    ``epoch`` fences the manifest update (acquire_writer)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the redeliverable tail)")
-    if epoch is not None and _mode_of(root, mode) != MANIFEST:
+    resolved = _mode_of(root, mode)
+    if epoch is not None and resolved != MANIFEST:
         raise ValueError("epoch fencing requires manifest commit mode")
     if not os.path.isdir(root):
         return False
-    resolved = _mode_of(root, mode)
     man = _manifest_load(root)
     old_segments = list(man["segments"]) if man else []
-    batches = dict((man or {}).get("batches", {}))
     ids = committed_ids(root, mode=resolved)
     fold = ids[:-keep_last] if len(ids) > keep_last else []
     if not fold and len(old_segments) <= 1:
         return False  # nothing to merge that isn't already one segment
     new_horizon = fold[-1] if fold else _horizon(root)
-    if resolved == MANIFEST:
-        fold_dirs = [os.path.join(root, batches[str(b)]) for b in fold]
-    else:
-        fold_dirs = [_batch_dir(root, b) for b in fold]
-    src = [os.path.join(root, s) for s in old_segments] + fold_dirs
-    seg_name, seg_bytes = _write_segment(
+    fold_set = set(fold)
+    src = [
+        e for e in _committed_entries(root, mode=resolved)
+        if e[0] == "seg" or e[2] in fold_set
+    ]
+    seg_name, seg_bytes, applied = _write_segment(
         spark, root, ddl, src, new_horizon,
         order_by=order_by, target_files=target_files, mode=resolved,
     )
-    # atomic flip: readers switch to the new segment in one replace;
-    # folded batch entries leave the manifest's batch table with them
-    new_man = {
-        "horizon": int(new_horizon),
-        "segments": [seg_name],
-        "segment_bytes": {seg_name: seg_bytes},
-    }
-    if resolved == MANIFEST:
-        new_man["mode"] = MANIFEST
-        new_man["batches"] = {
-            b: d for b, d in batches.items() if int(b) > new_horizon
+
+    def flip(cur: dict) -> dict:
+        # atomic flip computed against the FRESH manifest (inside the
+        # lock): readers switch to the new segment in one replace;
+        # folded batch entries leave the batch table with them
+        new_man = {
+            "horizon": int(new_horizon),
+            "segments": [seg_name],
+            "segment_bytes": {seg_name: seg_bytes},
+            "tomb_applied": {seg_name: applied},
         }
-    _manifest_replace(root, new_man, expect_epoch=epoch)
-    _gc(root, new_man)
+        if resolved == MANIFEST:
+            new_man["mode"] = MANIFEST
+            new_man["batches"] = {
+                b: d for b, d in cur.get("batches", {}).items()
+                if int(b) > new_horizon
+            }
+        return new_man
+
+    _manifest_update(root, flip, expect_epoch=epoch)
+    _gc(root, _manifest_load(root) or {})
+    retire_tombstones(spark, root, mode=resolved, epoch=epoch)
     return True
 
 
@@ -588,8 +910,9 @@ def compact_tiered(
     readers union the tiers (they already union segments + batch dirs).
 
     Each step commits like ``compact``: reader-invisible nonce segment →
-    atomic (optionally epoch-fenced) manifest replace → best-effort GC.
-    Returns accounting for write-amplification curves:
+    atomic (optionally epoch-fenced) manifest update → best-effort GC;
+    fully-applied tombstones retire at the end. Returns accounting for
+    write-amplification curves:
     ``{"flushed_bytes", "merged_bytes", "steps", "segments"}`` —
     merged_bytes is the policy's rewrite cost, flushed_bytes the
     unavoidable new-data fold."""
@@ -605,37 +928,44 @@ def compact_tiered(
         return stats
 
     def band_of(nbytes: int) -> int:
-        return int(math.log(max(nbytes, band_base_bytes) / band_base_bytes,
-                            fanout))
+        return _band_of(nbytes, band_base_bytes, fanout)
 
-    man = _manifest_load(root)
-    batches = dict((man or {}).get("batches", {}))
     ids = committed_ids(root, mode=resolved)
     fold = ids[:-keep_last] if len(ids) > keep_last else []
     if fold:  # ---- flush: fold ONLY the new batches, never old segments
         new_horizon = fold[-1]
-        if resolved == MANIFEST:
-            fold_dirs = [os.path.join(root, batches[str(b)]) for b in fold]
-        else:
-            fold_dirs = [_batch_dir(root, b) for b in fold]
-        seg_name, seg_bytes = _write_segment(
-            spark, root, ddl, fold_dirs, new_horizon,
+        fold_set = set(fold)
+        src = [
+            e for e in _committed_entries(root, mode=resolved)
+            if e[0] == "batch" and e[2] in fold_set
+        ]
+        seg_name, seg_bytes, applied = _write_segment(
+            spark, root, ddl, src, new_horizon,
             order_by=order_by, target_files=target_files, mode=resolved,
         )
-        sizes = _segment_sizes(root, man or {})
-        sizes[seg_name] = seg_bytes
-        new_man = {
-            "horizon": int(new_horizon),
-            "segments": list((man or {}).get("segments", [])) + [seg_name],
-            "segment_bytes": sizes,
-        }
-        if resolved == MANIFEST:
-            new_man["mode"] = MANIFEST
-            new_man["batches"] = {
-                b: d for b, d in batches.items() if int(b) > new_horizon
+
+        def flush_flip(cur: dict) -> dict:
+            sizes = _segment_sizes(root, cur)
+            sizes[seg_name] = seg_bytes
+            tapp = dict(cur.get("tomb_applied", {}))
+            tapp = {s: tapp.get(s, []) for s in cur.get("segments", [])}
+            tapp[seg_name] = applied
+            new_man = {
+                "horizon": int(new_horizon),
+                "segments": list(cur.get("segments", [])) + [seg_name],
+                "segment_bytes": sizes,
+                "tomb_applied": tapp,
             }
-        _manifest_replace(root, new_man, expect_epoch=epoch)
-        _gc(root, new_man)
+            if resolved == MANIFEST:
+                new_man["mode"] = MANIFEST
+                new_man["batches"] = {
+                    b: d for b, d in cur.get("batches", {}).items()
+                    if int(b) > new_horizon
+                }
+            return new_man
+
+        _manifest_update(root, flush_flip, expect_epoch=epoch)
+        _gc(root, _manifest_load(root) or {})
         stats["flushed_bytes"] += seg_bytes
         stats["steps"] += 1
     # ---- merge policy: collapse any size band holding >= fanout segments
@@ -651,21 +981,33 @@ def compact_tiered(
         if not over:
             break
         victims = bands[min(over)]  # lowest band first: cheapest, cascades up
-        src = [os.path.join(root, s) for s in victims]
+        victim_set = set(victims)
         horizon = int(man["horizon"])
-        seg_name, seg_bytes = _write_segment(
+        src = [
+            e for e in _committed_entries(root, mode=resolved)
+            if e[0] == "seg" and os.path.basename(e[1]) in victim_set
+        ]
+        seg_name, seg_bytes, applied = _write_segment(
             spark, root, ddl, src, horizon,
             order_by=order_by, target_files=target_files, mode=resolved,
         )
-        keep = [s for s in man["segments"] if s not in victims]
-        new_sizes = {s: sizes[s] for s in keep}
-        new_sizes[seg_name] = seg_bytes
-        new_man = {**man, "segments": keep + [seg_name],
-                   "segment_bytes": new_sizes}
-        _manifest_replace(root, new_man, expect_epoch=epoch)
-        _gc(root, new_man)
+
+        def merge_flip(cur: dict) -> dict:
+            keep = [s for s in cur.get("segments", []) if s not in victim_set]
+            cur_sizes = _segment_sizes(root, cur)
+            new_sizes = {s: cur_sizes[s] for s in keep}
+            new_sizes[seg_name] = seg_bytes
+            tapp = dict(cur.get("tomb_applied", {}))
+            tapp = {s: tapp.get(s, []) for s in keep}
+            tapp[seg_name] = applied
+            return {**cur, "segments": keep + [seg_name],
+                    "segment_bytes": new_sizes, "tomb_applied": tapp}
+
+        _manifest_update(root, merge_flip, expect_epoch=epoch)
+        _gc(root, _manifest_load(root) or {})
         stats["merged_bytes"] += seg_bytes
         stats["steps"] += 1
+    retire_tombstones(spark, root, mode=resolved, epoch=epoch)
     final = _manifest_load(root)
     stats["segments"] = len((final or {}).get("segments", []))
     return stats
@@ -690,7 +1032,10 @@ def commit_batch(
     if epoch is not None:
         raise ValueError("epoch fencing requires manifest commit mode")
     dest = _batch_dir(root, batch_id)
-    if os.path.isdir(dest):
+    # is_committed, not a bare isdir: an id at or below the compaction
+    # horizon stays burned even after its directory was reclaimed (the
+    # sealed tombstone sub-log relies on this for delete redelivery)
+    if is_committed(root, batch_id, mode=RENAME):
         return False
     os.makedirs(root, exist_ok=True)
     staging = os.path.join(root, f"_staging_b{batch_id:012d}_{uuid.uuid4().hex[:8]}")
@@ -714,7 +1059,8 @@ def _commit_manifest(
 ) -> bool:
     """Manifest-mode commit: data to a unique nonce dir (no rename — the
     dir name never collides and is invisible until the manifest names
-    it), then the atomic manifest replace IS the commit."""
+    it), then the atomic manifest update IS the commit; the redelivery
+    check runs against the fresh manifest inside the lock."""
     if is_committed(root, batch_id, mode=MANIFEST):
         return False
     os.makedirs(root, exist_ok=True)
@@ -725,20 +1071,22 @@ def _commit_manifest(
     except Exception:
         shutil.rmtree(dest, ignore_errors=True)
         raise
-    man = _manifest_load(root) or {
-        "mode": MANIFEST, "horizon": -1, "segments": [], "batches": {},
-    }
-    # re-check under the single-writer contract (a redelivery racing the
-    # first delivery is impossible there; with fencing, the epoch CAS
-    # inside _manifest_replace rejects a stale writer's replace instead)
-    if str(batch_id) in man.get("batches", {}):
-        shutil.rmtree(dest, ignore_errors=True)
-        return False
-    man.setdefault("mode", MANIFEST)
-    man.setdefault("batches", {})[str(batch_id)] = dname
+
+    def add(cur: dict) -> "dict | None":
+        if str(batch_id) in cur.get("batches", {}) or \
+                batch_id <= int(cur.get("horizon", -1)):
+            return None  # redelivery raced us: decline, commit nothing
+        cur.setdefault("mode", MANIFEST)
+        cur.setdefault("horizon", -1)
+        cur.setdefault("segments", [])
+        cur.setdefault("batches", {})[str(batch_id)] = dname
+        return cur
+
     try:
-        _manifest_replace(root, man, expect_epoch=epoch)
+        committed = _manifest_update(root, add, expect_epoch=epoch)
     except StaleWriterError:
         shutil.rmtree(dest, ignore_errors=True)
         raise
-    return True
+    if not committed:
+        shutil.rmtree(dest, ignore_errors=True)
+    return committed

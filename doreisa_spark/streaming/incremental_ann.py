@@ -56,24 +56,33 @@ _MEMBERS_DDL = "bucket bigint, vec_id bigint, embedding array<float>"
 class LSHVectorStore:
     def __init__(self, spark: SparkSession, root: str, *,
                  compact_every: int | None = 64,
-                 commit_mode: str = BC.RENAME,
+                 commit_mode: "str | None" = None,
                  planes: int | None = None,
                  batch_files: int = 1,
-                 fenced: bool = False):
+                 fenced: "bool | None" = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self._members = f"{self.root}/members"
-        # fenced=True (manifest mode only): this store instance acquires
-        # the writer epoch at construction — any LATER fenced instance on
-        # the same root supersedes it, and this one's next commit raises
-        # StaleWriterError instead of silently last-writer-winning
+        # commit_mode=None resolves to the store's RECORDED mode (its
+        # manifest), else rename — a reopened manifest store needs no
+        # repeated mode argument
+        self.commit_mode = BC._mode_of(self._members, commit_mode)
+        # Writer fencing is ON BY DEFAULT in manifest mode (r9 verdict
+        # ask #3): constructing a store instance acquires the writer
+        # epoch, so any LATER instance on the same root supersedes this
+        # one, whose next commit/compact/delete raises StaleWriterError
+        # instead of silently last-writer-winning. Pass fenced=False to
+        # opt out (e.g. a read-only handle that must not displace the
+        # live writer). Rename mode has no manifest to fence through.
+        if fenced is None:
+            fenced = self.commit_mode == BC.MANIFEST
         self._epoch = (
-            BC.acquire_writer(self._members, mode=commit_mode) if fenced else None
+            BC.acquire_writer(self._members, mode=self.commit_mode)
+            if fenced else None
         )
         # default ON (see LSHSignatureStore): bounds read-planning cost on
         # long streams; None disables for raw-dir-inspecting tests
         self.compact_every = compact_every
-        self.commit_mode = commit_mode
         # stream-sized batches (hundreds of vectors) want ONE sorted file;
         # bulk-load-sized batches parallelize the sorted write across
         # batch_files range partitions (each file then spans a contiguous
@@ -183,7 +192,8 @@ class LSHVectorStore:
         if batch_id is None:
             batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
         BC.delete_keys(self.spark, self._members, ids, batch_id,
-                       key_cols="vec_id", mode=self.commit_mode)
+                       key_cols="vec_id", mode=self.commit_mode,
+                       epoch=self._epoch)
 
     def query_topk(
         self, query_ids_below: int, k: int, *, n_flip: int = 0,

@@ -58,15 +58,21 @@ _KEPT_DDL = "doc_id bigint, lang string, n_tokens int"
 class CurationStore:
     def __init__(self, spark: SparkSession, root: str, *,
                  compact_every: int | None = 64,
-                 commit_mode: str = BC.RENAME,
-                 fenced: bool = False):
+                 commit_mode: "str | None" = None,
+                 fenced: "bool | None" = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self._seen = f"{self.root}/seen"
         self._kept = f"{self.root}/kept"
-        # fenced=True (manifest mode only): per-root writer epochs — a
-        # later fenced instance supersedes this one, whose next commit
-        # then raises StaleWriterError (batch_commit.acquire_writer)
+        # commit_mode=None resolves to the store's recorded mode, else
+        # rename. Writer fencing defaults ON in manifest mode (r9
+        # verdict ask #3): per-root writer epochs — a later instance
+        # supersedes this one, whose next mutation then raises
+        # StaleWriterError (batch_commit.acquire_writer); fenced=False
+        # opts a read-only handle out.
+        commit_mode = BC._mode_of(self._seen, commit_mode)
+        if fenced is None:
+            fenced = commit_mode == BC.MANIFEST
         self._epochs = {
             d: BC.acquire_writer(d, mode=commit_mode) if fenced else None
             for d in (self._seen, self._kept)
@@ -150,13 +156,15 @@ class CurationStore:
             )
         m = self.commit_mode
         BC.delete_keys(self.spark, self._kept, [int(i) for i in doc_ids],
-                       batch_id, key_cols="doc_id", mode=m)
+                       batch_id, key_cols="doc_id", mode=m,
+                       epoch=self._epochs[self._kept])
         if texts:
             # driver-side md5 hex == F.md5(text cast binary): both are the
             # lowercase hex digest of the utf-8 bytes
             fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
             BC.delete_keys(self.spark, self._seen, fps, batch_id,
-                           key_cols="fp", key_type="string", mode=m)
+                           key_cols="fp", key_type="string", mode=m,
+                           epoch=self._epochs[self._seen])
 
     def _admit(self, canon: DataFrame, batch_id: int) -> DataFrame:
         """Batch rows whose fingerprint is NOT in the seen store — as a

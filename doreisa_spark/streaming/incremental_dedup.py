@@ -103,18 +103,24 @@ class LSHSignatureStore:
 
     def __init__(self, spark: SparkSession, root: str, *,
                  compact_every: int | None = 64,
-                 commit_mode: str = BC.RENAME,
+                 commit_mode: "str | None" = None,
                  n_bands: int | None = None,
                  band_rows: int | None = None,
-                 fenced: bool = False):
+                 fenced: "bool | None" = None):
         self.spark = spark
         self.root = root
         self.members_dir = os.path.join(root, "members")
         self.shingles_dir = os.path.join(root, "shingles")
         self.pairs_dir = os.path.join(root, "pairs")
-        # fenced=True (manifest mode only): per-root writer epochs — a
-        # later fenced instance supersedes this one, whose next commit
-        # then raises StaleWriterError (batch_commit.acquire_writer)
+        # commit_mode=None resolves to the store's recorded mode (its
+        # members manifest), else rename. Writer fencing defaults ON in
+        # manifest mode (r9 verdict ask #3): per-root writer epochs — a
+        # later instance supersedes this one, whose next mutation then
+        # raises StaleWriterError (batch_commit.acquire_writer);
+        # fenced=False opts a read-only handle out.
+        commit_mode = BC._mode_of(self.members_dir, commit_mode)
+        if fenced is None:
+            fenced = commit_mode == BC.MANIFEST
         self._epochs = {
             d: BC.acquire_writer(d, mode=commit_mode) if fenced else None
             for d in (self.members_dir, self.shingles_dir, self.pairs_dir)
@@ -216,11 +222,14 @@ class LSHSignatureStore:
             )
         m = self.commit_mode
         BC.delete_keys(self.spark, self.members_dir, ids, batch_id,
-                       key_cols="doc_id", mode=m)
+                       key_cols="doc_id", mode=m,
+                       epoch=self._epochs[self.members_dir])
         BC.delete_keys(self.spark, self.shingles_dir, ids, batch_id,
-                       key_cols="doc_id", mode=m)
+                       key_cols="doc_id", mode=m,
+                       epoch=self._epochs[self.shingles_dir])
         BC.delete_keys(self.spark, self.pairs_dir, ids, batch_id,
-                       key_cols=["doc_a", "doc_b"], mode=m)
+                       key_cols=["doc_a", "doc_b"], mode=m,
+                       epoch=self._epochs[self.pairs_dir])
 
     # ------------------------------------------------- store-layout hooks
     # Identity in the base store (full-log reads, test-deterministic);

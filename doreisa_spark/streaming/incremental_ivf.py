@@ -81,9 +81,9 @@ class IVFVectorStore:
     def __init__(self, spark: SparkSession, root: str, *,
                  centroids=None,
                  compact_every: int | None = 64,
-                 commit_mode: str = BC.RENAME,
+                 commit_mode: "str | None" = None,
                  batch_files: int = 1,
-                 fenced: bool = False):
+                 fenced: "bool | None" = None):
         """``centroids``: list of (cell, embedding) for a NEW store —
         typically the seed set (`similarity._seed_centroids(...).collect()`)
         or a trained quantizer (`sim_kmeans_refine`'s output). A
@@ -93,10 +93,16 @@ class IVFVectorStore:
         self.root = root.rstrip("/")
         self._members = f"{self.root}/members"
         self.compact_every = compact_every
-        self.commit_mode = commit_mode
+        # commit_mode=None resolves to the store's recorded mode;
+        # fencing defaults ON in manifest mode (see LSHVectorStore —
+        # fenced=False opts a read-only handle out)
+        self.commit_mode = BC._mode_of(self._members, commit_mode)
         self.batch_files = batch_files
+        if fenced is None:
+            fenced = self.commit_mode == BC.MANIFEST
         self._epoch = (
-            BC.acquire_writer(self._members, mode=commit_mode) if fenced else None
+            BC.acquire_writer(self._members, mode=self.commit_mode)
+            if fenced else None
         )
         def _norm(r):
             # accept (cell, embedding) pairs or Rows with cell/cemb fields
@@ -165,7 +171,8 @@ class IVFVectorStore:
         if batch_id is None:
             batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
         BC.delete_keys(self.spark, self._members, ids, batch_id,
-                       key_cols="vec_id", mode=self.commit_mode)
+                       key_cols="vec_id", mode=self.commit_mode,
+                       epoch=self._epoch)
 
     def process_batch(
         self, vectors: DataFrame, batch_id: int | None = None, *,
