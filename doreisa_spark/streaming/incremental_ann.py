@@ -7,14 +7,20 @@ index — the vector-database ingest path.
 
 Design: the persisted index is ``members/`` — (bucket, vec_id, embedding)
 rows, bucket = the same deterministic sign-LSH of operators/vectors.py the
-batch ``sim_ann_lsh`` uses. Per micro-batch (foreachBatch):
+batch ``sim_ann_lsh`` uses. The storage engine (probe-key-sorted
+exactly-once log, tiered compaction, tombstones, fencing, both scoring
+kernels) is the shared ``SortedVectorLog`` base
+(streaming/vector_store.py) — this module contributes the sign-LSH index
+FAMILY:
 
 1. bucket assignment is a map-only JVM expression over the batch — no
    history is touched at all during ingest (LSH is stateless per vector,
    which is exactly why it is the streaming-friendly index family; an
-   IVF quantizer would freeze or drift here, see sim_ann_ivf_trained for
-   the retraining story);
-2. the batch's (bucket, vec_id, embedding) rows append to ``members/``.
+   IVF quantizer would freeze or drift here, see the IVFVectorStore's
+   marker story for the trained-state counterpart);
+2. probe selection is the driver-side hyperplane fold (bit-identical to
+   ingest bucketing) plus the multiprobe sequences (Hamming-1 and the
+   deep Lv et al. order) that buy recall back at high plane counts.
 
 Query path (``query_topk``): probe ONLY the query's bucket in the store —
 a bucket-equality join against members, exact sequential-fold cosine,
@@ -41,11 +47,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
-from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.operators import vectors as V
 from doreisa_spark.streaming import batch_commit as BC
+from doreisa_spark.streaming.vector_store import (
+    SortedVectorLog,
+    read_marker,
+    write_marker_once,
+)
 
 EMBEDDINGS_DDL = "vec_id bigint, embedding array<float>, label int"
 
@@ -53,47 +62,26 @@ EMBEDDINGS_DDL = "vec_id bigint, embedding array<float>, label int"
 _MEMBERS_DDL = "bucket bigint, vec_id bigint, embedding array<float>"
 
 
-class LSHVectorStore:
+class LSHVectorStore(SortedVectorLog):
+    _PROBE_COL = "bucket"
+    _PROBE_TYPE = "bigint"
+
     def __init__(self, spark: SparkSession, root: str, *,
                  compact_every: int | None = 64,
                  commit_mode: "str | None" = None,
                  planes: int | None = None,
                  batch_files: int = 1,
                  fenced: "bool | None" = None):
-        self.spark = spark
-        self.root = root.rstrip("/")
-        self._members = f"{self.root}/members"
-        # commit_mode=None resolves to the store's RECORDED mode (its
-        # manifest), else rename — a reopened manifest store needs no
-        # repeated mode argument
-        self.commit_mode = BC._mode_of(self._members, commit_mode)
-        # Writer fencing is ON BY DEFAULT in manifest mode (r9 verdict
-        # ask #3): constructing a store instance acquires the writer
-        # epoch, so any LATER instance on the same root supersedes this
-        # one, whose next commit/compact/delete raises StaleWriterError
-        # instead of silently last-writer-winning. Pass fenced=False to
-        # opt out (e.g. a read-only handle that must not displace the
-        # live writer). Rename mode has no manifest to fence through.
-        if fenced is None:
-            fenced = self.commit_mode == BC.MANIFEST
-        self._epoch = (
-            BC.acquire_writer(self._members, mode=self.commit_mode)
-            if fenced else None
-        )
-        # default ON (see LSHSignatureStore): bounds read-planning cost on
-        # long streams; None disables for raw-dir-inspecting tests
-        self.compact_every = compact_every
-        # stream-sized batches (hundreds of vectors) want ONE sorted file;
-        # bulk-load-sized batches parallelize the sorted write across
-        # batch_files range partitions (each file then spans a contiguous
-        # bucket range, preserving the probe's row-group pruning)
-        self.batch_files = batch_files
+        super().__init__(spark, root, compact_every=compact_every,
+                         commit_mode=commit_mode, batch_files=batch_files,
+                         fenced=fenced)
         # the deployment sizes the plane count to the corpus (2^planes
         # buckets bound per-probe candidate volume — BASELINE.md's ANN
         # store section); the store records its plane count so readers
         # self-configure and a mismatched writer fails loudly instead of
         # silently splitting the index across two bucket spaces
-        stored = self._stored_planes()
+        stored = read_marker(f"{self.root}/_planes.json")
+        stored = int(stored["planes"]) if stored is not None else None
         if planes is None:
             self.planes = stored if stored is not None else V.LSH_PLANES
         elif stored is not None and stored != planes:
@@ -104,51 +92,17 @@ class LSHVectorStore:
         else:
             self.planes = planes
 
-    def _stored_planes(self) -> int | None:
-        import json
-        import os
-
-        marker = f"{self.root}/_planes.json"
-        if not os.path.exists(marker):
-            return None
-        with open(marker) as f:
-            return int(json.load(f)["planes"])
-
-    def _record_planes(self) -> None:
-        """Atomic write-once marker (underscore name: invisible to Spark
-        file listing), written before the first commit."""
-        import json
-        import os
-
-        marker = f"{self.root}/_planes.json"
-        if os.path.exists(marker):
-            return
-        os.makedirs(self.root, exist_ok=True)
-        tmp = f"{marker}.tmp{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"planes": self.planes}, f)
-        os.replace(tmp, marker)
-
-    def members(self) -> DataFrame:
-        return BC.read_committed(
-            self.spark, self._members, _MEMBERS_DDL, mode=self.commit_mode
-        )
-
     def process_batch(self, vectors: DataFrame, batch_id: int | None = None) -> None:
         """Exactly-once ingest: the batch's bucket rows commit under
         their batch id (batch_commit.py, rename or manifest mode) — an
         at-least-once redelivery commits nothing, so the index never
         holds duplicate vectors. ``batch_id=None`` auto-increments
-        (driver-loop callers).
-
-        Every committed file is SORTED by bucket (and compaction
-        preserves that via ``order_by``), so a query's bucket probe
-        prunes the scan by parquet row-group min/max stats — the
-        embedding column is the bytes-heavy payload, and a probe touches
-        one bucket in 2^planes."""
+        (driver-loop callers). Bucket assignment is a map-only JVM
+        expression; the sorted-commit / compaction shape is the base's
+        ``_commit_shaped`` (one bucket in 2^planes per probe)."""
         if batch_id is None:
             batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
-        self._record_planes()
+        write_marker_once(f"{self.root}/_planes.json", {"planes": self.planes})
         bucketed = vectors.select(
             F.expr(V.lsh_bucket_expr("embedding", self.planes))
             .cast("bigint")
@@ -156,44 +110,7 @@ class LSHVectorStore:
             "vec_id",
             "embedding",
         )
-        nf = self.batch_files
-        if nf <= 1:
-            shaped = bucketed.coalesce(1).sortWithinPartitions("bucket")
-            BC.commit_batch(shaped, self._members, batch_id,
-                            mode=self.commit_mode, epoch=self._epoch)
-        else:
-            # bulk-load shape: materialize the bucketed batch ONCE —
-            # repartitionByRange otherwise evaluates the planes-fold
-            # bucket expression twice (the range sampler is a separate
-            # pass over the child), which dominates a 25M-row chunk
-            bucketed = bucketed.persist()
-            try:
-                shaped = bucketed.repartitionByRange(
-                    nf, "bucket"
-                ).sortWithinPartitions("bucket")
-                BC.commit_batch(shaped, self._members, batch_id,
-                                mode=self.commit_mode, epoch=self._epoch)
-            finally:
-                bucketed.unpersist()
-        ce = self.compact_every
-        if ce and batch_id % ce == ce - 1:
-            # size-tiered: bounded write amplification (r8 verdict); each
-            # tier stays bucket-sorted so probe pruning survives folding
-            BC.compact_tiered(self.spark, self._members, _MEMBERS_DDL,
-                              mode=self.commit_mode, order_by=["bucket"],
-                              epoch=self._epoch)
-
-    def delete_vectors(self, vec_ids, batch_id: int | None = None) -> None:
-        """Takedown (r8 verdict ask #4): tombstone vectors out of the
-        index. Probes filter them immediately (read-time anti-join, tiny
-        broadcast); compaction physically drops the embedding bytes.
-        Exactly-once: a redelivered delete batch id commits nothing."""
-        ids = [int(i) for i in vec_ids]
-        if batch_id is None:
-            batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
-        BC.delete_keys(self.spark, self._members, ids, batch_id,
-                       key_cols="vec_id", mode=self.commit_mode,
-                       epoch=self._epoch)
+        self._commit_shaped(bucketed, batch_id)
 
     def query_topk(
         self, query_ids_below: int, k: int, *, n_flip: int = 0,
@@ -228,7 +145,7 @@ class LSHVectorStore:
             {"qid": r["vec_id"], "qe": r["embedding"], "bucket": r["bucket"]}
             for r in looked_up
         ]
-        return self._topk_for(qrows, k)
+        return self._topk_expr(qrows, k)
 
     def query_topk_vectors(
         self, queries, k: int, *, scoring: str = "expr", n_flip: int = 0,
@@ -299,98 +216,7 @@ class LSHVectorStore:
             for qid, emb in queries
             for pb in probe(emb)
         ]
-        if scoring == "blas":
-            return self._topk_blas(qrows, k)
-        if scoring != "expr":
-            raise ValueError(f"scoring must be 'expr' or 'blas', got {scoring!r}")
-        return self._topk_for(qrows, k)
-
-    def _topk_blas(self, qrows, k: int) -> DataFrame:
-        """BLAS-scored probe: one pruned scan of the probed buckets →
-        mapInPandas GEMM against the broadcast query matrix, each query
-        masked to its OWN bucket's candidates (identical probe semantics
-        to the join path) → per-batch top-k (bounds emitted rows to
-        n_queries x k per task) → tiny global top-k reduction."""
-        from collections.abc import Iterator
-
-        import numpy as np
-        import pandas as pd
-
-        qid = np.array([r["qid"] for r in qrows], dtype=np.int64)
-        qb = np.array([r["bucket"] for r in qrows], dtype=np.int64)
-        q = np.array([r["qe"] for r in qrows], dtype=np.float64)
-        qnorm = np.linalg.norm(q, axis=1, keepdims=True)
-        qn = q / np.where(qnorm > 0, qnorm, 1.0)
-        probed = sorted({int(b) for b in qb})
-        cand = self.members().where(
-            F.col("bucket").isin(probed) if probed else F.lit(False)
-        )
-
-        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                c = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-                )
-                cnorm = np.linalg.norm(c, axis=1)
-                cn = c / np.where(cnorm > 0, cnorm, 1.0)[:, None]
-                sims = qn @ cn.T  # (n_queries x batch)
-                cids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                cbs = pdf["bucket"].to_numpy(dtype=np.int64)
-                # probe semantics: a query sees ONLY its own bucket (the
-                # scan holds the union of all probed buckets); also mask
-                # self-matches and zero-norm candidates (see ann.py)
-                sims[qb[:, None] != cbs[None, :]] = -np.inf
-                sims[qid[:, None] == cids[None, :]] = -np.inf
-                sims[:, cnorm == 0] = -np.inf
-                kk = min(k, sims.shape[1])
-                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-                flat = np.take_along_axis(sims, top, axis=1).ravel()
-                keep = np.isfinite(flat)
-                yield pd.DataFrame(
-                    {
-                        "qid": np.repeat(qid, kk)[keep],
-                        "cid": cids[top].ravel()[keep],
-                        "cos_sim": flat[keep],
-                    }
-                )
-
-        partials = cand.mapInPandas(
-            score, schema="qid bigint, cid bigint, cos_sim double"
-        )
-        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
-        return (
-            partials.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
-            .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
-        )
-
-    def _topk_for(self, qrows, k: int) -> DataFrame:
-        probed = sorted({r["bucket"] for r in qrows})
-        q = self.spark.createDataFrame(
-            qrows, schema="qid bigint, qe array<float>, bucket bigint"
-        )
-        m = self.members()
-        c = m.where(
-            F.col("bucket").isin(probed) if probed else F.lit(False)
-        ).select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("ce"),
-            F.col("bucket").alias("cb"),
-        )
-        cos = F.expr(V.cosine_expr("qe", "ce"))
-        scored = (
-            bcast(q, bounded=True)
-            .join(c, (F.col("cb") == F.col("bucket")) & (F.col("cid") != F.col("qid")))
-            .select("qid", "cid", cos.alias("cos_sim"))
-        )
-        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
-            .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
-        )
+        return self._score_topk(qrows, k, scoring)
 
 
 def read_vector_stream(

@@ -5,16 +5,15 @@ RECALL_r08.md crowned IVF-Flat the measured-best index on hot data
 planted 100k corpus) — but its amortized latency assumed a PERSISTED
 cell assignment, and the only incremental vector store was sign-LSH
 (incremental_ann.py). This module gives IVF the same deployment
-treatment on the same commit machinery:
+treatment on the same storage engine — the shared ``SortedVectorLog``
+base (streaming/vector_store.py) provides the cell-sorted exactly-once
+log, tiered compaction, tombstones, fencing, and both scoring kernels;
+this module contributes the IVF index FAMILY:
 
 - **persisted centroids**: the coarse quantizer is recorded in a
   write-once ``_centroids.json`` marker (the `_planes.json` pattern) —
   a reopened store self-configures, a writer with different centroids
   fails loudly (two quantizers must never share one inverted file);
-- **cell-sorted log segments**: every batch commits sorted by ``cell``
-  and compaction is size-tiered with ``order_by=["cell"]``, so an
-  nprobe-cell probe prunes the scan by parquet row-group min/max — the
-  inverted lists ARE the sort order, no directory partitioning needed;
 - **map-only ingest**: cell assignment is the oracle-exact broadcast
   cross-join + argmax fold over the BATCH only (`sim_ann_ivf`'s
   assignment semantics, queries/similarity.py) — history is never read
@@ -30,9 +29,6 @@ Batch equivalence: after streaming a corpus in any batch split,
 ``query_topk_vectors`` over the store equals the one-shot `sim_ann_ivf`
 (DuckDB-gated) row for row — pinned by tests/test_incremental_ivf.py
 and by the `sim_ann_ivf_store` registry entry under the batch oracle.
-Exactly-once, tombstone deletes (``delete_vectors``), tiered
-compaction, and writer fencing all come from streaming/batch_commit.py
-unchanged.
 
 100 TB posture: ingest is one broadcast (the centroid table — KB) per
 batch plus a sorted write; a probe reads nprobe inverted lists
@@ -54,6 +50,7 @@ from pyspark.sql import Window as W
 from doreisa_spark.operators import vectors as V
 from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.streaming import batch_commit as BC
+from doreisa_spark.streaming.vector_store import SortedVectorLog
 
 _MEMBERS_DDL = "cell int, vec_id bigint, embedding array<float>"
 
@@ -74,9 +71,12 @@ def fold_cosine_py(a, b) -> float:
     return dot / (na**0.5 * nb**0.5)
 
 
-class IVFVectorStore:
+class IVFVectorStore(SortedVectorLog):
     """Persisted IVF-Flat index: inverted lists as a cell-sorted
     exactly-once parquet log, quantizer in a write-once marker."""
+
+    _PROBE_COL = "cell"
+    _PROBE_TYPE = "int"
 
     def __init__(self, spark: SparkSession, root: str, *,
                  centroids=None,
@@ -89,21 +89,10 @@ class IVFVectorStore:
         or a trained quantizer (`sim_kmeans_refine`'s output). A
         reopened store loads its marker; passing centroids that differ
         from the marker raises."""
-        self.spark = spark
-        self.root = root.rstrip("/")
-        self._members = f"{self.root}/members"
-        self.compact_every = compact_every
-        # commit_mode=None resolves to the store's recorded mode;
-        # fencing defaults ON in manifest mode (see LSHVectorStore —
-        # fenced=False opts a read-only handle out)
-        self.commit_mode = BC._mode_of(self._members, commit_mode)
-        self.batch_files = batch_files
-        if fenced is None:
-            fenced = self.commit_mode == BC.MANIFEST
-        self._epoch = (
-            BC.acquire_writer(self._members, mode=self.commit_mode)
-            if fenced else None
-        )
+        super().__init__(spark, root, compact_every=compact_every,
+                         commit_mode=commit_mode, batch_files=batch_files,
+                         fenced=fenced)
+
         def _norm(r):
             # accept (cell, embedding) pairs or Rows with cell/cemb fields
             try:
@@ -129,12 +118,15 @@ class IVFVectorStore:
                 "a new IVF store needs centroids= (the coarse quantizer); "
                 "a reopened store reads its _centroids.json marker"
             )
+        self._probe_mat = None  # lazy numpy quantizer (probe_cells fast path)
 
     # ------------------------------------------------------------- marker
     def _marker(self) -> str:
         return f"{self.root}/_centroids.json"
 
     def _stored_centroids(self):
+        # centroid lists are positional (not the dict markers the shared
+        # helpers handle), so the marker I/O stays bespoke here
         if not os.path.exists(self._marker()):
             return None
         with open(self._marker()) as f:
@@ -157,23 +149,7 @@ class IVFVectorStore:
             schema="cell int, cemb array<float>",
         )
 
-    # ------------------------------------------------------------- members
-    def members(self) -> DataFrame:
-        return BC.read_committed(
-            self.spark, self._members, _MEMBERS_DDL, mode=self.commit_mode
-        )
-
-    def delete_vectors(self, vec_ids, batch_id: int | None = None) -> None:
-        """Takedown: tombstone vectors out of the inverted file (same
-        contract as the LSH store — filtered at read, dropped at
-        compaction, exactly-once on redelivery)."""
-        ids = [int(i) for i in vec_ids]
-        if batch_id is None:
-            batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
-        BC.delete_keys(self.spark, self._members, ids, batch_id,
-                       key_cols="vec_id", mode=self.commit_mode,
-                       epoch=self._epoch)
-
+    # ------------------------------------------------------------- ingest
     def process_batch(
         self, vectors: DataFrame, batch_id: int | None = None, *,
         assign: str = "expr",
@@ -211,29 +187,7 @@ class IVFVectorStore:
             )
         else:
             raise ValueError(f"assign must be 'expr' or 'blas', got {assign!r}")
-        nf = self.batch_files
-        if nf <= 1:
-            shaped = assigned.coalesce(1).sortWithinPartitions("cell")
-            BC.commit_batch(shaped, self._members, batch_id,
-                            mode=self.commit_mode, epoch=self._epoch)
-        else:
-            # bulk-load shape: materialize the assignment ONCE — the
-            # range sampler would otherwise recompute the whole
-            # assignment (cross join + window or GEMM) a second time
-            assigned = assigned.persist()
-            try:
-                shaped = assigned.repartitionByRange(
-                    nf, "cell"
-                ).sortWithinPartitions("cell")
-                BC.commit_batch(shaped, self._members, batch_id,
-                                mode=self.commit_mode, epoch=self._epoch)
-            finally:
-                assigned.unpersist()
-        ce = self.compact_every
-        if ce and batch_id % ce == ce - 1:
-            BC.compact_tiered(self.spark, self._members, _MEMBERS_DDL,
-                              mode=self.commit_mode, order_by=["cell"],
-                              epoch=self._epoch)
+        self._commit_shaped(assigned, batch_id)
 
     def _assign_blas(self, vectors: DataFrame) -> DataFrame:
         """Bulk-load assignment: argmax over one normalized GEMM per
@@ -273,113 +227,66 @@ class IVFVectorStore:
         )
 
     # --------------------------------------------------------------- query
-    def probe_cells(self, emb, nprobe: int) -> list[int]:
-        """The query's ``nprobe`` nearest cells by the driver-side fold
-        cosine (bit-identical to the JVM probe selection of
-        `sim_ann_ivf` — same tie-break: descending cosine, then cell)."""
+    def probe_cells(self, emb, nprobe: int, *, selection: str = "fold") -> list[int]:
+        """The query's ``nprobe`` nearest cells by cosine against the
+        quantizer (tie-break: descending cosine, then cell —
+        `sim_ann_ivf`'s probe-selection semantics).
+
+        ``selection="fold"`` (default) is the driver-side sequential
+        fold, bit-identical to the JVM expression — the oracle path, but
+        O(cells × dim) Python arithmetic per query, which at deployment
+        quantizer sizes (10^5–10^6 cells) becomes seconds/query.
+        ``selection="blas"`` scores all cells with one numpy GEMM
+        (float64, same arithmetic order as a vectorized fold up to
+        last-ulp summation differences) and breaks cosine ties to the
+        fold's order by construction (lexsort on (-cos, cell)) —
+        measured-identical to the fold on the planted corpora
+        (tests/test_incremental_ivf.py pins the agreement) and the only
+        tractable path for a 4,096+-cell quantizer (BASELINE.md's IVF
+        store section measures the crossover)."""
+        if selection == "blas":
+            import numpy as np
+
+            if self._probe_mat is None:
+                cells = np.array([c for c, _ in self.centroids], dtype=np.int64)
+                cmat = np.array(
+                    [emb_ for _, emb_ in self.centroids], dtype=np.float32
+                ).astype(np.float64)
+                cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+                self._probe_mat = (cells, cn)
+            cells, cn = self._probe_mat
+            # float32 element cast first — the fold's arithmetic begins
+            # from f32(x) too, so both paths score the same quantized query
+            q = np.asarray(emb, dtype=np.float32).astype(np.float64)
+            qn = np.linalg.norm(q)
+            sims = cn @ (q / (qn if qn > 0 else 1.0))
+            order = np.lexsort((cells, -sims))  # desc cosine, asc cell — fold's order
+            return [int(c) for c in cells[order[: max(1, nprobe)]]]
+        if selection != "fold":
+            raise ValueError(f"selection must be 'fold' or 'blas', got {selection!r}")
         scored = sorted(
             ((-fold_cosine_py(emb, cemb), c) for c, cemb in self.centroids)
         )
         return [c for _, c in scored[: max(1, nprobe)]]
 
     def query_topk_vectors(
-        self, queries, k: int, *, nprobe: int = 1, scoring: str = "expr"
+        self, queries, k: int, *, nprobe: int = 1, scoring: str = "expr",
+        selection: str = "fold",
     ) -> DataFrame:
         """Top-k for application-provided (qid, embedding) queries: ONE
         scan of the store pruned to the probed cells (point-IN on the
         cell-sorted log), each query scored only against its own probed
         cells' members, self-match excluded — `sim_ann_ivf` semantics
         from persisted state. ``scoring="blas"`` routes the candidates
-        through the GEMM kernel (identical (qid,cid,rk), pytest-pinned)."""
+        through the GEMM kernel (identical (qid,cid,rk), pytest-pinned);
+        ``selection="blas"`` vectorizes the probe-cell choice for large
+        quantizers (see probe_cells)."""
         qrows = [
             {"qid": int(qid), "qe": list(emb), "cell": int(c)}
             for qid, emb in queries
-            for c in self.probe_cells(emb, nprobe)
+            for c in self.probe_cells(emb, nprobe, selection=selection)
         ]
-        if scoring == "blas":
-            return self._topk_blas(qrows, k)
-        if scoring != "expr":
-            raise ValueError(f"scoring must be 'expr' or 'blas', got {scoring!r}")
-        probed = sorted({r["cell"] for r in qrows})
-        q = self.spark.createDataFrame(
-            qrows, schema="qid bigint, qe array<float>, cell int"
-        )
-        c = self.members().where(
-            F.col("cell").isin(probed) if probed else F.lit(False)
-        ).select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("ce"),
-            F.col("cell").alias("cc"),
-        )
-        cos = F.expr(V.cosine_expr("qe", "ce"))
-        scored = (
-            bcast(q, bounded=True)
-            .join(c, (F.col("cc") == F.col("cell")) & (F.col("cid") != F.col("qid")))
-            .select("qid", "cid", cos.alias("cos_sim"))
-        )
-        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
-            .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
-        )
-
-    def _topk_blas(self, qrows, k: int) -> DataFrame:
-        """GEMM-scored probe (the incremental_ann._topk_blas shape): one
-        pruned scan → per-(query,probed-cell) masked GEMM → per-batch
-        top-k → tiny global reduction. A candidate belongs to exactly
-        one cell, so the per-probe-row masking needs no dedup."""
-        from collections.abc import Iterator
-
-        import numpy as np
-        import pandas as pd
-
-        qid = np.array([r["qid"] for r in qrows], dtype=np.int64)
-        qc = np.array([r["cell"] for r in qrows], dtype=np.int64)
-        q = np.array([r["qe"] for r in qrows], dtype=np.float64)
-        qnorm = np.linalg.norm(q, axis=1, keepdims=True)
-        qn = q / np.where(qnorm > 0, qnorm, 1.0)
-        probed = sorted({int(c) for c in qc})
-        cand = self.members().where(
-            F.col("cell").isin(probed) if probed else F.lit(False)
-        )
-
-        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                c = np.stack(
-                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-                )
-                cnorm = np.linalg.norm(c, axis=1)
-                cn = c / np.where(cnorm > 0, cnorm, 1.0)[:, None]
-                sims = qn @ cn.T
-                cids = pdf["vec_id"].to_numpy(dtype=np.int64)
-                ccs = pdf["cell"].to_numpy(dtype=np.int64)
-                sims[qc[:, None] != ccs[None, :]] = -np.inf
-                sims[qid[:, None] == cids[None, :]] = -np.inf
-                sims[:, cnorm == 0] = -np.inf
-                kk = min(k, sims.shape[1])
-                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-                flat = np.take_along_axis(sims, top, axis=1).ravel()
-                keep = np.isfinite(flat)
-                yield pd.DataFrame(
-                    {
-                        "qid": np.repeat(qid, kk)[keep],
-                        "cid": cids[top].ravel()[keep],
-                        "cos_sim": flat[keep],
-                    }
-                )
-
-        partials = cand.mapInPandas(
-            score, schema="qid bigint, cid bigint, cos_sim double"
-        )
-        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
-        return (
-            partials.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= k)
-            .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
-        )
+        return self._score_topk(qrows, k, scoring)
 
 
 def run_incremental_ivf(

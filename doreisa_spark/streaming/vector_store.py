@@ -1,0 +1,266 @@
+"""Shared machinery of the two persisted vector stores (r9 verdict ask
+#6): LSHVectorStore (incremental_ann.py, sign-LSH buckets) and
+IVFVectorStore (incremental_ivf.py, coarse-quantizer cells) are the same
+storage engine under two probe keys — a PROBE-KEY-SORTED exactly-once
+parquet log (streaming/batch_commit.py) where
+
+- every batch commits sorted by the probe column so parquet row-group
+  min/max stats ARE the index (one file for stream-sized batches,
+  ``batch_files`` range partitions for bulk loads);
+- compaction is size-tiered with ``order_by=[probe_col]`` so the sorted
+  locality survives folding;
+- a query probes a driver-selected set of keys pushed into ONE pruned
+  scan (point-IN on the sorted log), scored either by the oracle-exact
+  sequential-fold cosine (``scoring="expr"``, DuckDB-hash-identical) or
+  by a per-Arrow-batch numpy GEMM masked to each query's own probed
+  keys (``scoring="blas"`` — operators/ann.py kernel shape, measured
+  4-5x at 50M vectors in tools/bench_ann_store.py);
+- takedowns tombstone by ``vec_id`` through the shared commit layer.
+
+What stays in the subclasses is exactly the index FAMILY: how a vector
+maps to its probe key (stateless hyperplane signs vs trained centroids,
+and the write-once marker recording that configuration) and how a query
+selects the keys to probe (multiprobe sequences vs nprobe-nearest
+cells).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from doreisa_spark.operators.broadcast import bcast
+from doreisa_spark.streaming import batch_commit as BC
+
+
+def read_marker(path: str):
+    """Read a write-once store-configuration marker, or None."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def write_marker_once(path: str, obj) -> None:
+    """Atomic write-once marker (underscore names keep them invisible
+    to Spark's file listing), written before the first commit."""
+    if os.path.exists(path):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+class SortedVectorLog:
+    """Base of the persisted vector stores. Subclasses set
+    ``_PROBE_COL`` / ``_PROBE_TYPE`` (``bucket bigint`` / ``cell int``)
+    and build (probe, vec_id, embedding) batches; everything below —
+    commit shape, tiered compaction, tombstones, fencing, and both
+    scoring kernels — is shared."""
+
+    _PROBE_COL: str
+    _PROBE_TYPE: str
+
+    def __init__(self, spark: SparkSession, root: str, *,
+                 compact_every: int | None = 64,
+                 commit_mode: "str | None" = None,
+                 batch_files: int = 1,
+                 fenced: "bool | None" = None):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._members = f"{self.root}/members"
+        # commit_mode=None resolves to the store's RECORDED mode (its
+        # manifest), else rename — a reopened manifest store needs no
+        # repeated mode argument
+        self.commit_mode = BC._mode_of(self._members, commit_mode)
+        # Writer fencing is ON BY DEFAULT in manifest mode (r9 verdict
+        # ask #3): constructing a store instance acquires the writer
+        # epoch, so any LATER instance on the same root supersedes this
+        # one, whose next commit/compact/delete raises StaleWriterError
+        # instead of silently last-writer-winning. Pass fenced=False to
+        # opt out (e.g. a read-only handle that must not displace the
+        # live writer). Rename mode has no manifest to fence through.
+        if fenced is None:
+            fenced = self.commit_mode == BC.MANIFEST
+        self._epoch = (
+            BC.acquire_writer(self._members, mode=self.commit_mode)
+            if fenced else None
+        )
+        # default ON (see LSHSignatureStore): bounds read-planning cost
+        # on long streams; None disables for raw-dir-inspecting tests
+        self.compact_every = compact_every
+        # stream-sized batches (hundreds of vectors) want ONE sorted
+        # file; bulk-load-sized batches parallelize the sorted write
+        # across batch_files range partitions (each file then spans a
+        # contiguous probe-key range, preserving row-group pruning)
+        self.batch_files = batch_files
+
+    @property
+    def _members_ddl(self) -> str:
+        return (f"{self._PROBE_COL} {self._PROBE_TYPE}, vec_id bigint, "
+                "embedding array<float>")
+
+    def members(self) -> DataFrame:
+        return BC.read_committed(
+            self.spark, self._members, self._members_ddl, mode=self.commit_mode
+        )
+
+    def delete_vectors(self, vec_ids, batch_id: int | None = None) -> None:
+        """Takedown (r8 verdict ask #4): tombstone vectors out of the
+        index. Probes filter them immediately (scoped read-time
+        anti-join, tiny broadcast); compaction physically drops the
+        embedding bytes and fully-applied tombstones retire
+        (batch_commit module docstring). Exactly-once on redelivery;
+        fenced with the store's writer epoch."""
+        ids = [int(i) for i in vec_ids]
+        if batch_id is None:
+            batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
+        BC.delete_keys(self.spark, self._members, ids, batch_id,
+                       key_cols="vec_id", mode=self.commit_mode,
+                       epoch=self._epoch)
+
+    # ------------------------------------------------------ commit shape
+    def _commit_shaped(self, keyed: DataFrame, batch_id: int) -> None:
+        """Exactly-once sorted commit + periodic tiered compaction.
+        Every committed file is SORTED by the probe column (and
+        compaction preserves that via ``order_by``), so a probe prunes
+        the scan by parquet row-group min/max stats — the embedding
+        column is the bytes-heavy payload."""
+        pc = self._PROBE_COL
+        nf = self.batch_files
+        if nf <= 1:
+            shaped = keyed.coalesce(1).sortWithinPartitions(pc)
+            BC.commit_batch(shaped, self._members, batch_id,
+                            mode=self.commit_mode, epoch=self._epoch)
+        else:
+            # bulk-load shape: materialize the keyed batch ONCE —
+            # repartitionByRange otherwise evaluates the key expression
+            # (planes fold / centroid assignment) twice (the range
+            # sampler is a separate pass over the child), which
+            # dominates a 25M-row chunk
+            keyed = keyed.persist()
+            try:
+                shaped = keyed.repartitionByRange(
+                    nf, pc
+                ).sortWithinPartitions(pc)
+                BC.commit_batch(shaped, self._members, batch_id,
+                                mode=self.commit_mode, epoch=self._epoch)
+            finally:
+                keyed.unpersist()
+        ce = self.compact_every
+        if ce and batch_id % ce == ce - 1:
+            # size-tiered: bounded write amplification (r8 verdict);
+            # each tier stays probe-sorted so pruning survives folding
+            BC.compact_tiered(self.spark, self._members, self._members_ddl,
+                              mode=self.commit_mode, order_by=[pc],
+                              epoch=self._epoch)
+
+    # ---------------------------------------------------------- scoring
+    def _pruned_candidates(self, probed: list[int]) -> DataFrame:
+        return self.members().where(
+            F.col(self._PROBE_COL).isin(probed) if probed else F.lit(False)
+        )
+
+    def _score_topk(self, qrows, k: int, scoring: str) -> DataFrame:
+        if scoring == "blas":
+            return self._topk_blas(qrows, k)
+        if scoring != "expr":
+            raise ValueError(f"scoring must be 'expr' or 'blas', got {scoring!r}")
+        return self._topk_expr(qrows, k)
+
+    def _topk_expr(self, qrows, k: int) -> DataFrame:
+        """Oracle-exact probe: broadcast the (qid, qe, probe-key) rows,
+        join each query to ONLY its own probed key's candidates on the
+        pruned scan, rank by the sequential-fold cosine (bit-identical
+        to the DuckDB oracle), keep top-k."""
+        from doreisa_spark.operators import vectors as V
+
+        pc = self._PROBE_COL
+        probed = sorted({r[pc] for r in qrows})
+        q = self.spark.createDataFrame(
+            qrows, schema=f"qid bigint, qe array<float>, {pc} {self._PROBE_TYPE}"
+        )
+        c = self._pruned_candidates(probed).select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("ce"),
+            F.col(pc).alias("pc"),
+        )
+        cos = F.expr(V.cosine_expr("qe", "ce"))
+        scored = (
+            bcast(q, bounded=True)
+            .join(c, (F.col("pc") == F.col(pc)) & (F.col("cid") != F.col("qid")))
+            .select("qid", "cid", cos.alias("cos_sim"))
+        )
+        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+        )
+
+    def _topk_blas(self, qrows, k: int) -> DataFrame:
+        """BLAS-scored probe: one pruned scan of the probed keys →
+        mapInPandas GEMM against the broadcast query matrix, each query
+        masked to its OWN probed key's candidates (identical probe
+        semantics to the join path; a candidate belongs to exactly one
+        key, so no dedup is needed) → per-batch top-k (bounds emitted
+        rows to n_queries x k per task) → tiny global top-k reduction.
+        ann.cosine_topk's documented last-ulp tie caveat applies."""
+        from collections.abc import Iterator
+
+        import numpy as np
+        import pandas as pd
+
+        pc = self._PROBE_COL
+        qid = np.array([r["qid"] for r in qrows], dtype=np.int64)
+        qb = np.array([r[pc] for r in qrows], dtype=np.int64)
+        q = np.array([r["qe"] for r in qrows], dtype=np.float64)
+        qnorm = np.linalg.norm(q, axis=1, keepdims=True)
+        qn = q / np.where(qnorm > 0, qnorm, 1.0)
+        cand = self._pruned_candidates(sorted({int(b) for b in qb}))
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                c = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                cnorm = np.linalg.norm(c, axis=1)
+                cn = c / np.where(cnorm > 0, cnorm, 1.0)[:, None]
+                sims = qn @ cn.T  # (n_queries x batch)
+                cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+                cbs = pdf[pc].to_numpy(dtype=np.int64)
+                # probe semantics: a query sees ONLY its own probed key
+                # (the scan holds the union of all probed keys); also
+                # mask self-matches and zero-norm candidates (ann.py)
+                sims[qb[:, None] != cbs[None, :]] = -np.inf
+                sims[qid[:, None] == cids[None, :]] = -np.inf
+                sims[:, cnorm == 0] = -np.inf
+                kk = min(k, sims.shape[1])
+                top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                flat = np.take_along_axis(sims, top, axis=1).ravel()
+                keep = np.isfinite(flat)
+                yield pd.DataFrame(
+                    {
+                        "qid": np.repeat(qid, kk)[keep],
+                        "cid": cids[top].ravel()[keep],
+                        "cos_sim": flat[keep],
+                    }
+                )
+
+        partials = cand.mapInPandas(
+            score, schema="qid bigint, cid bigint, cos_sim double"
+        )
+        w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+        return (
+            partials.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
+        )

@@ -89,6 +89,43 @@ def test_probe_cells_bit_agree_with_jvm(spark, tmp_path):
             assert store.probe_cells(emb, nprobe) == expect
 
 
+def test_probe_cells_blas_agrees_with_fold(spark, tmp_path):
+    """selection='blas' (one GEMM over the quantizer, the large-cell-count
+    path) picks the identical probe-cell sequence as the oracle fold —
+    on the seed quantizer for every query, and on a 512-cell random
+    quantizer (the regime the vectorized path exists for)."""
+    import numpy as np
+
+    store = IVFVectorStore(spark, str(tmp_path / "ivf"), centroids=_centroids(spark))
+    for nprobe in (1, 2, 4):
+        for qid, emb in _queries(spark):
+            assert store.probe_cells(emb, nprobe, selection="blas") == \
+                store.probe_cells(emb, nprobe)
+    rng = np.random.default_rng(7)
+    big = [
+        (int(c), [float(x) for x in rng.standard_normal(64).astype(np.float32)])
+        for c in range(512)
+    ]
+    big_store = IVFVectorStore(spark, str(tmp_path / "big"), centroids=big)
+    for q in rng.standard_normal((25, 64)).astype(np.float32):
+        emb = [float(x) for x in q]
+        for nprobe in (1, 8, 64):
+            assert big_store.probe_cells(emb, nprobe, selection="blas") == \
+                big_store.probe_cells(emb, nprobe)
+    with pytest.raises(ValueError, match="selection"):
+        store.probe_cells(_queries(spark)[0][1], 1, selection="nope")
+
+
+def test_query_selection_blas_end_to_end(spark, tmp_path):
+    e = _corpus(spark)
+    store = IVFVectorStore(spark, str(tmp_path / "ivf"), centroids=_centroids(spark))
+    store.process_batch(e, 0)
+    qs = _queries(spark)
+    fold = store.query_topk_vectors(qs, _TOP_K, nprobe=2)
+    blas = store.query_topk_vectors(qs, _TOP_K, nprobe=2, selection="blas")
+    assert _rows(fold) == _rows(blas)
+
+
 def test_blas_scoring_matches_expr(spark, tmp_path):
     e = _corpus(spark)
     store = IVFVectorStore(spark, str(tmp_path / "ivf"), centroids=_centroids(spark))
