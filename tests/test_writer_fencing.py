@@ -102,3 +102,100 @@ def test_fenced_store_end_to_end(spark, tmp_path):
     with pytest.raises(BC.StaleWriterError):
         s1.process_batch(e.where(F.col("vec_id") >= 80), 2)
     assert s2.members().count() == 80  # zombie's batch never landed
+
+
+def test_fenced_default_on_for_manifest_stores(spark, tmp_path):
+    """r9 verdict ask #3: fencing is the DEFAULT in manifest mode — a
+    second store instance on the same root supersedes the first without
+    anyone passing fenced=True. Rename mode stays unfenced (no manifest
+    to fence through); fenced=False opts a manifest handle out."""
+    from pyspark.sql import functions as F
+
+    from doreisa_spark.streaming.incremental_ann import LSHVectorStore
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "ann")
+    s1 = LSHVectorStore(spark, root, commit_mode=BC.MANIFEST)
+    assert s1._epoch is not None
+    s1.process_batch(e.where(F.col("vec_id") < 40), 0)
+    s2 = LSHVectorStore(spark, root)  # mode resolves from the manifest
+    assert s2._epoch == s1._epoch + 1
+    with pytest.raises(BC.StaleWriterError):
+        s1.process_batch(e.where(F.col("vec_id") >= 80), 1)
+    ro = LSHVectorStore(spark, root, fenced=False)  # read-only handle
+    assert ro._epoch is None
+    assert ro.members().count() == 40
+    assert s2._epoch == BC._manifest_load(f"{root}/members")["writer_epoch"]
+    plain = LSHVectorStore(spark, str(tmp_path / "ren"))  # rename mode
+    assert plain._epoch is None
+
+
+def test_two_streams_one_root_superseded_dies_mid_stream(spark, tmp_path):
+    """The r9 verdict's e2e done-criterion: two REAL foreachBatch
+    streams target one store root; when the second starts, the first
+    dies mid-stream with StaleWriterError on its next micro-batch, and
+    the store holds exactly the pre-fence batches plus the survivor's —
+    nothing from the zombie's post-fence trigger."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from doreisa_spark.streaming.incremental_ann import (
+        LSHVectorStore,
+        read_vector_stream,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def drop_file(src, name, pred, mtime):
+        tmp = src / f"tmp_{name}"
+        e.where(pred).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        data = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        dst = str(src / f"{name}.parquet")
+        os.rename(str(tmp / data), dst)
+        os.utime(dst, (mtime,) * 2)
+
+    src1 = tmp_path / "in1"
+    src1.mkdir()
+    root = str(tmp_path / "ann")
+    drop_file(src1, "00000", F.col("vec_id") < 40, 1_700_000_000)
+
+    s1 = LSHVectorStore(spark, root, commit_mode=BC.MANIFEST)  # fenced default
+    ckpt = str(tmp_path / "ckpt1")
+    q1 = (
+        read_vector_stream(spark, str(src1))
+        .writeStream.foreachBatch(lambda df, bid: s1.process_batch(df))
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and not BC.committed_ids(
+            f"{root}/members", mode=BC.MANIFEST
+        ):
+            time.sleep(0.3)
+        assert BC.committed_ids(f"{root}/members", mode=BC.MANIFEST)
+
+        # takeover while stream 1 is LIVE: a second fenced writer
+        s2 = LSHVectorStore(spark, root)
+        s2.process_batch(e.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 80)))
+
+        # stream 1's next micro-batch must die loudly, not silently win
+        drop_file(src1, "00001", F.col("vec_id") >= 80, 1_700_000_100)
+        deadline = time.time() + 90
+        while time.time() < deadline and q1.isActive:
+            time.sleep(0.3)
+        assert not q1.isActive
+        exc = q1.exception()
+        assert exc is not None and "StaleWriterError" in str(exc)
+    finally:
+        if q1.isActive:
+            q1.stop()
+    # store uncorrupted: pre-fence batch + survivor's batch, zombie's absent
+    assert s2.members().count() == 80
+    assert s2.members().where(F.col("vec_id") >= 80).count() == 0
+    # the surviving writer keeps streaming
+    s2.process_batch(e.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 100)))
+    assert s2.members().count() == 100
