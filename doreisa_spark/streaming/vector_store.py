@@ -207,23 +207,42 @@ class SortedVectorLog:
     def _topk_blas(self, qrows, k: int) -> DataFrame:
         """BLAS-scored probe: one pruned scan of the probed keys →
         mapInPandas GEMM against the broadcast query matrix, each query
-        masked to its OWN probed key's candidates (identical probe
+        masked to its OWN probed keys' candidates (identical probe
         semantics to the join path; a candidate belongs to exactly one
         key, so no dedup is needed) → per-batch top-k (bounds emitted
         rows to n_queries x k per task) → tiny global top-k reduction.
-        ann.cosine_topk's documented last-ulp tie caveat applies."""
+        ann.cosine_topk's documented last-ulp tie caveat applies.
+
+        The GEMM is sized n_DISTINCT_queries × batch, NOT probe-rows ×
+        batch: multiprobe fan-out (a query probing many keys) lands in a
+        per-query key-MEMBERSHIP mask over the batch, so a deep-probe
+        config pays for the extra candidates it scans, never a
+        per-probe-row duplicate of the whole score matrix (measured at
+        5M vectors, planes=11/n_probes=64: 10.4 s → scan-bound after
+        this change — the chooser table in BASELINE.md)."""
         from collections.abc import Iterator
 
         import numpy as np
         import pandas as pd
 
         pc = self._PROBE_COL
-        qid = np.array([r["qid"] for r in qrows], dtype=np.int64)
-        qb = np.array([r[pc] for r in qrows], dtype=np.int64)
-        q = np.array([r["qe"] for r in qrows], dtype=np.float64)
+        # collapse probe rows to distinct queries + per-query key sets
+        by_q: dict[int, dict] = {}
+        for r in qrows:
+            ent = by_q.setdefault(int(r["qid"]), {"qe": r["qe"], "keys": set()})
+            ent["keys"].add(int(r[pc]))
+        qid = np.array(list(by_q), dtype=np.int64)
+        q = np.array([by_q[i]["qe"] for i in qid], dtype=np.float64)
         qnorm = np.linalg.norm(q, axis=1, keepdims=True)
         qn = q / np.where(qnorm > 0, qnorm, 1.0)
-        cand = self._pruned_candidates(sorted({int(b) for b in qb}))
+        probed_all = np.array(
+            sorted({b for e in by_q.values() for b in e["keys"]}), dtype=np.int64
+        )
+        # membership[i, j]: does query i probe key probed_all[j]?
+        member = np.zeros((len(qid), len(probed_all)), dtype=bool)
+        for i, qi in enumerate(qid):
+            member[i, np.searchsorted(probed_all, sorted(by_q[qi]["keys"]))] = True
+        cand = self._pruned_candidates([int(b) for b in probed_all])
 
         def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -237,10 +256,12 @@ class SortedVectorLog:
                 sims = qn @ cn.T  # (n_queries x batch)
                 cids = pdf["vec_id"].to_numpy(dtype=np.int64)
                 cbs = pdf[pc].to_numpy(dtype=np.int64)
-                # probe semantics: a query sees ONLY its own probed key
-                # (the scan holds the union of all probed keys); also
-                # mask self-matches and zero-norm candidates (ann.py)
-                sims[qb[:, None] != cbs[None, :]] = -np.inf
+                # probe semantics: a query sees only ITS probed keys —
+                # the scan is pruned to the union, so every candidate
+                # key is present in probed_all and searchsorted is an
+                # exact index; also mask self-matches and zero-norm
+                # candidates (ann.py)
+                sims[~member[:, np.searchsorted(probed_all, cbs)]] = -np.inf
                 sims[qid[:, None] == cids[None, :]] = -np.inf
                 sims[:, cnorm == 0] = -np.inf
                 kk = min(k, sims.shape[1])

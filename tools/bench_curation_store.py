@@ -29,7 +29,24 @@ Protocol (mirrors the other two tools):
 
 Output: one JSON line for BASELINE.md.
 
-Usage: python tools/bench_curation_store.py [out.json] [max_mult]
+r10 additions (the r9 verdict's 50M wall profile): per size the tool
+also measures
+
+- scan_floor_s: decoding every fp in the history exactly once
+  (`max(fp)` — count(*) would read only parquet metadata), the
+  irreducible cost ANY admission probe pays: md5 fps are uniform, so
+  no layout can row-group-skip a 500-term probe out of a 50M log;
+- admit_inset_s: the batch fp set collected driver-side (bounded:
+  ≤ batch, the dedup store's shingle-probe discipline) and evaluated
+  as a codegen InSet FILTER at the scan instead of a broadcast-hash
+  join probe — where the semi probe's wall above the scan floor goes
+  if the BHJ per-row probe is the cost;
+
+and a medium argument: scratch on /dev/shm (default) or /tmp (disk) —
+the ANN-store-style disk-medium counterpoint where the naive shape
+additionally pays its history-sized shuffle write through the disk.
+
+Usage: python tools/bench_curation_store.py [out.json] [max_mult] [shm|disk]
 """
 
 from __future__ import annotations
@@ -121,11 +138,15 @@ def shuffle_meter(spark):
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else None
     max_mult = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
+    medium = sys.argv[3] if len(sys.argv) > 3 else "shm"
     spark = get_spark(
         "bench-curation-store", extra_conf={"spark.ui.enabled": "true"}
     )
     meter = shuffle_meter(spark)
-    base = "/dev/shm" if Path("/dev/shm").is_dir() else None
+    if medium == "disk":
+        base = "/tmp"
+    else:
+        base = "/dev/shm" if Path("/dev/shm").is_dir() else None
     scratch = tempfile.mkdtemp(prefix="cur_store_bench_", dir=base)
     rows = []
     try:
@@ -148,17 +169,35 @@ def main() -> None:
 
             naive = canon.join(store.seen(before=1), "fp", "left_anti")
             semi = store._admit(canon, batch_id=1)
+            # InSet variant: bounded driver collect of the batch fps,
+            # membership test as a codegen filter at the scan (no join
+            # machinery on the history side at all)
+            from doreisa_spark.operators.broadcast import bcast
+
+            batch_fps = [r["fp"] for r in canon.select("fp").distinct().collect()]
+            inset_hits = store.seen(before=1).where(F.col("fp").isin(batch_fps))
+            inset = canon.join(bcast(inset_hits, bounded=True), "fp", "left_anti")
             n_semi = semi.count()
             assert n_semi == BATCH // 2, n_semi  # exactly the fresh half
             assert naive.count() == n_semi
+            assert inset.count() == n_semi
+            seen_h = store.seen(before=1)
+            scan_floor = best_of(
+                lambda: seen_h.agg(F.max("fp")).collect()
+            )
             semi_w, semi_b = min(meter(semi) for _ in range(2))
             naive_w, naive_b = min(meter(naive) for _ in range(2))
+            inset_w, inset_b = min(meter(inset) for _ in range(2))
             row = {
                 "mult": mult,
                 "history_fps": hist,
+                "medium": medium,
+                "scan_floor_s": scan_floor,
                 "admit_semi_s": semi_w,
+                "admit_inset_s": inset_w,
                 "admit_naive_s": naive_w,
                 "semi_shuffle_mb": round(semi_b / 2**20, 1),
+                "inset_shuffle_mb": round(inset_b / 2**20, 1),
                 "naive_shuffle_mb": round(naive_b / 2**20, 1),
                 "process_batch_s": best_of(_fresh_process(store, hist)),
             }
