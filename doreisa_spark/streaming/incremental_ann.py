@@ -92,25 +92,86 @@ class LSHVectorStore(SortedVectorLog):
         else:
             self.planes = planes
 
-    def process_batch(self, vectors: DataFrame, batch_id: int | None = None) -> None:
+    def process_batch(self, vectors: DataFrame, batch_id: int | None = None, *,
+                      bucketing: str = "expr") -> None:
         """Exactly-once ingest: the batch's bucket rows commit under
         their batch id (batch_commit.py, rename or manifest mode) — an
         at-least-once redelivery commits nothing, so the index never
         holds duplicate vectors. ``batch_id=None`` auto-increments
-        (driver-loop callers). Bucket assignment is a map-only JVM
-        expression; the sorted-commit / compaction shape is the base's
-        ``_commit_shaped`` (one bucket in 2^planes per probe)."""
+        (driver-loop callers). The sorted-commit / compaction shape is
+        the base's ``_commit_shaped`` (one bucket in 2^planes per probe).
+
+        ``bucketing="expr"`` (default) assigns buckets with the map-only
+        JVM hyperplane expression — the DuckDB-hash-exact path.
+        ``bucketing="blas"`` is the bulk-load kernel (the IVF store's
+        ``assign="blas"`` counterpart): one numpy GEMM of each Arrow
+        batch against the integer hyperplane matrix, signs → bucket id —
+        the interpreted fold costs ~ms/row and dominates a corpus-sized
+        bulk build (measured: 89 s → GEMM-bound at 5M vectors,
+        BASELINE.md chooser section). Same last-ulp caveat as every
+        blas/expr split: summation order differs, so a sign could flip
+        only on an exactly-zero-margin projection; store-level
+        agreement on real corpora is pinned by pytest."""
         if batch_id is None:
             batch_id = BC.next_batch_id(self._members, mode=self.commit_mode)
         write_marker_once(f"{self.root}/_planes.json", {"planes": self.planes})
-        bucketed = vectors.select(
-            F.expr(V.lsh_bucket_expr("embedding", self.planes))
-            .cast("bigint")
-            .alias("bucket"),
-            "vec_id",
-            "embedding",
-        )
+        if bucketing == "blas":
+            bucketed = self._bucket_blas(vectors)
+        elif bucketing == "expr":
+            bucketed = vectors.select(
+                F.expr(V.lsh_bucket_expr("embedding", self.planes))
+                .cast("bigint")
+                .alias("bucket"),
+                "vec_id",
+                "embedding",
+            )
+        else:
+            raise ValueError(
+                f"bucketing must be 'expr' or 'blas', got {bucketing!r}"
+            )
         self._commit_shaped(bucketed, batch_id)
+
+    def _bucket_blas(self, vectors: DataFrame) -> DataFrame:
+        """Bulk-load bucketing: signs of one GEMM against the hyperplane
+        matrix W[k, i] = ((A_k·(i+1) + B_k) mod M) − M//2 — the same
+        integer weights the JVM expression and lsh_bucket_py fold."""
+        from collections.abc import Iterator
+
+        import numpy as np
+        import pandas as pd
+
+        A, B = V.lsh_params(self.planes)
+        A = np.array(A, dtype=np.int64)[:, None]
+        Bv = np.array(B, dtype=np.int64)[:, None]
+        planes = self.planes
+        bits = (1 << np.arange(planes, dtype=np.int64))
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            w = None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+                )
+                if w is None or w.shape[1] != x.shape[1]:
+                    i = np.arange(1, x.shape[1] + 1, dtype=np.int64)[None, :]
+                    w = (((A * i + Bv) % V.LSH_MOD) - V.LSH_MOD // 2).astype(
+                        np.float64
+                    )
+                proj = x @ w.T  # (n x planes)
+                bucket = ((proj > 0) @ bits).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "bucket": bucket,
+                        "vec_id": pdf["vec_id"],
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        return vectors.select("vec_id", "embedding").mapInPandas(
+            kernel, schema=_MEMBERS_DDL
+        )
 
     def query_topk(
         self, query_ids_below: int, k: int, *, n_flip: int = 0,

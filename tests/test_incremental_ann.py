@@ -310,3 +310,35 @@ def test_deep_multiprobe_store_paths_agree(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="n_flip"):
         store.query_topk_vectors(queries, _TOP_K, n_flip=2, n_probes=4)
+
+
+def test_blas_bucketing_matches_expr(spark, tmp_path):
+    """bucketing='blas' (bulk-load GEMM signs) produces the identical
+    (bucket, vec_id) assignment and identical query results as the
+    oracle-exact JVM hyperplane expression, at the default and an
+    extended plane count (no zero-margin projections on this corpus)."""
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    for planes, tag in ((None, "d"), (12, "p12")):
+        kw = {} if planes is None else {"planes": planes}
+        s_expr = LSHVectorStore(spark, str(tmp_path / f"x{tag}"), **kw)
+        s_blas = LSHVectorStore(spark, str(tmp_path / f"b{tag}"), **kw)
+        s_expr.process_batch(e, 0)
+        s_blas.process_batch(e, 0, bucketing="blas")
+        a = sorted(
+            (r["bucket"], r["vec_id"])
+            for r in s_expr.members().select("bucket", "vec_id").collect()
+        )
+        b = sorted(
+            (r["bucket"], r["vec_id"])
+            for r in s_blas.members().select("bucket", "vec_id").collect()
+        )
+        assert a == b
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
+    ]
+    assert _rows(s_expr.query_topk_vectors(queries, _TOP_K, n_probes=8)) == _rows(
+        s_blas.query_topk_vectors(queries, _TOP_K, n_probes=8)
+    )
+    with pytest.raises(ValueError, match="bucketing"):
+        s_blas.process_batch(e, 5, bucketing="nope")
