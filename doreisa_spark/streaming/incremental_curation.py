@@ -167,27 +167,30 @@ class CurationStore:
                            epoch=self._epochs[self._seen])
 
     def _admit(self, canon: DataFrame, batch_id: int) -> DataFrame:
-        """Batch rows whose fingerprint is NOT in the seen store — as a
-        broadcast-semi probe (the dedup store's `_probe_members` shape):
-        the batch's bounded fingerprint set broadcasts INTO the seen
-        scan (left-semi; Spark's runtime row-level filtering can inject
-        it as a bloom filter), and the resulting hit set — at most
-        batch-sized — broadcasts back for the anti-join. The naive
-        ``canon ANTI JOIN seen`` instead shuffles the ever-growing seen
-        log on fp EVERY batch: a left-anti join can only broadcast its
-        right side, and the right side is the corpus-sized one. With
-        this shape history is scanned map-only (narrow 32-char fp
-        column) and never shuffled; plan pinned by
+        """Batch rows whose fingerprint is NOT in the seen store — the
+        batch's bounded fingerprint set (≤ batch size; the dedup store's
+        shingle-probe collect discipline) is evaluated as a codegen
+        InSet FILTER at the seen scan, and the resulting hit set — at
+        most batch-sized — broadcasts back for the anti-join. History is
+        scanned map-only (narrow 32-char fp column) and never shuffled,
+        and there is no join machinery on the history side at all; plan
+        pinned by
         tests/test_plan_shapes.py::test_curation_admission_never_shuffles_history.
 
-        Measured at a 50M-fp store (tools/bench_curation_store.py):
-        both shapes are scan-bound on local tmpfs (wall overlaps), but
-        the naive shape writes the history through the exchange —
-        1.6 GB of shuffle per 500-doc batch vs ZERO here. On a cluster
-        that per-batch disk+network write is the term that grows
-        forever; the map-only scan is the floor, bounded by compaction."""
-        hits = self.seen(before=batch_id).join(
-            bcast(canon.select("fp"), bounded=True), "fp", "left_semi"
+        Why a filter and not a broadcast-semi join (the r9 shape): the
+        per-row broadcast-hash probe was the wall above the scan floor —
+        measured at a 50M-fp store (tools/bench_curation_store.py, r10):
+        scan floor 1.12 s, semi probe 6.86 s, THIS shape 0.92 s (7.5×),
+        naive SMJ anti 5.18 s + 1.6 GB of history shuffled per 500-doc
+        batch (the term that grows forever on a cluster; both shipped
+        shapes shuffle zero). md5 fps are uniform, so no IN pushdown or
+        sort order can row-group-skip a 500-term probe out of a 50M
+        log — the scan floor is the cost, and this shape sits on it.
+        The driver-side collect costs one extra tiny job per batch
+        (canon's fp column, bounded), the right trade past ~1M fps."""
+        fps = [r["fp"] for r in canon.select("fp").distinct().collect()]
+        hits = self.seen(before=batch_id).where(
+            F.col("fp").isin(fps) if fps else F.lit(False)
         )
         return canon.join(bcast(hits, bounded=True), "fp", "left_anti")
 

@@ -323,11 +323,12 @@ def test_bcast_scalar_aggregates_keep_hint_at_any_scale(spark):
 
 def test_curation_admission_never_shuffles_history(spark, tmp_path):
     """The curation store's seen-history probe must scan history
-    map-only: the batch's fingerprint set broadcasts into the semi
-    probe and the bounded hit set broadcasts back for the anti-join —
-    no Exchange may carry the (corpus-sized) seen log. The naive
-    batch-ANTI-JOIN-seen shape would: a left-anti join can only
-    broadcast its right side."""
+    map-only: the batch's bounded fingerprint set is an InSet filter at
+    the seen scan (r10 — the broadcast-semi per-row probe cost 6.9 s vs
+    the 1.1 s scan floor at 50M fps) and the bounded hit set broadcasts
+    back for the anti-join — no Exchange may carry the (corpus-sized)
+    seen log. The naive batch-ANTI-JOIN-seen shape would: a left-anti
+    join can only broadcast its right side."""
     from pyspark.sql import functions as F
 
     from doreisa_spark.streaming.incremental_curation import CurationStore
