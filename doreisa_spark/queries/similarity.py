@@ -1416,3 +1416,60 @@ def sim_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
     ]
     return store.query_topk_vectors(queries, _TOP_K, nprobe=_IVF_NPROBE)
+
+
+@register(
+    "sim_ann_store_blas_build",
+    extended=True,
+    oracle=REGISTRY["sim_ann_lsh"].oracle,
+)
+def sim_ann_store_blas_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH store's BULK-LOAD kernel under the batch oracle (r10):
+    the corpus ingests with ``bucketing="blas"`` (one numpy GEMM of each
+    Arrow batch against the integer hyperplane matrix — measured 5.3×
+    the interpreted expression fold on a 5M build, RECALL_r10.md) and
+    the probe must still hash-match the one-shot `sim_ann_lsh` DuckDB
+    oracle — pinning that the GEMM signs reproduce the JVM bucket space
+    exactly on this corpus (the blas/expr last-ulp caveat never fires
+    off a zero-margin projection)."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_ann import LSHVectorStore
+
+    e = table(spark, sf_dir, "embeddings")
+    store = LSHVectorStore(spark, _fresh_store_dir("incannbb"))
+    store.process_batch(e, 0, bucketing="blas")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
+    ]
+    return store.query_topk_vectors(queries, _TOP_K)
+
+
+@register(
+    "sim_ann_ivf_store_blas_select",
+    extended=True,
+    oracle=_IVF_ORACLE,
+)
+def sim_ann_ivf_store_blas_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF store's large-quantizer probe-selection kernel under the
+    batch oracle (r10, the r9 "vectorize probe_cells" ask):
+    ``selection="blas"`` picks probe cells with one GEMM over the
+    quantizer (~300× the per-cell Python fold at 4,096 cells,
+    RECALL_r10.md), ties broken to the fold's (desc-cosine, asc-cell)
+    order — the probe must hash-match the one-shot `sim_ann_ivf` DuckDB
+    oracle exactly, pinning GEMM selection ≡ fold selection ≡ the JVM
+    row_number argmax end to end on this corpus."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_ivf import IVFVectorStore
+
+    e = table(spark, sf_dir, "embeddings")
+    cent = [(r["cell"], r["cemb"]) for r in _seed_centroids(e).collect()]
+    store = IVFVectorStore(spark, _fresh_store_dir("incivfbs"), centroids=cent)
+    store.process_batch(e, 0, assign="blas")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
+    ]
+    return store.query_topk_vectors(
+        queries, _TOP_K, nprobe=_IVF_NPROBE, selection="blas"
+    )
