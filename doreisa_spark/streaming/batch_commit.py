@@ -793,6 +793,16 @@ def _write_segment(
             F.col("tid").isin(live) if live else F.lit(False)
         )
     if order_by:
+        # coalesce(1) is deliberate for the single-file fold, unlike
+        # the stream-ingest commit (vector_store._commit_shaped), which
+        # switched to repartition(1) because an expensive probe-key
+        # EXPRESSION upstream was being serialized into the one task.
+        # Here upstream is a plain scan, and the wall is the single-task
+        # parquet ENCODE of the sorted output file — measured identical
+        # (10.7 vs 10.8 s) with either shape on a 450 MB / 32-segment
+        # fold, so the exchange would buy nothing. Folds that need
+        # parallelism set target_files > 1 (range-partitioned sorted
+        # output keeps pruning locality).
         nf = max(1, target_files)
         merged = (
             merged.repartitionByRange(nf, *order_by)
