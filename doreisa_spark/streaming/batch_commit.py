@@ -121,7 +121,12 @@ ask #1 — previously the one unbounded-growth term):
   recorded as having dropped it. When the last tombstone retires, the
   sub-log is sealed empty (horizon preserved, so a redelivered delete
   batch id still refuses) and all its directories are reclaimed — reads
-  converge back to ZERO anti-joins.
+  converge back to ZERO anti-joins. Retirement commits DURABLY as a
+  watermark (``retired_max``) in the sub-log manifest before any cache
+  or row cleanup, so no crash/cache-loss sequence can resurrect a
+  retired tombstone; the driver-side ``_tomb_index`` JSON is strictly a
+  cache, healed in memory on read paths and rewritten only by mutation
+  paths (r10 ADVICE — pure readers never write).
 
 A redelivered delete batch is a no-op like any other batch; a crash
 between the tombstone commit and the driver-side index update heals on
@@ -465,26 +470,49 @@ def _tomb_ddl(meta: dict) -> str:
     return f"key {meta['type']}, tid bigint, covers bigint"
 
 
-def _tomb_index(root: str, *, mode: "str | None" = None) -> dict[int, int]:
+def _tomb_retired_max(root: str) -> int:
+    """The durable retirement watermark of ``root``'s tombstone sub-log:
+    every tid at or below it is retired. One integer suffices because
+    retirement is MONOTONE in tid — ``covers`` grows with tid, and any
+    segment recorded as having applied a later tombstone was written
+    while every older live tombstone was live too (so it applied those
+    as well); hence a later tid never retires while an earlier live one
+    stays. Recorded in the sub-log MANIFEST through the committed
+    protocol (r10 ADVICE: the JSON index is a cache — losing it after a
+    partial retirement must not resurrect a retired tombstone)."""
+    return int((_manifest_load(_tomb_root(root)) or {}).get("retired_max", -1))
+
+
+def _tomb_index(
+    root: str, *, mode: "str | None" = None, persist: bool = False
+) -> dict[int, int]:
     """Live (unretired) tombstones of ``root`` as ``{tid: covers}`` —
     the driver-side scoping index. The JSON index file is a crash-safe
     cache over the committed rows: any sub-log commit it has not seen
     (``seen_max`` < highest committed delete batch — e.g. a crash
-    between the tombstone commit and this update) is healed here by
-    reading the tiny committed rows directly (pyarrow, no Spark job).
-    Retired tids stay excluded across heals because ``seen_max`` only
-    moves forward."""
+    between the tombstone commit and this update) is healed by reading
+    the tiny committed rows directly (pyarrow, no Spark job). The heal
+    is IN-MEMORY on read paths (r10 ADVICE: a pure reader on a
+    read-only mount must not crash, and a read-side file replace could
+    race a retirement's rewrite); only mutation paths — delete_keys,
+    segment writes — pass ``persist=True`` to refresh the cache file,
+    so an un-persisted heal just repeats until the next mutation.
+    Retired tids stay excluded across heals and cache loss because the
+    retirement watermark lives in the sub-log manifest, not here."""
     meta = _tomb_meta(root)
     if meta is None:
         return {}
     troot = _tomb_root(root)
+    wm = _tomb_retired_max(root)
     idx_path = os.path.join(troot, _TOMB_INDEX)
     try:
         with open(idx_path) as f:
             idx = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         idx = {"tids": {}, "seen_max": -1}
-    tids = {int(t): int(c) for t, c in idx.get("tids", {}).items()}
+    tids = {
+        int(t): int(c) for t, c in idx.get("tids", {}).items() if int(t) > wm
+    }
     seen = int(idx.get("seen_max", -1))
     sub_mode = _mode_of(troot, mode if _manifest_load(troot) is None else None)
     top = max([_horizon(troot)] + committed_ids(troot, mode=sub_mode))
@@ -495,12 +523,13 @@ def _tomb_index(root: str, *, mode: "str | None" = None) -> dict[int, int]:
             for fpath in sorted(glob.glob(os.path.join(d, "*.parquet"))):
                 t = pq.read_table(fpath, columns=["tid", "covers"])
                 for tid, cov in zip(t["tid"].to_pylist(), t["covers"].to_pylist()):
-                    if int(tid) > seen:
+                    if int(tid) > seen and int(tid) > wm:
                         tids[int(tid)] = max(int(cov), tids.get(int(tid), -1))
-        _json_replace(idx_path, {
-            "tids": {str(t): c for t, c in sorted(tids.items())},
-            "seen_max": top,
-        })
+        if persist:
+            _json_replace(idx_path, {
+                "tids": {str(t): c for t, c in sorted(tids.items())},
+                "seen_max": top,
+            })
     return tids
 
 
@@ -549,23 +578,96 @@ def delete_keys(
             {"cols": cols, "type": key_type, "v": 2},
         )
         meta = _tomb_meta(root)
+    wm = _tomb_retired_max(root)
+    if batch_id <= wm and not is_committed(troot, batch_id, mode=resolved):
+        raise ValueError(
+            f"delete batch id {batch_id} is at or below the retirement "
+            f"watermark ({wm}): a tombstone there would be invisible to "
+            "reads forever — delete batch ids must be monotone "
+            "(next_batch_id counts the tombstone sub-log)"
+        )
     # the sequence point: rows in main-log batches <= covers are masked,
     # anything committed after this delete is NOT (recorded in the rows
     # themselves, so the index heals crash-consistently from them)
     covers = max([_horizon(root)] + committed_ids(root, mode=resolved))
     df = spark.createDataFrame(
         [(k, int(batch_id), int(covers)) for k in keys], _tomb_ddl(meta)
-    )
-    with _epoch_guard(root, epoch, resolved):
-        committed = commit_batch(df.coalesce(1), troot, batch_id, mode=resolved)
-        _tomb_index(root, mode=resolved)  # fold the new rows into the index
-        sub_mode = _mode_of(troot, None)
-        if len(committed_ids(troot, mode=sub_mode)) >= _TOMB_COMPACT_EVERY:
-            # the sub-log is a log too: bound ITS directory count (r9
-            # verdict ask #1 — this was the one unbounded-growth term);
-            # retired rows are dropped by the sub-log's segment writer
-            compact_tiered(spark, troot, _tomb_ddl(meta), keep_last=1,
-                           mode=sub_mode, order_by=["key"])
+    ).coalesce(1)
+    if epoch is None:
+        committed = commit_batch(df, troot, batch_id, mode=resolved)
+        if committed:  # fold the new rows into the index cache
+            _tomb_index(root, mode=resolved, persist=True)
+    else:
+        # narrowed critical section (r10 ADVICE): the tombstone batch's
+        # Spark write used to run under the exclusive store flock,
+        # stalling every concurrent acquire_writer/fenced commit for a
+        # whole job. Fast-fail the epoch first (unlocked read), write
+        # the data OUTSIDE the lock, then re-verify the epoch in the
+        # same critical section as the sub-log manifest publish — the
+        # CAS pattern the rest of the module uses.
+        cur = int((_manifest_load(root) or {}).get("writer_epoch", 0))
+        if cur != epoch:
+            raise _stale(epoch, cur, root)
+        committed = _commit_sublog_fenced(df, root, troot, batch_id, epoch)
+    sub_mode = _mode_of(troot, None)
+    if len(committed_ids(troot, mode=sub_mode)) >= _TOMB_COMPACT_EVERY:
+        # the sub-log is a log too: bound ITS directory count (r9
+        # verdict ask #1); retired rows are dropped by the sub-log's
+        # segment writer. Runs OUTSIDE the parent lock even when fenced
+        # (r10 ADVICE liveness): safe because every sub-log manifest
+        # mutation is an RMW under the sub-log's own lock (a concurrent
+        # writer's delete commit cannot be lost) and a retirement that
+        # lands mid-fold cannot be undone by it (the watermark in the
+        # sub-log manifest, not the folded rows, is what heals read) —
+        # a superseded writer at worst wastes one fold.
+        if epoch is not None:
+            cur = int((_manifest_load(root) or {}).get("writer_epoch", 0))
+            if cur != epoch:
+                raise _stale(epoch, cur, root)
+        compact_tiered(spark, troot, _tomb_ddl(meta), keep_last=1,
+                       mode=sub_mode, order_by=["key"])
+    return committed
+
+
+def _commit_sublog_fenced(
+    df: DataFrame, root: str, troot: str, batch_id: int, epoch: int
+) -> bool:
+    """Fenced tombstone commit: the manifest-mode commit split so the
+    parquet write (a Spark job) happens unlocked and only the sub-log
+    manifest update runs inside the parent store's epoch guard (lock
+    ordering parent-first, as documented on ``_locked``). A stale epoch
+    raises before the publish and reclaims the orphan data dir."""
+    if is_committed(troot, batch_id, mode=MANIFEST):
+        return False
+    os.makedirs(troot, exist_ok=True)
+    dname = f"d{batch_id:012d}_{uuid.uuid4().hex[:8]}"
+    dest = os.path.join(troot, dname)
+    try:
+        df.write.mode("overwrite").parquet(dest)
+    except Exception:
+        shutil.rmtree(dest, ignore_errors=True)
+        raise
+
+    def add(cur: dict) -> "dict | None":
+        if str(batch_id) in cur.get("batches", {}) or \
+                batch_id <= int(cur.get("horizon", -1)):
+            return None  # redelivery raced us: decline, commit nothing
+        cur.setdefault("mode", MANIFEST)
+        cur.setdefault("horizon", -1)
+        cur.setdefault("segments", [])
+        cur.setdefault("batches", {})[str(batch_id)] = dname
+        return cur
+
+    try:
+        with _epoch_guard(root, epoch, MANIFEST):
+            committed = _manifest_update(troot, add)
+            if committed:
+                _tomb_index(root, mode=MANIFEST, persist=True)
+    except StaleWriterError:
+        shutil.rmtree(dest, ignore_errors=True)
+        raise
+    if not committed:
+        shutil.rmtree(dest, ignore_errors=True)
     return committed
 
 
@@ -618,7 +720,28 @@ def retire_tombstones(
     if not retired:
         return []
     troot = _tomb_root(root)
+    sub_mode = _mode_of(troot, None)
     with _epoch_guard(root, epoch, resolved):
+        # 1. the DURABLE commit point of the retirement: the watermark
+        #    in the sub-log manifest, written through the committed
+        #    protocol BEFORE the cache rewrite and the row purge (r10
+        #    ADVICE: a crash between the old cache rewrite and the
+        #    purge, plus a later cache loss, used to resurrect the
+        #    retired tombstone on heal). Monotonicity of retirement in
+        #    tid (see _tomb_retired_max) makes one integer sufficient.
+        wm = max(retired)
+
+        def record(cur: dict) -> dict:
+            cur.setdefault("horizon", -1)
+            cur.setdefault("segments", [])
+            cur["retired_max"] = max(int(cur.get("retired_max", -1)), wm)
+            if sub_mode == MANIFEST:
+                cur.setdefault("mode", MANIFEST)
+                cur.setdefault("batches", {})
+            return cur
+
+        _manifest_update(troot, record)
+        # 2. refresh the index cache (heals exclude <= watermark anyway)
         try:
             with open(os.path.join(troot, _TOMB_INDEX)) as f:
                 idx_file = json.load(f)
@@ -628,12 +751,12 @@ def retire_tombstones(
             t: c for t, c in idx_file.get("tids", {}).items()
             if int(t) not in retired
         }
-        # seen_max stays: a heal must never resurrect a retired tid
+        # seen_max stays: a heal must never re-scan burned delete ids
         _json_replace(os.path.join(troot, _TOMB_INDEX),
                       {"tids": keep, "seen_max": idx_file.get("seen_max", -1)})
-        sub_mode = _mode_of(troot, None)
         if not keep:
             # all applied: seal the sub-log empty, reclaim every dir
+            # (quick manifest ops, fine under the guard)
             top = max([_horizon(troot)] + committed_ids(troot, mode=sub_mode))
 
             def seal(cur: dict) -> dict:
@@ -645,10 +768,15 @@ def retire_tombstones(
 
             _manifest_update(troot, seal)
             _gc(troot, _manifest_load(troot) or {})
-        else:
-            # partial: purge the retired rows at the next sub-log fold
-            compact(spark, troot, _tomb_ddl(meta), keep_last=1,
-                    mode=sub_mode, order_by=["key"])
+    if keep:
+        # 3. partial: purge the retired rows with a sub-log fold — a
+        #    Spark job, so it runs OUTSIDE the store lock (r10 ADVICE
+        #    liveness). Idempotent and safe unfenced: the watermark
+        #    (step 1) is what excludes retired tids from every read and
+        #    heal; the fold merely reclaims their bytes, and sub-log
+        #    manifest updates are RMW under the sub-log's own lock.
+        compact(spark, troot, _tomb_ddl(meta), keep_last=1,
+                mode=sub_mode, order_by=["key"])
     return retired
 
 
@@ -783,12 +911,14 @@ def _write_segment(
     name = f"m{horizon:012d}_{uuid.uuid4().hex[:8]}"
     dest = os.path.join(root, name)
     merged = _read_scoped(spark, root, ddl, entries, mode=mode)
-    applied = sorted(_tomb_index(root, mode=mode))
+    # persist=True: segment writes are mutation paths, so they refresh
+    # the index cache file (reads heal in memory only — r10 ADVICE)
+    applied = sorted(_tomb_index(root, mode=mode, persist=True))
     if os.path.basename(root) == _TOMBSTONES:
         from pyspark.sql import functions as F
 
         parent = os.path.dirname(root)
-        live = sorted(_tomb_index(parent, mode=None))
+        live = sorted(_tomb_index(parent, mode=None, persist=True))
         merged = merged.where(
             F.col("tid").isin(live) if live else F.lit(False)
         )

@@ -118,6 +118,16 @@ class IVFVectorStore(SortedVectorLog):
                 "a new IVF store needs centroids= (the coarse quantizer); "
                 "a reopened store reads its _centroids.json marker"
             )
+        # validate the quantizer once at construction (r10 ADVICE): a
+        # zero-norm centroid would make the fold scorer raise
+        # ZeroDivisionError while the blas paths silently emit NaN
+        # cosines — fail loudly before either can diverge
+        for c, cemb in self.centroids:
+            if not any(x != 0.0 for x in cemb):
+                raise ValueError(
+                    f"quantizer centroid for cell {c} has zero norm; "
+                    "cosine assignment/probing is undefined for it"
+                )
         self._probe_mat = None  # lazy numpy quantizer (probe_cells fast path)
 
     # ------------------------------------------------------------- marker

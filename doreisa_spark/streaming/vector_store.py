@@ -232,11 +232,24 @@ class SortedVectorLog:
         import pandas as pd
 
         pc = self._PROBE_COL
-        # collapse probe rows to distinct queries + per-query key sets
+        # collapse probe rows to distinct queries + per-query key sets;
+        # the collapse keys per-query state by qid, so two probe rows
+        # sharing a qid but carrying DIFFERENT embeddings would silently
+        # score one embedding against the other's probed keys — refuse
+        # the ambiguous input instead (r10 ADVICE)
         by_q: dict[int, dict] = {}
         for r in qrows:
-            ent = by_q.setdefault(int(r["qid"]), {"qe": r["qe"], "keys": set()})
-            ent["keys"].add(int(r[pc]))
+            qi = int(r["qid"])
+            ent = by_q.get(qi)
+            if ent is None:
+                by_q[qi] = {"qe": list(r["qe"]), "keys": {int(r[pc])}}
+            elif [float(x) for x in r["qe"]] != [float(x) for x in ent["qe"]]:
+                raise ValueError(
+                    f"duplicate qid {qi} with differing embeddings: give "
+                    "each distinct query embedding its own qid"
+                )
+            else:
+                ent["keys"].add(int(r[pc]))
         qid = np.array(list(by_q), dtype=np.int64)
         q = np.array([by_q[i]["qe"] for i in qid], dtype=np.float64)
         qnorm = np.linalg.norm(q, axis=1, keepdims=True)
