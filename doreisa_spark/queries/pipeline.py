@@ -151,6 +151,42 @@ def pipeline_curation_incremental_delete(
     return store.kept()
 
 
+@register(
+    "pipeline_curation_snapshot",
+    extended=True,
+    oracle=f"""SELECT * FROM ({_CURATION_ORACLE}
+) __kept
+WHERE doc_id <= (SELECT min(doc_id) + 2 * (max(doc_id) - min(doc_id)) // 3
+                 FROM documents)""",
+)
+def pipeline_curation_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot / time-travel reads under the driver's DuckDB gate: two
+    of the three doc_id ranges are ingested, the curated corpus is
+    PINNED (`CurationStore.snapshot` — a metadata-only manifest entry,
+    batch_commit.create_snapshot), then the third range is ingested AND
+    ten pinned docs are deleted. The pinned read must hash-match the
+    batch oracle restricted to the first two ranges — INCLUDING the
+    later-deleted docs, because inside the retention window a snapshot
+    reproduces the exact training set it pinned (takedowns reach the
+    pinned bytes when the snapshot is dropped; the lakehouse
+    time-travel contract). Compaction-stability, tombstone time travel
+    and GC pinning are covered in tests/test_snapshots.py."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_curation import CurationStore
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    store = CurationStore(spark, _fresh_store_dir("inccursnap"))
+    store.process_batch(d.where(F.col("doc_id") <= cut1))
+    store.process_batch(d.where((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)))
+    sid = store.snapshot()
+    store.process_batch(d.where(F.col("doc_id") > cut2))
+    victims = [r["doc_id"] for r in store.kept(snapshot=sid).limit(10).collect()]
+    store.delete_docs(victims)
+    return store.kept(snapshot=sid)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end RAG indexing: chunk -> embed -> LSH index -> query.
 #

@@ -1386,6 +1386,115 @@ def sim_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.query_topk_vectors(queries, _TOP_K)
 
 
+@register(
+    "sim_ann_store_snapshot",
+    extended=True,
+    oracle=f"""
+WITH cut AS (
+  SELECT min(vec_id) + 2 * (max(vec_id) - min(vec_id)) // 3 AS c2
+  FROM embeddings
+), bucketed AS (
+  SELECT vec_id, embedding, {V.duck_lsh_bucket('embedding')} AS bucket
+  FROM embeddings WHERE vec_id <= (SELECT c2 FROM cut)
+), q AS (
+  SELECT vec_id AS qid, embedding AS qe, bucket FROM bucketed
+  WHERE vec_id < {_N_QUERIES}
+), scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+         {V.duck_cosine('q.qe', 'c.embedding')} AS cos_sim
+  FROM q JOIN bucketed c
+    ON c.bucket = q.bucket AND c.vec_id <> q.qid
+)
+SELECT qid, cid, round(cos_sim, 6) AS cos_sim, rk FROM (
+  SELECT qid, cid, cos_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rk
+  FROM scored)
+WHERE rk <= {_TOP_K}
+""",
+)
+def sim_ann_store_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time ANN queries under the driver's DuckDB gate: two of
+    the three vec_id ranges are ingested, the index is PINNED
+    (`SortedVectorLog.snapshot` — metadata-only, no data copy), then the
+    third range is ingested AND a block of pinned vectors is deleted.
+    The pinned probe (``query_topk_vectors(..., snapshot=sid)``) must
+    hash-match an oracle whose candidate set is exactly the first two
+    ranges — later inserts invisible, later takedowns not yet applied
+    (retention-window time travel, batch_commit.create_snapshot). The
+    live probe is meanwhile checked by `sim_ann_store_delete`-style
+    entries; GC pinning and compaction stability by
+    tests/test_snapshots.py."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_ann import LSHVectorStore
+
+    e = table(spark, sf_dir, "embeddings")
+    lo, hi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    store = LSHVectorStore(spark, _fresh_store_dir("incannsnap"))
+    store.process_batch(e.where(F.col("vec_id") <= cut1), 0)
+    store.process_batch(
+        e.where((F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2)), 1
+    )
+    sid = store.snapshot()
+    store.process_batch(e.where(F.col("vec_id") > cut2), 2)
+    store.delete_vectors(range(_N_QUERIES, 301), 3)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
+    ]
+    return store.query_topk_vectors(queries, _TOP_K, snapshot=sid)
+
+
+@register(
+    "sim_ivf_fit_stats",
+    extended=True,
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id - {_IVF_CENT_LO} AS cell, embedding AS cemb
+  FROM embeddings WHERE vec_id >= {_IVF_CENT_LO} AND vec_id < {_IVF_CENT_LO + _IVF_CELLS}
+), corpus AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+), assigned AS (
+  SELECT cid, cell FROM (
+    SELECT c.cid, cent.cell,
+           row_number() OVER (
+             PARTITION BY c.cid
+             ORDER BY {V.duck_cosine('c.ce', 'cent.cemb')} DESC, cent.cell) AS arnk
+    FROM corpus c CROSS JOIN cent)
+  WHERE arnk = 1
+)
+SELECT CAST(a.cell AS INTEGER) AS cell,
+       count(*) AS n_members,
+       round(min({V.duck_cosine('c.ce', 'cent.cemb')}), 6) AS min_cos,
+       round(max({V.duck_cosine('c.ce', 'cent.cemb')}), 6) AS max_cos
+FROM assigned a
+JOIN corpus c USING (cid)
+JOIN cent ON cent.cell = a.cell
+GROUP BY a.cell
+""",
+)
+def sim_ivf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer fit monitoring under the driver's DuckDB gate: the
+    per-cell fit table (`streaming/quantizer.assignment_fit`) of a
+    persisted IVF store — occupancy plus the min/max fold-cosine of
+    each member to its OWN stored centroid — must hash-match DuckDB
+    recomputing assignment + fit from scratch. This is the observable
+    `detect_drift` compares across time to decide when the quantizer
+    no longer fits the corpus (the r10 chooser's measured recall-cap
+    failure mode); the drift→retrain→migrate loop itself is pinned by
+    tests/test_quantizer.py. min/max are order-independent (unlike a
+    mean), so 6dp rounding is hash-safe."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_ivf import IVFVectorStore
+    from doreisa_spark.streaming.quantizer import assignment_fit
+
+    e = table(spark, sf_dir, "embeddings")
+    cent = [(r["cell"], r["cemb"]) for r in _seed_centroids(e).collect()]
+    store = IVFVectorStore(spark, _fresh_store_dir("incivffit"), centroids=cent)
+    store.process_batch(e, 0)
+    return assignment_fit(store).select("cell", "n_members", "min_cos", "max_cos")
+
+
 @register("sim_ann_ivf_store", extended=True, oracle=_IVF_ORACLE)
 def sim_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted IVF-Flat store (r8 verdict ask #3) under the batch

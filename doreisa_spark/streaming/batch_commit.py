@@ -782,7 +782,7 @@ def retire_tombstones(
 
 def _read_scoped(
     spark: SparkSession, root: str, ddl: str, entries: list[tuple], *,
-    mode: "str | None",
+    mode: "str | None", pinned: "dict | None" = None,
 ) -> DataFrame:
     """Read committed directories with tombstone masking scoped per
     directory: a tombstone applies to a batch dir only if the batch
@@ -792,8 +792,17 @@ def _read_scoped(
     is one scan plus (only if pending) one broadcast anti-join per key
     column; with nothing pending the whole read is a single plain scan
     (the post-retirement steady state). Tombstone sets are
-    takedown-sized, so every join is a tiny broadcast."""
-    idx = _tomb_index(root, mode=mode)
+    takedown-sized, so every join is a tiny broadcast.
+
+    ``pinned`` (snapshot reads) overrides the LIVE tombstone state with
+    a snapshot's recorded one: ``{"index": {tid: covers}, "dirs":
+    [sub-log dir names], "cols": [...], "type": ...}`` — masking then
+    reflects exactly the deletes that existed at snapshot time, read
+    from the GC-protected pinned sub-log directories."""
+    if pinned is None:
+        idx = _tomb_index(root, mode=mode)
+    else:
+        idx = {int(t): int(c) for t, c in (pinned.get("index") or {}).items()}
     groups: dict[frozenset, list[str]] = {}
     for kind, path, info in entries:
         if not idx:
@@ -812,8 +821,15 @@ def _read_scoped(
 
     from doreisa_spark.operators.broadcast import bcast
 
-    meta = _tomb_meta(root)
-    trows = read_committed(spark, _tomb_root(root), _tomb_ddl(meta), mode=mode)
+    troot = _tomb_root(root)
+    if pinned is None:
+        meta = _tomb_meta(root)
+        trows = read_committed(spark, troot, _tomb_ddl(meta), mode=mode)
+    else:
+        meta = {"cols": pinned["cols"], "type": pinned["type"]}
+        trows = spark.read.schema(_tomb_ddl(meta)).parquet(
+            *[os.path.join(troot, d) for d in pinned["dirs"]]
+        )
     parts = []
     for pend in sorted(groups, key=sorted):
         df = spark.read.schema(ddl).parquet(*groups[pend])
@@ -843,6 +859,160 @@ def read_committed(
     if not entries:
         return spark.createDataFrame([], ddl)
     return _read_scoped(spark, root, ddl, entries, mode=mode)
+
+
+# ---------------------------------------------------------------- snapshots
+
+
+def create_snapshot(root: str, *, mode: "str | None" = None,
+                    epoch: "int | None" = None) -> int:
+    """Pin the store's CURRENT committed state — horizon, segments,
+    batch directories, and the tombstone masking in force — as an
+    immutable, metadata-only snapshot, and return its id. No data is
+    copied: the snapshot is one entry in the manifest naming the live
+    directories, which GC then refuses to reclaim while the snapshot is
+    retained (the Iceberg/Delta snapshot-isolation pattern, here on the
+    plain-parquet commit layer). ``read_snapshot`` reproduces the exact
+    frame this store served at pin time — the contract a training run
+    needs to be re-runnable months later against a log that has since
+    ingested, deleted, and compacted.
+
+    Semantics under later mutation, all pinned at creation:
+
+    - later batch commits and compactions are invisible (compaction
+      writes NEW segment dirs; pinned dirs are never rewritten);
+    - later ``delete_keys`` do NOT mask the snapshot — reproducibility
+      wins inside the retention window, exactly like a lakehouse time
+      travel read; a takedown fully propagates once every snapshot that
+      predates it is dropped (``drop_snapshot``) and GC'd — the
+      documented retention contract;
+    - deletes that existed AT pin time keep masking forever, even after
+      the live store retires them (the snapshot pins the tombstone
+      index and its sub-log directories).
+
+    O(1) cost (one manifest update); works in both commit modes.
+    ``epoch`` fences it like any other mutation (manifest mode)."""
+    resolved = _mode_of(root, mode)
+    if epoch is not None and resolved != MANIFEST:
+        raise ValueError("epoch fencing requires manifest commit mode")
+    if not os.path.isdir(root):
+        os.makedirs(root, exist_ok=True)
+    box: dict = {}
+
+    def pin(cur: dict) -> dict:
+        sid = int(cur.get("snapshot_next", 0))
+        cur.setdefault("horizon", -1)
+        cur.setdefault("segments", [])
+        h = int(cur["horizon"])
+        segs = list(cur["segments"])
+        tapp = cur.get("tomb_applied", {})
+        if resolved == MANIFEST:
+            batches: "dict | list" = {
+                b: d for b, d in cur.get("batches", {}).items() if int(b) > h
+            }
+        else:
+            batches = committed_ids(root, mode=RENAME)
+        # tombstone state is pinned inside the same critical section as
+        # the manifest entry, so the index and the dir lists are one
+        # consistent cut (reads take no locks, so no nesting here)
+        tomb = None
+        meta = _tomb_meta(root)
+        if meta is not None:
+            troot = _tomb_root(root)
+            sub_mode = _mode_of(
+                troot, resolved if _manifest_load(troot) is None else None
+            )
+            tomb = {
+                "index": {
+                    str(t): int(c)
+                    for t, c in sorted(_tomb_index(root, mode=resolved).items())
+                },
+                "dirs": [
+                    os.path.basename(p)
+                    for p in _committed_dirs(troot, mode=sub_mode)
+                ],
+                "cols": meta["cols"],
+                "type": meta["type"],
+            }
+        cur.setdefault("snapshots", {})[str(sid)] = {
+            "horizon": h,
+            "segments": segs,
+            "tomb_applied": {s: list(tapp.get(s, [])) for s in segs},
+            "batches": batches,
+            "tomb": tomb,
+        }
+        cur["snapshot_next"] = sid + 1
+        box["sid"] = sid
+        return cur
+
+    _manifest_update(root, pin, expect_epoch=epoch)
+    return box["sid"]
+
+
+def list_snapshots(root: str) -> dict[int, dict]:
+    """Retained snapshots of ``root`` as ``{id: pinned_record}``."""
+    man = _manifest_load(root) or {}
+    return {int(s): rec for s, rec in man.get("snapshots", {}).items()}
+
+
+def drop_snapshot(root: str, snapshot_id: int, *, mode: "str | None" = None,
+                  epoch: "int | None" = None) -> bool:
+    """Release a snapshot (returns False if it doesn't exist). The next
+    GC — run here and after every compaction — reclaims whatever
+    directories only that snapshot was pinning. Dropping expired
+    snapshots is the retention lever that lets takedowns reach every
+    remaining byte (see ``create_snapshot``)."""
+    resolved = _mode_of(root, mode)
+    if epoch is not None and resolved != MANIFEST:
+        raise ValueError("epoch fencing requires manifest commit mode")
+
+    def unpin(cur: dict) -> "dict | None":
+        snaps = dict(cur.get("snapshots", {}))
+        if str(snapshot_id) not in snaps:
+            return None
+        del snaps[str(snapshot_id)]
+        return {**cur, "snapshots": snaps}
+
+    dropped = _manifest_update(root, unpin, expect_epoch=epoch)
+    if dropped:
+        _gc(root, _manifest_load(root) or {})
+        troot = _tomb_root(root)
+        if os.path.isdir(troot):
+            _gc(troot, _manifest_load(troot) or {})
+    return dropped
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, ddl: str, snapshot_id: int,
+) -> DataFrame:
+    """The exact frame ``read_committed`` served when ``snapshot_id``
+    was created: pinned segments + pinned batch dirs, masked by the
+    tombstones pinned with it (deletes/compactions/retirements since
+    are invisible — see ``create_snapshot``)."""
+    man = _manifest_load(root) or {}
+    rec = man.get("snapshots", {}).get(str(snapshot_id))
+    if rec is None:
+        raise ValueError(
+            f"no snapshot {snapshot_id} at {root} "
+            f"(retained: {sorted(int(s) for s in man.get('snapshots', {}))})"
+        )
+    entries: list[tuple] = [
+        ("seg", os.path.join(root, s),
+         frozenset(rec.get("tomb_applied", {}).get(s, [])))
+        for s in rec["segments"]
+    ]
+    b = rec["batches"]
+    if isinstance(b, dict):
+        entries += [
+            ("batch", os.path.join(root, d), int(i))
+            for i, d in sorted(b.items(), key=lambda kv: int(kv[0]))
+        ]
+    else:
+        entries += [("batch", _batch_dir(root, int(i)), int(i)) for i in sorted(b)]
+    if not entries:
+        return spark.createDataFrame([], ddl)
+    pinned = rec.get("tomb") or {"index": {}, "dirs": [], "cols": [], "type": ""}
+    return _read_scoped(spark, root, ddl, entries, mode=None, pinned=pinned)
 
 
 # ---------------------------------------------------------------- compaction
@@ -955,16 +1125,46 @@ def _gc(root: str, man: dict) -> None:
     merged-away segments, orphaned nonce dirs from crashed attempts, and
     batch dirs at or below the horizon. Readers never see these (the
     manifest is the truth), so no sequence of crashes can double-read or
-    lose a batch; a crashed cleanup just leaves work for the next one."""
+    lose a batch; a crashed cleanup just leaves work for the next one.
+    Directories pinned by a retained snapshot (create_snapshot) — this
+    root's own, or, for a tombstone sub-log, the PARENT store's — stay
+    on disk until the snapshot is dropped."""
     live = set(man.get("segments", [])) | set(man.get("batches", {}).values())
+    for rec in man.get("snapshots", {}).values():
+        live |= set(rec.get("segments", []))
+        b = rec.get("batches", {})
+        if isinstance(b, dict):
+            live |= set(b.values())
+        else:
+            live |= {f"b{int(i):012d}" for i in b}
+    if os.path.basename(root) == _TOMBSTONES:
+        pman = _manifest_load(os.path.dirname(root)) or {}
+        for rec in pman.get("snapshots", {}).values():
+            live |= set((rec.get("tomb") or {}).get("dirs", []))
     horizon = int(man.get("horizon", -1))
     for name in os.listdir(root):
-        if (_MERGED_RE.match(name) or _DATA_RE.match(name)) and name not in live:
+        if name in live:
+            continue
+        if _MERGED_RE.match(name) or _DATA_RE.match(name):
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
         else:
             mb = _BATCH_RE.match(name)
             if mb and int(mb.group(1)) <= horizon:
                 shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+
+
+# manifest keys that survive a wholesale flip: compact/flush rebuild the
+# directory bookkeeping from scratch, but snapshot pins (create_snapshot)
+# and the tombstone retirement watermark (sub-log manifests) are
+# orthogonal durable state and must ride through every rewrite
+_CARRIED_KEYS = ("snapshots", "snapshot_next", "retired_max")
+
+
+def _carry(new_man: dict, cur: dict) -> dict:
+    for k in _CARRIED_KEYS:
+        if k in cur and k not in new_man:
+            new_man[k] = cur[k]
+    return new_man
 
 
 def compact(
@@ -1024,7 +1224,7 @@ def compact(
                 b: d for b, d in cur.get("batches", {}).items()
                 if int(b) > new_horizon
             }
-        return new_man
+        return _carry(new_man, cur)
 
     _manifest_update(root, flip, expect_epoch=epoch)
     _gc(root, _manifest_load(root) or {})
@@ -1102,7 +1302,7 @@ def compact_tiered(
                     b: d for b, d in cur.get("batches", {}).items()
                     if int(b) > new_horizon
                 }
-            return new_man
+            return _carry(new_man, cur)
 
         _manifest_update(root, flush_flip, expect_epoch=epoch)
         _gc(root, _manifest_load(root) or {})

@@ -210,7 +210,7 @@ class LSHVectorStore(SortedVectorLog):
 
     def query_topk_vectors(
         self, queries, k: int, *, scoring: str = "expr", n_flip: int = 0,
-        n_probes: int | None = None,
+        n_probes: int | None = None, snapshot: "int | None" = None,
     ) -> DataFrame:
         """Top-k for APPLICATION-PROVIDED query vectors — the deployment
         query shape (a vector DB is handed the query embedding; it does
@@ -277,7 +277,9 @@ class LSHVectorStore(SortedVectorLog):
             for qid, emb in queries
             for pb in probe(emb)
         ]
-        return self._score_topk(qrows, k, scoring)
+        # snapshot= serves the query from a pinned point-in-time state
+        # (SortedVectorLog.snapshot) — later ingest/deletes invisible
+        return self._score_topk(qrows, k, scoring, snapshot=snapshot)
 
 
 def read_vector_stream(

@@ -88,10 +88,27 @@ class CurationStore:
             mode=self.commit_mode,
         )
 
-    def kept(self) -> DataFrame:
+    def kept(self, *, snapshot: "int | None" = None) -> DataFrame:
+        if snapshot is not None:
+            return BC.read_snapshot(self.spark, self._kept, _KEPT_DDL, snapshot)
         return BC.read_committed(
             self.spark, self._kept, _KEPT_DDL, mode=self.commit_mode
         )
+
+    def snapshot(self) -> int:
+        """Pin the curated corpus (the ``kept/`` log) as-of now —
+        metadata-only (batch_commit.create_snapshot). ``kept(snapshot=
+        sid)`` then reproduces exactly this training set no matter what
+        is later ingested, deleted, or compacted: the reproducibility
+        contract a model trained on this corpus needs. Takedowns reach
+        the pinned bytes once the snapshot is dropped (retention)."""
+        return BC.create_snapshot(self._kept, mode=self.commit_mode,
+                                  epoch=self._epochs[self._kept])
+
+    def drop_snapshot(self, snapshot_id: int) -> bool:
+        return BC.drop_snapshot(self._kept, snapshot_id,
+                                mode=self.commit_mode,
+                                epoch=self._epochs[self._kept])
 
     def process_batch(self, docs: DataFrame, batch_id: int | None = None) -> None:
         """Exactly-once: both logs rename-commit under the batch id

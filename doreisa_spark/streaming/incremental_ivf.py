@@ -281,7 +281,7 @@ class IVFVectorStore(SortedVectorLog):
 
     def query_topk_vectors(
         self, queries, k: int, *, nprobe: int = 1, scoring: str = "expr",
-        selection: str = "fold",
+        selection: str = "fold", snapshot: "int | None" = None,
     ) -> DataFrame:
         """Top-k for application-provided (qid, embedding) queries: ONE
         scan of the store pruned to the probed cells (point-IN on the
@@ -296,7 +296,9 @@ class IVFVectorStore(SortedVectorLog):
             for qid, emb in queries
             for c in self.probe_cells(emb, nprobe, selection=selection)
         ]
-        return self._score_topk(qrows, k, scoring)
+        # snapshot= serves the query from a pinned point-in-time state
+        # (SortedVectorLog.snapshot) — later ingest/deletes invisible
+        return self._score_topk(qrows, k, scoring, snapshot=snapshot)
 
 
 def run_incremental_ivf(

@@ -106,10 +106,28 @@ class SortedVectorLog:
         return (f"{self._PROBE_COL} {self._PROBE_TYPE}, vec_id bigint, "
                 "embedding array<float>")
 
-    def members(self) -> DataFrame:
+    def members(self, *, snapshot: "int | None" = None) -> DataFrame:
+        if snapshot is not None:
+            return BC.read_snapshot(
+                self.spark, self._members, self._members_ddl, snapshot
+            )
         return BC.read_committed(
             self.spark, self._members, self._members_ddl, mode=self.commit_mode
         )
+
+    def snapshot(self) -> int:
+        """Pin the index's current committed state (metadata-only, O(1)
+        — batch_commit.create_snapshot): ``members(snapshot=)`` and the
+        query paths' ``snapshot=`` then reproduce exactly this state no
+        matter what is later ingested, deleted, or compacted, until
+        ``drop_snapshot`` releases the pin (the retention lever that
+        lets takedowns reach every remaining byte)."""
+        return BC.create_snapshot(self._members, mode=self.commit_mode,
+                                  epoch=self._epoch)
+
+    def drop_snapshot(self, snapshot_id: int) -> bool:
+        return BC.drop_snapshot(self._members, snapshot_id,
+                                mode=self.commit_mode, epoch=self._epoch)
 
     def delete_vectors(self, vec_ids, batch_id: int | None = None) -> None:
         """Takedown (r8 verdict ask #4): tombstone vectors out of the
@@ -168,19 +186,25 @@ class SortedVectorLog:
                               epoch=self._epoch)
 
     # ---------------------------------------------------------- scoring
-    def _pruned_candidates(self, probed: list[int]) -> DataFrame:
-        return self.members().where(
+    def _pruned_candidates(
+        self, probed: list[int], *, snapshot: "int | None" = None
+    ) -> DataFrame:
+        return self.members(snapshot=snapshot).where(
             F.col(self._PROBE_COL).isin(probed) if probed else F.lit(False)
         )
 
-    def _score_topk(self, qrows, k: int, scoring: str) -> DataFrame:
+    def _score_topk(
+        self, qrows, k: int, scoring: str, *, snapshot: "int | None" = None
+    ) -> DataFrame:
         if scoring == "blas":
-            return self._topk_blas(qrows, k)
+            return self._topk_blas(qrows, k, snapshot=snapshot)
         if scoring != "expr":
             raise ValueError(f"scoring must be 'expr' or 'blas', got {scoring!r}")
-        return self._topk_expr(qrows, k)
+        return self._topk_expr(qrows, k, snapshot=snapshot)
 
-    def _topk_expr(self, qrows, k: int) -> DataFrame:
+    def _topk_expr(
+        self, qrows, k: int, *, snapshot: "int | None" = None
+    ) -> DataFrame:
         """Oracle-exact probe: broadcast the (qid, qe, probe-key) rows,
         join each query to ONLY its own probed key's candidates on the
         pruned scan, rank by the sequential-fold cosine (bit-identical
@@ -192,7 +216,7 @@ class SortedVectorLog:
         q = self.spark.createDataFrame(
             qrows, schema=f"qid bigint, qe array<float>, {pc} {self._PROBE_TYPE}"
         )
-        c = self._pruned_candidates(probed).select(
+        c = self._pruned_candidates(probed, snapshot=snapshot).select(
             F.col("vec_id").alias("cid"),
             F.col("embedding").alias("ce"),
             F.col(pc).alias("pc"),
@@ -210,7 +234,9 @@ class SortedVectorLog:
             .select("qid", "cid", F.round("cos_sim", 6).alias("cos_sim"), "rk")
         )
 
-    def _topk_blas(self, qrows, k: int) -> DataFrame:
+    def _topk_blas(
+        self, qrows, k: int, *, snapshot: "int | None" = None
+    ) -> DataFrame:
         """BLAS-scored probe: one pruned scan of the probed keys →
         mapInPandas GEMM against the broadcast query matrix, each query
         masked to its OWN probed keys' candidates (identical probe
@@ -261,7 +287,9 @@ class SortedVectorLog:
         member = np.zeros((len(qid), len(probed_all)), dtype=bool)
         for i, qi in enumerate(qid):
             member[i, np.searchsorted(probed_all, sorted(by_q[qi]["keys"]))] = True
-        cand = self._pruned_candidates([int(b) for b in probed_all])
+        cand = self._pruned_candidates(
+            [int(b) for b in probed_all], snapshot=snapshot
+        )
 
         def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
