@@ -352,3 +352,38 @@ def test_curation_admission_never_shuffles_history(spark, tmp_path):
     }
     expect = {r["doc_id"] for r in docs.collect()} - dup
     assert admitted_ids == expect
+
+
+def test_snapshot_probe_keeps_pruned_scan_shape(spark, tmp_path):
+    """A point-in-time ANN probe (``snapshot=``) must plan exactly like
+    the live probe: the probed-bucket IN filter pushed into the PINNED
+    parquet scan, the query relation broadcast, no sort-merge join —
+    pinning is metadata-only and must not cost plan shape. And because
+    the planned delete POSTDATES the pin, the snapshot read plans ZERO
+    tombstone anti-joins while the live read plans one."""
+    from pyspark.sql import functions as F
+
+    from doreisa_spark.streaming.incremental_ann import LSHVectorStore
+
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    store = LSHVectorStore(spark, str(tmp_path / "ann"))
+    store.process_batch(e.where(F.col("vec_id") < 200), 0)
+    sid = store.snapshot()
+    store.process_batch(e.where(F.col("vec_id") >= 200), 1)
+    store.delete_vectors([5], 2)  # postdates the pin
+    queries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in e.where(F.col("vec_id") < 2).collect()
+    ]
+    snap_plan = (
+        store.query_topk_vectors(queries, 5, snapshot=sid)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "In(bucket" in snap_plan  # pruning survives the pinned read
+    assert "SortMergeJoin" not in snap_plan
+    assert "LeftAnti" not in snap_plan  # post-pin delete: no masking join
+    live_plan = (
+        store.query_topk_vectors(queries, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in live_plan  # the live read DOES mask it
