@@ -578,13 +578,24 @@ def delete_keys(
             {"cols": cols, "type": key_type, "v": 2},
         )
         meta = _tomb_meta(root)
-    wm = _tomb_retired_max(root)
-    if batch_id <= wm and not is_committed(troot, batch_id, mode=resolved):
+    # Enforce the monotonicity the retirement watermark's correctness
+    # argument rests on (see _tomb_retired_max): a FRESH delete id at or
+    # below any already-committed delete id is refused — not just ids
+    # below the watermark. An out-of-order tid would be missing from
+    # segments written before it, so a later retirement could retire it
+    # while live (and below the watermark it would be invisible to
+    # reads outright). Redeliveries of committed ids still no-op.
+    top_tid = max(
+        [_tomb_retired_max(root), _horizon(troot)]
+        + committed_ids(troot, mode=resolved)
+    )
+    if batch_id <= top_tid and not is_committed(troot, batch_id, mode=resolved):
         raise ValueError(
-            f"delete batch id {batch_id} is at or below the retirement "
-            f"watermark ({wm}): a tombstone there would be invisible to "
-            "reads forever — delete batch ids must be monotone "
-            "(next_batch_id counts the tombstone sub-log)"
+            f"delete batch id {batch_id} is not monotone: the tombstone "
+            f"log has committed ids up to {top_tid} (retirement watermark "
+            f"{_tomb_retired_max(root)}) — a fresh lower id would break "
+            "retirement scoping; use next_batch_id (it counts the "
+            "tombstone sub-log)"
         )
     # the sequence point: rows in main-log batches <= covers are masked,
     # anything committed after this delete is NOT (recorded in the rows
@@ -608,7 +619,11 @@ def delete_keys(
         cur = int((_manifest_load(root) or {}).get("writer_epoch", 0))
         if cur != epoch:
             raise _stale(epoch, cur, root)
-        committed = _commit_sublog_fenced(df, root, troot, batch_id, epoch)
+        committed = _commit_manifest(
+            df, troot, batch_id,
+            publish_guard=lambda: _epoch_guard(root, epoch, MANIFEST),
+            on_commit=lambda: _tomb_index(root, mode=MANIFEST, persist=True),
+        )
     sub_mode = _mode_of(troot, None)
     if len(committed_ids(troot, mode=sub_mode)) >= _TOMB_COMPACT_EVERY:
         # the sub-log is a log too: bound ITS directory count (r9
@@ -629,46 +644,6 @@ def delete_keys(
     return committed
 
 
-def _commit_sublog_fenced(
-    df: DataFrame, root: str, troot: str, batch_id: int, epoch: int
-) -> bool:
-    """Fenced tombstone commit: the manifest-mode commit split so the
-    parquet write (a Spark job) happens unlocked and only the sub-log
-    manifest update runs inside the parent store's epoch guard (lock
-    ordering parent-first, as documented on ``_locked``). A stale epoch
-    raises before the publish and reclaims the orphan data dir."""
-    if is_committed(troot, batch_id, mode=MANIFEST):
-        return False
-    os.makedirs(troot, exist_ok=True)
-    dname = f"d{batch_id:012d}_{uuid.uuid4().hex[:8]}"
-    dest = os.path.join(troot, dname)
-    try:
-        df.write.mode("overwrite").parquet(dest)
-    except Exception:
-        shutil.rmtree(dest, ignore_errors=True)
-        raise
-
-    def add(cur: dict) -> "dict | None":
-        if str(batch_id) in cur.get("batches", {}) or \
-                batch_id <= int(cur.get("horizon", -1)):
-            return None  # redelivery raced us: decline, commit nothing
-        cur.setdefault("mode", MANIFEST)
-        cur.setdefault("horizon", -1)
-        cur.setdefault("segments", [])
-        cur.setdefault("batches", {})[str(batch_id)] = dname
-        return cur
-
-    try:
-        with _epoch_guard(root, epoch, MANIFEST):
-            committed = _manifest_update(troot, add)
-            if committed:
-                _tomb_index(root, mode=MANIFEST, persist=True)
-    except StaleWriterError:
-        shutil.rmtree(dest, ignore_errors=True)
-        raise
-    if not committed:
-        shutil.rmtree(dest, ignore_errors=True)
-    return committed
 
 
 def deleted_keys(
@@ -741,19 +716,15 @@ def retire_tombstones(
             return cur
 
         _manifest_update(troot, record)
-        # 2. refresh the index cache (heals exclude <= watermark anyway)
-        try:
-            with open(os.path.join(troot, _TOMB_INDEX)) as f:
-                idx_file = json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
-            idx_file = {"tids": {}, "seen_max": -1}
-        keep = {
-            t: c for t, c in idx_file.get("tids", {}).items()
-            if int(t) not in retired
-        }
-        # seen_max stays: a heal must never re-scan burned delete ids
+        # 2. refresh the index cache from the HEALED in-memory index,
+        #    never from the cache file: a lost/stale cache must not
+        #    make a live tombstone look retirable — deciding the seal
+        #    below from the file's (possibly empty) tids would destroy
+        #    unretired tombstones and resurrect their masked rows
+        keep = {str(t): c for t, c in sorted(idx.items()) if t not in retired}
+        top = max([_horizon(troot)] + committed_ids(troot, mode=sub_mode))
         _json_replace(os.path.join(troot, _TOMB_INDEX),
-                      {"tids": keep, "seen_max": idx_file.get("seen_max", -1)})
+                      {"tids": keep, "seen_max": top})
         if not keep:
             # all applied: seal the sub-log empty, reclaim every dir
             # (quick manifest ops, fine under the guard)
@@ -1395,12 +1366,20 @@ def commit_batch(
 
 
 def _commit_manifest(
-    df: DataFrame, root: str, batch_id: int, *, epoch: "int | None" = None
+    df: DataFrame, root: str, batch_id: int, *, epoch: "int | None" = None,
+    publish_guard=None, on_commit=None,
 ) -> bool:
     """Manifest-mode commit: data to a unique nonce dir (no rename — the
     dir name never collides and is invisible until the manifest names
     it), then the atomic manifest update IS the commit; the redelivery
-    check runs against the fresh manifest inside the lock."""
+    check runs against the fresh manifest inside the lock.
+
+    ``publish_guard`` (optional zero-arg context-manager factory) wraps
+    ONLY the manifest publish — the fenced tombstone commit passes the
+    PARENT store's epoch guard here so the Spark write stays unlocked
+    and the decline/cleanup rules live in exactly one place.
+    ``on_commit`` runs inside that guard after a successful publish
+    (the tombstone index-cache refresh)."""
     if is_committed(root, batch_id, mode=MANIFEST):
         return False
     os.makedirs(root, exist_ok=True)
@@ -1423,7 +1402,10 @@ def _commit_manifest(
         return cur
 
     try:
-        committed = _manifest_update(root, add, expect_epoch=epoch)
+        with (publish_guard() if publish_guard else contextlib.nullcontext()):
+            committed = _manifest_update(root, add, expect_epoch=epoch)
+            if committed and on_commit is not None:
+                on_commit()
     except StaleWriterError:
         shutil.rmtree(dest, ignore_errors=True)
         raise

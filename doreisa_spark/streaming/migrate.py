@@ -50,7 +50,11 @@ def migrate_lsh_vector_store(
     committed sorted as batch 0 of the new root. Returns the new store."""
     from doreisa_spark.streaming.incremental_ann import LSHVectorStore
 
-    old = LSHVectorStore(spark, old_root)
+    # fenced=False: this is a READ handle — acquiring the writer epoch
+    # here would fence out the LIVE writer still serving the old root,
+    # breaking the blue/green contract ("the old store is never
+    # written"; r11 review finding)
+    old = LSHVectorStore(spark, old_root, fenced=False)
     mode = commit_mode or old.commit_mode
     vectors = old.members().select("vec_id", "embedding")
     new = LSHVectorStore(
@@ -71,7 +75,8 @@ def migrate_ivf_store(
     pass "expr" for the oracle-exact fold."""
     from doreisa_spark.streaming.incremental_ivf import IVFVectorStore
 
-    old = IVFVectorStore(spark, old_root)
+    # fenced=False: read handle — must not displace the live writer
+    old = IVFVectorStore(spark, old_root, fenced=False)
     mode = commit_mode or old.commit_mode
     vectors = old.members().select("vec_id", "embedding")
     new = IVFVectorStore(
@@ -100,7 +105,8 @@ def migrate_lsh_signature_store(
         PrunedLSHSignatureStore,
     )
 
-    old = LSHSignatureStore(spark, old_root)
+    # fenced=False: read handle — must not displace the live writer
+    old = LSHSignatureStore(spark, old_root, fenced=False)
     mode = commit_mode or old.commit_mode
     cls = PrunedLSHSignatureStore if pruned else LSHSignatureStore
     new = cls(spark, new_root, n_bands=n_bands, band_rows=band_rows,

@@ -196,6 +196,20 @@ class SortedVectorLog:
     def _score_topk(
         self, qrows, k: int, scoring: str, *, snapshot: "int | None" = None
     ) -> DataFrame:
+        # duplicate qids with DIFFERING embeddings are ambiguous on BOTH
+        # kernels (r10 ADVICE): expr would rank two embeddings' cosines
+        # in one qid partition, blas would score one embedding against
+        # the other's probed keys. Refuse the input once, here, so the
+        # kernels stay result-identical on everything they accept.
+        seen: dict[int, list] = {}
+        for r in qrows:
+            qe = [float(x) for x in r["qe"]]
+            if seen.setdefault(int(r["qid"]), qe) != qe:
+                raise ValueError(
+                    f"duplicate qid {int(r['qid'])} with differing "
+                    "embeddings: give each distinct query embedding its "
+                    "own qid"
+                )
         if scoring == "blas":
             return self._topk_blas(qrows, k, snapshot=snapshot)
         if scoring != "expr":
@@ -258,24 +272,13 @@ class SortedVectorLog:
         import pandas as pd
 
         pc = self._PROBE_COL
-        # collapse probe rows to distinct queries + per-query key sets;
-        # the collapse keys per-query state by qid, so two probe rows
-        # sharing a qid but carrying DIFFERENT embeddings would silently
-        # score one embedding against the other's probed keys — refuse
-        # the ambiguous input instead (r10 ADVICE)
+        # collapse probe rows to distinct queries + per-query key sets
+        # (_score_topk already refused duplicate qids with differing
+        # embeddings, so keeping the first embedding per qid is exact)
         by_q: dict[int, dict] = {}
         for r in qrows:
-            qi = int(r["qid"])
-            ent = by_q.get(qi)
-            if ent is None:
-                by_q[qi] = {"qe": list(r["qe"]), "keys": {int(r[pc])}}
-            elif [float(x) for x in r["qe"]] != [float(x) for x in ent["qe"]]:
-                raise ValueError(
-                    f"duplicate qid {qi} with differing embeddings: give "
-                    "each distinct query embedding its own qid"
-                )
-            else:
-                ent["keys"].add(int(r[pc]))
+            ent = by_q.setdefault(int(r["qid"]), {"qe": r["qe"], "keys": set()})
+            ent["keys"].add(int(r[pc]))
         qid = np.array(list(by_q), dtype=np.int64)
         q = np.array([by_q[i]["qe"] for i in qid], dtype=np.float64)
         qnorm = np.linalg.norm(q, axis=1, keepdims=True)

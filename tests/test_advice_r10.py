@@ -218,3 +218,94 @@ def test_ivf_store_rejects_zero_norm_centroid(spark, tmp_path):
             spark, str(tmp_path / "ivf"),
             centroids=[(0, [0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0])],
         )
+
+
+# ------------------------------------------------- r11 self-review findings
+
+
+@pytest.mark.parametrize("mode", [BC.RENAME, BC.MANIFEST])
+def test_retirement_seal_decides_from_healed_index(spark, tmp_path, mode):
+    """The seal decision must come from the HEALED index, never the
+    cache file: with the cache lost, retiring the early tombstone used
+    to read keep == {} from the missing file and SEAL the sub-log —
+    physically destroying the still-live later tombstone and
+    resurrecting its masked rows."""
+    root = str(tmp_path / "log")
+    _commit(spark, root, 0, [(1, "x"), (2, "x")], mode)
+    BC.delete_keys(spark, root, [1], 2, key_cols="k", mode=mode)  # covers=0
+    _commit(spark, root, 3, [(3, "x")], mode)
+    BC.delete_keys(spark, root, [3], 4, key_cols="k", mode=mode)  # covers=3
+    troot = os.path.join(root, BC._TOMBSTONES)
+    os.remove(os.path.join(troot, BC._TOMB_INDEX))  # cache loss
+    # fold [0]: tombstone@2 retires, tombstone@4 still covers batch 3
+    BC.compact(spark, root, DDL, keep_last=1, mode=mode, order_by=["k"])
+    # the live tombstone survived the retirement and still masks
+    live = sorted(r["key"] for r in BC.deleted_keys(spark, root, mode=mode).collect())
+    assert live == [3]
+    assert _keys(spark, root, mode) == [2]
+    assert BC._tomb_index(root, mode=mode) == {4: 3}
+
+
+@pytest.mark.parametrize("mode", [BC.RENAME, BC.MANIFEST])
+def test_fresh_lower_delete_id_is_refused(spark, tmp_path, mode):
+    """Retirement scoping is only sound if delete ids are monotone: a
+    FRESH delete id below an already-committed one is refused (it would
+    be missing from segments written before it, so a later retirement
+    could retire it while live). Redelivery of a committed id still
+    no-ops."""
+    root = str(tmp_path / "log")
+    _commit(spark, root, 0, [(1, "x"), (2, "x")], mode)
+    assert BC.delete_keys(spark, root, [1], 9, key_cols="k", mode=mode)
+    with pytest.raises(ValueError, match="not monotone"):
+        BC.delete_keys(spark, root, [2], 7, key_cols="k", mode=mode)
+    assert BC.delete_keys(spark, root, [2], 9, key_cols="k", mode=mode) is False
+    assert _keys(spark, root, mode) == [2]  # only the first delete landed
+
+
+def test_migration_does_not_fence_out_live_writer(spark, tmp_path):
+    """Blue/green means the OLD store is never written: the migration's
+    read handle must not acquire the writer epoch, or the live writer
+    still serving the old root dies with StaleWriterError mid-flight."""
+    from pyspark.sql import functions as F
+
+    from doreisa_spark.streaming.incremental_ann import LSHVectorStore
+    from doreisa_spark.streaming.migrate import migrate_lsh_vector_store
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old_root = str(tmp_path / "blue")
+    live = LSHVectorStore(spark, old_root, commit_mode=BC.MANIFEST)
+    assert live._epoch is not None  # the live fenced writer
+    live.process_batch(e.where(F.col("vec_id") < 60), 0)
+    new = migrate_lsh_vector_store(
+        spark, old_root, str(tmp_path / "green"), planes=10
+    )
+    assert new.members().count() == 60
+    # the live writer keeps serving the blue root, unfenced-out
+    live.process_batch(
+        e.where((F.col("vec_id") >= 60) & (F.col("vec_id") < 100)), 1
+    )
+    assert live.members().count() == 100
+
+
+def test_expr_kernel_also_rejects_duplicate_qids(spark, tmp_path):
+    """The duplicate-qid guard lives in the shared dispatcher, so the
+    expr kernel refuses the same ambiguous input the blas kernel does
+    (it used to silently rank two embeddings' cosines in one qid
+    partition)."""
+    from pyspark.sql import functions as F
+
+    from doreisa_spark.streaming.incremental_ann import LSHVectorStore
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = LSHVectorStore(spark, str(tmp_path / "ann"))
+    store.process_batch(e.where(F.col("vec_id") < 50), 0)
+    rows = e.where(F.col("vec_id") < 2).collect()
+    with pytest.raises(ValueError, match="duplicate qid"):
+        store._score_topk(
+            [
+                {"qid": 7, "qe": [float(x) for x in rows[0]["embedding"]], "bucket": 0},
+                {"qid": 7, "qe": [float(x) for x in rows[1]["embedding"]], "bucket": 1},
+            ],
+            3,
+            "expr",
+        )
