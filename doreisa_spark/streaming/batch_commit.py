@@ -953,6 +953,20 @@ def drop_snapshot(root: str, snapshot_id: int, *, mode: "str | None" = None,
     return dropped
 
 
+def expire_snapshots(
+    root: str, *, keep_last: int, mode: "str | None" = None,
+    epoch: "int | None" = None,
+) -> list[int]:
+    """Retention: drop every snapshot except the newest ``keep_last``
+    and return the dropped ids. This is the lever that bounds pinned
+    storage and lets takedowns reach their last bytes — a deployment
+    runs it on the same cadence it runs compaction."""
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    doomed = sorted(list_snapshots(root))[:-keep_last or None]
+    return [s for s in doomed if drop_snapshot(root, s, mode=mode, epoch=epoch)]
+
+
 def read_snapshot(
     spark: SparkSession, root: str, ddl: str, snapshot_id: int,
 ) -> DataFrame:

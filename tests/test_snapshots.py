@@ -215,3 +215,17 @@ def test_curation_store_snapshot_reproduces_training_set(spark, tmp_path):
     assert not any(v in {t[0] for t in live} for v in victims)
     assert {tuple(r) for r in store.kept(snapshot=sid).collect()} == at_pin
     assert store.drop_snapshot(sid) is True
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_expire_snapshots_retention(spark, tmp_path, mode):
+    root = str(tmp_path / "log")
+    _commit(spark, root, 0, [(1, "x")], mode)
+    sids = [BC.create_snapshot(root, mode=mode) for _ in range(5)]
+    dropped = BC.expire_snapshots(root, keep_last=2, mode=mode)
+    assert dropped == sids[:3]
+    assert sorted(BC.list_snapshots(root)) == sids[3:]
+    # keep_last=0 empties the retention window entirely
+    assert BC.expire_snapshots(root, keep_last=0, mode=mode) == sids[3:]
+    assert BC.list_snapshots(root) == {}
+    assert BC.expire_snapshots(root, keep_last=2, mode=mode) == []
