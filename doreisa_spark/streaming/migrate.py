@@ -43,11 +43,14 @@ def _batch_files_for(n_rows: int, row_bytes: int = 280) -> int:
 
 def migrate_lsh_vector_store(
     spark: SparkSession, old_root: str, new_root: str, *, planes: int,
-    commit_mode: "str | None" = None,
+    commit_mode: "str | None" = None, snapshot: "int | None" = None,
 ):
     """Re-bucket an LSHVectorStore under a new plane count: one job,
     map-only (the new bucket expression over the retained vectors),
-    committed sorted as batch 0 of the new root. Returns the new store."""
+    committed sorted as batch 0 of the new root. Returns the new store.
+    ``snapshot=`` migrates a pinned point-in-time state instead of the
+    live log (the retrain loop pins one so training and migration see
+    the same corpus under concurrent ingest)."""
     from doreisa_spark.streaming.incremental_ann import LSHVectorStore
 
     # fenced=False: this is a READ handle — acquiring the writer epoch
@@ -56,7 +59,7 @@ def migrate_lsh_vector_store(
     # written"; r11 review finding)
     old = LSHVectorStore(spark, old_root, fenced=False)
     mode = commit_mode or old.commit_mode
-    vectors = old.members().select("vec_id", "embedding")
+    vectors = old.members(snapshot=snapshot).select("vec_id", "embedding")
     new = LSHVectorStore(
         spark, new_root, planes=planes, commit_mode=mode,
         batch_files=_batch_files_for(vectors.count()),
@@ -68,17 +71,19 @@ def migrate_lsh_vector_store(
 def migrate_ivf_store(
     spark: SparkSession, old_root: str, new_root: str, *, centroids,
     commit_mode: "str | None" = None, assign: str = "blas",
+    snapshot: "int | None" = None,
 ):
     """Re-assign an IVFVectorStore under a new (e.g. retrained) coarse
     quantizer: one job, map-only, batch 0 of the new root. ``assign``
     defaults to the bulk GEMM kernel (a migration IS a bulk load);
-    pass "expr" for the oracle-exact fold."""
+    pass "expr" for the oracle-exact fold. ``snapshot=`` migrates a
+    pinned point-in-time state instead of the live log."""
     from doreisa_spark.streaming.incremental_ivf import IVFVectorStore
 
     # fenced=False: read handle — must not displace the live writer
     old = IVFVectorStore(spark, old_root, fenced=False)
     mode = commit_mode or old.commit_mode
-    vectors = old.members().select("vec_id", "embedding")
+    vectors = old.members(snapshot=snapshot).select("vec_id", "embedding")
     new = IVFVectorStore(
         spark, new_root, centroids=centroids, commit_mode=mode,
         batch_files=_batch_files_for(vectors.count()),

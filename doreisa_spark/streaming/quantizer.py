@@ -47,15 +47,16 @@ from doreisa_spark.operators import vectors as V
 from doreisa_spark.operators.broadcast import bcast
 
 
-def assignment_fit(store) -> DataFrame:
-    """Per-cell fit of the store's quantizer over its CURRENT members:
-    ``(cell, n_members, min_cos, max_cos, sum_cos)`` where cos is the
-    oracle-exact fold cosine of each member to its OWN stored centroid.
-    min/max are rounded to 6dp (order-independent, safe to hash-gate);
-    sum_cos stays raw for the driver-side mean in ``fit_stats``. One
-    broadcast join + one narrow aggregate; embeddings never shuffle."""
+def assignment_fit(store, *, snapshot: "int | None" = None) -> DataFrame:
+    """Per-cell fit of the store's quantizer over its CURRENT members
+    (or a pinned ``snapshot=`` state): ``(cell, n_members, min_cos,
+    max_cos, sum_cos)`` where cos is the oracle-exact fold cosine of
+    each member to its OWN stored centroid. min/max are rounded to 6dp
+    (order-independent, safe to hash-gate); sum_cos stays raw for the
+    driver-side mean in ``fit_stats``. One broadcast join + one narrow
+    aggregate; embeddings never shuffle."""
     cent = store._centroid_frame()
-    m = store.members().select("cell", "embedding")
+    m = store.members(snapshot=snapshot).select("cell", "embedding")
     cos = F.expr(V.cosine_expr("embedding", "cemb"))
     return (
         m.join(bcast(cent, bounded=True), "cell")
@@ -70,12 +71,12 @@ def assignment_fit(store) -> DataFrame:
     )
 
 
-def fit_stats(store) -> dict:
+def fit_stats(store, *, snapshot: "int | None" = None) -> dict:
     """Driver-side summary of ``assignment_fit`` — the numbers a
     monitoring loop compares across time: total members, mean assignment
     cosine, worst per-cell minimum, occupancy skew (top-cell share vs
     the balanced 1/cells), and how many cells are empty."""
-    rows = assignment_fit(store).collect()
+    rows = assignment_fit(store, snapshot=snapshot).collect()
     cells_total = len(store.centroids)
     n = sum(r["n_members"] for r in rows)
     if n == 0:
@@ -204,18 +205,31 @@ def retrain_ivf_store(
     (`migrate_ivf_store` — the old store is never written and keeps
     serving until the deployment flips the root), and return
     ``(new_store, report)`` where the report carries before/after
-    ``fit_stats`` so the improvement is a recorded fact, not a hope."""
+    ``fit_stats`` so the improvement is a recorded fact, not a hope.
+
+    The whole step runs against ONE pinned snapshot of the old store
+    (created here, dropped on exit): fit, every Lloyd pass, and the
+    migration copy all see the same committed state even while the
+    live writer keeps ingesting into the blue root mid-retrain —
+    without the pin, each Spark action would re-enumerate the log and
+    the green store could end up indexing a different corpus than the
+    quantizer was trained on."""
     from doreisa_spark.streaming.incremental_ivf import IVFVectorStore
     from doreisa_spark.streaming.migrate import migrate_ivf_store
 
     old = IVFVectorStore(spark, old_root, fenced=False)
-    before = fit_stats(old)
-    cents = train_quantizer(
-        old.members().select("vec_id", "embedding"),
-        n_cells or len(old.centroids), iters=iters,
-    )
-    new = migrate_ivf_store(spark, old_root, new_root, centroids=cents,
-                            commit_mode=commit_mode, assign=assign)
+    sid = old.snapshot()
+    try:
+        before = fit_stats(old, snapshot=sid)
+        cents = train_quantizer(
+            old.members(snapshot=sid).select("vec_id", "embedding"),
+            n_cells or len(old.centroids), iters=iters,
+        )
+        new = migrate_ivf_store(spark, old_root, new_root, centroids=cents,
+                                commit_mode=commit_mode, assign=assign,
+                                snapshot=sid)
+    finally:
+        old.drop_snapshot(sid)
     report = {"before": before, "after": fit_stats(new),
               "n_cells": len(cents), "iters": iters}
     return new, report

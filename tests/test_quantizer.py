@@ -152,3 +152,38 @@ def test_train_quantizer_drops_empty_cells(spark):
     # always a valid quantizer for the store
     IVFVectorStore(spark, "/tmp/_qv_unused_%d" % id(cents), centroids=cents,
                    fenced=False)
+
+
+def test_retrain_reads_one_consistent_pinned_state(spark, tmp_path, monkeypatch):
+    """Retraining pins ONE snapshot for fit + training + migration: a
+    batch ingested into the blue store mid-retrain must not leak into
+    the green store (without the pin, each Spark action re-enumerates
+    the live log and the migration could copy a different corpus than
+    the quantizer was trained on). The pin is released on exit."""
+    from doreisa_spark.streaming import batch_commit as BC
+
+    root = str(tmp_path / "blue")
+    corpus_a = _vec_df(spark, [_cluster(c, 100, 60 + i)
+                               for i, c in enumerate(_centers(4))])
+    corpus_b = _vec_df(spark, [_cluster(c, 100, 70 + i)
+                               for i, c in enumerate(_centers(5))],
+                       id_from=50_000)
+    cents = Q.train_quantizer(corpus_a, 4, iters=1)
+    store = IVFVectorStore(spark, root, centroids=cents, compact_every=None)
+    store.process_batch(corpus_a, 0, assign="blas")
+
+    orig_train = Q.train_quantizer
+
+    def train_then_concurrent_ingest(vectors, n_cells, **kw):
+        out = orig_train(vectors, n_cells, **kw)
+        store.process_batch(corpus_b, 1, assign="blas")  # mid-retrain
+        return out
+
+    monkeypatch.setattr(Q, "train_quantizer", train_then_concurrent_ingest)
+    new, report = Q.retrain_ivf_store(
+        spark, root, str(tmp_path / "green"), n_cells=4, iters=1
+    )
+    assert new.members().count() == 400        # the pinned state only
+    assert store.members().count() == 800      # blue kept ingesting
+    assert report["before"]["n"] == 400
+    assert BC.list_snapshots(store._members) == {}  # pin released
