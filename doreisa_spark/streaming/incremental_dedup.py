@@ -203,9 +203,32 @@ class LSHSignatureStore:
     def shingles(self, *, before: int | None = None) -> DataFrame:
         return self._read(self.shingles_dir, _SHINGLES_DDL, before)
 
-    def pairs(self) -> DataFrame:
-        """The accumulated near-dup pairs — the operator's result."""
+    def pairs(self, *, snapshot: "int | None" = None) -> DataFrame:
+        """The accumulated near-dup pairs — the operator's result.
+        ``snapshot=`` (a `snapshot()` handle) serves the pinned
+        point-in-time pairs instead."""
+        if snapshot is not None:
+            return BC.read_snapshot(
+                self.spark, self.pairs_dir, _PAIRS_DDL, snapshot
+            )
         return self._read(self.pairs_dir, _PAIRS_DDL)
+
+    def snapshot(self) -> int:
+        """Pin the PAIRS log — the store's served artifact — as-of now
+        (metadata-only, batch_commit.create_snapshot): ``pairs(snapshot=
+        sid)`` then reproduces exactly this verdict set no matter what
+        is later ingested, deleted, or compacted, until
+        ``drop_snapshot``. The members/shingles logs are internal
+        admission state and are not pinned (re-running ADMISSION is the
+        migration path's job, not a snapshot's; the curation store
+        draws the same line — its snapshot pins ``kept/``)."""
+        return BC.create_snapshot(self.pairs_dir, mode=self.commit_mode,
+                                  epoch=self._epochs[self.pairs_dir])
+
+    def drop_snapshot(self, snapshot_id: int) -> bool:
+        return BC.drop_snapshot(self.pairs_dir, snapshot_id,
+                                mode=self.commit_mode,
+                                epoch=self._epochs[self.pairs_dir])
 
     def delete_docs(self, doc_ids, batch_id: int | None = None) -> None:
         """Takedown (r8 verdict ask #4): tombstone the documents out of

@@ -229,3 +229,29 @@ def test_expire_snapshots_retention(spark, tmp_path, mode):
     assert BC.expire_snapshots(root, keep_last=0, mode=mode) == sids[3:]
     assert BC.list_snapshots(root) == {}
     assert BC.expire_snapshots(root, keep_last=2, mode=mode) == []
+
+
+def test_dedup_store_snapshot_pins_pairs(spark, tmp_path):
+    """The dedup store's served artifact is the PAIRS log: a snapshot
+    reproduces the pin-time verdict set after later ingest and a later
+    takedown (the same line the curation store draws — internal
+    admission state is not pinned)."""
+    from pyspark.sql import functions as F
+
+    from doreisa_spark.streaming.incremental_dedup import LSHSignatureStore
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    store = LSHSignatureStore(spark, str(tmp_path / "dd"))
+    store.process_batch(d.where(F.col("doc_id") < 300), 0)
+    at_pin = {tuple(r) for r in store.pairs().collect()}
+    assert at_pin  # non-vacuous: the sf0.001 corpus has near-dups
+    sid = store.snapshot()
+    store.process_batch(
+        d.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 500)), 1
+    )
+    victim = int(next(iter(at_pin))[0])
+    store.delete_docs([victim], 2)
+    live = {tuple(r) for r in store.pairs().collect()}
+    assert all(victim not in (a, b) for a, b, _ in live)
+    assert {tuple(r) for r in store.pairs(snapshot=sid).collect()} == at_pin
+    assert store.drop_snapshot(sid) is True
