@@ -752,6 +752,45 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return store.pairs()
 
 
+@register(
+    "dedup_pairs_snapshot",
+    extended=True,
+    oracle=f"""SELECT * FROM ({_lsh_oracle()}
+) __pairs
+WHERE doc_a <= (SELECT min(doc_id) + 2 * (max(doc_id) - min(doc_id)) // 3
+                FROM documents)
+  AND doc_b <= (SELECT min(doc_id) + 2 * (max(doc_id) - min(doc_id)) // 3
+                FROM documents)""",
+)
+def dedup_pairs_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reads on the dedup store's served artifact, under the
+    driver's DuckDB gate: two of the three doc_id ranges are ingested,
+    the PAIRS log is pinned (`LSHSignatureStore.snapshot`), then the
+    third range lands and ten pinned docs are taken down. The pinned
+    read must hash-match the batch oracle restricted to pairs whose
+    BOTH endpoints lie in the first two ranges — exact because ingest
+    is monotone in doc_id, so the prefix run's bucket-cap state equals
+    the full run's restricted to the prefix (prefix docs always precede
+    post-cut docs in every bucket), and because inside the retention
+    window a snapshot keeps serving even later-deleted pairs (the
+    lakehouse time-travel contract; tests/test_snapshots.py covers the
+    GC/compaction sides)."""
+    from doreisa_spark.streaming.incremental_dedup import LSHSignatureStore
+
+    d = table(spark, sf_dir, "documents", spread=True)
+    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    store = LSHSignatureStore(spark, _fresh_store_dir("incdedupsnap"))
+    store.process_batch(d.where(F.col("doc_id") <= cut1))
+    store.process_batch(d.where((F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)))
+    sid = store.snapshot()
+    store.process_batch(d.where(F.col("doc_id") > cut2))
+    victims = sorted({int(r["doc_a"]) for r in
+                      store.pairs(snapshot=sid).limit(10).collect()})
+    store.delete_docs(victims)
+    return store.pairs(snapshot=sid)
+
+
 @register("dedup_minhash_lsh_incremental_pruned", extended=True, oracle=_lsh_oracle())
 def dedup_minhash_lsh_incremental_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r8 DEPLOYMENT paths of the incremental dedup store under the
