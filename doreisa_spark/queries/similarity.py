@@ -344,8 +344,29 @@ def _ivf_assign_blas(cent_rows, corpus: DataFrame) -> DataFrame:
     asc) — making this path bit-agree with the expression path on ANY
     input, not just tie-free ones. The rescore touches only tied rows ×
     {_IVF_CELLS} cells, so the GEMM fast path is unchanged at scale."""
-    import numpy as np
     import pandas as pd
+
+    best_cells = _ivf_blas_assigner(cent_rows)
+
+    def assign(batches):
+        import numpy as np
+
+        for pdf in batches:
+            X32 = [np.asarray(v, dtype=np.float32) for v in pdf["ce"]]
+            yield pd.DataFrame({"cid": pdf["cid"], "cell": best_cells(X32)})
+
+    return corpus.mapInPandas(assign, schema="cid bigint, cell int")
+
+
+def _ivf_blas_assigner(cent_rows):
+    """The per-Arrow-batch assignment kernel of ``_ivf_assign_blas``,
+    exposed so the quantizer trainer's sufficient-stats pass
+    (streaming/quantizer._cell_stats) assigns with IDENTICAL semantics
+    — GEMM argmax, exact-fold rescore of near-ties, lowest-cell
+    tie-break. Returns ``best_cells(list_of_float32_vectors) ->
+    np.int32 array of cell ids``; the closure is cloudpickle-shipped to
+    executors with the centroid matrix captured."""
+    import numpy as np
 
     _TIE_EPS = 1e-9
 
@@ -371,22 +392,20 @@ def _ivf_assign_blas(cent_rows, corpus: DataFrame) -> DataFrame:
             nc += float(b) * float(b)
         return dot / (math.sqrt(nx) * math.sqrt(nc))
 
-    def assign(batches):
-        for pdf in batches:
-            X32 = [np.asarray(v, dtype=np.float32) for v in pdf["ce"]]
-            X = np.array(X32, dtype=np.float64)
-            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-            S = Xn @ Cn.T
-            best = S.argmax(axis=1)
-            if S.shape[1] > 1:
-                part = np.partition(S, -2, axis=1)
-                tied = np.nonzero(part[:, -1] - part[:, -2] < _TIE_EPS)[0]
-                for i in tied:
-                    exact = [(seq_cosine(X32[i], c32), cell) for c32, cell in zip(C_raw, cells)]
-                    best[i] = max(range(len(exact)), key=lambda j: (exact[j][0], -exact[j][1]))
-            yield pd.DataFrame({"cid": pdf["cid"], "cell": cells[best]})
+    def best_cells(X32):
+        X = np.array(X32, dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        S = Xn @ Cn.T
+        best = S.argmax(axis=1)
+        if S.shape[1] > 1:
+            part = np.partition(S, -2, axis=1)
+            tied = np.nonzero(part[:, -1] - part[:, -2] < _TIE_EPS)[0]
+            for i in tied:
+                exact = [(seq_cosine(X32[i], c32), cell) for c32, cell in zip(C_raw, cells)]
+                best[i] = max(range(len(exact)), key=lambda j: (exact[j][0], -exact[j][1]))
+        return cells[best]
 
-    return corpus.mapInPandas(assign, schema="cid bigint, cell int")
+    return best_cells
 
 
 def _ivf_assign_expr(cent: DataFrame, corpus: DataFrame) -> DataFrame:

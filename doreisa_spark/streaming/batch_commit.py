@@ -585,11 +585,17 @@ def delete_keys(
     # segments written before it, so a later retirement could retire it
     # while live (and below the watermark it would be invisible to
     # reads outright). Redeliveries of committed ids still no-op.
+    # The sub-log's ids live in ITS namespace, resolved the way the
+    # read paths resolve it (r11 ADVICE — _tomb_index's rule): the
+    # sub-log's own recorded manifest mode wins over the parent's
+    # resolved mode once a manifest exists, so top_tid is computed
+    # from the namespace the committed ids actually occupy.
+    pre_mode = _mode_of(troot, resolved if _manifest_load(troot) is None else None)
     top_tid = max(
         [_tomb_retired_max(root), _horizon(troot)]
-        + committed_ids(troot, mode=resolved)
+        + committed_ids(troot, mode=pre_mode)
     )
-    if batch_id <= top_tid and not is_committed(troot, batch_id, mode=resolved):
+    if batch_id <= top_tid and not is_committed(troot, batch_id, mode=pre_mode):
         raise ValueError(
             f"delete batch id {batch_id} is not monotone: the tombstone "
             f"log has committed ids up to {top_tid} (retirement watermark "
@@ -624,7 +630,7 @@ def delete_keys(
             publish_guard=lambda: _epoch_guard(root, epoch, MANIFEST),
             on_commit=lambda: _tomb_index(root, mode=MANIFEST, persist=True),
         )
-    sub_mode = _mode_of(troot, None)
+    sub_mode = _mode_of(troot, resolved if _manifest_load(troot) is None else None)
     if len(committed_ids(troot, mode=sub_mode)) >= _TOMB_COMPACT_EVERY:
         # the sub-log is a log too: bound ITS directory count (r9
         # verdict ask #1); retired rows are dropped by the sub-log's
@@ -638,7 +644,12 @@ def delete_keys(
         if epoch is not None:
             cur = int((_manifest_load(root) or {}).get("writer_epoch", 0))
             if cur != epoch:
-                raise _stale(epoch, cur, root)
+                # the tombstone batch DURABLY committed above — raising
+                # here would tell the caller the delete failed when it
+                # succeeded (r11 ADVICE). A writer superseded between
+                # the publish and this optional maintenance trigger just
+                # skips the fold; the new writer's next delete runs it.
+                return committed
         compact_tiered(spark, troot, _tomb_ddl(meta), keep_last=1,
                        mode=sub_mode, order_by=["key"])
     return committed
@@ -680,23 +691,37 @@ def retire_tombstones(
     if meta is None:
         return []
     resolved = _mode_of(root, mode)
-    idx = _tomb_index(root, mode=resolved)
-    if not idx:
-        return []
-    man = _manifest_load(root) or {}
-    applied = man.get("tomb_applied", {})
-    segs = man.get("segments", [])
-    live_ids = committed_ids(root, mode=resolved)
-    retired = sorted(
-        t for t, cov in idx.items()
-        if all(b > cov for b in live_ids)
-        and all(t in set(applied.get(s, [])) for s in segs)
-    )
-    if not retired:
-        return []
+    if epoch is not None and resolved != MANIFEST:
+        raise ValueError("epoch fencing requires manifest commit mode")
     troot = _tomb_root(root)
-    sub_mode = _mode_of(troot, None)
-    with _epoch_guard(root, epoch, resolved):
+    # The whole decide-record-reindex sequence is ONE critical section
+    # on the parent store, epoch or not (r11 ADVICE TOCTOU fix): the
+    # live index, the manifest's applied sets, and the retirement
+    # decision are a single consistent cut, so a fenced delete_keys
+    # racing this call serializes strictly before (and is seen as live)
+    # or after (and is untouched). Unfenced deletes take no parent
+    # lock; the seen_max and seal rules below keep those interleavings
+    # self-healing instead of silently lost.
+    with _locked(root):
+        if epoch is not None:
+            cur_epoch = int((_manifest_load(root) or {}).get("writer_epoch", 0))
+            if cur_epoch != epoch:
+                raise _stale(epoch, cur_epoch, root)
+        idx = _tomb_index(root, mode=resolved)
+        if not idx:
+            return []
+        man = _manifest_load(root) or {}
+        applied = man.get("tomb_applied", {})
+        segs = man.get("segments", [])
+        live_ids = committed_ids(root, mode=resolved)
+        retired = sorted(
+            t for t, cov in idx.items()
+            if all(b > cov for b in live_ids)
+            and all(t in set(applied.get(s, [])) for s in segs)
+        )
+        if not retired:
+            return []
+        sub_mode = _mode_of(troot, resolved if _manifest_load(troot) is None else None)
         # 1. the DURABLE commit point of the retirement: the watermark
         #    in the sub-log manifest, written through the committed
         #    protocol BEFORE the cache rewrite and the row purge (r10
@@ -720,18 +745,32 @@ def retire_tombstones(
         #    never from the cache file: a lost/stale cache must not
         #    make a live tombstone look retirable — deciding the seal
         #    below from the file's (possibly empty) tids would destroy
-        #    unretired tombstones and resurrect their masked rows
+        #    unretired tombstones and resurrect their masked rows.
+        #    seen_max claims only what this index REPRESENTS (the kept
+        #    and retired tids), never a freshly scanned directory top
+        #    (r11 ADVICE): a tombstone committed by an unlocked
+        #    interleaving in the window stays ABOVE seen_max and heals
+        #    on the next read instead of being skipped forever.
         keep = {str(t): c for t, c in sorted(idx.items()) if t not in retired}
-        top = max([_horizon(troot)] + committed_ids(troot, mode=sub_mode))
+        seen = max([_tomb_retired_max(root)] + [int(t) for t in keep])
         _json_replace(os.path.join(troot, _TOMB_INDEX),
-                      {"tids": keep, "seen_max": top})
+                      {"tids": keep, "seen_max": seen})
         if not keep:
-            # all applied: seal the sub-log empty, reclaim every dir
-            # (quick manifest ops, fine under the guard)
-            top = max([_horizon(troot)] + committed_ids(troot, mode=sub_mode))
-
             def seal(cur: dict) -> dict:
-                cur.update(horizon=int(top), segments=[], batches={},
+                # all known tombstones applied: seal the sub-log, but
+                # only up to the retirement watermark and against the
+                # FRESH sub-log manifest (r11 ADVICE): a concurrently
+                # committed delete — tid > wm by the monotonicity guard
+                # — keeps its batch entry, stays above the horizon, and
+                # stays readable/redeliverable; sealing with a freshly
+                # scanned top used to burn its id and GC its rows,
+                # silently and permanently losing the takedown.
+                remaining = {
+                    b: d for b, d in cur.get("batches", {}).items()
+                    if int(b) > wm
+                }
+                cur.update(horizon=max(int(cur.get("horizon", -1)), wm),
+                           segments=[], batches=remaining,
                            segment_bytes={}, tomb_applied={})
                 if sub_mode == MANIFEST:
                     cur["mode"] = MANIFEST
