@@ -44,13 +44,16 @@ def _batch_files_for(n_rows: int, row_bytes: int = 280) -> int:
 def migrate_lsh_vector_store(
     spark: SparkSession, old_root: str, new_root: str, *, planes: int,
     commit_mode: "str | None" = None, snapshot: "int | None" = None,
+    alias_root: "str | None" = None, alias: "str | None" = None,
 ):
     """Re-bucket an LSHVectorStore under a new plane count: one job,
     map-only (the new bucket expression over the retained vectors),
     committed sorted as batch 0 of the new root. Returns the new store.
     ``snapshot=`` migrates a pinned point-in-time state instead of the
     live log (the retrain loop pins one so training and migration see
-    the same corpus under concurrent ingest)."""
+    the same corpus under concurrent ingest). ``alias_root``/``alias``
+    CAS-flip the named alias to the new root with the blue writer
+    fenced across the flip (see migrate_ivf_store)."""
     from doreisa_spark.streaming.incremental_ann import LSHVectorStore
 
     # fenced=False: this is a READ handle — acquiring the writer epoch
@@ -65,6 +68,7 @@ def migrate_lsh_vector_store(
         batch_files=_batch_files_for(vectors.count()),
     )
     new.process_batch(vectors, 0)
+    _maybe_flip(alias_root, alias, old, new)
     return new
 
 
@@ -72,12 +76,22 @@ def migrate_ivf_store(
     spark: SparkSession, old_root: str, new_root: str, *, centroids,
     commit_mode: "str | None" = None, assign: str = "blas",
     snapshot: "int | None" = None,
+    alias_root: "str | None" = None, alias: "str | None" = None,
 ):
     """Re-assign an IVFVectorStore under a new (e.g. retrained) coarse
     quantizer: one job, map-only, batch 0 of the new root. ``assign``
     defaults to the bulk GEMM kernel (a migration IS a bulk load);
     pass "expr" for the oracle-exact fold. ``snapshot=`` migrates a
-    pinned point-in-time state instead of the live log."""
+    pinned point-in-time state instead of the live log.
+
+    ``alias_root``/``alias`` complete the blue/green hand-off (r11
+    verdict ask #1): after the green store commits, the named alias is
+    CAS-flipped from ``old_root`` to ``new_root`` with the blue
+    members log fenced across the flip (streaming/alias.py) — readers
+    resolving the alias observe blue until the atomic replace and
+    green after, and the blue writer's next commit raises
+    StaleWriterError. A crash before the flip leaves the alias on
+    blue (the green root is unreferenced — retry or delete it)."""
     from doreisa_spark.streaming.incremental_ivf import IVFVectorStore
 
     # fenced=False: read handle — must not displace the live writer
@@ -89,7 +103,24 @@ def migrate_ivf_store(
         batch_files=_batch_files_for(vectors.count()),
     )
     new.process_batch(vectors, 0, assign=assign)
+    _maybe_flip(alias_root, alias, old, new)
     return new
+
+
+def _maybe_flip(alias_root, alias, old, new) -> "int | None":
+    """CAS-flip ``alias`` from the old store's root to the new one,
+    fencing the old MEMBERS log iff it is fenceable (manifest mode) —
+    shared by the vector-store migrations."""
+    if alias_root is None and alias is None:
+        return None
+    if alias_root is None or alias is None:
+        raise ValueError("alias_root and alias must be given together")
+    from doreisa_spark.streaming import batch_commit as BC
+    from doreisa_spark.streaming.alias import flip_alias
+
+    fence = [old._members] if old.commit_mode == BC.MANIFEST else []
+    return flip_alias(alias_root, alias, new.root,
+                      expect_root=old.root, fence=fence)
 
 
 def migrate_lsh_signature_store(

@@ -259,14 +259,25 @@ def retrain_ivf_store(
     spark: SparkSession, old_root: str, new_root: str, *,
     n_cells: int | None = None, iters: int = 3, assign: str = "blas",
     commit_mode: "str | None" = None,
+    alias_root: "str | None" = None, alias: "str | None" = None,
 ):
     """The full lifecycle step the drift detector triggers: retrain the
     quantizer on the store's own retained vectors (tombstoned rows
     excluded by construction), blue/green re-index into ``new_root``
     (`migrate_ivf_store` — the old store is never written and keeps
-    serving until the deployment flips the root), and return
-    ``(new_store, report)`` where the report carries before/after
-    ``fit_stats`` so the improvement is a recorded fact, not a hope.
+    serving while this runs), and return ``(new_store, report)`` where
+    the report carries before/after ``fit_stats`` so the improvement
+    is a recorded fact, not a hope.
+
+    ``alias_root``/``alias`` complete the hand-off (r11 verdict ask
+    #1): once the green store is committed AND its after-fit is
+    recorded, the named alias CAS-flips from blue to green with the
+    blue members log fenced across the flip (streaming/alias.py) —
+    readers resolving the alias move atomically, the blue writer's
+    next commit raises StaleWriterError, and a crash anywhere before
+    the flip leaves the alias (and every reader) on blue with the
+    unreferenced green root free to delete or retry. Without the
+    alias args the caller owns the flip, as before.
 
     The whole step runs against ONE pinned snapshot of the old store
     (created here, dropped on exit): fit, every Lloyd pass, and the
@@ -276,7 +287,7 @@ def retrain_ivf_store(
     the green store could end up indexing a different corpus than the
     quantizer was trained on."""
     from doreisa_spark.streaming.incremental_ivf import IVFVectorStore
-    from doreisa_spark.streaming.migrate import migrate_ivf_store
+    from doreisa_spark.streaming.migrate import _maybe_flip, migrate_ivf_store
 
     old = IVFVectorStore(spark, old_root, fenced=False)
     sid = old.snapshot()
@@ -293,4 +304,10 @@ def retrain_ivf_store(
         old.drop_snapshot(sid)
     report = {"before": before, "after": fit_stats(new),
               "n_cells": len(cents), "iters": iters}
+    # flip LAST: the report's after-fit is computed before readers move,
+    # so a bad retrain can be aborted by never flipping
+    epoch = _maybe_flip(alias_root, alias, old, new)
+    if epoch is not None:
+        report["alias"] = {"name": alias, "epoch": epoch,
+                           "from": old.root, "to": new.root}
     return new, report

@@ -101,6 +101,20 @@ class SortedVectorLog:
         # contiguous probe-key range, preserving row-group pruning)
         self.batch_files = batch_files
 
+    @classmethod
+    def from_alias(cls, spark: SparkSession, alias_root: str, name: str, **kw):
+        """Open a READ handle on whatever store root the named alias
+        currently points at (streaming/alias.py). ``fenced=False`` by
+        default — resolving an alias must never displace the live
+        writer. Resolution happens once, here: a long-lived reader
+        re-calls this after a blue/green flip to pick up the green
+        root (the flip's atomic replace means it sees blue or green,
+        never a torn state)."""
+        from doreisa_spark.streaming.alias import resolve
+
+        kw.setdefault("fenced", False)
+        return cls(spark, resolve(alias_root, name), **kw)
+
     @property
     def _members_ddl(self) -> str:
         return (f"{self._PROBE_COL} {self._PROBE_TYPE}, vec_id bigint, "
