@@ -83,15 +83,31 @@ class IVFVectorStore(SortedVectorLog):
                  compact_every: int | None = 64,
                  commit_mode: "str | None" = None,
                  batch_files: int = 1,
-                 fenced: "bool | None" = None):
+                 fenced: "bool | None" = None,
+                 on_drift=None,
+                 drift_opts: "dict | None" = None):
         """``centroids``: list of (cell, embedding) for a NEW store —
         typically the seed set (`similarity._seed_centroids(...).collect()`)
         or a trained quantizer (`sim_kmeans_refine`'s output). A
         reopened store loads its marker; passing centroids that differ
-        from the marker raises."""
+        from the marker raises.
+
+        ``on_drift`` wires quantizer drift monitoring into the stream
+        itself (r11 verdict ask #2 — no separate polling loop): on
+        every periodic compaction the store runs ``fit_stats`` against
+        the baseline recorded in its marker (``record_fit_baseline``,
+        written at train time by ``retrain_ivf_store``) and calls
+        ``on_drift(verdict)`` with ``detect_drift``'s dict (plus
+        ``batch_id``) — drifted or not, so the deployment's monitoring
+        log sees every check. ``drift_opts`` are ``detect_drift``
+        keyword overrides (max_cos_drop / max_occ_ratio / min_n). With
+        no callback or no recorded baseline the check is skipped at
+        zero cost."""
         super().__init__(spark, root, compact_every=compact_every,
                          commit_mode=commit_mode, batch_files=batch_files,
                          fenced=fenced)
+        self._on_drift = on_drift
+        self._drift_opts = dict(drift_opts or {})
 
         def _norm(r):
             # accept (cell, embedding) pairs or Rows with cell/cemb fields
@@ -134,13 +150,26 @@ class IVFVectorStore(SortedVectorLog):
     def _marker(self) -> str:
         return f"{self.root}/_centroids.json"
 
-    def _stored_centroids(self):
-        # centroid lists are positional (not the dict markers the shared
-        # helpers handle), so the marker I/O stays bespoke here
+    def _marker_load(self) -> "dict | None":
+        """Marker contents normalized to the dict form. The pre-r12
+        marker was the bare centroid list; it reads as a dict with no
+        recorded baseline (old stores keep working, they just have no
+        train-time fit to monitor against until one is recorded)."""
         if not os.path.exists(self._marker()):
             return None
         with open(self._marker()) as f:
-            return [(int(c), [float(x) for x in emb]) for c, emb in json.load(f)]
+            obj = json.load(f)
+        if isinstance(obj, list):
+            return {"centroids": obj, "fit_baseline": None}
+        return obj
+
+    def _stored_centroids(self):
+        # centroid lists are positional (not the dict markers the shared
+        # helpers handle), so the marker I/O stays bespoke here
+        m = self._marker_load()
+        if m is None:
+            return None
+        return [(int(c), [float(x) for x in emb]) for c, emb in m["centroids"]]
 
     def _record_centroids(self) -> None:
         """Atomic write-once marker, written before the first commit
@@ -150,8 +179,55 @@ class IVFVectorStore(SortedVectorLog):
         os.makedirs(self.root, exist_ok=True)
         tmp = f"{self._marker()}.tmp{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump(self.centroids, f)
+            json.dump({"centroids": self.centroids, "fit_baseline": None}, f)
         os.replace(tmp, self._marker())
+
+    @property
+    def fit_baseline(self) -> "dict | None":
+        """The ``fit_stats`` recorded when this quantizer was trained
+        (``record_fit_baseline``) — what ``detect_drift`` compares
+        today's fit against. None until recorded."""
+        m = self._marker_load()
+        return None if m is None else m.get("fit_baseline")
+
+    def record_fit_baseline(self, stats: dict) -> None:
+        """Record the train-time ``fit_stats`` in the quantizer marker
+        (write-once, like the centroids themselves: the baseline IS
+        part of the trained state — re-baselining without retraining
+        would define drift away). ``retrain_ivf_store`` records the
+        green store's after-fit here before the alias flip."""
+        self._record_centroids()
+        m = self._marker_load()
+        if m.get("fit_baseline") is not None:
+            if m["fit_baseline"] == stats:
+                return  # idempotent re-record of the same fit
+            raise ValueError(
+                f"store at {self.root} already records a fit baseline; "
+                "a new baseline means a new quantizer — retrain into a "
+                "fresh root instead of moving the drift goalposts"
+            )
+        m["fit_baseline"] = dict(stats)
+        tmp = f"{self._marker()}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._marker())
+
+    def _post_compact(self, batch_id: int) -> None:
+        """Drift monitoring on the stream's own compaction cadence
+        (r11 verdict ask #2): one fit pass + the detect_drift rules,
+        verdict surfaced through the ``on_drift`` callback. Skipped at
+        zero cost unless both a callback and a recorded train-time
+        baseline exist."""
+        if self._on_drift is None:
+            return
+        base = self.fit_baseline
+        if base is None:
+            return
+        from doreisa_spark.streaming.quantizer import detect_drift, fit_stats
+
+        verdict = detect_drift(base, fit_stats(self), **self._drift_opts)
+        verdict["batch_id"] = batch_id
+        self._on_drift(verdict)
 
     def _centroid_frame(self) -> DataFrame:
         return self.spark.createDataFrame(
@@ -311,14 +387,25 @@ def run_incremental_ivf(
     k: int,
     nprobe: int = 1,
     timeout_sec: float = 300,
+    compact_every: int | None = 64,
+    on_drift=None,
+    drift_opts: "dict | None" = None,
 ) -> DataFrame:
     """Drive a vector file-stream into an IVF store via foreachBatch
     until drained (the run_incremental_ann shape); returns the top-k
-    frame for ``queries`` over the accumulated inverted file."""
+    frame for ``queries`` over the accumulated inverted file.
+
+    ``on_drift``/``drift_opts`` arm the in-stream quantizer drift
+    monitor (see IVFVectorStore): with a train-time baseline recorded
+    in the store marker, every periodic compaction also checks
+    ``detect_drift`` and surfaces the verdict through the callback —
+    drifted ingest trips the detector MID-STREAM, no polling loop."""
     from doreisa_spark.streaming.incremental_ann import read_vector_stream
     from doreisa_spark.streaming.structured import run_foreach_batch
 
-    store = IVFVectorStore(spark, store_root, centroids=centroids)
+    store = IVFVectorStore(spark, store_root, centroids=centroids,
+                           compact_every=compact_every,
+                           on_drift=on_drift, drift_opts=drift_opts)
     stream = read_vector_stream(spark, source_dir)
     run_foreach_batch(
         stream,

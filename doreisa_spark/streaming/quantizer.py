@@ -304,6 +304,10 @@ def retrain_ivf_store(
         old.drop_snapshot(sid)
     report = {"before": before, "after": fit_stats(new),
               "n_cells": len(cents), "iters": iters}
+    # the green store's train-time fit IS its drift baseline: record it
+    # in the quantizer marker so the in-stream monitor (on_drift) has a
+    # reference without any side channel (r11 verdict ask #2)
+    new.record_fit_baseline(report["after"])
     # flip LAST: the report's after-fit is computed before readers move,
     # so a bad retrain can be aborted by never flipping
     epoch = _maybe_flip(alias_root, alias, old, new)

@@ -198,6 +198,14 @@ class SortedVectorLog:
             BC.compact_tiered(self.spark, self._members, self._members_ddl,
                               mode=self.commit_mode, order_by=[pc],
                               epoch=self._epoch)
+            # maintenance hook on the same cadence — the IVF store's
+            # drift monitor lives here (r11 verdict ask #2: a stream
+            # must not need a separate polling loop to notice its
+            # quantizer no longer fits)
+            self._post_compact(batch_id)
+
+    def _post_compact(self, batch_id: int) -> None:
+        """Subclass hook, invoked after each periodic compaction."""
 
     # ---------------------------------------------------------- scoring
     def _pruned_candidates(
