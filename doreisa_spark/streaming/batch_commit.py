@@ -875,7 +875,8 @@ def read_committed(
 
 
 def create_snapshot(root: str, *, mode: "str | None" = None,
-                    epoch: "int | None" = None) -> int:
+                    epoch: "int | None" = None,
+                    extra: "dict | None" = None) -> int:
     """Pin the store's CURRENT committed state — horizon, segments,
     batch directories, and the tombstone masking in force — as an
     immutable, metadata-only snapshot, and return its id. No data is
@@ -901,7 +902,11 @@ def create_snapshot(root: str, *, mode: "str | None" = None,
       index and its sub-log directories).
 
     O(1) cost (one manifest update); works in both commit modes.
-    ``epoch`` fences it like any other mutation (manifest mode)."""
+    ``epoch`` fences it like any other mutation (manifest mode).
+    ``extra`` is an opaque JSON-able payload stored in the snapshot
+    record — multi-log stores use it to link the sibling sub-logs'
+    pin ids into one composite handle (LSHSignatureStore's
+    ``pin_members=True``, queries/pipeline's multi-store cut)."""
     resolved = _mode_of(root, mode)
     if epoch is not None and resolved != MANIFEST:
         raise ValueError("epoch fencing requires manifest commit mode")
@@ -944,13 +949,16 @@ def create_snapshot(root: str, *, mode: "str | None" = None,
                 "cols": meta["cols"],
                 "type": meta["type"],
             }
-        cur.setdefault("snapshots", {})[str(sid)] = {
+        rec = {
             "horizon": h,
             "segments": segs,
             "tomb_applied": {s: list(tapp.get(s, [])) for s in segs},
             "batches": batches,
             "tomb": tomb,
         }
+        if extra is not None:
+            rec["extra"] = extra
+        cur.setdefault("snapshots", {})[str(sid)] = rec
         cur["snapshot_next"] = sid + 1
         box["sid"] = sid
         return cur

@@ -197,10 +197,22 @@ class LSHSignatureStore:
             self.spark, path, ddl, before=before, mode=self.commit_mode
         )
 
-    def members(self, *, before: int | None = None) -> DataFrame:
+    def members(self, *, before: int | None = None,
+                snapshot: "int | None" = None) -> DataFrame:
+        if snapshot is not None:
+            return BC.read_snapshot(
+                self.spark, self.members_dir, _MEMBERS_DDL,
+                self._linked_pin(snapshot, "members"),
+            )
         return self._read(self.members_dir, _MEMBERS_DDL, before)
 
-    def shingles(self, *, before: int | None = None) -> DataFrame:
+    def shingles(self, *, before: int | None = None,
+                 snapshot: "int | None" = None) -> DataFrame:
+        if snapshot is not None:
+            return BC.read_snapshot(
+                self.spark, self.shingles_dir, _SHINGLES_DDL,
+                self._linked_pin(snapshot, "shingles"),
+            )
         return self._read(self.shingles_dir, _SHINGLES_DDL, before)
 
     def pairs(self, *, snapshot: "int | None" = None) -> DataFrame:
@@ -213,22 +225,77 @@ class LSHSignatureStore:
             )
         return self._read(self.pairs_dir, _PAIRS_DDL)
 
-    def snapshot(self) -> int:
-        """Pin the PAIRS log — the store's served artifact — as-of now
-        (metadata-only, batch_commit.create_snapshot): ``pairs(snapshot=
-        sid)`` then reproduces exactly this verdict set no matter what
-        is later ingested, deleted, or compacted, until
-        ``drop_snapshot``. The members/shingles logs are internal
-        admission state and are not pinned (re-running ADMISSION is the
-        migration path's job, not a snapshot's; the curation store
-        draws the same line — its snapshot pins ``kept/``)."""
+    def snapshot(self, *, pin_members: bool = False) -> int:
+        """Pin the store's state as-of now (metadata-only,
+        batch_commit.create_snapshot) and return one composite handle.
+
+        The DEFAULT pins the PAIRS log only — the store's served
+        artifact, the cheap mode: ``pairs(snapshot=sid)`` reproduces
+        exactly this verdict set no matter what is later ingested,
+        deleted, or compacted. Members/shingles stay unpinned, so a
+        post-pin takedown reaches their bytes immediately.
+
+        ``pin_members=True`` additionally pins the members AND shingles
+        sub-logs under the same handle (their pin ids ride in the pairs
+        snapshot's ``extra`` record — one id to keep, one to drop), so
+        a re-band migration or an audit re-derivation can run FROM THE
+        PIN exactly like the IVF retrain does: ``shingles(snapshot=
+        sid)`` / ``members(snapshot=sid)`` serve the pinned state, and
+        a takedown landing between pin and migrate does NOT change the
+        migrated result (r11 verdict ask #4 — the two stores' snapshot
+        semantics now match; the retention trade-off is the same as
+        every pin: the takedown reaches the pinned bytes when the
+        snapshot is dropped). Pin at a batch boundary — the store is
+        single-writer, so the three pins are one consistent cut."""
+        extra = None
+        if pin_members:
+            extra = {
+                "members": BC.create_snapshot(
+                    self.members_dir, mode=self.commit_mode,
+                    epoch=self._epochs[self.members_dir]),
+                "shingles": BC.create_snapshot(
+                    self.shingles_dir, mode=self.commit_mode,
+                    epoch=self._epochs[self.shingles_dir]),
+            }
         return BC.create_snapshot(self.pairs_dir, mode=self.commit_mode,
-                                  epoch=self._epochs[self.pairs_dir])
+                                  epoch=self._epochs[self.pairs_dir],
+                                  extra=extra)
+
+    def _linked_pin(self, snapshot_id: int, log: str) -> int:
+        """Resolve the members/shingles pin id linked into a composite
+        snapshot handle; a pairs-only pin explains itself."""
+        rec = BC.list_snapshots(self.pairs_dir).get(int(snapshot_id))
+        if rec is None:
+            raise ValueError(
+                f"no snapshot {snapshot_id} on the dedup store at "
+                f"{self.root}"
+            )
+        linked = rec.get("extra") or {}
+        if log not in linked:
+            raise ValueError(
+                f"snapshot {snapshot_id} pinned pairs only (the cheap "
+                "served-artifact default); re-pin with snapshot("
+                "pin_members=True) to migrate or audit from a pin"
+            )
+        return int(linked[log])
 
     def drop_snapshot(self, snapshot_id: int) -> bool:
-        return BC.drop_snapshot(self.pairs_dir, snapshot_id,
-                                mode=self.commit_mode,
-                                epoch=self._epochs[self.pairs_dir])
+        """Release a snapshot handle — including any members/shingles
+        pins linked into it by ``pin_members=True``."""
+        rec = BC.list_snapshots(self.pairs_dir).get(int(snapshot_id))
+        linked = (rec or {}).get("extra") or {}
+        dropped = BC.drop_snapshot(self.pairs_dir, snapshot_id,
+                                   mode=self.commit_mode,
+                                   epoch=self._epochs[self.pairs_dir])
+        if "members" in linked:
+            BC.drop_snapshot(self.members_dir, int(linked["members"]),
+                             mode=self.commit_mode,
+                             epoch=self._epochs[self.members_dir])
+        if "shingles" in linked:
+            BC.drop_snapshot(self.shingles_dir, int(linked["shingles"]),
+                             mode=self.commit_mode,
+                             epoch=self._epochs[self.shingles_dir])
+        return dropped
 
     def delete_docs(self, doc_ids, batch_id: int | None = None) -> None:
         """Takedown (r8 verdict ask #4): tombstone the documents out of

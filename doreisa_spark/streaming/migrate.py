@@ -126,7 +126,7 @@ def _maybe_flip(alias_root, alias, old, new) -> "int | None":
 def migrate_lsh_signature_store(
     spark: SparkSession, old_root: str, new_root: str, *,
     n_bands: int, band_rows: int, pruned: bool = True,
-    commit_mode: "str | None" = None,
+    commit_mode: "str | None" = None, snapshot: "int | None" = None,
 ):
     """Re-band a dedup signature store under a new (bands, rows): band
     signatures are re-derived from the retained shingle log with the
@@ -134,7 +134,14 @@ def migrate_lsh_signature_store(
     admitted under the batch bucket-cap semantics (identical to a
     monotone-stream rebuild), and committed with shingles + verified
     pairs as batch 0 of the new root. See the module-docstring caveat
-    on cap-rejected docs."""
+    on cap-rejected docs.
+
+    ``snapshot=`` re-bands a PINNED point-in-time state — the handle
+    must come from ``LSHSignatureStore.snapshot(pin_members=True)``
+    (the full-state pin; the cheap pairs-only default raises here), so
+    a takedown landing between the pin and this migration does NOT
+    change the migrated result — the same isolation the IVF retrain
+    gets from its snapshot (r11 verdict ask #4)."""
     from doreisa_spark.queries.dedup import _MAX_BUCKET, signatures_from_shingles
     from doreisa_spark.streaming.incremental_dedup import (
         LSHSignatureStore,
@@ -148,7 +155,9 @@ def migrate_lsh_signature_store(
     new = cls(spark, new_root, n_bands=n_bands, band_rows=band_rows,
               commit_mode=mode)
     new._record_bands()
-    sig = signatures_from_shingles(old.shingles(), n_bands, band_rows)
+    sig = signatures_from_shingles(
+        old.shingles(snapshot=snapshot), n_bands, band_rows
+    )
     bands = sig.select("doc_id", F.posexplode("band_sigs").alias("band_id", "sig"))
     wb = W.partitionBy("band_id", "sig").orderBy("doc_id")
     admitted = (
@@ -166,5 +175,5 @@ def migrate_lsh_signature_store(
         ),
         new.shingles_dir, 0, mode=mode,
     )
-    BC.commit_batch(old.pairs(), new.pairs_dir, 0, mode=mode)
+    BC.commit_batch(old.pairs(snapshot=snapshot), new.pairs_dir, 0, mode=mode)
     return new
