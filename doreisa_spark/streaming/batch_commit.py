@@ -735,6 +735,14 @@ def retire_tombstones(
             cur.setdefault("horizon", -1)
             cur.setdefault("segments", [])
             cur["retired_max"] = max(int(cur.get("retired_max", -1)), wm)
+            # audit ledger (r11 verdict ask #5): each retired tid keeps
+            # its sequence point in the sub-log manifest — the
+            # takedown_retention_report needs covers AFTER the rows
+            # that carried it are purged. Takedown-sized, rides every
+            # manifest flip (_CARRIED_KEYS).
+            led = dict(cur.get("retired_covers", {}))
+            led.update({str(t): int(idx[t]) for t in retired})
+            cur["retired_covers"] = led
             if sub_mode == MANIFEST:
                 cur.setdefault("mode", MANIFEST)
                 cur.setdefault("batches", {})
@@ -1047,6 +1055,98 @@ def read_snapshot(
     return _read_scoped(spark, root, ddl, entries, mode=None, pinned=pinned)
 
 
+def takedown_retention_report(
+    root: str, tid: int, *, mode: "str | None" = None
+) -> dict:
+    """Compliance view of one takedown (r11 verdict ask #5): which
+    retained snapshots still pin rows that delete batch ``tid`` masks,
+    and how many bytes each holds. Turns the retention contract stated
+    in ``create_snapshot`` ("a takedown fully propagates once every
+    snapshot that predates it is dropped") into an auditable report —
+    the input to a retention SLA: drop (or wait out) the listed
+    snapshot ids and the takedown reaches its last bytes.
+
+    Metadata-only (manifest + snapshot records + the tombstone index;
+    no data scan), so the byte figures are the DIRECTORY sizes of the
+    pinned dirs that can still contain the masked rows — the
+    reclaim-upper-bound a deployment budgets, not an exact row-byte
+    count. A snapshot is listed iff its pinned tombstone index LACKS
+    the tid (it predates the delete — pins created after it mask the
+    rows themselves) and it pins at least one directory the delete has
+    not been applied to: a batch dir at or below the delete's
+    ``covers``, or a pinned segment without the tid in its recorded
+    ``tomb_applied`` (segments that are still live after the tid
+    retired are known clean — retirement proves application
+    everywhere live).
+
+    Raises ValueError for a tid with no record anywhere (neither the
+    live tombstone index nor any pinned one) — there is nothing to
+    audit. Returns ``{"tid", "covers", "retired", "snapshots":
+    [{"id", "dirs", "bytes"}...], "total_bytes", "clear"}``; ``clear``
+    means no retained snapshot pins the masked rows any more."""
+    tid = int(tid)
+    man = _manifest_load(root) or {}
+    snaps = man.get("snapshots", {})
+    # resolve the delete's sequence point: live index first, then the
+    # retirement ledger (retire_tombstones records each retired tid's
+    # covers durably in the sub-log manifest — the rows that carried it
+    # are purged at retirement), then any pinned record
+    idx = _tomb_index(root, mode=mode)
+    covers = idx.get(tid)
+    if covers is None:
+        led = (_manifest_load(_tomb_root(root)) or {}).get("retired_covers", {})
+        if str(tid) in led:
+            covers = int(led[str(tid)])
+    if covers is None:
+        for rec in snaps.values():
+            pinned = (rec.get("tomb") or {}).get("index") or {}
+            if str(tid) in pinned:
+                covers = int(pinned[str(tid)])
+                break
+    if covers is None:
+        raise ValueError(
+            f"delete batch {tid} has no record at {root}: not in the "
+            "live tombstone index nor in any retained snapshot — "
+            "nothing to audit (never committed, or fully propagated "
+            "with no surviving pin)"
+        )
+    retired = tid <= _tomb_retired_max(root)
+    live_segments = set(man.get("segments", []))
+    sizes = dict(man.get("segment_bytes", {}))
+
+    def dir_bytes(name: str) -> int:
+        if name in sizes:
+            return int(sizes[name])
+        return _dir_bytes(os.path.join(root, name))
+
+    out = []
+    for sid in sorted(int(s) for s in snaps):
+        rec = snaps[str(sid)]
+        pinned_idx = (rec.get("tomb") or {}).get("index") or {}
+        if str(tid) in pinned_idx:
+            continue  # the pin carries the delete: rows masked, not retained
+        dirs = []
+        b = rec.get("batches", {})
+        items = (
+            sorted(b.items(), key=lambda kv: int(kv[0])) if isinstance(b, dict)
+            else [(i, f"b{int(i):012d}") for i in sorted(b)]
+        )
+        dirs += [d for i, d in items if int(i) <= covers]
+        for s in rec.get("segments", []):
+            if tid in set(rec.get("tomb_applied", {}).get(s, [])):
+                continue  # this pin's segment already dropped the rows
+            if retired and s in live_segments:
+                continue  # retirement proves every live segment applied it
+            dirs.append(s)
+        if dirs:
+            out.append({"id": sid, "dirs": dirs,
+                        "bytes": sum(dir_bytes(d) for d in dirs)})
+    total = sum(s["bytes"] for s in out)
+    return {"tid": tid, "covers": int(covers), "retired": bool(retired),
+            "snapshots": out, "total_bytes": int(total),
+            "clear": not out}
+
+
 # ---------------------------------------------------------------- compaction
 
 
@@ -1189,7 +1289,7 @@ def _gc(root: str, man: dict) -> None:
 # directory bookkeeping from scratch, but snapshot pins (create_snapshot)
 # and the tombstone retirement watermark (sub-log manifests) are
 # orthogonal durable state and must ride through every rewrite
-_CARRIED_KEYS = ("snapshots", "snapshot_next", "retired_max")
+_CARRIED_KEYS = ("snapshots", "snapshot_next", "retired_max", "retired_covers")
 
 
 def _carry(new_man: dict, cur: dict) -> dict:
