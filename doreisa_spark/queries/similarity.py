@@ -392,8 +392,12 @@ def _ivf_blas_assigner(cent_rows):
             nc += float(b) * float(b)
         return dot / (math.sqrt(nx) * math.sqrt(nc))
 
-    def best_cells(X32):
-        X = np.array(X32, dtype=np.float64)
+    def best_cells(X32, x64=None):
+        # x64: optional precomputed float64 matrix of X32 — the
+        # trainer's stats pass builds it anyway for the partial sums
+        # and passing it here avoids a second O(rows × dims)
+        # materialization per batch per Lloyd iteration
+        X = x64 if x64 is not None else np.array(X32, dtype=np.float64)
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
         S = Xn @ Cn.T
         best = S.argmax(axis=1)

@@ -611,7 +611,12 @@ def delete_keys(
         [(k, int(batch_id), int(covers)) for k in keys], _tomb_ddl(meta)
     ).coalesce(1)
     if epoch is None:
-        committed = commit_batch(df, troot, batch_id, mode=resolved)
+        # commit in the SUB-LOG's namespace (pre_mode), like the check
+        # above and the read paths: with diverging modes, a tombstone
+        # committed in the parent's namespace would be invisible to
+        # _tomb_index/committed_ids — a silently lost takedown that
+        # reports success (r12 review finding)
+        committed = commit_batch(df, troot, batch_id, mode=pre_mode)
         if committed:  # fold the new rows into the index cache
             _tomb_index(root, mode=resolved, persist=True)
     else:
@@ -666,7 +671,13 @@ def deleted_keys(
     if meta is None:
         return None
     idx = _tomb_index(root, mode=mode)
-    rows = read_committed(spark, _tomb_root(root), _tomb_ddl(meta), mode=mode)
+    troot = _tomb_root(root)
+    # the sub-log's OWN namespace, like every tombstone path (r11/r12
+    # ADVICE rule): its recorded manifest mode wins over the parent's
+    rows = read_committed(
+        spark, troot, _tomb_ddl(meta),
+        mode=_mode_of(troot, mode if _manifest_load(troot) is None else None),
+    )
     from pyspark.sql import functions as F
 
     return rows.where(
@@ -842,7 +853,13 @@ def _read_scoped(
     troot = _tomb_root(root)
     if pinned is None:
         meta = _tomb_meta(root)
-        trows = read_committed(spark, troot, _tomb_ddl(meta), mode=mode)
+        # resolve the sub-log's OWN namespace (its recorded manifest
+        # mode wins over the parent's — the r11/r12 ADVICE rule every
+        # tombstone path follows)
+        trows = read_committed(
+            spark, troot, _tomb_ddl(meta),
+            mode=_mode_of(troot, mode if _manifest_load(troot) is None else None),
+        )
     else:
         meta = {"cols": pinned["cols"], "type": pinned["type"]}
         trows = spark.read.schema(_tomb_ddl(meta)).parquet(
@@ -963,6 +980,12 @@ def create_snapshot(root: str, *, mode: "str | None" = None,
             "tomb_applied": {s: list(tapp.get(s, [])) for s in segs},
             "batches": batches,
             "tomb": tomb,
+            # the sub-log's retirement watermark AT PIN TIME: any tid at
+            # or below it was fully applied before every directory this
+            # snapshot pins was eligible to be pinned, so the compliance
+            # report can prove such pins clean even after their segments
+            # are merged away from the live set (r12 review finding)
+            "retired_wm": _tomb_retired_max(root),
         }
         if extra is not None:
             rec["extra"] = extra
@@ -1079,11 +1102,24 @@ def takedown_retention_report(
     retired are known clean — retirement proves application
     everywhere live).
 
+    Two tiers, because read-masking and byte removal are different
+    compliance facts: ``snapshots`` lists pins that SERVE the deleted
+    rows (their pinned tombstone state predates the delete) — the
+    urgent tier; ``masked_pins`` lists pins that mask the rows at read
+    but still physically hold their bytes in pinned pre-delete
+    directories (a post-delete pin of batch dirs the fold has not
+    reached) — the bytes-on-disk tier. ``clear`` = nothing serves the
+    rows; ``physically_clear`` = additionally no pinned directory can
+    still contain them. Pins whose recorded retirement watermark
+    covers the tid are proven clean outright (every directory they pin
+    postdates the full application), so neither tier lists them.
+
     Raises ValueError for a tid with no record anywhere (neither the
     live tombstone index nor any pinned one) — there is nothing to
-    audit. Returns ``{"tid", "covers", "retired", "snapshots":
-    [{"id", "dirs", "bytes"}...], "total_bytes", "clear"}``; ``clear``
-    means no retained snapshot pins the masked rows any more."""
+    audit. Returns ``{"tid", "covers", "retired", "snapshots",
+    "masked_pins": [{"id", "dirs", "bytes"}...], "total_bytes",
+    "clear", "physically_clear"}`` (``total_bytes`` sums the serving
+    tier)."""
     tid = int(tid)
     man = _manifest_load(root) or {}
     snaps = man.get("snapshots", {})
@@ -1119,12 +1155,14 @@ def takedown_retention_report(
             return int(sizes[name])
         return _dir_bytes(os.path.join(root, name))
 
-    out = []
+    serving, masked = [], []
     for sid in sorted(int(s) for s in snaps):
         rec = snaps[str(sid)]
-        pinned_idx = (rec.get("tomb") or {}).get("index") or {}
-        if str(tid) in pinned_idx:
-            continue  # the pin carries the delete: rows masked, not retained
+        if tid <= int(rec.get("retired_wm", -1)):
+            # pinned AFTER the tid retired: every directory this pin
+            # names postdated the full application — clean even once
+            # its segments merge away from the live set
+            continue
         dirs = []
         b = rec.get("batches", {})
         items = (
@@ -1138,13 +1176,20 @@ def takedown_retention_report(
             if retired and s in live_segments:
                 continue  # retirement proves every live segment applied it
             dirs.append(s)
-        if dirs:
-            out.append({"id": sid, "dirs": dirs,
-                        "bytes": sum(dir_bytes(d) for d in dirs)})
-    total = sum(s["bytes"] for s in out)
+        if not dirs:
+            continue
+        ent = {"id": sid, "dirs": dirs,
+               "bytes": sum(dir_bytes(d) for d in dirs)}
+        pinned_idx = (rec.get("tomb") or {}).get("index") or {}
+        # a pin carrying the delete masks the rows at read — but its
+        # pinned pre-delete directories still hold the bytes
+        (masked if str(tid) in pinned_idx else serving).append(ent)
+    total = sum(s["bytes"] for s in serving)
     return {"tid": tid, "covers": int(covers), "retired": bool(retired),
-            "snapshots": out, "total_bytes": int(total),
-            "clear": not out}
+            "snapshots": serving, "masked_pins": masked,
+            "total_bytes": int(total),
+            "clear": not serving,
+            "physically_clear": not serving and not masked}
 
 
 # ---------------------------------------------------------------- compaction

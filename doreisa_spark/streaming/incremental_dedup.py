@@ -249,14 +249,27 @@ class LSHSignatureStore:
         single-writer, so the three pins are one consistent cut."""
         extra = None
         if pin_members:
-            extra = {
-                "members": BC.create_snapshot(
+            extra = {}
+            try:
+                extra["members"] = BC.create_snapshot(
                     self.members_dir, mode=self.commit_mode,
-                    epoch=self._epochs[self.members_dir]),
-                "shingles": BC.create_snapshot(
+                    epoch=self._epochs[self.members_dir])
+                extra["shingles"] = BC.create_snapshot(
                     self.shingles_dir, mode=self.commit_mode,
-                    epoch=self._epochs[self.shingles_dir]),
-            }
+                    epoch=self._epochs[self.shingles_dir])
+                return BC.create_snapshot(
+                    self.pairs_dir, mode=self.commit_mode,
+                    epoch=self._epochs[self.pairs_dir], extra=extra)
+            except Exception:
+                # all-or-nothing: a failed later pin (e.g. a fenced-out
+                # writer) must not strand earlier sub-log pins that no
+                # composite handle references — they would GC-protect
+                # members/shingles bytes forever (r12 review finding)
+                for d, key in ((self.members_dir, "members"),
+                               (self.shingles_dir, "shingles")):
+                    if key in extra:
+                        BC.drop_snapshot(d, extra[key], mode=self.commit_mode)
+                raise
         return BC.create_snapshot(self.pairs_dir, mode=self.commit_mode,
                                   epoch=self._epochs[self.pairs_dir],
                                   extra=extra)

@@ -27,9 +27,10 @@ either appears in the ledger complete or not at all, because the
 ledger entry is written LAST.
 
 Works with any object exposing ``snapshot() -> int`` /
-``drop_snapshot(int)`` — CurationStore, LSHSignatureStore (pass a
-``snapshot_kwargs`` of ``{"pin_members": True}`` for the full-state
-pin), LSHVectorStore, IVFVectorStore.
+``drop_snapshot(int)`` — CurationStore, LSHSignatureStore,
+LSHVectorStore, IVFVectorStore. ``snapshot_kwargs`` is keyed by STORE
+NAME: pass ``{"dedup": {"pin_members": True}}`` to give the dedup
+store's pin the full re-bandable state.
 """
 
 from __future__ import annotations

@@ -167,8 +167,8 @@ def _cell_stats(cents, corpus: DataFrame) -> list:
             # rerun over the same splits reproduces every double bit
             pdf = pdf.sort_values("cid", kind="mergesort")
             x32 = [np.asarray(v, dtype=np.float32) for v in pdf["ce"]]
-            cellv = best_cells(x32)
             x = np.array(x32, dtype=np.float64)
+            cellv = best_cells(x32, x64=x)
             cidv = pdf["cid"].to_numpy(dtype=np.int64)
             out = {"cell": [], "n": [], "s": [], "lo_cid": []}
             for c in np.unique(cellv):

@@ -220,3 +220,13 @@ def test_delete_monotonicity_uses_sublog_recorded_mode(spark, tmp_path):
     # redelivery of the committed id still no-ops instead of raising
     assert BC.delete_keys(spark, root, [1], 5, key_cols="k",
                           mode=BC.MANIFEST) is False
+    # a VALID new delete under the parent's (rename) resolution must
+    # also COMMIT in the sub-log's namespace — committing a bare b-dir
+    # the manifest readers never consult would report success while
+    # masking nothing (r12 review finding). Key 1 stays visible: its
+    # forced-mode delete computed covers in the wrong PARENT namespace
+    # (-1), which is the caller-misconfiguration this test constructs;
+    # key 2's properly-resolved delete must mask.
+    assert BC.delete_keys(spark, root, [2], 6, key_cols="k") is True
+    assert _keys(spark, root, BC.RENAME) == [1]
+    assert 6 in BC._tomb_index(root)

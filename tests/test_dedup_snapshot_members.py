@@ -98,6 +98,28 @@ def test_pairs_only_default_refuses_pinned_member_reads(spark, tmp_path):
     assert old.drop_snapshot(sid)
 
 
+def test_pin_members_failure_releases_sublog_pins(spark, tmp_path, monkeypatch):
+    """If the final pairs pin fails (e.g. a fenced-out writer), the
+    already-taken members/shingles pins must be released — a stranded
+    pin with no composite handle would GC-protect bytes forever and
+    block takedown propagation (r12 review finding)."""
+    old = _store(spark, tmp_path)
+    real = BC.create_snapshot
+
+    def failing(root, **kw):
+        if root == old.pairs_dir:
+            raise BC.StaleWriterError("superseded")
+        return real(root, **kw)
+
+    monkeypatch.setattr(BC, "create_snapshot", failing)
+    with pytest.raises(BC.StaleWriterError):
+        old.snapshot(pin_members=True)
+    monkeypatch.setattr(BC, "create_snapshot", real)
+    assert BC.list_snapshots(old.members_dir) == {}
+    assert BC.list_snapshots(old.shingles_dir) == {}
+    assert BC.list_snapshots(old.pairs_dir) == {}
+
+
 def test_pinned_members_survive_compaction_and_deletes(spark, tmp_path):
     """The pinned members/shingles state is immutable under later
     ingest + takedown + compaction, like every commit-layer pin."""

@@ -30,21 +30,29 @@ def test_report_lists_predating_pins_only(spark, tmp_path, mode):
     rep = BC.takedown_retention_report(root, 3, mode=mode)
     assert rep["covers"] == 2 and rep["retired"] is False
     ids = [s["id"] for s in rep["snapshots"]]
-    assert ids == [s_pre], "only the pre-delete pin retains masked rows"
+    assert ids == [s_pre], "only the pre-delete pin SERVES masked rows"
     assert rep["snapshots"][0]["bytes"] > 0
     assert len(rep["snapshots"][0]["dirs"]) == 3  # all three pinned batches
     assert rep["total_bytes"] > 0 and rep["clear"] is False
 
-    # the post-delete pin masks the rows itself — check it serves them
-    # masked (sanity on the report's exclusion rule)
+    # the post-delete pin masks the rows at read but still physically
+    # pins the pre-delete batch dirs holding their bytes — the report's
+    # second tier (r12 review: clear != bytes gone)
+    assert [s["id"] for s in rep["masked_pins"]] == [s_post]
+    assert rep["physically_clear"] is False
     got = {r["k"] for r in BC.read_snapshot(spark, root, DDL, s_post).collect()}
     assert 11 not in got
 
-    # dropping the predating pin clears the audit
+    # dropping the predating pin clears SERVING; physical clearance
+    # needs the masked pin gone too
     assert BC.drop_snapshot(root, s_pre, mode=mode)
     rep2 = BC.takedown_retention_report(root, 3, mode=mode)
     assert rep2["clear"] is True and rep2["snapshots"] == []
     assert rep2["total_bytes"] == 0
+    assert rep2["physically_clear"] is False
+    assert BC.drop_snapshot(root, s_post, mode=mode)
+    assert BC.takedown_retention_report(root, 3, mode=mode)["physically_clear"] \
+        is True
 
 
 @pytest.mark.parametrize("mode", [BC.RENAME, BC.MANIFEST])
@@ -65,12 +73,19 @@ def test_report_survives_retirement_and_flags_old_pin(spark, tmp_path, mode):
     assert rep["retired"] is True
     assert [s["id"] for s in rep["snapshots"]] == [s_pre]
     # a pin created NOW (post-retirement) pins only live dirs, which
-    # retirement proved clean — it must NOT be flagged
+    # retirement proved clean — it must NOT be flagged, in EITHER tier,
+    # even after its pinned segments are later merged away from the
+    # live set (r12 review: the pin records the retirement watermark)
     s_now = BC.create_snapshot(root, mode=mode)
+    for b in range(5, 9):
+        _commit(spark, root, b, [(b * 10, "x")], mode)
+    assert BC.compact(spark, root, DDL, keep_last=1, mode=mode, order_by=["k"])
     rep2 = BC.takedown_retention_report(root, 3, mode=mode)
     assert [s["id"] for s in rep2["snapshots"]] == [s_pre]
+    assert [s["id"] for s in rep2["masked_pins"]] == []
     BC.drop_snapshot(root, s_pre, mode=mode)
-    assert BC.takedown_retention_report(root, 3, mode=mode)["clear"] is True
+    rep3 = BC.takedown_retention_report(root, 3, mode=mode)
+    assert rep3["clear"] is True and rep3["physically_clear"] is True
     BC.drop_snapshot(root, s_now, mode=mode)
 
 
