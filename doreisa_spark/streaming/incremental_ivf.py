@@ -85,7 +85,8 @@ class IVFVectorStore(SortedVectorLog):
                  batch_files: int = 1,
                  fenced: "bool | None" = None,
                  on_drift=None,
-                 drift_opts: "dict | None" = None):
+                 drift_opts: "dict | None" = None,
+                 drift_every: int = 1):
         """``centroids``: list of (cell, embedding) for a NEW store —
         typically the seed set (`similarity._seed_centroids(...).collect()`)
         or a trained quantizer (`sim_kmeans_refine`'s output). A
@@ -100,14 +101,22 @@ class IVFVectorStore(SortedVectorLog):
         ``on_drift(verdict)`` with ``detect_drift``'s dict (plus
         ``batch_id``) — drifted or not, so the deployment's monitoring
         log sees every check. ``drift_opts`` are ``detect_drift``
-        keyword overrides (max_cos_drop / max_occ_ratio / min_n). With
-        no callback or no recorded baseline the check is skipped at
-        zero cost."""
+        keyword overrides (max_cos_drop / max_occ_ratio / min_n).
+        ``drift_every`` runs the check only on every Nth compaction —
+        the cadence knob: the fit pass is one full members scan
+        (measured ~8 s on a 1M-row store, LIFECYCLE_r12.json), so a
+        deployment with a tight ``compact_every`` decouples the
+        monitor's cost from the fold cadence here. With no callback or
+        no recorded baseline the check is skipped at zero cost."""
         super().__init__(spark, root, compact_every=compact_every,
                          commit_mode=commit_mode, batch_files=batch_files,
                          fenced=fenced)
         self._on_drift = on_drift
         self._drift_opts = dict(drift_opts or {})
+        if drift_every < 1:
+            raise ValueError("drift_every must be >= 1")
+        self._drift_every = drift_every
+        self._drift_tick = 0
 
         def _norm(r):
             # accept (cell, embedding) pairs or Rows with cell/cemb fields
@@ -220,6 +229,9 @@ class IVFVectorStore(SortedVectorLog):
         baseline exist."""
         if self._on_drift is None:
             return
+        self._drift_tick += 1
+        if self._drift_tick % self._drift_every:
+            return  # not this compaction's turn (the cadence knob)
         base = self.fit_baseline
         if base is None:
             return

@@ -131,3 +131,25 @@ def test_drift_trips_mid_stream_without_polling(spark, tmp_path):
     # the verdict carries both fits for the monitoring log
     assert tripped[-1]["baseline"]["mean_cos"] == baseline["mean_cos"]
     assert tripped[-1]["current"]["mean_cos"] < baseline["mean_cos"] - 0.05
+
+
+def test_drift_every_thins_the_cadence(spark, tmp_path):
+    """drift_every=N runs the (full-members-scan) check only on every
+    Nth compaction — the cost knob for tight compaction cadences."""
+    root = str(tmp_path / "ivf")
+    scratch = IVFVectorStore(spark, str(tmp_path / "scratch"), centroids=CENTS)
+    scratch.process_batch(spark.createDataFrame(_aligned(spark, 0, 40), DDL), 0)
+    baseline = Q.fit_stats(scratch)
+
+    verdicts: list[dict] = []
+    store = IVFVectorStore(spark, root, centroids=CENTS, compact_every=2,
+                           on_drift=verdicts.append,
+                           drift_opts={"min_n": 5}, drift_every=2)
+    store.record_fit_baseline(baseline)
+    for b in range(8):  # compactions at batches 1,3,5,7 -> checks at 3,7
+        store.process_batch(
+            spark.createDataFrame(_aligned(spark, 3000 + b * 20, 20), DDL), b
+        )
+    assert [v["batch_id"] for v in verdicts] == [3, 7]
+    with pytest.raises(ValueError, match="drift_every"):
+        IVFVectorStore(spark, root, drift_every=0)
