@@ -82,6 +82,16 @@ class CurationStore:
         self.compact_every = compact_every
         self.commit_mode = commit_mode
 
+    @classmethod
+    def from_alias(cls, spark: SparkSession, alias_root: str, name: str, **kw):
+        """Open a READ handle on the store root the named alias points
+        at (streaming/alias.py; fenced=False by default — resolving an
+        alias must never displace the live writer)."""
+        from doreisa_spark.streaming.alias import resolve
+
+        kw.setdefault("fenced", False)
+        return cls(spark, resolve(alias_root, name), **kw)
+
     def seen(self, *, before: int | None = None) -> DataFrame:
         return BC.read_committed(
             self.spark, self._seen, _SEEN_DDL, before=before,

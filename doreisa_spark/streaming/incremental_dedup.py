@@ -154,6 +154,17 @@ class LSHSignatureStore:
                     f"got {(self.n_bands, self.band_rows)}"
                 )
 
+    @classmethod
+    def from_alias(cls, spark: SparkSession, alias_root: str, name: str, **kw):
+        """Open a READ handle on the store root the named alias points
+        at (streaming/alias.py; fenced=False by default — resolving an
+        alias must never displace the live writer). Re-call after a
+        re-band migration's flip to pick up the green root."""
+        from doreisa_spark.streaming.alias import resolve
+
+        kw.setdefault("fenced", False)
+        return cls(spark, resolve(alias_root, name), **kw)
+
     def _stored_bands(self) -> "tuple[int, int] | None":
         import json
 

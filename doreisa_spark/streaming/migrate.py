@@ -127,6 +127,7 @@ def migrate_lsh_signature_store(
     spark: SparkSession, old_root: str, new_root: str, *,
     n_bands: int, band_rows: int, pruned: bool = True,
     commit_mode: "str | None" = None, snapshot: "int | None" = None,
+    alias_root: "str | None" = None, alias: "str | None" = None,
 ):
     """Re-band a dedup signature store under a new (bands, rows): band
     signatures are re-derived from the retained shingle log with the
@@ -141,7 +142,14 @@ def migrate_lsh_signature_store(
     (the full-state pin; the cheap pairs-only default raises here), so
     a takedown landing between the pin and this migration does NOT
     change the migrated result — the same isolation the IVF retrain
-    gets from its snapshot (r11 verdict ask #4)."""
+    gets from its snapshot (r11 verdict ask #4).
+
+    ``alias_root``/``alias`` complete the hand-off like the vector
+    stores' migrations: the named alias CAS-flips from ``old_root`` to
+    ``new_root`` with ALL THREE of the blue store's sub-logs
+    (members/shingles/pairs) fenced inside the flip's critical section
+    (manifest mode), so the blue writer's next mutation on any of them
+    raises StaleWriterError."""
     from doreisa_spark.queries.dedup import _MAX_BUCKET, signatures_from_shingles
     from doreisa_spark.streaming.incremental_dedup import (
         LSHSignatureStore,
@@ -176,4 +184,15 @@ def migrate_lsh_signature_store(
         new.shingles_dir, 0, mode=mode,
     )
     BC.commit_batch(old.pairs(snapshot=snapshot), new.pairs_dir, 0, mode=mode)
+    if alias_root is not None or alias is not None:
+        if alias_root is None or alias is None:
+            raise ValueError("alias_root and alias must be given together")
+        from doreisa_spark.streaming.alias import flip_alias
+
+        fence = (
+            [old.members_dir, old.shingles_dir, old.pairs_dir]
+            if old.commit_mode == BC.MANIFEST else []
+        )
+        flip_alias(alias_root, alias, new.root,
+                   expect_root=old.root, fence=fence)
     return new

@@ -141,6 +141,35 @@ def test_flip_is_cas(spark, tmp_path):
         AL.flip_alias(aroot, "nope", g2)
 
 
+def test_dedup_reband_flip_fences_all_sublogs(spark, tmp_path):
+    """The dedup store's re-band migration completes its hand-off the
+    same way: alias flips to the green root, and the blue writer is
+    fenced on EVERY sub-log (members/shingles/pairs)."""
+    from pyspark.sql import functions as F
+
+    from doreisa_spark.streaming.incremental_dedup import PrunedLSHSignatureStore
+    from doreisa_spark.streaming.migrate import migrate_lsh_signature_store
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    blue = PrunedLSHSignatureStore(spark, str(tmp_path / "blue"),
+                                   commit_mode=BC.MANIFEST)
+    blue.process_batch(docs.where(F.col("doc_id") < 150), 0)
+    aroot = str(tmp_path / "aliases")
+    AL.bind_alias(aroot, "dedup", blue.root)
+    new = migrate_lsh_signature_store(
+        spark, blue.root, str(tmp_path / "green"), n_bands=4, band_rows=3,
+        alias_root=aroot, alias="dedup",
+    )
+    assert AL.resolve(aroot, "dedup") == new.root
+    reader = PrunedLSHSignatureStore.from_alias(spark, aroot, "dedup")
+    assert reader.root == new.root and reader.n_bands == 4
+    # the blue writer is a zombie on every sub-log
+    with pytest.raises(BC.StaleWriterError):
+        blue.process_batch(docs.where(F.col("doc_id") >= 150), 1)
+    with pytest.raises(BC.StaleWriterError):
+        blue.delete_docs([1])
+
+
 def test_bind_alias_refuses_silent_repoint(tmp_path):
     aroot = str(tmp_path / "aliases")
     AL.bind_alias(aroot, "prod", "/a")
