@@ -120,6 +120,13 @@ class CurationStore:
                                 mode=self.commit_mode,
                                 epoch=self._epochs[self._kept])
 
+    def expire_snapshots(self, *, keep_last: int) -> list[int]:
+        """Retention: drop every snapshot except the newest
+        ``keep_last`` and return the dropped ids."""
+        return BC.expire_snapshots(self._kept, keep_last=keep_last,
+                                   mode=self.commit_mode,
+                                   epoch=self._epochs[self._kept])
+
     def process_batch(self, docs: DataFrame, batch_id: int | None = None) -> None:
         """Exactly-once: both logs rename-commit under the batch id
         (batch_commit.py); the seen-store read excludes this batch's own

@@ -321,6 +321,18 @@ class LSHSignatureStore:
                              epoch=self._epochs[self.shingles_dir])
         return dropped
 
+    def expire_snapshots(self, *, keep_last: int) -> list[int]:
+        """Retention for COMPOSITE handles: drop every snapshot except
+        the newest ``keep_last``, routing through ``drop_snapshot`` so
+        ``pin_members=True`` handles release their linked
+        members/shingles pins too — running the root-level
+        ``batch_commit.expire_snapshots`` on the pairs log directly
+        would strand those links (the r12 review's pin-leak class)."""
+        if keep_last < 0:
+            raise ValueError("keep_last must be >= 0")
+        doomed = sorted(BC.list_snapshots(self.pairs_dir))[:-keep_last or None]
+        return [s for s in doomed if self.drop_snapshot(s)]
+
     def delete_docs(self, doc_ids, batch_id: int | None = None) -> None:
         """Takedown (r8 verdict ask #4): tombstone the documents out of
         every log — members and shingles by ``doc_id``, pairs by EITHER

@@ -143,6 +143,13 @@ class SortedVectorLog:
         return BC.drop_snapshot(self._members, snapshot_id,
                                 mode=self.commit_mode, epoch=self._epoch)
 
+    def expire_snapshots(self, *, keep_last: int) -> list[int]:
+        """Retention: drop every snapshot except the newest
+        ``keep_last`` (batch_commit.expire_snapshots on the members
+        log) and return the dropped ids."""
+        return BC.expire_snapshots(self._members, keep_last=keep_last,
+                                   mode=self.commit_mode, epoch=self._epoch)
+
     def delete_vectors(self, vec_ids, batch_id: int | None = None) -> None:
         """Takedown (r8 verdict ask #4): tombstone vectors out of the
         index. Probes filter them immediately (scoped read-time

@@ -120,6 +120,24 @@ def test_pin_members_failure_releases_sublog_pins(spark, tmp_path, monkeypatch):
     assert BC.list_snapshots(old.pairs_dir) == {}
 
 
+def test_expire_releases_linked_sublog_pins(spark, tmp_path):
+    """Store-level expire_snapshots must release the members/shingles
+    pins linked into expired pin_members handles — the root-level
+    expire on the pairs log alone would strand them."""
+    old = _store(spark, tmp_path)
+    s1 = old.snapshot(pin_members=True)
+    s2 = old.snapshot(pin_members=True)
+    s3 = old.snapshot()  # pairs-only
+    assert len(BC.list_snapshots(old.members_dir)) == 2
+    dropped = old.expire_snapshots(keep_last=1)
+    assert dropped == [s1, s2]
+    # the kept handle is the newest (pairs-only) pin; every linked
+    # sub-log pin of the expired composite handles is released
+    assert sorted(BC.list_snapshots(old.pairs_dir)) == [s3]
+    assert BC.list_snapshots(old.members_dir) == {}
+    assert BC.list_snapshots(old.shingles_dir) == {}
+
+
 def test_pinned_members_survive_compaction_and_deletes(spark, tmp_path):
     """The pinned members/shingles state is immutable under later
     ingest + takedown + compaction, like every commit-layer pin."""
