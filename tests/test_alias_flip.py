@@ -141,6 +141,45 @@ def test_flip_is_cas(spark, tmp_path):
         AL.flip_alias(aroot, "nope", g2)
 
 
+def test_concurrent_readers_never_see_torn_alias(tmp_path):
+    """A tight resolve loop racing many flips observes a MONOTONE
+    sequence of roots — each flip's atomic replace means a reader sees
+    the previous root or the next, never an error or a third value."""
+    import threading
+
+    aroot = str(tmp_path / "aliases")
+    roots = [f"/store/gen{i}" for i in range(40)]
+    AL.bind_alias(aroot, "prod", roots[0])
+    seen: list[str] = []
+    stop = threading.Event()
+    errs: list[Exception] = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                seen.append(AL.resolve(aroot, "prod"))
+            except Exception as e:  # noqa: BLE001 — any error is a failure
+                errs.append(e)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for prev, nxt in zip(roots, roots[1:]):
+            assert AL.flip_alias(aroot, "prod", nxt, expect_root=prev) >= 1
+    finally:
+        stop.set()
+        t.join()
+    assert not errs, f"reader errored mid-flip: {errs[:1]}"
+    assert seen, "reader never resolved"
+    # monotone: the sequence of distinct roots seen is a subsequence of
+    # the flip order — no tearing, no rollback, no third value
+    order = {r: i for i, r in enumerate(roots)}
+    idxs = [order[r] for r in seen]
+    assert all(a <= b for a, b in zip(idxs, idxs[1:])), "non-monotone reads"
+    assert set(seen) <= set(roots)
+
+
 def test_dedup_reband_flip_fences_all_sublogs(spark, tmp_path):
     """The dedup store's re-band migration completes its hand-off the
     same way: alias flips to the green root, and the blue writer is
