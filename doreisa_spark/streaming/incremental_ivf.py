@@ -86,7 +86,8 @@ class IVFVectorStore(SortedVectorLog):
                  fenced: "bool | None" = None,
                  on_drift=None,
                  drift_opts: "dict | None" = None,
-                 drift_every: int = 1):
+                 drift_every: int = 1,
+                 drift_sample_mod: "int | None" = None):
         """``centroids``: list of (cell, embedding) for a NEW store —
         typically the seed set (`similarity._seed_centroids(...).collect()`)
         or a trained quantizer (`sim_kmeans_refine`'s output). A
@@ -106,8 +107,13 @@ class IVFVectorStore(SortedVectorLog):
         the cadence knob: the fit pass is one full members scan
         (measured ~8 s on a 1M-row store, LIFECYCLE_r12.json), so a
         deployment with a tight ``compact_every`` decouples the
-        monitor's cost from the fold cadence here. With no callback or
-        no recorded baseline the check is skipped at zero cost."""
+        monitor's cost from the fold cadence here.
+        ``drift_sample_mod=N`` additionally fits only a deterministic
+        1-in-N hash sample per check (quantizer.assignment_fit) — the
+        ratio statistics drift compares are unbiased, at 1/N the
+        cosine-fold work; size ``min_n`` in ``drift_opts`` to the
+        SAMPLE size. With no callback or no recorded baseline the
+        check is skipped at zero cost."""
         super().__init__(spark, root, compact_every=compact_every,
                          commit_mode=commit_mode, batch_files=batch_files,
                          fenced=fenced)
@@ -117,6 +123,7 @@ class IVFVectorStore(SortedVectorLog):
             raise ValueError("drift_every must be >= 1")
         self._drift_every = drift_every
         self._drift_tick = 0
+        self._drift_sample_mod = drift_sample_mod
 
         def _norm(r):
             # accept (cell, embedding) pairs or Rows with cell/cemb fields
@@ -237,7 +244,10 @@ class IVFVectorStore(SortedVectorLog):
             return
         from doreisa_spark.streaming.quantizer import detect_drift, fit_stats
 
-        verdict = detect_drift(base, fit_stats(self), **self._drift_opts)
+        verdict = detect_drift(
+            base, fit_stats(self, sample_mod=self._drift_sample_mod),
+            **self._drift_opts,
+        )
         verdict["batch_id"] = batch_id
         self._on_drift(verdict)
 

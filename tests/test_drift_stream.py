@@ -133,6 +133,26 @@ def test_drift_trips_mid_stream_without_polling(spark, tmp_path):
     assert tripped[-1]["current"]["mean_cos"] < baseline["mean_cos"] - 0.05
 
 
+def test_sampled_fit_estimates_full_fit(spark, tmp_path):
+    """A 1-in-N hash-sampled fit is a deterministic, unbiased estimate
+    of the full fit's ratio statistics — the big-store monitoring
+    knob (drift_sample_mod)."""
+    store = IVFVectorStore(spark, str(tmp_path / "ivf"), centroids=CENTS)
+    rows = _aligned(spark, 0, 4000) + _drifted(spark, 10_000, 2000)
+    store.process_batch(spark.createDataFrame(rows, DDL), 0)
+    full = Q.fit_stats(store)
+    samp = Q.fit_stats(store, sample_mod=8)
+    # deterministic: same sample every run
+    assert samp == Q.fit_stats(store, sample_mod=8)
+    # ~1/8 of the members, binomial tolerance
+    assert 0.6 * full["n"] / 8 < samp["n"] < 1.4 * full["n"] / 8
+    # the ratios drift detection compares track the full fit
+    assert abs(samp["mean_cos"] - full["mean_cos"]) < 0.02
+    assert abs(samp["max_cell_share"] - full["max_cell_share"]) < 0.08
+    # sample_mod=1 / None are the exact full fit
+    assert Q.fit_stats(store, sample_mod=1) == full
+
+
 def test_drift_every_thins_the_cadence(spark, tmp_path):
     """drift_every=N runs the (full-members-scan) check only on every
     Nth compaction — the cost knob for tight compaction cadences."""
