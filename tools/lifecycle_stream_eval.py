@@ -18,7 +18,10 @@ centers offset-shifted before normalization):
    whole step and the flip alone, and verifying readers resolve blue
    before and green after while the blue writer is fenced.
 
-Usage:  python tools/lifecycle_stream_eval.py [out.json] [n_blue] [n_drift]
+Usage:  python tools/lifecycle_stream_eval.py [out.json] [n_blue] [n_drift] [sample_mod]
+
+``sample_mod`` (optional) arms the monitor with the 1-in-N hash-sampled
+fit (drift_sample_mod) — the big-store configuration.
 """
 
 from __future__ import annotations
@@ -76,13 +79,14 @@ def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "LIFECYCLE_r12.json"
     n_blue = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
     n_drift = int(sys.argv[3]) if len(sys.argv) > 3 else 500_000
-    per_file = 31_250
+    sample_mod = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    per_file = n_drift // 16
     spark = get_spark("lifecycle_stream")
     base = "/dev/shm" if Path("/dev/shm").is_dir() else None
     scratch = tempfile.mkdtemp(prefix="lifecycle_", dir=base)
     report: dict = {"n_blue": n_blue, "n_drift": n_drift, "dim": DIM,
                     "clusters": CLUSTERS, "compact_every": COMPACT_EVERY,
-                    "per_file": per_file}
+                    "per_file": per_file, "drift_sample_mod": sample_mod}
     try:
         seed_dir = f"{scratch}/seed"
         os.makedirs(seed_dir)
@@ -116,7 +120,8 @@ def main() -> None:
                                compact_every=COMPACT_EVERY,
                                batch_files=4, commit_mode=BC.MANIFEST,
                                on_drift=on_drift,
-                               drift_opts={"min_n": 10_000})
+                               drift_opts={"min_n": 10_000 // (sample_mod or 1)},
+                               drift_sample_mod=sample_mod)
         store.process_batch(ea, 0, assign="blas")
         store.record_fit_baseline(Q.fit_stats(store))
         AL.bind_alias(aroot, "prod", blue_root)
