@@ -106,6 +106,19 @@ def read_pipeline_snapshot(pipeline_root: str, cut_id: int) -> dict[str, int]:
     return {k: int(v) for k, v in rec["pins"].items()}
 
 
+def expire_pipeline_snapshots(
+    pipeline_root: str, stores: dict, *, keep_last: int
+) -> list[int]:
+    """Retention for cuts: drop every cut except the newest
+    ``keep_last`` (each drop releases ALL member pins — the lever that
+    lets takedowns reach a pinned training set's bytes) and return the
+    dropped cut ids."""
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    doomed = sorted(list_pipeline_snapshots(pipeline_root))[:-keep_last or None]
+    return [c for c in doomed if drop_pipeline_snapshot(pipeline_root, c, stores)]
+
+
 def drop_pipeline_snapshot(
     pipeline_root: str, cut_id: int, stores: dict
 ) -> bool:

@@ -111,6 +111,19 @@ def test_partial_pin_failure_leaks_nothing(spark, tmp_path, monkeypatch):
     assert BC.list_snapshots(ded.pairs_dir) == {}
 
 
+def test_expire_pipeline_cuts(spark, tmp_path):
+    _, cur, ded, ann = _stores(spark, tmp_path)
+    proot = str(tmp_path / "pipeline")
+    stores = {"curation": cur, "ann": ann}
+    cuts = [PS.pipeline_snapshot(proot, stores) for _ in range(3)]
+    dropped = PS.expire_pipeline_snapshots(proot, stores, keep_last=1)
+    assert dropped == cuts[:2]
+    assert sorted(PS.list_pipeline_snapshots(proot)) == [cuts[2]]
+    # only the kept cut's member pins remain
+    assert len(BC.list_snapshots(cur._kept)) == 1
+    assert len(BC.list_snapshots(ann._members)) == 1
+
+
 def test_drop_requires_every_member(spark, tmp_path):
     _, cur, ded, ann = _stores(spark, tmp_path)
     proot = str(tmp_path / "pipeline")
