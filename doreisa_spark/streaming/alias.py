@@ -91,6 +91,17 @@ def resolve(alias_root: str, name: str) -> str:
     return ent["root"]
 
 
+def open_by_alias(cls, spark, alias_root: str, name: str, **kw):
+    """Construct ``cls`` (a store class) on whatever root the alias
+    currently points at — the one implementation behind every store's
+    ``from_alias`` classmethod. ``fenced=False`` by default: resolving
+    an alias is a READER operation and must never displace the live
+    writer; resolution happens once, here — re-open after a flip to
+    pick up the green root."""
+    kw.setdefault("fenced", False)
+    return cls(spark, resolve(alias_root, name), **kw)
+
+
 def bind_alias(alias_root: str, name: str, store_root: str) -> int:
     """Create ``name -> store_root`` (epoch 0). Rebinding to the SAME
     root is a no-op; rebinding an existing alias to a different root

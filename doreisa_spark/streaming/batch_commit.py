@@ -1031,6 +1031,17 @@ def drop_snapshot(root: str, snapshot_id: int, *, mode: "str | None" = None,
     return dropped
 
 
+def doomed_ids(ids, keep_last: int) -> list:
+    """The retention slice shared by every expire path: everything
+    except the newest ``keep_last`` ids, in drop order. One home for
+    the subtle ``keep_last=0 means drop all`` semantics (the
+    ``[:-keep_last or None]`` idiom), so the store-level and
+    pipeline-cut expires cannot drift apart."""
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    return sorted(ids)[:-keep_last or None]
+
+
 def expire_snapshots(
     root: str, *, keep_last: int, mode: "str | None" = None,
     epoch: "int | None" = None,
@@ -1039,9 +1050,7 @@ def expire_snapshots(
     and return the dropped ids. This is the lever that bounds pinned
     storage and lets takedowns reach their last bytes — a deployment
     runs it on the same cadence it runs compaction."""
-    if keep_last < 0:
-        raise ValueError("keep_last must be >= 0")
-    doomed = sorted(list_snapshots(root))[:-keep_last or None]
+    doomed = doomed_ids(list_snapshots(root), keep_last)
     return [s for s in doomed if drop_snapshot(root, s, mode=mode, epoch=epoch)]
 
 

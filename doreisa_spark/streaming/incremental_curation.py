@@ -85,12 +85,10 @@ class CurationStore:
     @classmethod
     def from_alias(cls, spark: SparkSession, alias_root: str, name: str, **kw):
         """Open a READ handle on the store root the named alias points
-        at (streaming/alias.py; fenced=False by default — resolving an
-        alias must never displace the live writer)."""
-        from doreisa_spark.streaming.alias import resolve
+        at — see alias.open_by_alias (unfenced by default)."""
+        from doreisa_spark.streaming.alias import open_by_alias
 
-        kw.setdefault("fenced", False)
-        return cls(spark, resolve(alias_root, name), **kw)
+        return open_by_alias(cls, spark, alias_root, name, **kw)
 
     def seen(self, *, before: int | None = None) -> DataFrame:
         return BC.read_committed(

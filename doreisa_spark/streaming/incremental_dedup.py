@@ -157,13 +157,11 @@ class LSHSignatureStore:
     @classmethod
     def from_alias(cls, spark: SparkSession, alias_root: str, name: str, **kw):
         """Open a READ handle on the store root the named alias points
-        at (streaming/alias.py; fenced=False by default — resolving an
-        alias must never displace the live writer). Re-call after a
-        re-band migration's flip to pick up the green root."""
-        from doreisa_spark.streaming.alias import resolve
+        at — see alias.open_by_alias (unfenced by default; re-call
+        after a re-band migration's flip to pick up the green root)."""
+        from doreisa_spark.streaming.alias import open_by_alias
 
-        kw.setdefault("fenced", False)
-        return cls(spark, resolve(alias_root, name), **kw)
+        return open_by_alias(cls, spark, alias_root, name, **kw)
 
     def _stored_bands(self) -> "tuple[int, int] | None":
         import json
@@ -328,9 +326,7 @@ class LSHSignatureStore:
         members/shingles pins too — running the root-level
         ``batch_commit.expire_snapshots`` on the pairs log directly
         would strand those links (the r12 review's pin-leak class)."""
-        if keep_last < 0:
-            raise ValueError("keep_last must be >= 0")
-        doomed = sorted(BC.list_snapshots(self.pairs_dir))[:-keep_last or None]
+        doomed = BC.doomed_ids(BC.list_snapshots(self.pairs_dir), keep_last)
         return [s for s in doomed if self.drop_snapshot(s)]
 
     def delete_docs(self, doc_ids, batch_id: int | None = None) -> None:

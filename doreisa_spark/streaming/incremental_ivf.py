@@ -114,13 +114,17 @@ class IVFVectorStore(SortedVectorLog):
         cosine-fold work; size ``min_n`` in ``drift_opts`` to the
         SAMPLE size. With no callback or no recorded baseline the
         check is skipped at zero cost."""
+        # validate BEFORE super().__init__: the base constructor
+        # acquires the writer epoch in manifest mode, so raising after
+        # it would fence out the live writer while this handle dies
+        # (r12 review finding)
+        if drift_every < 1:
+            raise ValueError("drift_every must be >= 1")
         super().__init__(spark, root, compact_every=compact_every,
                          commit_mode=commit_mode, batch_files=batch_files,
                          fenced=fenced)
         self._on_drift = on_drift
         self._drift_opts = dict(drift_opts or {})
-        if drift_every < 1:
-            raise ValueError("drift_every must be >= 1")
         self._drift_every = drift_every
         self._drift_tick = 0
         self._drift_sample_mod = drift_sample_mod

@@ -56,6 +56,7 @@ def migrate_lsh_vector_store(
     fenced across the flip (see migrate_ivf_store)."""
     from doreisa_spark.streaming.incremental_ann import LSHVectorStore
 
+    _check_alias_args(alias_root, alias)  # fail before any re-index work
     # fenced=False: this is a READ handle — acquiring the writer epoch
     # here would fence out the LIVE writer still serving the old root,
     # breaking the blue/green contract ("the old store is never
@@ -94,6 +95,7 @@ def migrate_ivf_store(
     blue (the green root is unreferenced — retry or delete it)."""
     from doreisa_spark.streaming.incremental_ivf import IVFVectorStore
 
+    _check_alias_args(alias_root, alias)  # fail before any re-index work
     # fenced=False: read handle — must not displace the live writer
     old = IVFVectorStore(spark, old_root, fenced=False)
     mode = commit_mode or old.commit_mode
@@ -107,18 +109,33 @@ def migrate_ivf_store(
     return new
 
 
-def _maybe_flip(alias_root, alias, old, new) -> "int | None":
-    """CAS-flip ``alias`` from the old store's root to the new one,
-    fencing the old MEMBERS log iff it is fenceable (manifest mode) —
-    shared by the vector-store migrations."""
+def _check_alias_args(alias_root, alias) -> bool:
+    """Validate the alias pairing AT FUNCTION ENTRY — a migration is a
+    corpus-scale job, and discovering a half-given alias only at
+    flip time would waste the whole re-index and strand an unaliased
+    green root (r12 review finding). Returns whether a flip is on."""
     if alias_root is None and alias is None:
-        return None
+        return False
     if alias_root is None or alias is None:
         raise ValueError("alias_root and alias must be given together")
+    return True
+
+
+def _maybe_flip(alias_root, alias, old, new, *, fence_dirs=None) -> "int | None":
+    """CAS-flip ``alias`` from the old store's root to the new one,
+    fencing the old store's log roots iff fenceable (manifest mode) —
+    shared by every store migration. ``fence_dirs`` overrides the
+    default single members log (the dedup store fences all three of
+    its sub-logs)."""
+    if not _check_alias_args(alias_root, alias):
+        return None
     from doreisa_spark.streaming import batch_commit as BC
     from doreisa_spark.streaming.alias import flip_alias
 
-    fence = [old._members] if old.commit_mode == BC.MANIFEST else []
+    fence = (
+        (fence_dirs if fence_dirs is not None else [old._members])
+        if old.commit_mode == BC.MANIFEST else []
+    )
     return flip_alias(alias_root, alias, new.root,
                       expect_root=old.root, fence=fence)
 
@@ -156,6 +173,7 @@ def migrate_lsh_signature_store(
         PrunedLSHSignatureStore,
     )
 
+    _check_alias_args(alias_root, alias)  # fail before any re-index work
     # fenced=False: read handle — must not displace the live writer
     old = LSHSignatureStore(spark, old_root, fenced=False)
     mode = commit_mode or old.commit_mode
@@ -184,15 +202,6 @@ def migrate_lsh_signature_store(
         new.shingles_dir, 0, mode=mode,
     )
     BC.commit_batch(old.pairs(snapshot=snapshot), new.pairs_dir, 0, mode=mode)
-    if alias_root is not None or alias is not None:
-        if alias_root is None or alias is None:
-            raise ValueError("alias_root and alias must be given together")
-        from doreisa_spark.streaming.alias import flip_alias
-
-        fence = (
-            [old.members_dir, old.shingles_dir, old.pairs_dir]
-            if old.commit_mode == BC.MANIFEST else []
-        )
-        flip_alias(alias_root, alias, new.root,
-                   expect_root=old.root, fence=fence)
+    _maybe_flip(alias_root, alias, old, new,
+                fence_dirs=[old.members_dir, old.shingles_dir, old.pairs_dir])
     return new

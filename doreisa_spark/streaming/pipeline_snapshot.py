@@ -113,9 +113,7 @@ def expire_pipeline_snapshots(
     ``keep_last`` (each drop releases ALL member pins — the lever that
     lets takedowns reach a pinned training set's bytes) and return the
     dropped cut ids."""
-    if keep_last < 0:
-        raise ValueError("keep_last must be >= 0")
-    doomed = sorted(list_pipeline_snapshots(pipeline_root))[:-keep_last or None]
+    doomed = BC.doomed_ids(list_pipeline_snapshots(pipeline_root), keep_last)
     return [c for c in doomed if drop_pipeline_snapshot(pipeline_root, c, stores)]
 
 

@@ -63,12 +63,15 @@ def assignment_fit(store, *, snapshot: "int | None" = None,
 
     ``sample_mod=N`` fits a DETERMINISTIC 1-in-N hash sample of the
     members (``xxhash64(vec_id) % N == 0`` — reruns agree, no RNG
-    state): mean/occupancy-share ratios are unbiased estimators of the
-    full-fit values, which is all ``detect_drift``'s rules compare, at
-    1/N of the cosine-fold work. This is the monitoring-cadence knob
-    for big stores — the full fold is the linear term (measured ~8 s
-    per check on a 1M-row store, LIFECYCLE_r12.json); min/max_cos
-    remain exact only over the sample."""
+    state): the mean assignment cosine is an unbiased estimator of the
+    full-fit mean at 1/N of the cosine-fold work, and per-cell counts
+    estimate occupancy shares (the top-cell share is a MAX statistic —
+    biased upward when the expected sampled count per cell is small,
+    which is why ``detect_drift``'s occupancy rule has a ``min_top_n``
+    count floor). This is the monitoring-cadence knob for big stores —
+    the full fold is the linear term (measured ~8 s per check on a
+    1M-row store, LIFECYCLE_r12.json); min/max_cos remain exact only
+    over the sample."""
     cent = store._centroid_frame()
     m = store.members(snapshot=snapshot).select("cell", "vec_id", "embedding")
     if sample_mod is not None and sample_mod > 1:
@@ -96,7 +99,9 @@ def fit_stats(store, *, snapshot: "int | None" = None,
     the balanced 1/cells), and how many cells are empty. With
     ``sample_mod`` the summary describes a deterministic 1-in-N hash
     sample (``n`` is the SAMPLE size — size ``min_n`` accordingly);
-    the ratio statistics drift detection compares are unbiased."""
+    the mean is unbiased and ``max_cell_n`` carries the top cell's
+    observed count so drift's occupancy rule can floor out
+    max-statistic noise (see detect_drift's ``min_top_n``)."""
     rows = assignment_fit(store, snapshot=snapshot,
                           sample_mod=sample_mod).collect()
     cells_total = len(store.centroids)
@@ -105,20 +110,22 @@ def fit_stats(store, *, snapshot: "int | None" = None,
         return {"n": 0, "cells_total": cells_total, "cells_used": 0,
                 "mean_cos": None, "min_cos": None, "max_cell_share": 0.0,
                 "empty_cell_frac": 1.0}
+    top_n = max(r["n_members"] for r in rows)
     return {
         "n": int(n),
         "cells_total": cells_total,
         "cells_used": len(rows),
         "mean_cos": float(sum(r["sum_cos"] for r in rows) / n),
         "min_cos": float(min(r["min_cos"] for r in rows)),
-        "max_cell_share": float(max(r["n_members"] for r in rows) / n),
+        "max_cell_share": float(top_n / n),
+        "max_cell_n": int(top_n),
         "empty_cell_frac": float(1.0 - len(rows) / cells_total),
     }
 
 
 def detect_drift(
     baseline: dict, current: dict, *, max_cos_drop: float = 0.05,
-    max_occ_ratio: float = 4.0, min_n: int = 1000,
+    max_occ_ratio: float = 4.0, min_n: int = 1000, min_top_n: int = 25,
 ) -> dict:
     """Decide whether the quantizer no longer fits the corpus it now
     indexes. ``baseline`` is ``fit_stats`` recorded when the quantizer
@@ -132,7 +139,14 @@ def detect_drift(
       cell scans occupancy × corpus, the nprobe/cells cost model breaks).
 
     Below ``min_n`` members the verdict is withheld (a handful of rows
-    says nothing). Returns ``{"drifted", "reasons", "baseline",
+    says nothing). The occupancy rule additionally requires the top
+    cell to hold at least ``min_top_n`` observed members: a SAMPLED
+    fit over a big quantizer (``sample_mod`` at 65k cells) has a tiny
+    expected count per cell, and the maximum of many near-Poisson
+    counts is biased far above the balanced share by chance alone —
+    the count floor suppresses exactly that noise while true skew
+    (a top cell holding a corpus fraction) clears it by orders of
+    magnitude. Returns ``{"drifted", "reasons", "baseline",
     "current"}`` — reasons name the tripped rule with both numbers, so
     the monitoring log is self-explanatory."""
     reasons: list[str] = []
@@ -147,7 +161,12 @@ def detect_drift(
                 f"({baseline['mean_cos']:.4f} -> {current['mean_cos']:.4f})"
             )
     balanced = 1.0 / max(current["cells_total"], 1)
-    if current["max_cell_share"] > max_occ_ratio * balanced:
+    # max_cell_n absent = a pre-r12 recorded fit: no count floor to
+    # apply, keep the old behavior for it
+    top_n = current.get("max_cell_n")
+    if current["max_cell_share"] > max_occ_ratio * balanced and (
+        top_n is None or top_n >= min_top_n
+    ):
         reasons.append(
             f"top cell holds {current['max_cell_share']:.3f} of the store "
             f"(> {max_occ_ratio:.1f}x the balanced {balanced:.3f})"
@@ -305,8 +324,13 @@ def retrain_ivf_store(
     the green store could end up indexing a different corpus than the
     quantizer was trained on."""
     from doreisa_spark.streaming.incremental_ivf import IVFVectorStore
-    from doreisa_spark.streaming.migrate import _maybe_flip, migrate_ivf_store
+    from doreisa_spark.streaming.migrate import (
+        _check_alias_args,
+        _maybe_flip,
+        migrate_ivf_store,
+    )
 
+    _check_alias_args(alias_root, alias)  # fail before fit/train/migrate
     old = IVFVectorStore(spark, old_root, fenced=False)
     sid = old.snapshot()
     try:

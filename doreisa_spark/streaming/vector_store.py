@@ -104,16 +104,11 @@ class SortedVectorLog:
     @classmethod
     def from_alias(cls, spark: SparkSession, alias_root: str, name: str, **kw):
         """Open a READ handle on whatever store root the named alias
-        currently points at (streaming/alias.py). ``fenced=False`` by
-        default — resolving an alias must never displace the live
-        writer. Resolution happens once, here: a long-lived reader
-        re-calls this after a blue/green flip to pick up the green
-        root (the flip's atomic replace means it sees blue or green,
-        never a torn state)."""
-        from doreisa_spark.streaming.alias import resolve
+        currently points at — see alias.open_by_alias (unfenced by
+        default; re-call after a flip to pick up the green root)."""
+        from doreisa_spark.streaming.alias import open_by_alias
 
-        kw.setdefault("fenced", False)
-        return cls(spark, resolve(alias_root, name), **kw)
+        return open_by_alias(cls, spark, alias_root, name, **kw)
 
     @property
     def _members_ddl(self) -> str:

@@ -153,6 +153,43 @@ def test_sampled_fit_estimates_full_fit(spark, tmp_path):
     assert Q.fit_stats(store, sample_mod=1) == full
 
 
+def test_occupancy_rule_has_sampling_count_floor():
+    """On a big quantizer, a sampled fit's top-cell share is a MAX
+    statistic — ~Poisson noise alone puts it far above the balanced
+    share. The occupancy rule must not fire on counts below
+    min_top_n; true skew clears the floor by orders of magnitude."""
+    base = {"mean_cos": 0.9}
+    # balanced 65k-cell store, 1-in-N sample of 10k members: the top
+    # sampled cell holds ~5 members by chance (share 5e-4 >> balanced
+    # 1.5e-5 * 4) — pre-floor code declared this healthy store drifted
+    noise = {"n": 10_000, "cells_total": 65_536, "cells_used": 9_000,
+             "mean_cos": 0.9, "min_cos": 0.5,
+             "max_cell_share": 5 / 10_000, "max_cell_n": 5,
+             "empty_cell_frac": 0.86}
+    assert Q.detect_drift(base, noise)["drifted"] is False
+    # genuine skew: a top cell holding 25% of the corpus samples
+    # thousands of members — fires
+    skew = {**noise, "max_cell_share": 0.25, "max_cell_n": 2_500}
+    v = Q.detect_drift(base, skew)
+    assert v["drifted"] and "top cell" in v["reasons"][0]
+    # a pre-r12 recorded fit (no max_cell_n) keeps the old behavior
+    legacy = {k: x for k, x in noise.items() if k != "max_cell_n"}
+    assert Q.detect_drift(base, legacy)["drifted"] is True
+
+
+def test_migrations_validate_alias_args_at_entry(spark, tmp_path):
+    """A half-given alias pair must fail BEFORE any re-index work —
+    not after the corpus-scale migration has already run."""
+    from doreisa_spark.streaming.migrate import migrate_ivf_store
+
+    with pytest.raises(ValueError, match="together"):
+        migrate_ivf_store(spark, str(tmp_path / "none"), str(tmp_path / "g"),
+                          centroids=CENTS, alias_root=str(tmp_path / "a"))
+    with pytest.raises(ValueError, match="together"):
+        Q.retrain_ivf_store(spark, str(tmp_path / "none"),
+                            str(tmp_path / "g"), alias="prod")
+
+
 def test_drift_every_thins_the_cadence(spark, tmp_path):
     """drift_every=N runs the (full-members-scan) check only on every
     Nth compaction — the cost knob for tight compaction cadences."""
