@@ -173,6 +173,11 @@ _TOMB_KEY = "_key.json"
 _TOMB_INDEX = "_tomb_index.json"
 # delete batches before the sub-log's own tiered compaction kicks in
 _TOMB_COMPACT_EVERY = 16
+# per-directory column statistics sidecar (directory-level data
+# skipping — the Iceberg manifest-stats pattern on the plain-parquet
+# commit layer): written inside the batch/segment dir BEFORE its commit
+# point, so it travels with the rename / manifest publish and with GC
+_STATS = "_stats.json"
 
 RENAME = "rename"
 MANIFEST = "manifest"
@@ -442,6 +447,136 @@ def _committed_dirs(
     root: str, *, before: int | None = None, mode: "str | None" = None
 ) -> list[str]:
     return [p for _, p, _ in _committed_entries(root, before=before, mode=mode)]
+
+
+# ------------------------------------------------- directory-level stats
+
+
+def _stats_write(dest: str, cols) -> None:
+    """Record min/max of ``cols`` for the parquet directory ``dest`` in
+    a ``_stats.json`` sidecar (underscore name — invisible to Spark's
+    file listing), read STRAIGHT FROM THE FOOTERS just written, so no
+    extra pass over the data. Written before the dir's commit point
+    (rename / manifest publish), so the stats are committed atomically
+    with the data and reclaimed with it by GC; a crash in between
+    leaves no sidecar and the dir simply reads unpruned.
+
+    Stats are kept at BOTH granularities (the Iceberg manifest-stats
+    pattern): the directory aggregate skips a whole segment without
+    listing it, and the per-file ranges narrow a surviving dir to just
+    the files whose range can match — decisive for range-partitioned
+    multi-file segments/bulk batches, where each FILE covers a
+    contiguous probe-key slice but the dir spans them all. Row-group
+    min/max then prunes within the files that survive. A column is
+    dropped from the sidecar if any populated row group anywhere lacks
+    sound min/max for it (conservative: never pruned on that column)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow ships with pyspark
+        return
+    want = set(cols or [])
+    if not want:
+        return
+    rows = 0
+    files: dict = {}
+    dropped: set = set()  # cols lacking sound min/max somewhere: never pruned
+    for name in sorted(os.listdir(dest)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(dest, name)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo: dict = {}
+        hi: dict = {}
+        frows = 0
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            if rg.num_rows == 0:
+                continue
+            frows += rg.num_rows
+            for c in want:
+                if c in dropped:
+                    continue
+                st = rg.column(names[c]).statistics if c in names else None
+                if st is None or not st.has_min_max or \
+                        isinstance(st.min, bytes) or isinstance(st.max, bytes):
+                    dropped.add(c)
+                    continue
+                lo[c] = st.min if c not in lo else min(lo[c], st.min)
+                hi[c] = st.max if c not in hi else max(hi[c], st.max)
+        rows += frows
+        files[name] = {"rows": frows,
+                       "cols": {c: [lo[c], hi[c]] for c in lo}}
+    agg: dict = {}
+    for c in want - dropped:
+        ranges = [f["cols"][c] for f in files.values()
+                  if f["rows"] and c in f["cols"]]
+        if ranges:
+            agg[c] = [min(r[0] for r in ranges), max(r[1] for r in ranges)]
+    for f in files.values():  # a dir-wide dropped col prunes nowhere
+        f["cols"] = {c: r for c, r in f["cols"].items() if c in agg}
+    _json_replace(
+        os.path.join(dest, _STATS),
+        {"v": 1, "rows": rows, "cols": agg, "files": files},
+    )
+
+
+def _dir_stats(path: str) -> "dict | None":
+    """The directory's committed stats sidecar, or None (pre-stats dirs,
+    crash before the sidecar write — both read unpruned)."""
+    try:
+        with open(os.path.join(path, _STATS)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+
+
+def _stats_match(stats: dict, prune_in: dict) -> bool:
+    """Can a row matching ``prune_in`` exist given ``{col: [min,max]}``?
+    Conservative: a column absent from the stats, or an empty value
+    list, proves nothing and keeps the candidate."""
+    for c, vals in prune_in.items():
+        if c not in stats or not vals:
+            continue
+        mn, mx = stats[c]
+        if not any(mn <= v <= mx for v in vals):
+            return False
+    return True
+
+
+def _prune_entries(entries: list[tuple], prune_in: dict) -> list[tuple]:
+    """Skip, driver-side, the committed data that provably cannot match
+    ``prune_in`` (``{col: [values...]}`` — the point-IN shape of the
+    store probes): whole directories by the sidecar's dir aggregate,
+    then individual FILES of a surviving dir by its per-file ranges (a
+    narrowed entry's path becomes the list of matching file paths).
+    Conservative everywhere: a dir with no sidecar is kept whole, a
+    column absent from the stats proves nothing, and a file missing
+    from the recorded set is kept; a sidecar recording zero rows drops
+    its dir unconditionally."""
+    kept = []
+    for kind, path, info in entries:
+        st = _dir_stats(path)
+        if st is None:
+            kept.append((kind, path, info))
+            continue
+        if int(st.get("rows", 1)) == 0:
+            continue
+        if not _stats_match(st.get("cols", {}), prune_in):
+            continue
+        files = st.get("files") or {}
+        if len(files) > 1:
+            keep_files = [
+                os.path.join(path, f) for f, fs in sorted(files.items())
+                if fs.get("rows", 1) and _stats_match(fs.get("cols", {}),
+                                                      prune_in)
+            ]
+            if len(keep_files) < len(files):
+                if not keep_files:
+                    continue
+                kept.append((kind, keep_files, info))
+                continue
+        kept.append((kind, path, info))
+    return kept
 
 
 # ---------------------------------------------------------------- tombstones
@@ -840,11 +975,16 @@ def _read_scoped(
             pend = frozenset(t for t in idx if t not in info)
         else:
             pend = frozenset(t for t, cov in idx.items() if info <= cov)
-        groups.setdefault(pend, []).append(path)
+        # an entry narrowed by file-level pruning (_prune_entries)
+        # carries the matching FILE paths instead of its dir path; the
+        # scoping metadata is per-directory, so it applies unchanged
+        groups.setdefault(pend, []).extend(
+            path if isinstance(path, list) else [path]
+        )
     if not any(groups):
         # nothing pending anywhere: one plain scan, zero anti-joins
         return spark.read.schema(ddl).parquet(
-            *[p for _, p, _ in entries]
+            *[p for paths in groups.values() for p in paths]
         )
     from pyspark.sql import functions as F
 
@@ -882,15 +1022,23 @@ def _read_scoped(
 
 def read_committed(
     spark: SparkSession, root: str, ddl: str, *, before: int | None = None,
-    mode: "str | None" = None,
+    mode: "str | None" = None, prune_in: "dict | None" = None,
 ) -> DataFrame:
     """Union of the compacted segments and all committed batch
     directories above the horizon (< ``before`` if given) — an
     explicitly-enumerated read, so uncommitted staging, a replayed
     batch's own partial commits, and crash-leftover merged-away dirs are
     never visible. Tombstoned rows (delete_keys) are filtered out of the
-    directories their delete still pends on (see ``_read_scoped``)."""
+    directories their delete still pends on (see ``_read_scoped``).
+
+    ``prune_in`` (``{col: [values...]}``) skips, driver-side, every
+    directory whose committed stats sidecar proves none of the values
+    can occur (``_prune_entries``) — the caller still applies its own
+    row-level predicate; pruning only removes dirs that contribute zero
+    matching rows, so results are identical with or without it."""
     entries = _committed_entries(root, before=before, mode=mode)
+    if prune_in:
+        entries = _prune_entries(entries, prune_in)
     if not entries:
         return spark.createDataFrame([], ddl)
     return _read_scoped(spark, root, ddl, entries, mode=mode)
@@ -1056,11 +1204,15 @@ def expire_snapshots(
 
 def read_snapshot(
     spark: SparkSession, root: str, ddl: str, snapshot_id: int,
+    *, prune_in: "dict | None" = None,
 ) -> DataFrame:
     """The exact frame ``read_committed`` served when ``snapshot_id``
     was created: pinned segments + pinned batch dirs, masked by the
     tombstones pinned with it (deletes/compactions/retirements since
-    are invisible — see ``create_snapshot``)."""
+    are invisible — see ``create_snapshot``). ``prune_in`` skips pinned
+    dirs by their committed stats sidecars, exactly like the live read
+    (the sidecar lives inside the pinned dir, so it is GC-protected by
+    the pin for as long as the data is)."""
     man = _manifest_load(root) or {}
     rec = man.get("snapshots", {}).get(str(snapshot_id))
     if rec is None:
@@ -1081,6 +1233,8 @@ def read_snapshot(
         ]
     else:
         entries += [("batch", _batch_dir(root, int(i)), int(i)) for i in sorted(b)]
+    if prune_in:
+        entries = _prune_entries(entries, prune_in)
     if not entries:
         return spark.createDataFrame([], ddl)
     pinned = rec.get("tomb") or {"index": {}, "dirs": [], "cols": [], "type": ""}
@@ -1300,6 +1454,11 @@ def _write_segment(
         merged = merged.coalesce(max(1, target_files))
     try:
         merged.write.mode("overwrite").parquet(dest)
+        if order_by:
+            # the fold's sort keys are exactly the store's probe/prune
+            # columns — record the merged segment's range so directory
+            # skipping survives compaction like row-group locality does
+            _stats_write(dest, order_by)
     except Exception:
         shutil.rmtree(dest, ignore_errors=True)
         raise
@@ -1422,7 +1581,8 @@ def compact_tiered(
     spark: SparkSession, root: str, ddl: str, *, keep_last: int = 2,
     mode: "str | None" = None, order_by: "list[str] | None" = None,
     fanout: int = 4, band_base_bytes: int = 1 << 16,
-    target_files: int = 1, epoch: "int | None" = None,
+    target_files: int = 1, target_file_bytes: "int | None" = None,
+    epoch: "int | None" = None,
 ) -> dict:
     """LSM size-tiered compaction — bounded write amplification (r8
     verdict ask #1). One **flush** folds the eligible batch prefix into
@@ -1441,7 +1601,15 @@ def compact_tiered(
     write-amplification curves:
     ``{"flushed_bytes", "merged_bytes", "steps", "segments"}`` —
     merged_bytes is the policy's rewrite cost, flushed_bytes the
-    unavoidable new-data fold."""
+    unavoidable new-data fold.
+
+    ``target_file_bytes`` sizes each fold's file count from its SOURCE
+    bytes (``max(target_files, source_bytes / target_file_bytes)``) so
+    a segment's files stay bounded as the store grows — a fixed
+    ``target_files=1`` writes one ever-growing file per tier, which is
+    both a single-task encode wall and the end of file-level skipping
+    (with ``order_by``, each range-partitioned file covers a contiguous
+    probe-key slice that ``_prune_entries`` can skip by sidecar)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the redeliverable tail)")
     if fanout < 2:
@@ -1456,6 +1624,11 @@ def compact_tiered(
     def band_of(nbytes: int) -> int:
         return _band_of(nbytes, band_base_bytes, fanout)
 
+    def files_for(src_bytes: int) -> int:
+        if not target_file_bytes:
+            return target_files
+        return max(target_files, -(-src_bytes // target_file_bytes))
+
     ids = committed_ids(root, mode=resolved)
     fold = ids[:-keep_last] if len(ids) > keep_last else []
     if fold:  # ---- flush: fold ONLY the new batches, never old segments
@@ -1467,7 +1640,9 @@ def compact_tiered(
         ]
         seg_name, seg_bytes, applied = _write_segment(
             spark, root, ddl, src, new_horizon,
-            order_by=order_by, target_files=target_files, mode=resolved,
+            order_by=order_by,
+            target_files=files_for(sum(_dir_bytes(p) for _, p, _ in src)),
+            mode=resolved,
         )
 
         def flush_flip(cur: dict) -> dict:
@@ -1515,7 +1690,9 @@ def compact_tiered(
         ]
         seg_name, seg_bytes, applied = _write_segment(
             spark, root, ddl, src, horizon,
-            order_by=order_by, target_files=target_files, mode=resolved,
+            order_by=order_by,
+            target_files=files_for(sum(sizes[s] for s in victims)),
+            mode=resolved,
         )
 
         def merge_flip(cur: dict) -> dict:
@@ -1544,17 +1721,21 @@ def compact_tiered(
 
 def commit_batch(
     df: DataFrame, root: str, batch_id: int, *, mode: "str | None" = None,
-    epoch: "int | None" = None,
+    epoch: "int | None" = None, stats_cols: "list[str] | None" = None,
 ) -> bool:
     """Write ``df`` as batch ``batch_id`` under ``root`` exactly once.
 
     Returns True if this call committed, False if the batch was already
     committed (redelivery) — in which case nothing is written and the
     existing store state is untouched. ``epoch`` (manifest mode only)
-    fences the commit against newer writers (acquire_writer)."""
+    fences the commit against newer writers (acquire_writer).
+    ``stats_cols`` records the batch dir's min/max for those columns in
+    a committed sidecar (``_stats_write``) so point-IN probe reads can
+    skip the whole directory (``read_committed(prune_in=)``)."""
     resolved = _mode_of(root, mode)
     if resolved == MANIFEST:
-        return _commit_manifest(df, root, batch_id, epoch=epoch)
+        return _commit_manifest(df, root, batch_id, epoch=epoch,
+                                stats_cols=stats_cols)
     if epoch is not None:
         raise ValueError("epoch fencing requires manifest commit mode")
     dest = _batch_dir(root, batch_id)
@@ -1567,6 +1748,8 @@ def commit_batch(
     staging = os.path.join(root, f"_staging_b{batch_id:012d}_{uuid.uuid4().hex[:8]}")
     try:
         df.write.mode("overwrite").parquet(staging)
+        if stats_cols:
+            _stats_write(staging, stats_cols)
     except Exception:
         # a failed write must not strand an orphan staging dir (invisible
         # to readers, but it would accumulate across crash-retry loops)
@@ -1582,7 +1765,7 @@ def commit_batch(
 
 def _commit_manifest(
     df: DataFrame, root: str, batch_id: int, *, epoch: "int | None" = None,
-    publish_guard=None, on_commit=None,
+    publish_guard=None, on_commit=None, stats_cols: "list[str] | None" = None,
 ) -> bool:
     """Manifest-mode commit: data to a unique nonce dir (no rename — the
     dir name never collides and is invisible until the manifest names
@@ -1602,6 +1785,8 @@ def _commit_manifest(
     dest = os.path.join(root, dname)
     try:
         df.write.mode("overwrite").parquet(dest)
+        if stats_cols:
+            _stats_write(dest, stats_cols)
     except Exception:
         shutil.rmtree(dest, ignore_errors=True)
         raise

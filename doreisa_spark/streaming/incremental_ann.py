@@ -71,10 +71,11 @@ class LSHVectorStore(SortedVectorLog):
                  commit_mode: "str | None" = None,
                  planes: int | None = None,
                  batch_files: int = 1,
-                 fenced: "bool | None" = None):
+                 fenced: "bool | None" = None,
+                 target_file_bytes: "int | None" = 128 << 20):
         super().__init__(spark, root, compact_every=compact_every,
                          commit_mode=commit_mode, batch_files=batch_files,
-                         fenced=fenced)
+                         fenced=fenced, target_file_bytes=target_file_bytes)
         # the deployment sizes the plane count to the corpus (2^planes
         # buckets bound per-probe candidate volume — BASELINE.md's ANN
         # store section); the store records its plane count so readers

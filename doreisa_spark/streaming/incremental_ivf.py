@@ -84,6 +84,7 @@ class IVFVectorStore(SortedVectorLog):
                  commit_mode: "str | None" = None,
                  batch_files: int = 1,
                  fenced: "bool | None" = None,
+                 target_file_bytes: "int | None" = 128 << 20,
                  on_drift=None,
                  drift_opts: "dict | None" = None,
                  drift_every: int = 1,
@@ -122,7 +123,7 @@ class IVFVectorStore(SortedVectorLog):
             raise ValueError("drift_every must be >= 1")
         super().__init__(spark, root, compact_every=compact_every,
                          commit_mode=commit_mode, batch_files=batch_files,
-                         fenced=fenced)
+                         fenced=fenced, target_file_bytes=target_file_bytes)
         self._on_drift = on_drift
         self._drift_opts = dict(drift_opts or {})
         self._drift_every = drift_every

@@ -71,7 +71,8 @@ class SortedVectorLog:
                  compact_every: int | None = 64,
                  commit_mode: "str | None" = None,
                  batch_files: int = 1,
-                 fenced: "bool | None" = None):
+                 fenced: "bool | None" = None,
+                 target_file_bytes: "int | None" = 128 << 20):
         self.spark = spark
         self.root = root.rstrip("/")
         self._members = f"{self.root}/members"
@@ -95,6 +96,12 @@ class SortedVectorLog:
         # default ON (see LSHSignatureStore): bounds read-planning cost
         # on long streams; None disables for raw-dir-inspecting tests
         self.compact_every = compact_every
+        # a compaction fold writes ~target_file_bytes range-partitioned
+        # sorted files instead of one ever-growing file — keeps the
+        # encode parallel AND keeps every file a contiguous probe-key
+        # slice the sidecar can skip (batch_commit._prune_entries);
+        # local-test-sized folds stay single-file under the default
+        self.target_file_bytes = target_file_bytes
         # stream-sized batches (hundreds of vectors) want ONE sorted
         # file; bulk-load-sized batches parallelize the sorted write
         # across batch_files range partitions (each file then spans a
@@ -115,13 +122,16 @@ class SortedVectorLog:
         return (f"{self._PROBE_COL} {self._PROBE_TYPE}, vec_id bigint, "
                 "embedding array<float>")
 
-    def members(self, *, snapshot: "int | None" = None) -> DataFrame:
+    def members(self, *, snapshot: "int | None" = None,
+                prune_in: "dict | None" = None) -> DataFrame:
         if snapshot is not None:
             return BC.read_snapshot(
-                self.spark, self._members, self._members_ddl, snapshot
+                self.spark, self._members, self._members_ddl, snapshot,
+                prune_in=prune_in,
             )
         return BC.read_committed(
-            self.spark, self._members, self._members_ddl, mode=self.commit_mode
+            self.spark, self._members, self._members_ddl,
+            mode=self.commit_mode, prune_in=prune_in,
         )
 
     def snapshot(self) -> int:
@@ -177,7 +187,8 @@ class SortedVectorLog:
             # key expression runs on every core first.
             shaped = keyed.repartition(1).sortWithinPartitions(pc)
             BC.commit_batch(shaped, self._members, batch_id,
-                            mode=self.commit_mode, epoch=self._epoch)
+                            mode=self.commit_mode, epoch=self._epoch,
+                            stats_cols=[pc])
         else:
             # bulk-load shape: materialize the keyed batch ONCE —
             # repartitionByRange otherwise evaluates the key expression
@@ -190,7 +201,8 @@ class SortedVectorLog:
                     nf, pc
                 ).sortWithinPartitions(pc)
                 BC.commit_batch(shaped, self._members, batch_id,
-                                mode=self.commit_mode, epoch=self._epoch)
+                                mode=self.commit_mode, epoch=self._epoch,
+                                stats_cols=[pc])
             finally:
                 keyed.unpersist()
         ce = self.compact_every
@@ -199,6 +211,7 @@ class SortedVectorLog:
             # each tier stays probe-sorted so pruning survives folding
             BC.compact_tiered(self.spark, self._members, self._members_ddl,
                               mode=self.commit_mode, order_by=[pc],
+                              target_file_bytes=self.target_file_bytes,
                               epoch=self._epoch)
             # maintenance hook on the same cadence — the IVF store's
             # drift monitor lives here (r11 verdict ask #2: a stream
@@ -213,7 +226,14 @@ class SortedVectorLog:
     def _pruned_candidates(
         self, probed: list[int], *, snapshot: "int | None" = None
     ) -> DataFrame:
-        return self.members(snapshot=snapshot).where(
+        # three-level skipping: whole directories by their committed
+        # stats sidecars (driver-side, before Spark even lists files),
+        # then row groups by parquet min/max on the sorted log, then
+        # rows by the point-IN predicate — all from the same probe set
+        return self.members(
+            snapshot=snapshot,
+            prune_in={self._PROBE_COL: [int(p) for p in probed]},
+        ).where(
             F.col(self._PROBE_COL).isin(probed) if probed else F.lit(False)
         )
 

@@ -1,0 +1,174 @@
+"""Directory/file-level data skipping on the commit layer (r12):
+``commit_batch(stats_cols=)`` / segment folds write a committed
+``_stats.json`` sidecar (min/max straight from the parquet footers just
+written), and ``read_committed(prune_in=)`` / ``read_snapshot(prune_in=)``
+skip, DRIVER-SIDE, every directory — and every file of a
+range-partitioned multi-file dir — whose recorded range cannot match a
+point-IN probe. Results must be identical with and without pruning
+(pruning only removes provably-non-matching data); the probes' scan
+footprint (``inputFiles()``) must actually shrink."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from doreisa_spark.streaming import batch_commit as BC
+
+DDL = "k int, v bigint"
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def _mk(spark, root, mode, *, ranges=((0, 100), (100, 200), (200, 300))):
+    for i, (lo, hi) in enumerate(ranges):
+        BC.commit_batch(_batch(spark, lo, hi), root, i, mode=mode,
+                        stats_cols=["k"])
+    return root
+
+
+@pytest.mark.parametrize("mode", [BC.RENAME, BC.MANIFEST])
+def test_sidecar_written_and_pruned_read_identical(spark, tmp_path, mode):
+    root = _mk(spark, str(tmp_path / "s"), mode)
+    dirs = BC._committed_dirs(root, mode=mode)
+    assert len(dirs) == 3
+    for d in dirs:
+        st = BC._dir_stats(d)
+        assert st is not None and "k" in st["cols"]
+    full = BC.read_committed(spark, root, DDL, mode=mode)
+    pruned = BC.read_committed(spark, root, DDL, mode=mode,
+                               prune_in={"k": [150]})
+    assert sorted(pruned.where("k = 150").collect()) == \
+        sorted(full.where("k = 150").collect())
+    # the probe read plans ONE directory, not three
+    assert len({os.path.dirname(f) for f in
+                pruned.where("k = 150").inputFiles()}) == 1
+
+
+@pytest.mark.parametrize("mode", [BC.RENAME, BC.MANIFEST])
+def test_prune_survives_compaction(spark, tmp_path, mode):
+    root = _mk(spark, str(tmp_path / "s"), mode,
+               ranges=((0, 100), (100, 200), (200, 300), (300, 400)))
+    BC.compact_tiered(spark, root, DDL, keep_last=1, mode=mode,
+                      order_by=["k"])
+    man = BC._manifest_load(root) or {}
+    segs = man.get("segments", [])
+    assert segs, "flush should have produced a segment"
+    st = BC._dir_stats(os.path.join(root, segs[0]))
+    assert st is not None and st["cols"]["k"] == [0, 299]
+    # a probe outside the folded range skips the segment entirely
+    # (the surviving batch dir may itself be file-narrowed)
+    entries = BC._prune_entries(
+        BC._committed_entries(root, mode=mode), {"k": [350]}
+    )
+    assert len(entries) == 1 and entries[0][0] == "batch"
+
+
+@pytest.mark.parametrize("mode", [BC.RENAME, BC.MANIFEST])
+def test_file_level_narrowing_in_multifile_segment(spark, tmp_path, mode):
+    root = str(tmp_path / "s")
+    for i in range(4):
+        BC.commit_batch(_batch(spark, i * 100, (i + 1) * 100), root, i,
+                        mode=mode, stats_cols=["k"])
+    # force a multi-file range-partitioned fold: 4 files over k=0..399
+    BC.compact_tiered(spark, root, DDL, keep_last=1, mode=mode,
+                      order_by=["k"], target_files=4)
+    entries = BC._prune_entries(
+        BC._committed_entries(root, mode=mode), {"k": [10]}
+    )
+    seg = [e for e in entries if e[0] == "seg"]
+    assert len(seg) == 1 and isinstance(seg[0][1], list)
+    assert len(seg[0][1]) == 1  # one matching file of the four
+    pruned = BC.read_committed(spark, root, DDL, mode=mode,
+                               prune_in={"k": [10]}).where("k = 10")
+    assert pruned.collect() == [(10, 100)]
+    assert len(pruned.inputFiles()) == 1
+
+
+def test_size_targeted_fold_file_count(spark, tmp_path):
+    root = str(tmp_path / "s")
+    for i in range(3):
+        BC.commit_batch(_batch(spark, i * 1000, (i + 1) * 1000), root, i,
+                        mode=BC.RENAME, stats_cols=["k"])
+    # keep_last=1 folds batches 0 and 1; size the target from THOSE
+    src_bytes = sum(
+        BC._dir_bytes(p)
+        for p in BC._committed_dirs(root, mode=BC.RENAME)[:2]
+    )
+    BC.compact_tiered(spark, root, DDL, keep_last=1, mode=BC.RENAME,
+                      order_by=["k"], target_file_bytes=src_bytes // 3)
+    man = BC._manifest_load(root) or {}
+    seg = os.path.join(root, man["segments"][0])
+    files = [f for f in os.listdir(seg) if f.endswith(".parquet")]
+    assert len(files) >= 3  # sized from source bytes, not a fixed 1
+
+
+@pytest.mark.parametrize("mode", [BC.RENAME, BC.MANIFEST])
+def test_pruned_read_respects_tombstones(spark, tmp_path, mode):
+    root = _mk(spark, str(tmp_path / "s"), mode)
+    BC.delete_keys(spark, root, [150, 151], 3, key_cols="k", mode=mode)
+    got = BC.read_committed(spark, root, DDL, mode=mode,
+                            prune_in={"k": [150, 152]})
+    ks = sorted(r["k"] for r in got.where(F.col("k").isin([150, 151, 152]))
+                .collect())
+    assert ks == [152]  # mask still applies inside the surviving dir
+
+
+def test_missing_sidecar_and_unknown_col_are_conservative(spark, tmp_path):
+    root = _mk(spark, str(tmp_path / "s"), BC.RENAME)
+    dirs = BC._committed_dirs(root, mode=BC.RENAME)
+    os.remove(os.path.join(dirs[0], BC._STATS))  # pre-stats dir
+    entries = BC._committed_entries(root, mode=BC.RENAME)
+    kept = BC._prune_entries(entries, {"k": [150]})
+    assert len(kept) == 2  # statless dir kept + the matching dir
+    # a column the sidecar doesn't record proves nothing
+    assert len(BC._prune_entries(entries, {"nope": [1]})) == 3
+    # an empty value list proves nothing either
+    assert len(BC._prune_entries(entries, {"k": []})) == 3
+
+
+def test_empty_batch_dir_always_pruned(spark, tmp_path):
+    root = str(tmp_path / "s")
+    BC.commit_batch(_batch(spark, 0, 10), root, 0, mode=BC.RENAME,
+                    stats_cols=["k"])
+    BC.commit_batch(_batch(spark, 0, 0), root, 1, mode=BC.RENAME,
+                    stats_cols=["k"])
+    kept = BC._prune_entries(
+        BC._committed_entries(root, mode=BC.RENAME), {"k": [5]}
+    )
+    assert len(kept) == 1
+
+
+def test_snapshot_read_prunes_pinned_dirs(spark, tmp_path):
+    root = _mk(spark, str(tmp_path / "s"), BC.MANIFEST)
+    sid = BC.create_snapshot(root, mode=BC.MANIFEST)
+    # post-pin ingest outside every pinned range: invisible either way
+    BC.commit_batch(_batch(spark, 400, 500), root, 3, mode=BC.MANIFEST,
+                    stats_cols=["k"])
+    pinned = BC.read_snapshot(spark, root, DDL, sid,
+                              prune_in={"k": [250]}).where("k = 250")
+    assert [r["k"] for r in pinned.collect()] == [250]
+    assert len({os.path.dirname(f) for f in pinned.inputFiles()}) == 1
+    # the post-pin batch is invisible even when its range WOULD match
+    late = BC.read_snapshot(spark, root, DDL, sid,
+                            prune_in={"k": [450]})
+    assert late.count() == 0
+
+
+def test_sidecar_is_crash_atomic_with_commit(spark, tmp_path):
+    """A redelivered commit must not rewrite the committed sidecar."""
+    root = str(tmp_path / "s")
+    BC.commit_batch(_batch(spark, 0, 10), root, 0, mode=BC.RENAME,
+                    stats_cols=["k"])
+    d = BC._committed_dirs(root, mode=BC.RENAME)[0]
+    before = json.load(open(os.path.join(d, BC._STATS)))
+    assert not BC.commit_batch(_batch(spark, 90, 99), root, 0,
+                               mode=BC.RENAME, stats_cols=["k"])
+    assert json.load(open(os.path.join(d, BC._STATS))) == before
