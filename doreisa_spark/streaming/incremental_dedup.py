@@ -201,9 +201,11 @@ class LSHSignatureStore:
             BC.compact_tiered(self.spark, self.pairs_dir, _PAIRS_DDL,
                               mode=m, epoch=self._epochs[self.pairs_dir])
 
-    def _read(self, path: str, ddl: str, before: int | None = None) -> DataFrame:
+    def _read(self, path: str, ddl: str, before: int | None = None,
+              prune_in: "dict | None" = None) -> DataFrame:
         return BC.read_committed(
-            self.spark, path, ddl, before=before, mode=self.commit_mode
+            self.spark, path, ddl, before=before, mode=self.commit_mode,
+            prune_in=prune_in,
         )
 
     def members(self, *, before: int | None = None,
@@ -216,13 +218,16 @@ class LSHSignatureStore:
         return self._read(self.members_dir, _MEMBERS_DDL, before)
 
     def shingles(self, *, before: int | None = None,
-                 snapshot: "int | None" = None) -> DataFrame:
+                 snapshot: "int | None" = None,
+                 prune_in: "dict | None" = None) -> DataFrame:
         if snapshot is not None:
             return BC.read_snapshot(
                 self.spark, self.shingles_dir, _SHINGLES_DDL,
                 self._linked_pin(snapshot, "shingles"),
+                prune_in=prune_in,
             )
-        return self._read(self.shingles_dir, _SHINGLES_DDL, before)
+        return self._read(self.shingles_dir, _SHINGLES_DDL, before,
+                          prune_in=prune_in)
 
     def pairs(self, *, snapshot: "int | None" = None) -> DataFrame:
         """The accumulated near-dup pairs — the operator's result.
@@ -504,6 +509,7 @@ class LSHSignatureStore:
                 ),
                 self.shingles_dir,
                 batch_id,
+                stats_cols=["doc_id"],
                 mode=m,
                 epoch=self._epochs[self.shingles_dir],
             )
@@ -641,7 +647,14 @@ class PrunedLSHSignatureStore(LSHSignatureStore):
         ids = [r["doc_a"] for r in cand.select("doc_a").distinct().collect()]
         if not ids:
             return self.shingles(before=batch_id).limit(0)
-        return self.shingles(before=batch_id).where(F.col("doc_id").isin(ids))
+        # doc_ids are monotone per batch, so each shingle dir covers a
+        # NARROW contiguous id range — the sidecar skips most of the
+        # history's dirs before Spark lists a single file (r12
+        # directory-level data skipping), then the point-IN prunes row
+        # groups inside the few that survive
+        return self.shingles(
+            before=batch_id, prune_in={"doc_id": [int(i) for i in ids]}
+        ).where(F.col("doc_id").isin(ids))
 
 
 def read_document_stream(

@@ -162,6 +162,31 @@ def test_snapshot_read_prunes_pinned_dirs(spark, tmp_path):
     assert late.count() == 0
 
 
+def test_dedup_shingle_probe_prunes_by_doc_id(spark, tmp_path):
+    """The shingle verify-join's history read skips the batch dirs whose
+    monotone doc_id range cannot hold the candidates (the r12 skipping
+    wired into PrunedLSHSignatureStore._probe_shingles)."""
+    from doreisa_spark.streaming.incremental_dedup import (
+        PrunedLSHSignatureStore,
+    )
+
+    store = PrunedLSHSignatureStore(spark, str(tmp_path / "store"),
+                                    compact_every=None)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+        store.process_batch(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), i
+        )
+    some = docs.where("doc_id < 170").select("doc_id").first()["doc_id"]
+    pruned = store.shingles(prune_in={"doc_id": [int(some)]})
+    assert len({os.path.dirname(f) for f in pruned.inputFiles()}) == 1
+    got = sorted(r["doc_id"] for r in
+                 pruned.where(F.col("doc_id") == some).collect())
+    want = sorted(r["doc_id"] for r in
+                  store.shingles().where(F.col("doc_id") == some).collect())
+    assert got == want and got  # identical, and the doc is really there
+
+
 def test_sidecar_is_crash_atomic_with_commit(spark, tmp_path):
     """A redelivered commit must not rewrite the committed sidecar."""
     root = str(tmp_path / "s")
