@@ -532,14 +532,19 @@ def _dir_stats(path: str) -> "dict | None":
 
 def _stats_match(stats: dict, prune_in: dict) -> bool:
     """Can a row matching ``prune_in`` exist given ``{col: [min,max]}``?
-    Conservative: a column absent from the stats, or an empty value
-    list, proves nothing and keeps the candidate."""
+    Conservative: a column absent from the stats, an empty value list,
+    or a probe value incomparable to the recorded range (type drift
+    between writer and prober) proves nothing and keeps the
+    candidate."""
     for c, vals in prune_in.items():
         if c not in stats or not vals:
             continue
         mn, mx = stats[c]
-        if not any(mn <= v <= mx for v in vals):
-            return False
+        try:
+            if not any(mn <= v <= mx for v in vals):
+                return False
+        except TypeError:
+            continue
     return True
 
 

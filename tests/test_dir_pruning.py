@@ -132,6 +132,8 @@ def test_missing_sidecar_and_unknown_col_are_conservative(spark, tmp_path):
     assert len(BC._prune_entries(entries, {"nope": [1]})) == 3
     # an empty value list proves nothing either
     assert len(BC._prune_entries(entries, {"k": []})) == 3
+    # an incomparable probe value (type drift) proves nothing either
+    assert len(BC._prune_entries(entries, {"k": ["not-an-int"]})) == 3
 
 
 def test_empty_batch_dir_always_pruned(spark, tmp_path):
