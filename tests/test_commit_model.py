@@ -54,6 +54,7 @@ OPS = st.one_of(
     st.tuples(st.just("orphan"), st.none()),
     st.tuples(st.just("snapshot"), st.none()),
     st.tuples(st.just("drop_snap"), st.none()),
+    st.tuples(st.just("zombie"), st.lists(KEYS, min_size=1, max_size=2)),
 )
 
 
@@ -114,6 +115,21 @@ def _run_program(spark, mode, program):
                         else f"d{bid:012d}_{nonce}")
                 spark.createDataFrame([(88, 88)], DDL).write.mode(
                     "overwrite").parquet(os.path.join(root, name))
+            elif op == "zombie" and mode == BC.MANIFEST and \
+                    os.path.isdir(root):
+                # a superseded (fenced-out) writer must commit NOTHING:
+                # acquire a newer epoch, then drive every fenced
+                # mutation with the stale one — each must refuse
+                stale = BC.acquire_writer(root, mode=mode)
+                BC.acquire_writer(root, mode=mode)  # supersedes `stale`
+                rows = [(int(k), -1) for k in arg]
+                df = spark.createDataFrame(rows, DDL)
+                with pytest.raises(BC.StaleWriterError):
+                    BC.commit_batch(df, root, bid, mode=mode, epoch=stale)
+                with pytest.raises(BC.StaleWriterError):
+                    BC.delete_keys(spark, root, [int(k) for k in arg],
+                                   bid + 1, key_cols="k", mode=mode,
+                                   epoch=stale)
             elif op == "snapshot" and os.path.isdir(root):
                 pinned[BC.create_snapshot(root, mode=mode)] = Counter(model)
             elif op == "drop_snap" and pinned:
