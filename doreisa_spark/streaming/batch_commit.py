@@ -497,8 +497,22 @@ def _stats_write(dest: str, cols) -> None:
                 if c in dropped:
                     continue
                 st = rg.column(names[c]).statistics if c in names else None
-                if st is None or not st.has_min_max or \
-                        isinstance(st.min, bytes) or isinstance(st.max, bytes):
+                # positive allowlist, not a bytes-blocklist: footer
+                # min/max can be datetime/date/Decimal — json.dump
+                # would fail the whole commit, a permanent wedge since
+                # every retry recomputes the same stats — and pyarrow
+                # RAISES outright extracting stats for some physical
+                # types (Spark's INT96 timestamps). Either way: drop
+                # the column, never the commit (r12 review finding).
+                # bool excluded: an int subclass, useless as a range.
+                try:
+                    ok = st is not None and st.has_min_max and all(
+                        type(x) in (int, float, str)
+                        for x in (st.min, st.max)
+                    )
+                except Exception:
+                    ok = False
+                if not ok:
                     dropped.add(c)
                     continue
                 lo[c] = st.min if c not in lo else min(lo[c], st.min)
@@ -530,18 +544,24 @@ def _dir_stats(path: str) -> "dict | None":
         return None
 
 
-def _stats_match(stats: dict, prune_in: dict) -> bool:
-    """Can a row matching ``prune_in`` exist given ``{col: [min,max]}``?
-    Conservative: a column absent from the stats, an empty value list,
-    or a probe value incomparable to the recorded range (type drift
-    between writer and prober) proves nothing and keeps the
-    candidate."""
-    for c, vals in prune_in.items():
+def _stats_match(stats: dict, prune_sorted: dict) -> bool:
+    """Can a row matching the probe exist given ``{col: [min,max]}``?
+    ``prune_sorted`` holds each column's probe values pre-sorted
+    (``_prune_entries``), so the point-IN-range test is one bisect —
+    O(log n) per candidate instead of a linear scan per dir and per
+    file (the probe set can be thousands of doc_ids). Conservative: a
+    column absent from the stats, an empty value list, or a probe
+    value incomparable to the recorded range (type drift between
+    writer and prober) proves nothing and keeps the candidate."""
+    import bisect
+
+    for c, vals in prune_sorted.items():
         if c not in stats or not vals:
             continue
         mn, mx = stats[c]
         try:
-            if not any(mn <= v <= mx for v in vals):
+            i = bisect.bisect_left(vals, mn)
+            if i >= len(vals) or not vals[i] <= mx:
                 return False
         except TypeError:
             continue
@@ -554,10 +574,20 @@ def _prune_entries(entries: list[tuple], prune_in: dict) -> list[tuple]:
     store probes): whole directories by the sidecar's dir aggregate,
     then individual FILES of a surviving dir by its per-file ranges (a
     narrowed entry's path becomes the list of matching file paths).
-    Conservative everywhere: a dir with no sidecar is kept whole, a
-    column absent from the stats proves nothing, and a file missing
-    from the recorded set is kept; a sidecar recording zero rows drops
-    its dir unconditionally."""
+    Conservative where proof is impossible: a dir with no sidecar is
+    kept whole, a column absent from the stats proves nothing; a
+    sidecar recording zero rows drops its dir unconditionally. File
+    narrowing trusts the sidecar's file list to be COMPLETE — sound
+    because the sidecar is written after the data files, inside the
+    same commit point, and committed directories are immutable
+    (nothing ever appends a file to a dir after its rename/manifest
+    publish; compaction writes NEW dirs)."""
+    sorted_in = {}
+    for c, vals in prune_in.items():
+        try:
+            sorted_in[c] = sorted(vals)
+        except TypeError:  # mixed incomparable values: prove nothing
+            sorted_in[c] = []
     kept = []
     for kind, path, info in entries:
         st = _dir_stats(path)
@@ -566,14 +596,14 @@ def _prune_entries(entries: list[tuple], prune_in: dict) -> list[tuple]:
             continue
         if int(st.get("rows", 1)) == 0:
             continue
-        if not _stats_match(st.get("cols", {}), prune_in):
+        if not _stats_match(st.get("cols", {}), sorted_in):
             continue
         files = st.get("files") or {}
         if len(files) > 1:
             keep_files = [
                 os.path.join(path, f) for f, fs in sorted(files.items())
                 if fs.get("rows", 1) and _stats_match(fs.get("cols", {}),
-                                                      prune_in)
+                                                      sorted_in)
             ]
             if len(keep_files) < len(files):
                 if not keep_files:
@@ -1456,7 +1486,11 @@ def _write_segment(
             else merged.coalesce(1).sortWithinPartitions(*order_by)
         )
     else:
-        merged = merged.coalesce(max(1, target_files))
+        # repartition when widening: coalesce can only REDUCE partition
+        # count, so a size-targeted multi-file fold over a few big
+        # source dirs would silently collapse to their partitioning
+        nf = max(1, target_files)
+        merged = merged.repartition(nf) if nf > 1 else merged.coalesce(1)
     try:
         merged.write.mode("overwrite").parquet(dest)
         if order_by:

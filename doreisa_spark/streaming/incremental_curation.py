@@ -59,11 +59,16 @@ class CurationStore:
     def __init__(self, spark: SparkSession, root: str, *,
                  compact_every: int | None = 64,
                  commit_mode: "str | None" = None,
-                 fenced: "bool | None" = None):
+                 fenced: "bool | None" = None,
+                 target_file_bytes: "int | None" = 128 << 20):
         self.spark = spark
         self.root = root.rstrip("/")
         self._seen = f"{self.root}/seen"
         self._kept = f"{self.root}/kept"
+        # size folds from their source bytes so a big fold's encode
+        # stays parallel instead of one ever-growing single-file task
+        # (r12; see batch_commit.compact_tiered)
+        self.target_file_bytes = target_file_bytes
         # commit_mode=None resolves to the store's recorded mode, else
         # rename. Writer fencing defaults ON in manifest mode (r9
         # verdict ask #3): per-root writer epochs — a later instance
@@ -165,9 +170,11 @@ class CurationStore:
             # size-tiered: bounded write amplification (r8 verdict)
             BC.compact_tiered(self.spark, self._seen, _SEEN_DDL,
                               mode=self.commit_mode,
+                              target_file_bytes=self.target_file_bytes,
                               epoch=self._epochs[self._seen])
             BC.compact_tiered(self.spark, self._kept, _KEPT_DDL,
                               mode=self.commit_mode,
+                              target_file_bytes=self.target_file_bytes,
                               epoch=self._epochs[self._kept])
 
     def delete_docs(

@@ -106,9 +106,16 @@ class LSHSignatureStore:
                  commit_mode: "str | None" = None,
                  n_bands: int | None = None,
                  band_rows: int | None = None,
-                 fenced: "bool | None" = None):
+                 fenced: "bool | None" = None,
+                 target_file_bytes: "int | None" = 128 << 20):
         self.spark = spark
         self.root = root
+        # folds write ~target_file_bytes range-partitioned sorted files
+        # instead of one ever-growing file (r12 review finding — the
+        # vector stores got this knob first): keeps the fold's encode
+        # parallel and each shingle/member file a contiguous prunable
+        # key slice; local-test folds stay single-file under the default
+        self.target_file_bytes = target_file_bytes
         self.members_dir = os.path.join(root, "members")
         self.shingles_dir = os.path.join(root, "shingles")
         self.pairs_dir = os.path.join(root, "pairs")
@@ -194,12 +201,16 @@ class LSHSignatureStore:
         ce = self.compact_every
         if ce and batch_id % ce == ce - 1:
             m = self.commit_mode
+            tfb = self.target_file_bytes
             BC.compact_tiered(self.spark, self.members_dir, _MEMBERS_DDL,
-                              mode=m, epoch=self._epochs[self.members_dir])
+                              mode=m, target_file_bytes=tfb,
+                              epoch=self._epochs[self.members_dir])
             BC.compact_tiered(self.spark, self.shingles_dir, _SHINGLES_DDL,
-                              mode=m, epoch=self._epochs[self.shingles_dir])
+                              mode=m, target_file_bytes=tfb,
+                              epoch=self._epochs[self.shingles_dir])
             BC.compact_tiered(self.spark, self.pairs_dir, _PAIRS_DDL,
-                              mode=m, epoch=self._epochs[self.pairs_dir])
+                              mode=m, target_file_bytes=tfb,
+                              epoch=self._epochs[self.pairs_dir])
 
     def _read(self, path: str, ddl: str, before: int | None = None,
               prune_in: "dict | None" = None) -> DataFrame:
@@ -613,14 +624,18 @@ class PrunedLSHSignatureStore(LSHSignatureStore):
         ce = self.compact_every
         if ce and batch_id % ce == ce - 1:
             m = self.commit_mode
+            tfb = self.target_file_bytes
             BC.compact_tiered(self.spark, self.members_dir, _MEMBERS_DDL,
                               mode=m, order_by=["sig"],
+                              target_file_bytes=tfb,
                               epoch=self._epochs[self.members_dir])
             BC.compact_tiered(self.spark, self.shingles_dir, _SHINGLES_DDL,
                               mode=m, order_by=["doc_id"],
+                              target_file_bytes=tfb,
                               epoch=self._epochs[self.shingles_dir])
             BC.compact_tiered(self.spark, self.pairs_dir, _PAIRS_DDL,
-                              mode=m, epoch=self._epochs[self.pairs_dir])
+                              mode=m, target_file_bytes=tfb,
+                              epoch=self._epochs[self.pairs_dir])
 
     def _probe_members(self, bands_new: DataFrame, batch_id: int) -> DataFrame:
         # broadcast semi-join reduction against the batch's touched keys:

@@ -164,6 +164,28 @@ def test_snapshot_read_prunes_pinned_dirs(spark, tmp_path):
     assert late.count() == 0
 
 
+def test_non_json_stat_types_drop_column_not_commit(spark, tmp_path):
+    """Footer min/max that json can't carry (timestamps, dates,
+    decimals) must drop the COLUMN from the sidecar, never fail the
+    commit — a crash here would wedge the stream permanently, since
+    every redelivery recomputes the same stats (r12 review finding)."""
+    root = str(tmp_path / "s")
+    df = spark.sql(
+        "select id as k, timestamp'2026-01-01 00:00:00' + "
+        "make_interval(0,0,0,0,0,0,id) as ts, "
+        "cast(id as decimal(10,2)) as d, date'2026-01-01' as day "
+        "from range(5)"
+    )
+    assert BC.commit_batch(df, root, 0, mode=BC.RENAME,
+                           stats_cols=["k", "ts", "d", "day"])
+    st = BC._dir_stats(BC._committed_dirs(root, mode=BC.RENAME)[0])
+    assert set(st["cols"]) == {"k"}  # only the json-safe column
+    kept = BC._prune_entries(
+        BC._committed_entries(root, mode=BC.RENAME), {"ts": ["2026"]}
+    )
+    assert len(kept) == 1  # unrecorded column proves nothing
+
+
 def test_dedup_shingle_probe_prunes_by_doc_id(spark, tmp_path):
     """The shingle verify-join's history read skips the batch dirs whose
     monotone doc_id range cannot hold the candidates (the r12 skipping
