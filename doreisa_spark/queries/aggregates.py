@@ -373,3 +373,124 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("o_orderpriority", F.col("o_orderstatus").alias("modal_status"), "n")
     )
+
+
+@register(
+    "agg_rollup_incremental",
+    extended=True,
+    oracle="""
+SELECT event_type,
+       cnt,
+       round(sum_value, 2) AS sum_value,
+       min_value, max_value
+FROM (
+  SELECT event_type, count(*) AS cnt, sum(value) AS sum_value,
+         min(value) AS min_value, max(value) AS max_value
+  FROM events GROUP BY event_type)
+""",
+)
+def agg_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-incremental materialized aggregate ≡ the batch GROUP
+    BY (streaming/incremental_agg.py): events split into three
+    event_id ranges ingested as micro-batches — each commits only its
+    PARTIAL per-type aggregate through the exactly-once log — and the
+    merged view must hash-match DuckDB aggregating the raw table in
+    one pass. Proves the distributive-merge algebra (sum/count by SUM,
+    min/max by MIN/MAX) and, because commits refuse redelivered batch
+    ids, that a replayed micro-batch cannot double-count."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    store = AggregateStore(
+        spark, _fresh_store_dir("incagg"), key_cols=["event_type"],
+        aggs={"cnt": ("count", None), "sum_value": ("sum", "value"),
+              "min_value": ("min", "value"), "max_value": ("max", "value")},
+    )
+    for cond in (
+        F.col("event_id") <= cut1,
+        (F.col("event_id") > cut1) & (F.col("event_id") <= cut2),
+        F.col("event_id") > cut2,
+    ):
+        store.process_batch(e.where(cond))
+    return store.read().withColumn("sum_value", F.round("sum_value", 2))
+
+
+@register(
+    "agg_rollup_incremental_lookup",
+    extended=True,
+    oracle="""
+SELECT user_id, cnt, round(sum_value, 2) AS sum_value
+FROM (
+  SELECT user_id, count(*) AS cnt, sum(value) AS sum_value
+  FROM events GROUP BY user_id)
+WHERE user_id BETWEEN 3 AND 7
+""",
+)
+def agg_rollup_incremental_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed lookup into the materialized view under the gate: the
+    per-user store commits partials SORTED by user_id with key-range
+    sidecars, and the range read (prune_between + the row predicate)
+    merges only the partial dirs/files whose recorded range overlaps
+    [3, 7] — r12 directory-level skipping exercised end-to-end against
+    DuckDB's answer over the raw table."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = lo + (hi - lo) // 2
+    store = AggregateStore(
+        spark, _fresh_store_dir("incagglk"), key_cols=["user_id"],
+        aggs={"cnt": ("count", None), "sum_value": ("sum", "value")},
+    )
+    store.process_batch(e.where(F.col("event_id") <= cut))
+    store.process_batch(e.where(F.col("event_id") > cut))
+    return (
+        store.read(prune_between={"user_id": (3, 7)})
+        .where(F.col("user_id").between(3, 7))
+        .withColumn("sum_value", F.round("sum_value", 2))
+    )
+
+
+@register(
+    "agg_distinct_incremental",
+    extended=True,
+    band_oracle="""
+SELECT event_type, count(DISTINCT user_id) AS approx_users,
+       count(*) AS cnt
+FROM events GROUP BY event_type
+""",
+    band_rtol=0.05,
+)
+def agg_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approx-distinct in the incremental materialized view:
+    exact COUNT(DISTINCT) is not distributive, but an HLL register
+    vector is (merge = element-wise MAX), so the store keeps a
+    map<register, rho> sketch per group per batch — integer-only
+    xxhash64/bit_count partials, no floats until the final estimator —
+    and the merged view's estimate must land within ±5% of DuckDB's
+    exact distinct over the raw table (4096 registers, rsd ~1.6%;
+    small groups hit the linear-counting range and come out exact).
+    The 100 TB path for incremental distincts: fixed-size sketches per
+    batch, never a re-scan, never an expand."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    store = AggregateStore(
+        spark, _fresh_store_dir("incdist"), key_cols=["event_type"],
+        aggs={"approx_users": ("hll", "user_id"),
+              "cnt": ("count", None)},
+    )
+    for cond in (
+        F.col("event_id") <= cut1,
+        (F.col("event_id") > cut1) & (F.col("event_id") <= cut2),
+        F.col("event_id") > cut2,
+    ):
+        store.process_batch(e.where(cond))
+    return store.read()

@@ -1,0 +1,311 @@
+"""Streaming-incremental materialized aggregates on the commit layer.
+
+The materialized-view pattern every training-data pipeline reinvents —
+per-domain document counts, per-source token totals, per-user event
+stats — kept incrementally instead of rescanned: each micro-batch
+commits its PARTIAL aggregate (one tiny groupBy of the batch) through
+the exactly-once log (streaming/batch_commit.py), and a read merges
+the partials with one aggregate over the partial log. Reading the
+view costs O(groups × tiers); the raw history is never rescanned.
+This is the classic distributive-aggregate decomposition (the same
+algebra Catalyst uses for partial+final hash aggregation, here made
+DURABLE across batches):
+
+- ``sum`` / ``count`` partials merge by SUM;
+- ``min`` / ``max`` partials merge by MIN / MAX;
+- ``avg`` is the caller's ``sum/count`` (document-level recipe below),
+  and non-distributive aggregates (exact distinct, medians) are out of
+  scope by design — they need the raw rows.
+
+Everything the commit layer provides composes for free, and is tested
+to: exactly-once per-batch commits (a redelivered batch cannot
+double-count — THE correctness hazard of incremental aggregation),
+size-tiered compaction of the partial log (folds CONCATENATE partials;
+reads merge, so a fold never changes the view), group takedowns via
+tombstones, metadata-only snapshots of the view, and the r12 stats
+sidecars: partials commit sorted by the group keys with per-dir/file
+key ranges, so a keyed lookup (``read(prune_in=...)`` /
+``read(prune_between=...)``) merges only the directories whose key
+range can match.
+
+avg recipe::
+
+    store = AggregateStore(spark, root, ["event_type"],
+                           {"cnt": ("count", None),
+                            "sum_v": ("sum", "value")})
+    view = store.read().withColumn("avg_v", F.col("sum_v") / F.col("cnt"))
+
+Reference scope note: the reference engine (AdrienVannson/doreisa)
+delegates reductions to dask.array over in-flight chunks
+(reference: doreisa/simulation_node.py preprocessing + dask reductions);
+persisted incremental aggregation has no reference counterpart — this
+is part of the deployment layer this repo adds on Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doreisa_spark.streaming import batch_commit as BC
+from doreisa_spark.streaming.vector_store import read_marker, write_marker_once
+
+# fn -> (batch partial, merge of partials). count's partial is a count;
+# its merge is a SUM of counts — the one asymmetric row of the algebra.
+_PARTIAL = {
+    "sum": lambda e: F.sum(e),
+    "count": lambda e: F.count(e if e is not None else F.lit(1)),
+    "min": lambda e: F.min(e),
+    "max": lambda e: F.max(e),
+}
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+# HyperLogLog sketch column (fn "hll"): the mergeable approx-distinct
+# the plain algebra can't give — exact COUNT(DISTINCT) is not
+# distributive, but an HLL register vector is (merge = element-wise
+# MAX), so the store keeps a map<register, rho> per group per batch and
+# the view estimates cardinality from the merged registers. All
+# JVM-side integer ops: xxhash64 → low HLL_P bits pick the register,
+# rho = trailing zeros of the remaining bits + 1 (geometric under a
+# uniform hash exactly like the textbook leading-zeros variant;
+# trailing zeros are exactly computable as bit_count((w & -w) - 1),
+# no float log in the hot path).
+HLL_P = 12                      # 4096 registers, rsd ~1.6%
+_HLL_M = 1 << HLL_P
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_MAXRHO = 64 - HLL_P + 1
+
+
+def _hll_partial(batch: DataFrame, key_cols: list, out: str,
+                 expr: str) -> DataFrame:
+    h = f"xxhash64({expr})"
+    w = f"shiftrightunsigned({h}, {HLL_P})"
+    rho = (f"if({w} = 0, {_HLL_MAXRHO}, "
+           f"bit_count(({w} & -({w})) - 1) + 1)")
+    return (
+        batch.where(F.expr(expr).isNotNull())  # SQL DISTINCT skips nulls
+        .select(*key_cols,
+                F.expr(f"cast({h} & {_HLL_M - 1} as int)").alias("__reg"),
+                F.expr(f"cast({rho} as int)").alias("__rho"))
+        .groupBy(*key_cols, "__reg").agg(F.max("__rho").alias("__rho"))
+        .groupBy(*key_cols).agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("__reg", "__rho")))
+            ).alias(out)
+        )
+    )
+
+
+def _hll_estimate(regs: DataFrame, key_cols: list, out: str) -> DataFrame:
+    """Standard HLL estimator over merged registers: harmonic mean with
+    untouched registers counting 2^0, linear-counting correction in the
+    small range (E <= 2.5m with empty registers) — which is also what
+    makes the all-null group estimate an exact 0."""
+    n = F.count("__reg")
+    z = F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("__rho"))), F.lit(0.0)) \
+        + (F.lit(float(_HLL_M)) - n)
+    raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / z
+    v = F.lit(float(_HLL_M)) - n
+    lin = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v)
+    est = F.when((raw <= F.lit(2.5 * _HLL_M)) & (v > 0), lin).otherwise(raw)
+    return regs.groupBy(*key_cols).agg(
+        F.round(est).cast("bigint").alias(out)
+    )
+
+
+class AggregateStore:
+    """Persisted incremental GROUP BY ``key_cols`` view.
+
+    ``aggs``: ``{out_col: (fn, src_expr)}`` with fn in
+    sum/count/min/max; ``src_expr`` is any SQL expression over the
+    batch columns (None = ``count(*)``). The spec is recorded in a
+    write-once marker; a reopened store validates against it so two
+    writers can never interleave incompatible partials into one log."""
+
+    def __init__(self, spark: SparkSession, root: str, *,
+                 key_cols: "list[str] | None" = None,
+                 aggs: "dict | None" = None,
+                 compact_every: int | None = 64,
+                 commit_mode: "str | None" = None,
+                 fenced: "bool | None" = None,
+                 target_file_bytes: "int | None" = 128 << 20):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._log = f"{self.root}/partials"
+        spec = read_marker(f"{self.root}/_aggs.json")
+        if spec is None:
+            if not key_cols or not aggs:
+                raise ValueError(
+                    f"new store at {self.root}: key_cols and aggs required"
+                )
+            for out, (fn, e) in aggs.items():
+                if fn not in _PARTIAL and fn != "hll":
+                    raise ValueError(
+                        f"{out}: fn must be one of "
+                        f"{sorted(_PARTIAL) + ['hll']}, got {fn!r} "
+                        "(avg = sum/count at read; hll = mergeable "
+                        "approx-distinct; exact distinct/medians need "
+                        "the raw rows)"
+                    )
+                if e is None and fn != "count":
+                    raise ValueError(f"{out}: {fn} needs a source expression")
+                if out in key_cols:
+                    raise ValueError(f"output column {out} shadows a key")
+        else:
+            recorded = {o: tuple(v) for o, v in spec["aggs"].items()}
+            if key_cols is not None and list(key_cols) != spec["key_cols"]:
+                raise ValueError(
+                    f"store at {self.root} groups by {spec['key_cols']}, "
+                    f"got {list(key_cols)}"
+                )
+            if aggs is not None and {o: tuple(v) for o, v in aggs.items()} \
+                    != recorded:
+                raise ValueError(
+                    f"store at {self.root} records aggs {recorded}, "
+                    f"got {aggs}"
+                )
+            key_cols, aggs = spec["key_cols"], recorded
+        self.key_cols = list(key_cols)
+        self.aggs = {o: (fn, e) for o, (fn, e) in aggs.items()}
+        self._ddl: "str | None" = (spec or {}).get("ddl")
+        self.commit_mode = BC._mode_of(self._log, commit_mode)
+        if fenced is None:
+            fenced = self.commit_mode == BC.MANIFEST
+        self._epoch = (BC.acquire_writer(self._log, mode=self.commit_mode)
+                       if fenced else None)
+        self.compact_every = compact_every
+        self.target_file_bytes = target_file_bytes
+
+    # ------------------------------------------------------------ write
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        plain = [
+            _PARTIAL[fn](F.expr(e) if e is not None else None).alias(o)
+            for o, (fn, e) in self.aggs.items() if fn != "hll"
+        ]
+        base = (batch.groupBy(*self.key_cols).agg(*plain) if plain
+                else batch.select(*self.key_cols).distinct())
+        for o, (fn, e) in self.aggs.items():
+            if fn == "hll":
+                # left join: a group whose sketch source is all-null in
+                # this batch keeps its row with a NULL map (the view
+                # estimates it as 0, like SQL count(distinct))
+                base = base.join(
+                    _hll_partial(batch, self.key_cols, o, e),
+                    self.key_cols, "left",
+                )
+        return base
+
+    def process_batch(self, batch: DataFrame,
+                      batch_id: "int | None" = None) -> None:
+        """One tiny groupBy of the batch → exactly-once commit of the
+        partial rows, sorted by the group keys with key-range sidecars
+        (keyed reads prune the partial log like a store probe). A
+        redelivered batch id commits nothing — double-counting is
+        structurally impossible, which is the whole reason the partial
+        log rides the commit protocol instead of a blind append."""
+        if batch_id is None:
+            batch_id = BC.next_batch_id(self._log, mode=self.commit_mode)
+        part = self._partial(batch)
+        if self._ddl is None:
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in part.schema.fields
+            )
+            write_marker_once(f"{self.root}/_aggs.json", {
+                "key_cols": self.key_cols,
+                "aggs": {o: list(v) for o, v in self.aggs.items()},
+                "ddl": ddl, "v": 1,
+            })
+            self._ddl = read_marker(f"{self.root}/_aggs.json")["ddl"]
+        shaped = part.repartition(1).sortWithinPartitions(*self.key_cols)
+        BC.commit_batch(shaped, self._log, batch_id, mode=self.commit_mode,
+                        epoch=self._epoch, stats_cols=self.key_cols)
+        ce = self.compact_every
+        if ce and batch_id % ce == ce - 1:
+            BC.compact_tiered(self.spark, self._log, self._ddl,
+                              mode=self.commit_mode,
+                              order_by=self.key_cols,
+                              target_file_bytes=self.target_file_bytes,
+                              epoch=self._epoch)
+
+    # ------------------------------------------------------------- read
+    def partials(self, *, snapshot: "int | None" = None,
+                 prune_in: "dict | None" = None,
+                 prune_between: "dict | None" = None) -> DataFrame:
+        if self._ddl is None:
+            raise ValueError(f"store at {self.root} has no committed state")
+        if snapshot is not None:
+            return BC.read_snapshot(self.spark, self._log, self._ddl,
+                                    snapshot, prune_in=prune_in,
+                                    prune_between=prune_between)
+        return BC.read_committed(self.spark, self._log, self._ddl,
+                                 mode=self.commit_mode, prune_in=prune_in,
+                                 prune_between=prune_between)
+
+    def read(self, *, snapshot: "int | None" = None,
+             prune_in: "dict | None" = None,
+             prune_between: "dict | None" = None) -> DataFrame:
+        """The materialized view: one merge aggregate over the partial
+        log — O(groups × tiers) rows in, ``groups`` rows out. Keyed
+        lookups pass ``prune_in`` / ``prune_between`` over the GROUP
+        KEY columns: the sidecars skip non-matching partial dirs/files
+        driver-side, and the caller applies the same predicate
+        row-level (pruning alone is a superset, exactly like the
+        vector-store probes)."""
+        base = self.partials(snapshot=snapshot, prune_in=prune_in,
+                             prune_between=prune_between)
+        merged = [
+            _MERGE[fn](F.col(o)).alias(o)
+            for o, (fn, _) in self.aggs.items() if fn != "hll"
+        ]
+        view = (base.groupBy(*self.key_cols).agg(*merged) if merged
+                else base.select(*self.key_cols).distinct())
+        for o, (fn, _) in self.aggs.items():
+            if fn == "hll":
+                # element-wise MAX across each group's register maps
+                # (explode_outer keeps all-null-map groups: zero live
+                # registers estimates to an exact 0), then the HLL
+                # cardinality formula per group
+                regs = base.select(
+                    *self.key_cols,
+                    F.explode_outer(F.col(o)).alias("__reg", "__rho"),
+                ).groupBy(*self.key_cols, "__reg").agg(
+                    F.max("__rho").alias("__rho")
+                )
+                view = view.join(_hll_estimate(regs, self.key_cols, o),
+                                 self.key_cols, "left")
+        return view
+
+    # ------------------------------------------------- lifecycle plumbing
+    def delete_groups(self, values, *, col: "str | None" = None,
+                      batch_id: "int | None" = None) -> bool:
+        """Takedown of whole groups: tombstones mask every PARTIAL row
+        whose ``col`` (default: first key column) matches — the group
+        vanishes from the view; partials ingested after the delete
+        re-accumulate from zero (the commit layer's covers rule)."""
+        col = col or self.key_cols[0]
+        ktype = dict(
+            (f.split(" ", 1)[0], f.split(" ", 1)[1])
+            for f in (self._ddl or "").split(", ")
+        ).get(col, "bigint")
+        if batch_id is None:
+            batch_id = BC.next_batch_id(
+                self._log, BC._tomb_root(self._log), mode=self.commit_mode
+            )
+        return BC.delete_keys(self.spark, self._log, values, batch_id,
+                              key_cols=col, key_type=ktype,
+                              mode=self.commit_mode, epoch=self._epoch)
+
+    def snapshot(self) -> int:
+        """Pin the view as-of now (metadata-only): ``read(snapshot=)``
+        reproduces it regardless of later ingest/deletes/compaction."""
+        return BC.create_snapshot(self._log, mode=self.commit_mode,
+                                  epoch=self._epoch)
+
+    def drop_snapshot(self, snapshot_id: int) -> bool:
+        return BC.drop_snapshot(self._log, snapshot_id,
+                                mode=self.commit_mode, epoch=self._epoch)
+
+    def expire_snapshots(self, *, keep_last: int) -> list[int]:
+        return BC.expire_snapshots(self._log, keep_last=keep_last,
+                                   mode=self.commit_mode, epoch=self._epoch)

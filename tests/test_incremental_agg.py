@@ -1,0 +1,199 @@
+"""AggregateStore: streaming-incremental materialized aggregates.
+
+Batch equivalence under any arrival order, exactly-once on redelivery
+(no double counting), compaction invariance, group takedowns, snapshot
+pinning, marker validation on reopen, and sidecar-pruned keyed reads.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from doreisa_spark.streaming import batch_commit as BC
+from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+AGGS = {"cnt": ("count", None), "sum_v": ("sum", "value"),
+        "min_v": ("min", "value"), "max_v": ("max", "value")}
+
+
+def _events(spark):
+    from doreisa_spark.catalog import table
+
+    return table(spark, SF_SMALL, "events")
+
+
+def _expected(e):
+    # sum_v rounded: a merged double sum differs from the one-pass sum
+    # in the last ulp (summation order); cnt/min/max compare exactly
+    return {
+        (r["event_type"], r["user_id"], r["cnt"], round(r["sum_v"], 6),
+         r["min_v"], r["max_v"])
+        for r in e.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"), F.max("value").alias("max_v"),
+        ).collect()
+    }
+
+
+def _view(store):
+    return {
+        (r["event_type"], r["user_id"], r["cnt"], round(r["sum_v"], 6),
+         r["min_v"], r["max_v"])
+        for r in store.read().collect()
+    }
+
+
+def _mk(spark, tmp_path, **kw):
+    return AggregateStore(spark, str(tmp_path / "agg"),
+                          key_cols=["event_type", "user_id"], aggs=AGGS,
+                          **kw)
+
+
+@pytest.mark.parametrize("order", [(0, 1, 2), (2, 0, 1)])
+def test_merged_view_equals_batch_any_arrival_order(spark, tmp_path, order):
+    e = _events(spark)
+    store = _mk(spark, tmp_path)
+    thirds = [e.where(F.col("event_id") % 3 == i) for i in order]
+    for i, part in enumerate(thirds):
+        store.process_batch(part, i)
+    assert _view(store) == _expected(e)
+
+
+def test_redelivery_cannot_double_count(spark, tmp_path):
+    e = _events(spark)
+    store = _mk(spark, tmp_path)
+    half = e.where("event_id % 2 = 0")
+    store.process_batch(half, 0)
+    before = _view(store)
+    store.process_batch(half, 0)              # same id, same data
+    store.process_batch(half.limit(3), 0)     # same id, DIFFERENT data
+    assert _view(store) == before
+
+
+def test_compaction_never_changes_the_view(spark, tmp_path):
+    e = _events(spark)
+    store = _mk(spark, tmp_path, compact_every=4)
+    for i in range(8):  # two folds at batches 3 and 7
+        store.process_batch(e.where(F.col("event_id") % 8 == i), i)
+    assert _view(store) == _expected(e)
+    man = BC._manifest_load(store._log) or {}
+    assert man.get("segments"), "tiered compaction should have folded"
+
+
+def test_delete_groups_masks_and_reaccumulates(spark, tmp_path):
+    e = _events(spark)
+    store = AggregateStore(spark, str(tmp_path / "agg"),
+                           key_cols=["event_type"],
+                           aggs={"cnt": ("count", None)})
+    store.process_batch(e.where("event_id % 2 = 0"), 0)
+    victim = store.read().first()["event_type"]
+    store.delete_groups([victim], col="event_type")
+    assert store.read().where(
+        F.col("event_type") == victim
+    ).count() == 0
+    # re-ingest after the delete: the group re-accumulates from zero
+    store.process_batch(e.where("event_id % 2 = 1"), 2)
+    got = store.read().where(F.col("event_type") == victim).first()
+    want = e.where("event_id % 2 = 1").where(
+        F.col("event_type") == victim
+    ).count()
+    assert got["cnt"] == want
+
+
+def test_snapshot_pins_the_view(spark, tmp_path):
+    e = _events(spark)
+    store = _mk(spark, tmp_path, commit_mode=BC.MANIFEST)
+    store.process_batch(e.where("event_id % 2 = 0"), 0)
+    pinned_want = _view(store)
+    sid = store.snapshot()
+    store.process_batch(e.where("event_id % 2 = 1"), 1)
+    assert _view(store) == _expected(e)  # live view moved on
+    got = {
+        (r["event_type"], r["user_id"], r["cnt"], round(r["sum_v"], 6),
+         r["min_v"], r["max_v"])
+        for r in store.read(snapshot=sid).collect()
+    }
+    assert got == pinned_want
+
+
+def test_reopen_validates_marker(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    store.process_batch(_events(spark).limit(10), 0)
+    reopened = AggregateStore(spark, str(tmp_path / "agg"))
+    assert reopened.key_cols == ["event_type", "user_id"]
+    assert _view(reopened) == _view(store)
+    with pytest.raises(ValueError, match="groups by"):
+        AggregateStore(spark, str(tmp_path / "agg"), key_cols=["user_id"],
+                       aggs=AGGS)
+    with pytest.raises(ValueError, match="records aggs"):
+        AggregateStore(spark, str(tmp_path / "agg"),
+                       key_cols=["event_type", "user_id"],
+                       aggs={"cnt": ("count", None)})
+
+
+def test_bad_specs_refused(spark, tmp_path):
+    with pytest.raises(ValueError, match="key_cols and aggs"):
+        AggregateStore(spark, str(tmp_path / "a"))
+    with pytest.raises(ValueError, match="fn must be"):
+        AggregateStore(spark, str(tmp_path / "b"), key_cols=["k"],
+                       aggs={"d": ("count_distinct", "x")})
+    with pytest.raises(ValueError, match="needs a source"):
+        AggregateStore(spark, str(tmp_path / "c"), key_cols=["k"],
+                       aggs={"s": ("sum", None)})
+    with pytest.raises(ValueError, match="shadows a key"):
+        AggregateStore(spark, str(tmp_path / "d"), key_cols=["k"],
+                       aggs={"k": ("count", None)})
+
+
+def test_hll_sketch_merges_and_estimates(spark, tmp_path):
+    """The mergeable approx-distinct column: overlapping batches must
+    not double-count (register merge = MAX), small groups are exact
+    via linear counting, all-null groups estimate 0, and the estimate
+    stays within ±5% at 1000 distincts."""
+    store = AggregateStore(spark, str(tmp_path / "agg"), key_cols=["g"],
+                           aggs={"du": ("hll", "u"),
+                                 "cnt": ("count", None)})
+    b1 = spark.range(0, 700).select(F.lit("a").alias("g"),
+                                    F.col("id").alias("u"))
+    b1 = b1.union(spark.range(0, 37).select(
+        F.lit("b").alias("g"), (F.col("id") + 10_000).alias("u")))
+    b1 = b1.union(spark.sql(
+        "select 'c' as g, cast(null as bigint) as u from range(5)"))
+    b2 = spark.range(300, 1000).select(F.lit("a").alias("g"),
+                                       F.col("id").alias("u"))
+    store.process_batch(b1, 0)
+    store.process_batch(b2, 1)
+    got = {r["g"]: (r["du"], r["cnt"]) for r in store.read().collect()}
+    assert got["b"] == (37, 37)          # linear-counting range: exact
+    assert got["c"] == (0, 5)            # all-null source: distinct 0
+    du, cnt = got["a"]
+    assert cnt == 1400 and abs(du - 1000) <= 50  # merged, not 1400
+    # reopen from the marker and keep ingesting: same sketch space
+    reopened = AggregateStore(spark, str(tmp_path / "agg"))
+    reopened.process_batch(
+        spark.range(0, 100).select(F.lit("a").alias("g"),
+                                   F.col("id").alias("u")), 2)
+    du2 = {r["g"]: r["du"] for r in reopened.read().collect()}["a"]
+    assert abs(du2 - 1000) <= 50         # pure overlap: estimate stable
+
+
+def test_keyed_read_prunes_partial_dirs(spark, tmp_path):
+    """Partials commit sorted by the group keys with key-range
+    sidecars: a keyed lookup merges only the matching dirs."""
+    store = AggregateStore(spark, str(tmp_path / "agg"),
+                           key_cols=["bucket"],
+                           aggs={"cnt": ("count", None)})
+    for i, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 300)]):
+        batch = spark.range(lo * 10, hi * 10).select(
+            (F.col("id") / 10).cast("bigint").alias("bucket")
+        )
+        store.process_batch(batch, i)
+    probe = store.partials(prune_in={"bucket": [150]})
+    assert len({os.path.dirname(f) for f in probe.inputFiles()}) == 1
+    got = store.read(prune_in={"bucket": [150]}).where("bucket = 150")
+    assert [tuple(r) for r in got.collect()] == [(150, 10)]
