@@ -544,15 +544,18 @@ def _dir_stats(path: str) -> "dict | None":
         return None
 
 
-def _stats_match(stats: dict, prune_sorted: dict) -> bool:
+def _stats_match(stats: dict, prune_sorted: dict,
+                 between: "dict | None" = None) -> bool:
     """Can a row matching the probe exist given ``{col: [min,max]}``?
     ``prune_sorted`` holds each column's probe values pre-sorted
     (``_prune_entries``), so the point-IN-range test is one bisect —
     O(log n) per candidate instead of a linear scan per dir and per
-    file (the probe set can be thousands of doc_ids). Conservative: a
-    column absent from the stats, an empty value list, or a probe
-    value incomparable to the recorded range (type drift between
-    writer and prober) proves nothing and keeps the candidate."""
+    file (the probe set can be thousands of doc_ids). ``between``
+    (``{col: (lo, hi)}``) is the range shape: overlap test per column.
+    Conservative: a column absent from the stats, an empty value list,
+    or a probe value incomparable to the recorded range (type drift
+    between writer and prober) proves nothing and keeps the
+    candidate."""
     import bisect
 
     for c, vals in prune_sorted.items():
@@ -565,13 +568,26 @@ def _stats_match(stats: dict, prune_sorted: dict) -> bool:
                 return False
         except TypeError:
             continue
+    for c, (lo, hi) in (between or {}).items():
+        if c not in stats:
+            continue
+        mn, mx = stats[c]
+        try:
+            if (lo is not None and mx < lo) or \
+                    (hi is not None and mn > hi):
+                return False
+        except TypeError:
+            continue
     return True
 
 
-def _prune_entries(entries: list[tuple], prune_in: dict) -> list[tuple]:
+def _prune_entries(entries: list[tuple], prune_in: "dict | None",
+                   prune_between: "dict | None" = None) -> list[tuple]:
     """Skip, driver-side, the committed data that provably cannot match
     ``prune_in`` (``{col: [values...]}`` — the point-IN shape of the
-    store probes): whole directories by the sidecar's dir aggregate,
+    store probes) and/or ``prune_between`` (``{col: (lo, hi)}`` — the
+    range shape: time windows, id ranges; None bounds are open-ended):
+    whole directories by the sidecar's dir aggregate,
     then individual FILES of a surviving dir by its per-file ranges (a
     narrowed entry's path becomes the list of matching file paths).
     Conservative where proof is impossible: a dir with no sidecar is
@@ -583,7 +599,7 @@ def _prune_entries(entries: list[tuple], prune_in: dict) -> list[tuple]:
     (nothing ever appends a file to a dir after its rename/manifest
     publish; compaction writes NEW dirs)."""
     sorted_in = {}
-    for c, vals in prune_in.items():
+    for c, vals in (prune_in or {}).items():
         try:
             sorted_in[c] = sorted(vals)
         except TypeError:  # mixed incomparable values: prove nothing
@@ -596,14 +612,15 @@ def _prune_entries(entries: list[tuple], prune_in: dict) -> list[tuple]:
             continue
         if int(st.get("rows", 1)) == 0:
             continue
-        if not _stats_match(st.get("cols", {}), sorted_in):
+        if not _stats_match(st.get("cols", {}), sorted_in, prune_between):
             continue
         files = st.get("files") or {}
         if len(files) > 1:
             keep_files = [
                 os.path.join(path, f) for f, fs in sorted(files.items())
                 if fs.get("rows", 1) and _stats_match(fs.get("cols", {}),
-                                                      sorted_in)
+                                                      sorted_in,
+                                                      prune_between)
             ]
             if len(keep_files) < len(files):
                 if not keep_files:
@@ -1058,6 +1075,7 @@ def _read_scoped(
 def read_committed(
     spark: SparkSession, root: str, ddl: str, *, before: int | None = None,
     mode: "str | None" = None, prune_in: "dict | None" = None,
+    prune_between: "dict | None" = None,
 ) -> DataFrame:
     """Union of the compacted segments and all committed batch
     directories above the horizon (< ``before`` if given) — an
@@ -1066,14 +1084,16 @@ def read_committed(
     never visible. Tombstoned rows (delete_keys) are filtered out of the
     directories their delete still pends on (see ``_read_scoped``).
 
-    ``prune_in`` (``{col: [values...]}``) skips, driver-side, every
-    directory whose committed stats sidecar proves none of the values
-    can occur (``_prune_entries``) — the caller still applies its own
-    row-level predicate; pruning only removes dirs that contribute zero
-    matching rows, so results are identical with or without it."""
+    ``prune_in`` (``{col: [values...]}``) and ``prune_between``
+    (``{col: (lo, hi)}`` — time windows, id ranges) skip, driver-side,
+    every directory whose committed stats sidecar proves none of the
+    probed values/range can occur (``_prune_entries``) — the caller
+    still applies its own row-level predicate; pruning only removes
+    dirs that contribute zero matching rows, so results are identical
+    with or without it."""
     entries = _committed_entries(root, before=before, mode=mode)
-    if prune_in:
-        entries = _prune_entries(entries, prune_in)
+    if prune_in or prune_between:
+        entries = _prune_entries(entries, prune_in, prune_between)
     if not entries:
         return spark.createDataFrame([], ddl)
     return _read_scoped(spark, root, ddl, entries, mode=mode)
@@ -1240,6 +1260,7 @@ def expire_snapshots(
 def read_snapshot(
     spark: SparkSession, root: str, ddl: str, snapshot_id: int,
     *, prune_in: "dict | None" = None,
+    prune_between: "dict | None" = None,
 ) -> DataFrame:
     """The exact frame ``read_committed`` served when ``snapshot_id``
     was created: pinned segments + pinned batch dirs, masked by the
@@ -1268,8 +1289,8 @@ def read_snapshot(
         ]
     else:
         entries += [("batch", _batch_dir(root, int(i)), int(i)) for i in sorted(b)]
-    if prune_in:
-        entries = _prune_entries(entries, prune_in)
+    if prune_in or prune_between:
+        entries = _prune_entries(entries, prune_in, prune_between)
     if not entries:
         return spark.createDataFrame([], ddl)
     pinned = rec.get("tomb") or {"index": {}, "dirs": [], "cols": [], "type": ""}

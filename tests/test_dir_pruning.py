@@ -164,6 +164,31 @@ def test_snapshot_read_prunes_pinned_dirs(spark, tmp_path):
     assert late.count() == 0
 
 
+@pytest.mark.parametrize("mode", [BC.RENAME, BC.MANIFEST])
+def test_range_prune_between(spark, tmp_path, mode):
+    """The range shape (prune_between) — time windows / id ranges —
+    skips dirs whose recorded [min,max] cannot overlap the window."""
+    root = _mk(spark, str(tmp_path / "s"), mode)
+    entries = BC._committed_entries(root, mode=mode)
+    # fully inside dir 1's range
+    kept = BC._prune_entries(entries, None, {"k": (120, 180)})
+    assert len(kept) == 1
+    # straddles dirs 1 and 2
+    assert len(BC._prune_entries(entries, None, {"k": (150, 250)})) == 2
+    # open-ended bounds
+    assert len(BC._prune_entries(entries, None, {"k": (None, 50)})) == 1
+    assert len(BC._prune_entries(entries, None, {"k": (250, None)})) == 1
+    # outside every range
+    assert BC._prune_entries(entries, None, {"k": (900, 950)}) == []
+    # composes with the point-IN shape: IN hits dir 0, range hits dir 2
+    assert BC._prune_entries(entries, {"k": [10]}, {"k": (250, 260)}) == []
+    got = BC.read_committed(spark, root, DDL, mode=mode,
+                            prune_between={"k": (120, 180)}) \
+        .where("k between 120 and 180")
+    assert sorted(r["k"] for r in got.collect()) == list(range(120, 181))
+    assert len({os.path.dirname(f) for f in got.inputFiles()}) == 1
+
+
 def test_non_json_stat_types_drop_column_not_commit(spark, tmp_path):
     """Footer min/max that json can't carry (timestamps, dates,
     decimals) must drop the COLUMN from the sidecar, never fail the
