@@ -494,3 +494,43 @@ def agg_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         store.process_batch(e.where(cond))
     return store.read()
+
+
+@register(
+    "agg_quantile_incremental",
+    extended=True,
+    band_oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS q_0_5,
+       quantile_cont(value, 0.95) AS q_0_95
+FROM events GROUP BY event_type
+""",
+    band_rtol=0.05,
+)
+def agg_quantile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch in the incremental view: quantiles
+    aren't distributive, but a FIXED-edge histogram is (per-bin SUM),
+    so the store keeps map<bin, count> per group per batch — edges
+    recorded in the marker so every batch bins identically — and
+    read_quantiles interpolates inside the crossing bin of the merged
+    histogram. 2048 bins over [0, 500] bounds the error at ~0.24 per
+    estimate; the band oracle pins p50/p95 within ±5% of DuckDB's
+    exact quantile_cont over the raw rows."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    store = AggregateStore(
+        spark, _fresh_store_dir("incq"), key_cols=["event_type"],
+        aggs={"vhist": ("hist", "value",
+                        {"lo": 0.0, "hi": 500.0, "bins": 2048})},
+    )
+    for cond in (
+        F.col("event_id") <= cut1,
+        (F.col("event_id") > cut1) & (F.col("event_id") <= cut2),
+        F.col("event_id") > cut2,
+    ):
+        store.process_batch(e.where(cond))
+    return store.read_quantiles("vhist", [0.5, 0.95])

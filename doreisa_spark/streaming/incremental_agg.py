@@ -96,6 +96,32 @@ def _hll_partial(batch: DataFrame, key_cols: list, out: str,
     )
 
 
+def _hist_partial(batch: DataFrame, key_cols: list, out: str, expr: str,
+                  opts: dict) -> DataFrame:
+    """Fixed-bin histogram sketch (fn "hist"): map<bin, count> per group
+    per batch. Bin edges are RECORDED in the store marker, so every
+    batch bins identically and the merge is plain per-bin SUM — the
+    exactly-mergeable quantile sketch (error bounded by the bin width;
+    out-of-range values clamp into the edge bins). Same reason as HLL:
+    quantiles aren't distributive, a fixed-edge histogram is."""
+    lo, hi, bins = float(opts["lo"]), float(opts["hi"]), int(opts["bins"])
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(F.floor((F.expr(expr) - lo) / width), F.lit(0)),
+        F.lit(bins - 1),
+    ).cast("int")
+    return (
+        batch.where(F.expr(expr).isNotNull())
+        .select(*key_cols, b.alias("__bin"))
+        .groupBy(*key_cols, "__bin").agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(*key_cols).agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("__bin", "__n")))
+            ).alias(out)
+        )
+    )
+
+
 def _hll_estimate(regs: DataFrame, key_cols: list, out: str) -> DataFrame:
     """Standard HLL estimator over merged registers: harmonic mean with
     untouched registers counting 2^0, linear-counting correction in the
@@ -132,41 +158,58 @@ class AggregateStore:
         self.spark = spark
         self.root = root.rstrip("/")
         self._log = f"{self.root}/partials"
+        def norm(a):
+            # (fn, expr) | (fn, expr, opts) -> (fn, expr, opts-or-None)
+            return {
+                o: (v[0], v[1],
+                    dict(v[2]) if len(v) > 2 and v[2] is not None else None)
+                for o, v in a.items()
+            }
+
         spec = read_marker(f"{self.root}/_aggs.json")
         if spec is None:
             if not key_cols or not aggs:
                 raise ValueError(
                     f"new store at {self.root}: key_cols and aggs required"
                 )
-            for out, (fn, e) in aggs.items():
-                if fn not in _PARTIAL and fn != "hll":
+            aggs = norm(aggs)
+            for out, (fn, e, opts) in aggs.items():
+                if fn not in _PARTIAL and fn not in ("hll", "hist"):
                     raise ValueError(
                         f"{out}: fn must be one of "
-                        f"{sorted(_PARTIAL) + ['hll']}, got {fn!r} "
+                        f"{sorted(_PARTIAL) + ['hist', 'hll']}, got {fn!r} "
                         "(avg = sum/count at read; hll = mergeable "
-                        "approx-distinct; exact distinct/medians need "
-                        "the raw rows)"
+                        "approx-distinct; hist = mergeable quantile "
+                        "sketch; exact distinct/medians need the raw rows)"
                     )
                 if e is None and fn != "count":
                     raise ValueError(f"{out}: {fn} needs a source expression")
+                if fn == "hist":
+                    if not opts or not {"lo", "hi", "bins"} <= set(opts):
+                        raise ValueError(
+                            f"{out}: hist needs opts {{lo, hi, bins}} — "
+                            "fixed edges are what make the sketch mergeable"
+                        )
+                    if not (float(opts["lo"]) < float(opts["hi"])
+                            and int(opts["bins"]) >= 2):
+                        raise ValueError(f"{out}: need lo < hi and bins >= 2")
                 if out in key_cols:
                     raise ValueError(f"output column {out} shadows a key")
         else:
-            recorded = {o: tuple(v) for o, v in spec["aggs"].items()}
+            recorded = norm(spec["aggs"])
             if key_cols is not None and list(key_cols) != spec["key_cols"]:
                 raise ValueError(
                     f"store at {self.root} groups by {spec['key_cols']}, "
                     f"got {list(key_cols)}"
                 )
-            if aggs is not None and {o: tuple(v) for o, v in aggs.items()} \
-                    != recorded:
+            if aggs is not None and norm(aggs) != recorded:
                 raise ValueError(
                     f"store at {self.root} records aggs {recorded}, "
                     f"got {aggs}"
                 )
             key_cols, aggs = spec["key_cols"], recorded
         self.key_cols = list(key_cols)
-        self.aggs = {o: (fn, e) for o, (fn, e) in aggs.items()}
+        self.aggs = dict(aggs)
         self._ddl: "str | None" = (spec or {}).get("ddl")
         self.commit_mode = BC._mode_of(self._log, commit_mode)
         if fenced is None:
@@ -180,19 +223,21 @@ class AggregateStore:
     def _partial(self, batch: DataFrame) -> DataFrame:
         plain = [
             _PARTIAL[fn](F.expr(e) if e is not None else None).alias(o)
-            for o, (fn, e) in self.aggs.items() if fn != "hll"
+            for o, (fn, e, _) in self.aggs.items() if fn in _PARTIAL
         ]
         base = (batch.groupBy(*self.key_cols).agg(*plain) if plain
                 else batch.select(*self.key_cols).distinct())
-        for o, (fn, e) in self.aggs.items():
-            if fn == "hll":
+        for o, (fn, e, opts) in self.aggs.items():
+            if fn in ("hll", "hist"):
                 # left join: a group whose sketch source is all-null in
-                # this batch keeps its row with a NULL map (the view
-                # estimates it as 0, like SQL count(distinct))
-                base = base.join(
-                    _hll_partial(batch, self.key_cols, o, e),
-                    self.key_cols, "left",
-                )
+                # this batch keeps its row with a NULL map (hll
+                # estimates it 0, like SQL count(distinct); hist
+                # contributes no mass)
+                sketch = (_hll_partial(batch, self.key_cols, o, e)
+                          if fn == "hll"
+                          else _hist_partial(batch, self.key_cols, o, e,
+                                             opts))
+                base = base.join(sketch, self.key_cols, "left")
         return base
 
     def process_batch(self, batch: DataFrame,
@@ -256,11 +301,11 @@ class AggregateStore:
                              prune_between=prune_between)
         merged = [
             _MERGE[fn](F.col(o)).alias(o)
-            for o, (fn, _) in self.aggs.items() if fn != "hll"
+            for o, (fn, _, _) in self.aggs.items() if fn in _MERGE
         ]
         view = (base.groupBy(*self.key_cols).agg(*merged) if merged
                 else base.select(*self.key_cols).distinct())
-        for o, (fn, _) in self.aggs.items():
+        for o, (fn, _, _) in self.aggs.items():
             if fn == "hll":
                 # element-wise MAX across each group's register maps
                 # (explode_outer keeps all-null-map groups: zero live
@@ -274,6 +319,72 @@ class AggregateStore:
                 )
                 view = view.join(_hll_estimate(regs, self.key_cols, o),
                                  self.key_cols, "left")
+            elif fn == "hist":
+                # per-bin SUM across batches: the merged histogram
+                bins = base.select(
+                    *self.key_cols,
+                    F.explode_outer(F.col(o)).alias("__bin", "__n"),
+                ).where(F.col("__bin").isNotNull()).groupBy(
+                    *self.key_cols, "__bin"
+                ).agg(F.sum("__n").alias("__n"))
+                hist = bins.groupBy(*self.key_cols).agg(
+                    F.map_from_entries(
+                        F.sort_array(
+                            F.collect_list(F.struct("__bin", "__n"))
+                        )
+                    ).alias(o)
+                )
+                view = view.join(hist, self.key_cols, "left")
+        return view
+
+    def read_quantiles(self, col: str, qs, *,
+                       snapshot: "int | None" = None) -> DataFrame:
+        """Quantile estimates from a merged ``hist`` sketch column:
+        per-group cumulative bin counts (one window over groups × bins
+        rows — sketch-bounded, not history-bounded) and linear
+        interpolation inside the crossing bin. Output: key columns +
+        one ``q_<pct>`` column per requested quantile. Error is
+        bounded by the recorded bin width."""
+        from pyspark.sql import Window as W
+
+        fn, _, opts = self.aggs[col]
+        if fn != "hist":
+            raise ValueError(f"{col} is {fn}, read_quantiles needs hist")
+        lo, hi, bins = float(opts["lo"]), float(opts["hi"]), int(opts["bins"])
+        width = (hi - lo) / bins
+        ex = self.read(snapshot=snapshot).select(
+            *self.key_cols, F.explode_outer(F.col(col)).alias("__bin", "__n")
+        )
+        w = W.partitionBy(*self.key_cols).orderBy("__bin")
+        cum = ex.select(
+            *self.key_cols, "__bin", "__n",
+            F.sum("__n").over(w).alias("__cum"),
+            F.sum("__n").over(
+                W.partitionBy(*self.key_cols)
+            ).alias("__tot"),
+        )
+        outs = []
+        for q in qs:
+            name = f"q_{str(q).replace('.', '_')}"
+            tgt = F.col("__tot") * float(q)
+            hit = cum.where(F.col("__cum") >= tgt).groupBy(
+                *self.key_cols
+            ).agg(
+                F.min(F.struct("__bin", "__n", "__cum", "__tot"))
+                .alias("__h")
+            ).select(
+                *self.key_cols,
+                (F.lit(lo) + (
+                    F.col("__h.__bin")
+                    + (F.col("__h.__tot") * float(q)
+                       - (F.col("__h.__cum") - F.col("__h.__n")))
+                    / F.col("__h.__n")
+                ) * F.lit(width)).alias(name),
+            )
+            outs.append(hit)
+        view = outs[0]
+        for h in outs[1:]:
+            view = view.join(h, self.key_cols, "full")
         return view
 
     # ------------------------------------------------- lifecycle plumbing

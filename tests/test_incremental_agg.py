@@ -182,6 +182,46 @@ def test_hll_sketch_merges_and_estimates(spark, tmp_path):
     assert abs(du2 - 1000) <= 50         # pure overlap: estimate stable
 
 
+def test_hist_sketch_quantiles(spark, tmp_path):
+    """The mergeable quantile sketch: fixed-edge histograms merge by
+    per-bin SUM across batches, and interpolated quantiles land within
+    a bin width of the exact answer; out-of-range values clamp into
+    the edge bins; the marker refuses drifting edges (mergeability)."""
+    store = AggregateStore(
+        spark, str(tmp_path / "agg"), key_cols=["g"],
+        aggs={"vh": ("hist", "v", {"lo": 0.0, "hi": 1000.0, "bins": 2048})},
+    )
+    mk = lambda a, b: spark.range(a, b).select(  # noqa: E731
+        F.lit("a").alias("g"),
+        (F.pmod(F.hash("id"), 100_000) / 100.0).alias("v"))
+    store.process_batch(mk(0, 20_000), 0)
+    store.process_batch(mk(20_000, 40_000), 1)
+    got = store.read_quantiles("vh", [0.5, 0.95]).first()
+    import numpy as np
+
+    vs = np.array([r["v"] for r in mk(0, 40_000).collect()])
+    assert abs(got["q_0_5"] - np.percentile(vs, 50)) < 1.0
+    assert abs(got["q_0_95"] - np.percentile(vs, 95)) < 1.0
+    # clamping: a batch entirely above hi lands in the last bin
+    store.process_batch(
+        spark.range(3).select(F.lit("b").alias("g"),
+                              F.lit(5000.0).alias("v")), 2)
+    gb = store.read_quantiles("vh", [0.5]).where("g = 'b'").first()
+    assert abs(gb["q_0_5"] - 1000.0) < 1.0  # edge bin, not a crash
+    with pytest.raises(ValueError, match="records aggs"):
+        AggregateStore(spark, str(tmp_path / "agg"), key_cols=["g"],
+                       aggs={"vh": ("hist", "v",
+                                    {"lo": 0.0, "hi": 900.0, "bins": 2048})})
+    with pytest.raises(ValueError, match="needs opts"):
+        AggregateStore(spark, str(tmp_path / "x"), key_cols=["g"],
+                       aggs={"vh": ("hist", "v")})
+    with pytest.raises(ValueError, match="read_quantiles needs hist"):
+        s2 = AggregateStore(spark, str(tmp_path / "y"), key_cols=["g"],
+                            aggs={"c": ("count", None)})
+        s2.process_batch(mk(0, 10), 0)
+        s2.read_quantiles("c", [0.5])
+
+
 def test_keyed_read_prunes_partial_dirs(spark, tmp_path):
     """Partials commit sorted by the group keys with key-range
     sidecars: a keyed lookup merges only the matching dirs."""
