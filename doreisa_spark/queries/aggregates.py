@@ -534,3 +534,42 @@ def agg_quantile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         store.process_batch(e.where(cond))
     return store.read_quantiles("vhist", [0.5, 0.95])
+
+
+@register(
+    "agg_window_incremental",
+    extended=True,
+    oracle="""
+SELECT hour, event_type, cnt, round(sum_value, 2) AS sum_value
+FROM (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS cnt, sum(value) AS sum_value
+  FROM events GROUP BY 1, 2)
+""",
+)
+def agg_window_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed materialized view: the aggregate store keyed
+    by (hour, event_type) — the window is just another group key
+    derived before ingest, so late data in any later batch lands as
+    one more partial for its hour and the merge heals the window
+    without reprocessing (the lakehouse answer to streaming windowed
+    state: partials are durable, idempotent, and mergeable). The
+    merged view must hash-match DuckDB's one-pass windowed GROUP BY of
+    the raw table."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = lo + (hi - lo) // 2
+    store = AggregateStore(
+        spark, _fresh_store_dir("incwin"), key_cols=["hour", "event_type"],
+        aggs={"cnt": ("count", None), "sum_value": ("sum", "value")},
+    )
+    # deliberately NOT time-ordered halves: every hour straddles both
+    # batches, proving the merge (late data is just another partial)
+    store.process_batch(e.where(F.col("event_id") % 2 == 0))
+    store.process_batch(e.where(F.col("event_id") % 2 == 1))
+    return store.read().withColumn("sum_value", F.round("sum_value", 2))

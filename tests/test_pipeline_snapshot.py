@@ -135,3 +135,32 @@ def test_drop_requires_every_member(spark, tmp_path):
     assert PS.drop_pipeline_snapshot(proot, cut, {"curation": cur, "ann": ann})
     with pytest.raises(ValueError, match="no pipeline snapshot"):
         PS.read_pipeline_snapshot(proot, cut)
+
+
+def test_aggregate_store_joins_the_cut(spark, tmp_path):
+    """The stats table rides the same cut as the training set: an
+    AggregateStore (r12) satisfies the snapshot()/drop_snapshot()
+    protocol, so 'corpus + its per-group statistics' is one
+    reproducible object — post-cut ingest moves the live view but not
+    the pinned one."""
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    agg = AggregateStore(spark, str(tmp_path / "agg"), key_cols=["g"],
+                         aggs={"cnt": ("count", None)},
+                         commit_mode=BC.MANIFEST)
+    agg.process_batch(
+        spark.range(100).select((F.col("id") % 5).alias("g")), 0)
+    proot = str(tmp_path / "pipeline")
+    cut = PS.pipeline_snapshot(proot, {"stats": agg})
+    pinned = {(r["g"], r["cnt"])
+              for r in agg.read(snapshot=PS.read_pipeline_snapshot(
+                  proot, cut)["stats"]).collect()}
+    agg.process_batch(
+        spark.range(300).select((F.col("id") % 5).alias("g")), 1)
+    live = {(r["g"], r["cnt"]) for r in agg.read().collect()}
+    assert live != pinned
+    again = {(r["g"], r["cnt"])
+             for r in agg.read(snapshot=PS.read_pipeline_snapshot(
+                 proot, cut)["stats"]).collect()}
+    assert again == pinned
+    assert PS.drop_pipeline_snapshot(proot, cut, {"stats": agg})
