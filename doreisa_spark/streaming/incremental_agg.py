@@ -220,6 +220,25 @@ class AggregateStore:
         self.target_file_bytes = target_file_bytes
 
     # ------------------------------------------------------------ write
+    def _attach(self, base: DataFrame, right: DataFrame,
+                how: str = "left") -> DataFrame:
+        """Join ``right`` onto ``base`` by the group keys with
+        NULL-SAFE equality: SQL GROUP BY treats NULL as a real group,
+        so a null-unsafe key join would silently detach the NULL
+        group's sketch/estimate from its row (r12 review finding).
+        The right side's keys are renamed to unique temps first — both
+        frames derive from the same lineage, and Spark's self-join
+        disambiguation makes dropping ``right[k]`` by column reference
+        silently drop the LEFT key instead."""
+        tmp = {k: f"__rk_{k}" for k in self.key_cols}
+        for k, t in tmp.items():
+            right = right.withColumnRenamed(k, t)
+        cond = None
+        for k, t in tmp.items():
+            c = base[k].eqNullSafe(F.col(t))
+            cond = c if cond is None else cond & c
+        return base.join(right, cond, how).drop(*tmp.values())
+
     def _partial(self, batch: DataFrame) -> DataFrame:
         plain = [
             _PARTIAL[fn](F.expr(e) if e is not None else None).alias(o)
@@ -237,7 +256,7 @@ class AggregateStore:
                           if fn == "hll"
                           else _hist_partial(batch, self.key_cols, o, e,
                                              opts))
-                base = base.join(sketch, self.key_cols, "left")
+                base = self._attach(base, sketch)
         return base
 
     def process_batch(self, batch: DataFrame,
@@ -261,7 +280,22 @@ class AggregateStore:
                 "aggs": {o: list(v) for o, v in self.aggs.items()},
                 "ddl": ddl, "v": 1,
             })
-            self._ddl = read_marker(f"{self.root}/_aggs.json")["ddl"]
+            # write-once can LOSE to a concurrent first-ingest: validate
+            # the full winning spec, not just adopt its ddl — two
+            # incompatible writers must not interleave their partials
+            # into one log (r12 review finding)
+            won = read_marker(f"{self.root}/_aggs.json")
+            if won["key_cols"] != self.key_cols or {
+                o: (v[0], v[1], dict(v[2]) if len(v) > 2 and v[2] is not None
+                    else None)
+                for o, v in won["aggs"].items()
+            } != self.aggs:
+                raise ValueError(
+                    f"store at {self.root} was concurrently created with "
+                    f"keys {won['key_cols']} / aggs {won['aggs']}; this "
+                    f"writer wanted {self.key_cols} / {self.aggs}"
+                )
+            self._ddl = won["ddl"]
         shaped = part.repartition(1).sortWithinPartitions(*self.key_cols)
         BC.commit_batch(shaped, self._log, batch_id, mode=self.commit_mode,
                         epoch=self._epoch, stats_cols=self.key_cols)
@@ -317,8 +351,9 @@ class AggregateStore:
                 ).groupBy(*self.key_cols, "__reg").agg(
                     F.max("__rho").alias("__rho")
                 )
-                view = view.join(_hll_estimate(regs, self.key_cols, o),
-                                 self.key_cols, "left")
+                view = self._attach(
+                    view, _hll_estimate(regs, self.key_cols, o)
+                )
             elif fn == "hist":
                 # per-bin SUM across batches: the merged histogram
                 bins = base.select(
@@ -334,7 +369,7 @@ class AggregateStore:
                         )
                     ).alias(o)
                 )
-                view = view.join(hist, self.key_cols, "left")
+                view = self._attach(view, hist)
         return view
 
     def read_quantiles(self, col: str, qs, *,
@@ -350,11 +385,19 @@ class AggregateStore:
         fn, _, opts = self.aggs[col]
         if fn != "hist":
             raise ValueError(f"{col} is {fn}, read_quantiles needs hist")
+        if not qs or not all(0 < float(q) <= 1 for q in qs):
+            raise ValueError(f"quantiles must be in (0, 1], got {qs}")
         lo, hi, bins = float(opts["lo"]), float(opts["hi"]), int(opts["bins"])
         width = (hi - lo) / bins
-        ex = self.read(snapshot=snapshot).select(
+        # merge the bins straight off the partial log: going through
+        # read() would compute — and discard — every OTHER aggregate
+        # column, including other sketches' explode/join chains (r12
+        # review finding)
+        ex = self.partials(snapshot=snapshot).select(
             *self.key_cols, F.explode_outer(F.col(col)).alias("__bin", "__n")
-        )
+        ).where(F.col("__bin").isNotNull()).groupBy(
+            *self.key_cols, "__bin"
+        ).agg(F.sum("__n").alias("__n"))
         w = W.partitionBy(*self.key_cols).orderBy("__bin")
         cum = ex.select(
             *self.key_cols, "__bin", "__n",
@@ -363,7 +406,7 @@ class AggregateStore:
                 W.partitionBy(*self.key_cols)
             ).alias("__tot"),
         )
-        outs = []
+        view = None
         for q in qs:
             name = f"q_{str(q).replace('.', '_')}"
             tgt = F.col("__tot") * float(q)
@@ -381,10 +424,10 @@ class AggregateStore:
                     / F.col("__h.__n")
                 ) * F.lit(width)).alias(name),
             )
-            outs.append(hit)
-        view = outs[0]
-        for h in outs[1:]:
-            view = view.join(h, self.key_cols, "full")
+            # null-safe attach (a NULL group key is a real group);
+            # every q in (0, 1] yields the same group set — the last
+            # bin's cumulative equals the total — so left is exact
+            view = hit if view is None else self._attach(view, hit)
         return view
 
     # ------------------------------------------------- lifecycle plumbing
@@ -394,10 +437,12 @@ class AggregateStore:
         whose ``col`` (default: first key column) matches — the group
         vanishes from the view; partials ingested after the delete
         re-accumulate from zero (the commit layer's covers rule)."""
+        if self._ddl is None:
+            raise ValueError(f"store at {self.root} has no committed state")
         col = col or self.key_cols[0]
         ktype = dict(
             (f.split(" ", 1)[0], f.split(" ", 1)[1])
-            for f in (self._ddl or "").split(", ")
+            for f in self._ddl.split(", ")
         ).get(col, "bigint")
         if batch_id is None:
             batch_id = BC.next_batch_id(

@@ -222,6 +222,34 @@ def test_hist_sketch_quantiles(spark, tmp_path):
         s2.read_quantiles("c", [0.5])
 
 
+def test_null_group_key_keeps_its_sketches(spark, tmp_path):
+    """SQL GROUP BY treats NULL as a real group: the NULL group's HLL
+    and histogram sketches must ride the null-safe key join, not
+    silently detach (r12 review finding)."""
+    store = AggregateStore(
+        spark, str(tmp_path / "agg"), key_cols=["g"],
+        aggs={"du": ("hll", "u"), "cnt": ("count", None),
+              "vh": ("hist", "u", {"lo": 0.0, "hi": 600.0, "bins": 512})},
+    )
+    b = spark.sql(
+        "select if(id % 2 = 0, 'a', cast(null as string)) as g, "
+        "cast(id as double) as u from range(500)"
+    )
+    store.process_batch(b, 0)
+    store.process_batch(b, 0)  # redelivery: same id commits nothing
+    store.process_batch(
+        spark.sql("select cast(null as string) as g, "
+                  "cast(id + 250 as double) as u from range(250)"), 2)
+    got = {r["g"]: r for r in store.read().collect()}
+    assert set(got) == {"a", None}
+    # NULL group: 250 odd ids (batch 0) ∪ values 250..499 (batch 2,
+    # overlapping the 125 odd ones) = 375 distinct of 500 rows
+    assert abs(got[None]["du"] - 375) <= 20
+    assert got[None]["cnt"] == 500
+    q = store.read_quantiles("vh", [0.5]).collect()
+    assert {r["g"] for r in q} == {"a", None}
+
+
 def test_keyed_read_prunes_partial_dirs(spark, tmp_path):
     """Partials commit sorted by the group keys with key-range
     sidecars: a keyed lookup merges only the matching dirs."""
