@@ -112,6 +112,11 @@ def main() -> None:
         # multiprobe probe shape (RECALL_r09.md carries the recall side)
         "sim_ann_ivf_store",
         "sim_ann_store_multiprobe",
+        # r12: the incremental materialized view — 3-batch partial
+        # ingest + merge-on-read (BASELINE.md "Incremental materialized
+        # aggregates"; the flat-vs-history curve lives in
+        # BENCH_incremental_agg_r12.json)
+        "agg_rollup_incremental",
     ):
         best = None
         for _pass in range(2):
