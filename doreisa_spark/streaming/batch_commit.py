@@ -1461,6 +1461,7 @@ def _write_segment(
     order_by: "list[str] | None",
     target_files: int,
     mode: "str | None",
+    fold_transform=None,
 ) -> tuple[str, int, list[int]]:
     """Write one merged segment from the source ``entries`` directly
     under its final nonce name — INVISIBLE to readers until the manifest
@@ -1473,7 +1474,17 @@ def _write_segment(
     root IS a tombstone sub-log, retired tombstone rows are dropped
     instead (the sub-log's own lifecycle). ``order_by`` keeps the
     segment range-partitioned + sorted so pruned probes retain row-group
-    min/max locality through compaction."""
+    min/max locality through compaction.
+
+    ``fold_transform`` (optional ``DataFrame -> DataFrame``, schema-
+    preserving) rewrites the fold's SURVIVING rows before the segment
+    write — the roll-up hook (Druid-style segment roll-up): a store
+    whose rows are mergeable partials re-aggregates them here so a
+    segment holds one row per key instead of one per (key, source
+    batch). Sound against tombstones because it runs strictly AFTER
+    the scoped masking: it combines exactly the rows a reader of the
+    sources would have seen, and the recorded ``applied`` list covers
+    the rolled segment the same way it covers a concatenating fold."""
     name = f"m{horizon:012d}_{uuid.uuid4().hex[:8]}"
     dest = os.path.join(root, name)
     merged = _read_scoped(spark, root, ddl, entries, mode=mode)
@@ -1488,6 +1499,15 @@ def _write_segment(
         merged = merged.where(
             F.col("tid").isin(live) if live else F.lit(False)
         )
+    if fold_transform is not None:
+        rolled = fold_transform(merged)
+        if [f.name for f in rolled.schema.fields] != \
+                [f.name for f in merged.schema.fields]:
+            raise ValueError(
+                "fold_transform must preserve the log schema; got "
+                f"{rolled.columns} vs {merged.columns}"
+            )
+        merged = rolled
     if order_by:
         # coalesce(1) is deliberate for the single-file fold, unlike
         # the stream-ingest commit (vector_store._commit_shaped), which
@@ -1642,7 +1662,7 @@ def compact_tiered(
     mode: "str | None" = None, order_by: "list[str] | None" = None,
     fanout: int = 4, band_base_bytes: int = 1 << 16,
     target_files: int = 1, target_file_bytes: "int | None" = None,
-    epoch: "int | None" = None,
+    epoch: "int | None" = None, fold_transform=None,
 ) -> dict:
     """LSM size-tiered compaction — bounded write amplification (r8
     verdict ask #1). One **flush** folds the eligible batch prefix into
@@ -1702,7 +1722,7 @@ def compact_tiered(
             spark, root, ddl, src, new_horizon,
             order_by=order_by,
             target_files=files_for(sum(_dir_bytes(p) for _, p, _ in src)),
-            mode=resolved,
+            mode=resolved, fold_transform=fold_transform,
         )
 
         def flush_flip(cur: dict) -> dict:
@@ -1752,7 +1772,7 @@ def compact_tiered(
             spark, root, ddl, src, horizon,
             order_by=order_by,
             target_files=files_for(sum(sizes[s] for s in victims)),
-            mode=resolved,
+            mode=resolved, fold_transform=fold_transform,
         )
 
         def merge_flip(cur: dict) -> dict:

@@ -301,10 +301,14 @@ class AggregateStore:
                         epoch=self._epoch, stats_cols=self.key_cols)
         ce = self.compact_every
         if ce and batch_id % ce == ce - 1:
+            # roll-up fold: every segment re-aggregates to one partial
+            # row per group, so the log — and with it the view-read
+            # cost — stays O(groups × tiers), never O(batches)
             BC.compact_tiered(self.spark, self._log, self._ddl,
                               mode=self.commit_mode,
                               order_by=self.key_cols,
                               target_file_bytes=self.target_file_bytes,
+                              fold_transform=self._roll_up,
                               epoch=self._epoch)
 
     # ------------------------------------------------------------- read
@@ -331,8 +335,40 @@ class AggregateStore:
         driver-side, and the caller applies the same predicate
         row-level (pruning alone is a superset, exactly like the
         vector-store probes)."""
-        base = self.partials(snapshot=snapshot, prune_in=prune_in,
-                             prune_between=prune_between)
+        m = self._merged_partials(
+            self.partials(snapshot=snapshot, prune_in=prune_in,
+                          prune_between=prune_between)
+        )
+        # hll columns leave the merged view as register maps; the VIEW
+        # contract is the cardinality estimate — one projection over
+        # the merged map, no explode (size + harmonic fold of values)
+        for o, (fn, _, _) in self.aggs.items():
+            if fn == "hll":
+                # size(NULL) is -1 outside ANSI mode — branch, don't
+                # coalesce
+                n = F.when(F.col(o).isNull(), F.lit(0)) \
+                    .otherwise(F.size(F.col(o))).cast("double")
+                z = F.coalesce(
+                    F.aggregate(F.map_values(F.col(o)), F.lit(0.0),
+                                lambda a, x: a + F.pow(F.lit(2.0), -x)),
+                    F.lit(0.0),
+                ) + (F.lit(float(_HLL_M)) - n)
+                raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / z
+                v = F.lit(float(_HLL_M)) - n
+                lin = F.lit(float(_HLL_M)) * \
+                    F.log(F.lit(float(_HLL_M)) / v)
+                est = F.when((raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+                             lin).otherwise(raw)
+                m = m.withColumn(o, F.round(est).cast("bigint"))
+        return m
+
+    def _merged_partials(self, base: DataFrame) -> DataFrame:
+        """One VALID partial row per group: plain columns by their
+        merge fn, sketch maps by their element-wise merge (hll = MAX
+        per register, hist = SUM per bin). A merge of merged partials
+        is itself a partial (associativity), which is what lets this
+        single definition serve as BOTH the read-side merge and the
+        roll-up ``fold_transform`` compaction applies (``_roll_up``)."""
         merged = [
             _MERGE[fn](F.col(o)).alias(o)
             for o, (fn, _, _) in self.aggs.items() if fn in _MERGE
@@ -340,37 +376,33 @@ class AggregateStore:
         view = (base.groupBy(*self.key_cols).agg(*merged) if merged
                 else base.select(*self.key_cols).distinct())
         for o, (fn, _, _) in self.aggs.items():
-            if fn == "hll":
-                # element-wise MAX across each group's register maps
-                # (explode_outer keeps all-null-map groups: zero live
-                # registers estimates to an exact 0), then the HLL
-                # cardinality formula per group
-                regs = base.select(
-                    *self.key_cols,
-                    F.explode_outer(F.col(o)).alias("__reg", "__rho"),
-                ).groupBy(*self.key_cols, "__reg").agg(
-                    F.max("__rho").alias("__rho")
-                )
-                view = self._attach(
-                    view, _hll_estimate(regs, self.key_cols, o)
-                )
-            elif fn == "hist":
-                # per-bin SUM across batches: the merged histogram
-                bins = base.select(
-                    *self.key_cols,
-                    F.explode_outer(F.col(o)).alias("__bin", "__n"),
-                ).where(F.col("__bin").isNotNull()).groupBy(
-                    *self.key_cols, "__bin"
-                ).agg(F.sum("__n").alias("__n"))
-                hist = bins.groupBy(*self.key_cols).agg(
-                    F.map_from_entries(
-                        F.sort_array(
-                            F.collect_list(F.struct("__bin", "__n"))
-                        )
-                    ).alias(o)
-                )
-                view = self._attach(view, hist)
+            if fn not in ("hll", "hist"):
+                continue
+            val, comb = (("__rho", F.max) if fn == "hll"
+                         else ("__n", F.sum))
+            ent = base.select(
+                *self.key_cols,
+                F.explode_outer(F.col(o)).alias("__k", val),
+            ).where(F.col("__k").isNotNull()).groupBy(
+                *self.key_cols, "__k"
+            ).agg(comb(val).alias(val))
+            maps = ent.groupBy(*self.key_cols).agg(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("__k", val)))
+                ).alias(o)
+            )
+            # left attach: an all-null-map group keeps its row with a
+            # NULL map, exactly like its source partials
+            view = self._attach(view, maps)
         return view
+
+    def _roll_up(self, fold: DataFrame) -> DataFrame:
+        """compact_tiered ``fold_transform``: re-aggregate the fold so
+        a segment holds ONE partial row per group (Druid-style segment
+        roll-up) instead of one per (group, source batch) — the
+        partial log stays O(groups × tiers) on disk, not O(batches)."""
+        cols = [f.split(" ", 1)[0] for f in (self._ddl or "").split(", ")]
+        return self._merged_partials(fold).select(*cols)
 
     def read_quantiles(self, col: str, qs, *,
                        snapshot: "int | None" = None) -> DataFrame:

@@ -83,6 +83,48 @@ def test_compaction_never_changes_the_view(spark, tmp_path):
     assert _view(store) == _expected(e)
     man = BC._manifest_load(store._log) or {}
     assert man.get("segments"), "tiered compaction should have folded"
+    # roll-up fold: a segment holds ONE partial row per group, not one
+    # per (group, source batch) — the log stays O(groups x tiers)
+    groups = e.select("event_type", "user_id").distinct().count()
+    for seg in man["segments"]:
+        seg_rows = spark.read.parquet(
+            f"{store._log}/{seg}"
+        ).count()
+        assert seg_rows <= groups
+
+
+def test_roll_up_preserves_sketches_and_deletes(spark, tmp_path):
+    """A rolled segment must carry MERGED sketch maps (valid partials)
+    and respect tombstone masking applied before the roll-up."""
+    store = AggregateStore(
+        spark, str(tmp_path / "agg"), key_cols=["g"],
+        aggs={"du": ("hll", "u"), "cnt": ("count", None),
+              "vh": ("hist", "u", {"lo": 0.0, "hi": 1000.0, "bins": 256})},
+        compact_every=None,
+    )
+    for i in range(4):
+        store.process_batch(
+            spark.range(i * 200, (i + 1) * 200 + 100).select(
+                (F.col("id") % 3).alias("g"),
+                F.col("id").cast("double").alias("u")), i)
+    store.delete_groups([2])
+
+    def rows(df):  # maps are dicts: normalize for set compare
+        def norm(v):
+            return tuple(sorted(v.items())) if isinstance(v, dict) else v
+
+        return {tuple(norm(v) for v in r) for r in df.collect()}
+
+    before_view = rows(store.read())
+    before_q = rows(store.read_quantiles("vh", [0.5]))
+    BC.compact_tiered(spark, store._log, store._ddl, keep_last=1,
+                      mode=store.commit_mode, order_by=store.key_cols,
+                      fold_transform=store._roll_up, epoch=store._epoch)
+    assert rows(store.read()) == before_view
+    assert rows(store.read_quantiles("vh", [0.5])) == before_q
+    man = BC._manifest_load(store._log) or {}
+    seg = spark.read.parquet(f"{store._log}/{man['segments'][0]}")
+    assert seg.count() <= 2  # group 2 tombstoned out, 0/1 rolled up
 
 
 def test_delete_groups_masks_and_reaccumulates(spark, tmp_path):
