@@ -219,6 +219,16 @@ class AggregateStore:
         self.compact_every = compact_every
         self.target_file_bytes = target_file_bytes
 
+    @classmethod
+    def from_alias(cls, spark: SparkSession, alias_root: str, name: str,
+                   **kw):
+        """Open a READ handle on whatever root the named alias points
+        at (alias.open_by_alias, unfenced by default) — a rebuilt view
+        store hands off blue/green exactly like the vector stores."""
+        from doreisa_spark.streaming.alias import open_by_alias
+
+        return open_by_alias(cls, spark, alias_root, name, **kw)
+
     # ------------------------------------------------------------ write
     def _attach(self, base: DataFrame, right: DataFrame,
                 how: str = "left") -> DataFrame:

@@ -178,6 +178,26 @@ def test_reopen_validates_marker(spark, tmp_path):
                        aggs={"cnt": ("count", None)})
 
 
+def test_from_alias_opens_current_root(spark, tmp_path):
+    from doreisa_spark.streaming.alias import bind_alias, flip_alias
+
+    a = AggregateStore(spark, str(tmp_path / "blue"), key_cols=["g"],
+                       aggs={"cnt": ("count", None)},
+                       commit_mode=BC.MANIFEST)
+    a.process_batch(spark.range(10).select((F.col("id") % 2).alias("g")), 0)
+    aroot = str(tmp_path / "aliases")
+    bind_alias(aroot, "stats", a.root)
+    h = AggregateStore.from_alias(spark, aroot, "stats")
+    assert {tuple(r) for r in h.read().collect()} == {(0, 5), (1, 5)}
+    b = AggregateStore(spark, str(tmp_path / "green"), key_cols=["g"],
+                       aggs={"cnt": ("count", None)},
+                       commit_mode=BC.MANIFEST)
+    b.process_batch(spark.range(4).select((F.col("id") % 2).alias("g")), 0)
+    flip_alias(aroot, "stats", b.root, expect_root=a.root)
+    h2 = AggregateStore.from_alias(spark, aroot, "stats")
+    assert {tuple(r) for r in h2.read().collect()} == {(0, 2), (1, 2)}
+
+
 def test_bad_specs_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="key_cols and aggs"):
         AggregateStore(spark, str(tmp_path / "a"))
