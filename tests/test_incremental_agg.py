@@ -312,6 +312,85 @@ def test_null_group_key_keeps_its_sketches(spark, tmp_path):
     assert {r["g"] for r in q} == {"a", None}
 
 
+def test_agg_model_randomized(spark):
+    """Randomized lifecycle programs for the view: ingest / group
+    takedowns / roll-up compaction / snapshots, checked after every
+    step against a dict model of the documented semantics (delete
+    removes the group's accumulated history; later ingest
+    re-accumulates from zero; compaction and snapshots never change
+    the live view; a pinned view never moves)."""
+    import os
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    OPS = st.one_of(
+        st.tuples(st.just("ingest"),
+                  st.lists(st.integers(0, 4), min_size=0, max_size=6)),
+        st.tuples(st.just("delete"),
+                  st.lists(st.integers(0, 4), min_size=1, max_size=2,
+                           unique=True)),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("snapshot"), st.none()),
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    @given(program=st.lists(OPS, min_size=3, max_size=8))
+    def run(program):
+        tmp = tempfile.mkdtemp(prefix="agg_model_")
+        store = AggregateStore(
+            spark, os.path.join(tmp, "agg"), key_cols=["g"],
+            aggs={"cnt": ("count", None), "sum_g": ("sum", "g")},
+            compact_every=None,
+        )
+        model: dict = {}    # g -> [cnt, sum]
+        pinned: dict = {}   # sid -> model copy
+        bid = 0
+        try:
+            for step, (op, arg) in enumerate(program):
+                if op == "ingest":
+                    rows = [(int(g),) for g in arg]
+                    if rows:
+                        store.process_batch(
+                            spark.createDataFrame(rows, "g bigint"), bid)
+                        bid += 1
+                        for (g,) in rows:
+                            c = model.setdefault(g, [0, 0])
+                            c[0] += 1
+                            c[1] += g
+                elif op == "delete" and bid:
+                    store.delete_groups([int(g) for g in arg])
+                    for g in arg:
+                        model.pop(g, None)
+                elif op == "compact" and store._ddl:
+                    BC.compact_tiered(
+                        spark, store._log, store._ddl,
+                        keep_last=1, mode=store.commit_mode,
+                        order_by=store.key_cols,
+                        fold_transform=store._roll_up,
+                        epoch=store._epoch,
+                    )
+                elif op == "snapshot" and store._ddl:
+                    pinned[store.snapshot()] = {
+                        g: list(v) for g, v in model.items()}
+                if store._ddl:
+                    got = {r["g"]: [r["cnt"], r["sum_g"]]
+                           for r in store.read().collect()}
+                    assert got == model, f"step {step} ({op} {arg})"
+            for sid, want in pinned.items():
+                got = {r["g"]: [r["cnt"], r["sum_g"]]
+                       for r in store.read(snapshot=sid).collect()}
+                assert got == want, f"snapshot {sid} drifted"
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    run()
+
+
 def test_keyed_read_prunes_partial_dirs(spark, tmp_path):
     """Partials commit sorted by the group keys with key-range
     sidecars: a keyed lookup merges only the matching dirs."""
