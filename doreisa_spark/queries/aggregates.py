@@ -573,3 +573,41 @@ def agg_window_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.process_batch(e.where(F.col("event_id") % 2 == 0))
     store.process_batch(e.where(F.col("event_id") % 2 == 1))
     return store.read().withColumn("sum_value", F.round("sum_value", 2))
+
+
+@register(
+    "agg_upsert_incremental",
+    extended=True,
+    oracle="""
+SELECT user_id, latest_v, n_events FROM (
+  SELECT user_id, value AS latest_v,
+         count(*) OVER (PARTITION BY user_id) AS n_events,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events) WHERE rk = 1
+""",
+)
+def agg_upsert_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state (upsert / CDC-mirror) view from an append-only
+    log: fn "last" carries struct(order, value) partials whose
+    lexicographic MAX is argmax-by-order — distributive, so the view
+    maintains 'the newest value per key' incrementally, roll-up folds
+    keep one struct per key on disk, and the merged answer must
+    hash-match DuckDB's row_number()-over-raw-history pick. The order
+    key struct(ts, event_id) is unique per row, making the pick
+    deterministic on both engines. Batches arrive NON-chronologically
+    (even/odd event_id split): late data cannot displace a newer
+    value, exactly like a keyed upsert."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    store = AggregateStore(
+        spark, _fresh_store_dir("incup"), key_cols=["user_id"],
+        aggs={"latest_v": ("last", "value",
+                           {"by": "struct(ts, event_id)"}),
+              "n_events": ("count", None)},
+    )
+    store.process_batch(e.where("event_id % 2 = 0"))
+    store.process_batch(e.where("event_id % 2 = 1"))
+    return store.read()

@@ -58,7 +58,31 @@ _PARTIAL = {
     "min": lambda e: F.min(e),
     "max": lambda e: F.max(e),
 }
-_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+_MERGE = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max,
+          "last": F.max, "first": F.min}
+
+
+def _by_partial(fn: str, e: str, opts: dict, batch: DataFrame):
+    """fn "last"/"first" — the argmax/argmin pair that turns an
+    append-only log into an incrementally-maintained LATEST-STATE
+    (upsert / CDC-mirror) table: the partial carries struct(order,
+    value), struct comparison is lexicographic, so MAX of structs IS
+    argmax-by-order — distributive, roll-up-safe, and deterministic
+    when ``by`` is unique per group (make it a struct with a
+    tiebreaker, e.g. ``struct(ts, event_id)``). Rows whose order key
+    is NULL — or, for a struct order key, with any NULL top-level
+    field — are ignored: a CDC row without a timestamp must not win
+    the min's nulls-first struct ordering."""
+    from pyspark.sql.types import StructType
+
+    ord_e, val = F.expr(opts["by"]), F.expr(e)
+    guard = ord_e.isNotNull()
+    dt = batch.select(ord_e.alias("_o")).schema[0].dataType
+    if isinstance(dt, StructType):
+        for f in dt.fields:
+            guard = guard & ord_e.getField(f.name).isNotNull()
+    s = F.when(guard, F.struct(ord_e.alias("o"), val.alias("v")))
+    return F.max(s) if fn == "last" else F.min(s)
 
 # HyperLogLog sketch column (fn "hll"): the mergeable approx-distinct
 # the plain algebra can't give — exact COUNT(DISTINCT) is not
@@ -174,16 +198,26 @@ class AggregateStore:
                 )
             aggs = norm(aggs)
             for out, (fn, e, opts) in aggs.items():
-                if fn not in _PARTIAL and fn not in ("hll", "hist"):
+                if fn not in _PARTIAL and fn not in ("hll", "hist",
+                                                     "last", "first"):
                     raise ValueError(
                         f"{out}: fn must be one of "
-                        f"{sorted(_PARTIAL) + ['hist', 'hll']}, got {fn!r} "
-                        "(avg = sum/count at read; hll = mergeable "
-                        "approx-distinct; hist = mergeable quantile "
-                        "sketch; exact distinct/medians need the raw rows)"
+                        f"{sorted(_PARTIAL) + ['first', 'hist', 'hll', 'last']}"
+                        f", got {fn!r} (avg = sum/count at read; hll = "
+                        "mergeable approx-distinct; hist = mergeable "
+                        "quantile sketch; last/first = argmax/argmin by "
+                        "an order key — the latest-state/upsert view; "
+                        "exact distinct/medians need the raw rows)"
                     )
                 if e is None and fn != "count":
                     raise ValueError(f"{out}: {fn} needs a source expression")
+                if fn in ("last", "first") and \
+                        not (opts and opts.get("by")):
+                    raise ValueError(
+                        f"{out}: {fn} needs opts {{'by': <order expr>}} — "
+                        "include a tiebreaker for determinism, e.g. "
+                        "struct(ts, event_id)"
+                    )
                 if fn == "hist":
                     if not opts or not {"lo", "hi", "bins"} <= set(opts):
                         raise ValueError(
@@ -251,8 +285,11 @@ class AggregateStore:
 
     def _partial(self, batch: DataFrame) -> DataFrame:
         plain = [
-            _PARTIAL[fn](F.expr(e) if e is not None else None).alias(o)
-            for o, (fn, e, _) in self.aggs.items() if fn in _PARTIAL
+            (_by_partial(fn, e, opts, batch) if fn in ("last", "first")
+             else _PARTIAL[fn](F.expr(e) if e is not None else None)
+             ).alias(o)
+            for o, (fn, e, opts) in self.aggs.items()
+            if fn in _PARTIAL or fn in ("last", "first")
         ]
         base = (batch.groupBy(*self.key_cols).agg(*plain) if plain
                 else batch.select(*self.key_cols).distinct())
@@ -370,6 +407,10 @@ class AggregateStore:
                 est = F.when((raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
                              lin).otherwise(raw)
                 m = m.withColumn(o, F.round(est).cast("bigint"))
+            elif fn in ("last", "first"):
+                # the view serves the VALUE; the order key was only the
+                # merge's argmax/argmin carrier
+                m = m.withColumn(o, F.col(o).getField("v"))
         return m
 
     def _merged_partials(self, base: DataFrame) -> DataFrame:

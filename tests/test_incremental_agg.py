@@ -312,6 +312,39 @@ def test_null_group_key_keeps_its_sketches(spark, tmp_path):
     assert {r["g"] for r in q} == {"a", None}
 
 
+def test_last_first_upsert_view(spark, tmp_path):
+    """fn last/first: argmax/argmin-by-order partials give the
+    latest-state (upsert) view — late batches cannot displace newer
+    values, NULL order keys are ignored, roll-up folds keep the struct
+    carrier, and a reopened store round-trips the 'by' opts."""
+    store = AggregateStore(
+        spark, str(tmp_path / "agg"), key_cols=["k"],
+        aggs={"latest": ("last", "v", {"by": "struct(ts, seq)"}),
+              "oldest": ("first", "v", {"by": "struct(ts, seq)"})},
+        compact_every=None,
+    )
+    ddl = "k bigint, ts bigint, seq bigint, v string"
+    newer = [(1, 100, 1, "new1"), (2, 100, 1, "new2")]
+    older = [(1, 50, 0, "old1"), (2, 50, 0, "old2"),
+             (2, None, 9, "null-ts-ignored")]
+    store.process_batch(spark.createDataFrame(newer, ddl), 0)
+    store.process_batch(spark.createDataFrame(older, ddl), 1)  # late
+    want = {(1, "new1", "old1"), (2, "new2", "old2")}
+    got = {(r["k"], r["latest"], r["oldest"])
+           for r in store.read().collect()}
+    assert got == want
+    BC.compact_tiered(spark, store._log, store._ddl, keep_last=1,
+                      mode=store.commit_mode, order_by=store.key_cols,
+                      fold_transform=store._roll_up, epoch=store._epoch)
+    assert {(r["k"], r["latest"], r["oldest"])
+            for r in store.read().collect()} == want
+    reopened = AggregateStore(spark, str(tmp_path / "agg"))
+    assert reopened.aggs["latest"][2] == {"by": "struct(ts, seq)"}
+    with pytest.raises(ValueError, match="needs opts"):
+        AggregateStore(spark, str(tmp_path / "x"), key_cols=["k"],
+                       aggs={"l": ("last", "v")})
+
+
 def test_agg_model_randomized(spark):
     """Randomized lifecycle programs for the view: ingest / group
     takedowns / roll-up compaction / snapshots, checked after every
