@@ -117,6 +117,9 @@ def main() -> None:
         # aggregates"; the flat-vs-history curve lives in
         # BENCH_incremental_agg_r12.json)
         "agg_rollup_incremental",
+        # r13: the incremental JOIN view — fact partials at FK grain +
+        # dim latest-state, joined GRAINS re-grouped at read
+        "agg_join_incremental",
     ):
         best = None
         for _pass in range(2):

@@ -377,7 +377,6 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_rollup_incremental",
-    extended=True,
     oracle="""
 SELECT event_type,
        cnt,
@@ -538,7 +537,6 @@ def agg_quantile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_window_incremental",
-    extended=True,
     oracle="""
 SELECT hour, event_type, cnt, round(sum_value, 2) AS sum_value
 FROM (
@@ -573,6 +571,263 @@ def agg_window_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.process_batch(e.where(F.col("event_id") % 2 == 0))
     store.process_batch(e.where(F.col("event_id") % 2 == 1))
     return store.read().withColumn("sum_value", F.round("sum_value", 2))
+
+
+@register(
+    "agg_var_incremental",
+    oracle="""
+SELECT event_type, cnt,
+       round(var_value, 4) AS var_value,
+       round(std_samp_value, 4) AS std_samp_value
+FROM (
+  SELECT event_type, count(*) AS cnt,
+         var_pop(value) AS var_value,
+         stddev_samp(value) AS std_samp_value
+  FROM events GROUP BY event_type)
+""",
+)
+def agg_var_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev in the incremental materialized view: the
+    partial is the exact moment struct(n, sum, sum-of-squares) — an
+    element-wise SUM merge, so roll-up-safe and EXACT (vs DuckDB
+    var_pop/stddev_samp over the raw rows, hash-matched after
+    rounding). The middle batch is deliberately REDELIVERED under its
+    committed id inside the gate: the exactly-once log refuses it, so a
+    double-count would fail the hash. Non-distributive in value space,
+    distributive in moment space — the textbook trick, durable."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    store = AggregateStore(
+        spark, _fresh_store_dir("incvar"), key_cols=["event_type"],
+        aggs={"cnt": ("count", None), "var_value": ("var", "value"),
+              "std_samp_value": ("std", "value", {"ddof": 1})},
+    )
+    mid = e.where((F.col("event_id") > cut1) & (F.col("event_id") <= cut2))
+    store.process_batch(e.where(F.col("event_id") > cut2))
+    mid_id = store.process_batch(mid)
+    store.process_batch(e.where(F.col("event_id") <= cut1))
+    store.process_batch(mid, batch_id=mid_id)  # redelivery: must no-op
+    return (
+        store.read()
+        .withColumn("var_value", F.round("var_value", 4))
+        .withColumn("std_samp_value", F.round("std_samp_value", 4))
+    )
+
+
+@register(
+    "agg_topk_incremental",
+    extended=True,
+    oracle="""
+SELECT lang, token AS item, n AS est_n, rk AS rank FROM (
+  SELECT lang, token, count(*) AS n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY count(*) DESC, token) AS rk
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  GROUP BY lang, token)
+WHERE rk <= 3
+""",
+)
+def agg_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitter sketch (Misra-Gries) in the incremental
+    view: map<token, counter> per group per batch, merged by counter
+    SUM + trim — the incremental answer to the exact two-pass
+    heavy_hitters (queries/textops.py), which must rescan history on
+    every refresh. Gated EXACT: the documents vocabulary is far below
+    the 4096-counter capacity, so no trim fires and the top-3 per
+    language hash-matches DuckDB's exact recount (rank ties broken by
+    token on both engines); the approximation regime — trims firing,
+    undercount <= weight/(cap+1), top-k recall under skew — is pinned
+    by tests/test_incremental_agg_ext.py on synthetic Zipf data."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    store = AggregateStore(
+        spark, _fresh_store_dir("inctopk"), key_cols=["lang"],
+        aggs={"tok": ("topk", "token", {"k": 3, "cap": 4096})},
+    )
+    store.process_batch(toks.where("doc_id % 2 = 0"))
+    store.process_batch(toks.where("doc_id % 2 = 1"))
+    return store.read_topk("tok").withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+@register(
+    "agg_join_incremental",
+    oracle="""
+SELECT source, event_type, cnt, round(sum_value, 2) AS sum_value
+FROM (
+  SELECT d.source, e.event_type,
+         count(*) AS cnt, sum(e.value) AS sum_value
+  FROM events e JOIN documents d ON (e.event_id % 700) = d.doc_id
+  GROUP BY d.source, e.event_type)
+""",
+)
+def agg_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained grouped view over a JOIN (r12 verdict
+    ask #1): events ⋈ documents grouped by the document's source — the
+    factorized-IVM shape (streaming/incremental_join.py). Fact partials
+    at FK grain and the dim's latest-state upsert view each stream in
+    as out-of-order micro-batches through their own exactly-once logs;
+    the read joins the two GRAINS (broadcast-guarded) and re-groups —
+    neither raw history is rescanned — and must hash-match DuckDB's
+    one-pass joined GROUP BY of the raw tables. The FK (event_id mod
+    700) deliberately misses some documents, proving inner-join drop
+    semantics survive the factorization."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_join import JoinedAggregateView
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "doc_fk", F.expr("event_id % 700")
+    )
+    d = table(spark, sf_dir, "documents")
+    view = JoinedAggregateView(
+        spark, _fresh_store_dir("incjoin"),
+        fk="doc_fk", fact_keys=["event_type"],
+        fact_aggs={"cnt": ("count", None), "sum_value": ("sum", "value")},
+        dim_key="doc_id", dim_cols=["source"], dim_order_by="doc_id",
+    )
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    # out-of-order on BOTH inputs: middle fact batch first, odd dim
+    # rows before even ones
+    view.process_fact_batch(
+        e.where((F.col("event_id") > cut1) & (F.col("event_id") <= cut2))
+    )
+    view.process_dim_batch(d.where("doc_id % 2 = 1"))
+    view.process_fact_batch(e.where(F.col("event_id") > cut2))
+    view.process_dim_batch(d.where("doc_id % 2 = 0"))
+    view.process_fact_batch(e.where(F.col("event_id") <= cut1))
+    return view.read(["source", "event_type"]).withColumn(
+        "sum_value", F.round("sum_value", 2)
+    )
+
+
+@register(
+    "agg_join_incremental_left",
+    extended=True,
+    oracle="""
+SELECT source, cnt, round(sum_value, 2) AS sum_value
+FROM (
+  SELECT d.source, count(*) AS cnt, sum(e.value) AS sum_value
+  FROM events e LEFT JOIN documents d ON (e.event_id % 700) = d.doc_id
+  GROUP BY d.source)
+""",
+)
+def agg_join_incremental_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-join variant of the incremental join view: FK groups with
+    no dim match survive as the NULL-source group, exactly like SQL
+    LEFT JOIN + GROUP BY on the dim attribute."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_join import JoinedAggregateView
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "doc_fk", F.expr("event_id % 700")
+    )
+    d = table(spark, sf_dir, "documents")
+    view = JoinedAggregateView(
+        spark, _fresh_store_dir("incjoinl"),
+        fk="doc_fk",
+        fact_aggs={"cnt": ("count", None), "sum_value": ("sum", "value")},
+        dim_key="doc_id", dim_cols=["source"], dim_order_by="doc_id",
+    )
+    view.process_dim_batch(d.where("doc_id % 2 = 0"))
+    view.process_fact_batch(e.where("event_id % 2 = 0"))
+    view.process_fact_batch(e.where("event_id % 2 = 1"))
+    view.process_dim_batch(d.where("doc_id % 2 = 1"))
+    return view.read(["source"], how="left").withColumn(
+        "sum_value", F.round("sum_value", 2)
+    )
+
+
+@register(
+    "agg_expire_windows",
+    extended=True,
+    oracle="""
+SELECT hour, event_type, cnt, round(sum_value, 2) AS sum_value
+FROM (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS cnt, sum(value) AS sum_value
+  FROM events GROUP BY 1, 2)
+WHERE hour >= TIMESTAMP '2024-01-02 00:00:00'
+""",
+)
+def agg_expire_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based retention on the windowed view (r12 verdict ask #2):
+    after out-of-order ingest, ``expire_windows`` tombstones every
+    window group older than the retention horizon — metadata-cheap
+    (the expired values are enumerated from a sidecar-pruned range
+    read, O(expired groups)) — and the surviving view must hash-match
+    DuckDB's windowed GROUP BY restricted to the horizon. Physical
+    reclaim and groups-boundedness over a year-shaped stream are pinned
+    by tests/test_incremental_agg_ext.py."""
+    import datetime as _dt
+
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    store = AggregateStore(
+        spark, _fresh_store_dir("incexp"), key_cols=["hour", "event_type"],
+        aggs={"cnt": ("count", None), "sum_value": ("sum", "value")},
+    )
+    store.process_batch(e.where("event_id % 2 = 0"))
+    store.process_batch(e.where("event_id % 2 = 1"))
+    store.expire_windows(_dt.datetime(2024, 1, 2))
+    return store.read().withColumn("sum_value", F.round("sum_value", 2))
+
+
+@register(
+    "agg_rollup_incremental_lookup2",
+    extended=True,
+    oracle="""
+SELECT event_type, user_id, cnt, round(sum_value, 2) AS sum_value
+FROM (
+  SELECT event_type, user_id, count(*) AS cnt, sum(value) AS sum_value
+  FROM events GROUP BY event_type, user_id)
+WHERE event_type = 'click' AND user_id IN (3, 4, 5)
+""",
+)
+def agg_rollup_incremental_lookup2(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """COMPOSITE keyed lookup into the materialized view (r12 verdict
+    ask #6): the sidecars record min/max for BOTH key columns, so a
+    two-predicate probe (point-IN on event_type AND on user_id) prunes
+    partial dirs/files on whichever column disqualifies them — then the
+    row predicate makes it exact, hash-matched against DuckDB over the
+    raw table."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = lo + (hi - lo) // 2
+    store = AggregateStore(
+        spark, _fresh_store_dir("incagglk2"),
+        key_cols=["event_type", "user_id"],
+        aggs={"cnt": ("count", None), "sum_value": ("sum", "value")},
+    )
+    store.process_batch(e.where(F.col("event_id") <= cut))
+    store.process_batch(e.where(F.col("event_id") > cut))
+    probe = {"event_type": ["click"], "user_id": [3, 4, 5]}
+    return (
+        store.read(prune_in=probe)
+        .where(F.col("event_type").isin(probe["event_type"])
+               & F.col("user_id").isin(probe["user_id"]))
+        .withColumn("sum_value", F.round("sum_value", 2))
+    )
 
 
 @register(

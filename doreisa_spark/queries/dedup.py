@@ -722,7 +722,10 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh_incremental", extended=True, oracle=_lsh_oracle())
+# promoted to the primary tier in r13 (driver-budget rotation toward
+# the deployment layer: the external hash gate now exercises the
+# exactly-once incremental dedup store every round)
+@register("dedup_minhash_lsh_incremental", oracle=_lsh_oracle())
 def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-equivalence gate for the STREAMING-incremental MinHash-LSH
     dedup (streaming/incremental_dedup.py): the corpus is split into

@@ -90,7 +90,8 @@ from doreisa_spark.registry import EXTENDED as _EXT  # noqa: E402
 _CURATION_ORACLE = _EXT["pipeline_corpus_curation"].oracle
 
 
-@register("pipeline_curation_incremental", extended=True, oracle=_CURATION_ORACLE)
+# promoted to the primary tier in r13 (driver-budget rotation)
+@register("pipeline_curation_incremental", oracle=_CURATION_ORACLE)
 def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-equivalence gate for the STREAMING-incremental curation
     chain (streaming/incremental_curation.py): the corpus splits into

@@ -21,6 +21,9 @@ from doreisa_spark.registry import register
 
 @register(
     "func_string",
+    # rotated to the extended tier in r13: long-stable, family still
+    # exercised by primary twins; driver budget moved to the store layer
+    extended=True,
     oracle="""
 SELECT p_partkey,
        upper(p_name) AS name_upper,
@@ -203,6 +206,9 @@ def func_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "func_json",
+    # rotated to the extended tier in r13: long-stable, family still
+    # exercised by primary twins; driver budget moved to the store layer
+    extended=True,
     oracle="""
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
@@ -224,6 +230,9 @@ def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "func_map",
+    # rotated to the extended tier in r13: long-stable, family still
+    # exercised by primary twins; driver budget moved to the store layer
+    extended=True,
     oracle="""
 SELECT event_id, event_type,
        round(value, 2) AS v_direct,

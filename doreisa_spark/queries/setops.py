@@ -63,6 +63,9 @@ def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "setop_intersect",
+    # rotated to the extended tier in r13: long-stable, family still
+    # exercised by primary twins; driver budget moved to the store layer
+    extended=True,
     oracle="""
 SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
 INTERSECT
@@ -76,6 +79,9 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "setop_except",
+    # rotated to the extended tier in r13: long-stable, family still
+    # exercised by primary twins; driver budget moved to the store layer
+    extended=True,
     oracle="""
 SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
 EXCEPT

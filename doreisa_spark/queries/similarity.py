@@ -1518,7 +1518,8 @@ def sim_ivf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assignment_fit(store).select("cell", "n_members", "min_cos", "max_cos")
 
 
-@register("sim_ann_ivf_store", extended=True, oracle=_IVF_ORACLE)
+# promoted to the primary tier in r13 (driver-budget rotation)
+@register("sim_ann_ivf_store", oracle=_IVF_ORACLE)
 def sim_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted IVF-Flat store (r8 verdict ask #3) under the batch
     IVF oracle: the corpus streams into `IVFVectorStore` in three

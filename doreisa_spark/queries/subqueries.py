@@ -16,6 +16,9 @@ from doreisa_spark.registry import register
 
 @register(
     "subq_in",
+    # rotated to the extended tier in r13: long-stable, family still
+    # exercised by primary twins; driver budget moved to the store layer
+    extended=True,
     oracle="""
 SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
 FROM orders
@@ -52,6 +55,9 @@ def subq_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "subq_scalar",
+    # rotated to the extended tier in r13: long-stable, family still
+    # exercised by primary twins; driver budget moved to the store layer
+    extended=True,
     oracle="""
 SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS quantity
 FROM lineitem

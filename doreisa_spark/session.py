@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # write timestamps as TIMESTAMP_MICROS (the modern annotated
+        # type), not legacy INT96: pyarrow cannot decode INT96 footer
+        # min/max, which would silently disable sidecar data skipping
+        # for every timestamp-keyed store (windowed views' retention
+        # reads prune on exactly that column)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # events.parquet's ts encoding has drifted across testdata
         # generations (TIMESTAMP(NANOS) and plain timestamp[us]/NTZ);
         # catalog.table() normalizes both at runtime on any session, this

@@ -153,12 +153,14 @@ feature; passing ``epoch`` with rename mode raises.
 from __future__ import annotations
 
 import contextlib
+import datetime as _dt
 import fcntl
 import glob
 import json
 import os
 import re
 import shutil
+import time as _time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -181,6 +183,9 @@ _STATS = "_stats.json"
 
 RENAME = "rename"
 MANIFEST = "manifest"
+# unreferenced nonce dirs younger than this are NOT garbage-collected:
+# they may be a concurrent shared writer's in-flight commit (see _gc)
+GC_ORPHAN_GRACE_SECS = 300
 
 
 class StaleWriterError(RuntimeError):
@@ -305,6 +310,36 @@ def acquire_writer(root: str, *, mode: "str | None" = None) -> int:
         return cur
 
     _manifest_update(root, bump)
+    return box["epoch"]
+
+
+def join_writer(root: str, *, mode: "str | None" = None) -> int:
+    """Join the store as an OPTIMISTIC (shared) writer: return the
+    CURRENT writer epoch without bumping it, initializing the manifest
+    if needed. Any number of shared writers coexist — each commit CASes
+    against the shared epoch, so disjoint batch ids from different
+    writers all land (the Delta/Iceberg optimistic-concurrency model;
+    an id-allocation race declines exactly one of them, and the callers
+    retry on a fresh id). A hard ``acquire_writer`` — migration, alias
+    flip, any exclusive maintenance — still bumps the epoch and fences
+    every shared writer's next mutation with StaleWriterError."""
+    resolved = _mode_of(root, mode)
+    if resolved != MANIFEST:
+        raise ValueError(
+            "writer fencing requires manifest commit mode (rename-mode "
+            "batch commits never pass through a manifest)"
+        )
+    box = {}
+
+    def init(cur: dict) -> dict:
+        cur.setdefault("mode", MANIFEST)
+        cur.setdefault("horizon", -1)
+        cur.setdefault("segments", [])
+        cur.setdefault("batches", {})
+        box["epoch"] = int(cur.setdefault("writer_epoch", 0))
+        return cur
+
+    _manifest_update(root, init)
     return box["epoch"]
 
 
@@ -452,6 +487,20 @@ def _committed_dirs(
 # ------------------------------------------------- directory-level stats
 
 
+def _iso_norm(v):
+    """Sidecars record datetime/date stats as naive-UTC ISO-8601 strings
+    (which sort exactly like the instants); both the writer and the
+    probe side normalize through here so the range tests compare like
+    with like. Non-temporal values pass through untouched."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
 def _stats_write(dest: str, cols) -> None:
     """Record min/max of ``cols`` for the parquet directory ``dest`` in
     a ``_stats.json`` sidecar (underscore name — invisible to Spark's
@@ -483,8 +532,18 @@ def _stats_write(dest: str, cols) -> None:
     for name in sorted(os.listdir(dest)):
         if not name.endswith(".parquet"):
             continue
-        md = pq.ParquetFile(os.path.join(dest, name)).metadata
-        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        try:
+            md = pq.ParquetFile(os.path.join(dest, name)).metadata
+            names = {md.schema.column(i).name: i
+                     for i in range(md.num_columns)}
+        except Exception:
+            # a footer pyarrow can't read must cost the SIDECAR, never
+            # the commit — and since file narrowing trusts the sidecar's
+            # file list to be complete, one unreadable footer voids the
+            # whole sidecar, not just that file (r12 ADVICE: the
+            # extraction guard below didn't cover the footer open, which
+            # retried into a permanent commit wedge)
+            return
         lo: dict = {}
         hi: dict = {}
         frows = 0
@@ -498,25 +557,34 @@ def _stats_write(dest: str, cols) -> None:
                     continue
                 st = rg.column(names[c]).statistics if c in names else None
                 # positive allowlist, not a bytes-blocklist: footer
-                # min/max can be datetime/date/Decimal — json.dump
-                # would fail the whole commit, a permanent wedge since
-                # every retry recomputes the same stats — and pyarrow
-                # RAISES outright extracting stats for some physical
-                # types (Spark's INT96 timestamps). Either way: drop
-                # the column, never the commit (r12 review finding).
-                # bool excluded: an int subclass, useless as a range.
+                # min/max can be Decimal or other types json.dump
+                # would fail the whole commit on — a permanent wedge
+                # since every retry recomputes the same stats — and
+                # pyarrow RAISES outright extracting stats for some
+                # physical types (Spark's INT96 timestamps). Either
+                # way: drop the column, never the commit (r12 review
+                # finding). bool excluded: an int subclass, useless as
+                # a range. datetime/date ARE admitted, as ISO-8601
+                # strings — isoformat sorts exactly like the instant,
+                # so the range tests keep working (and the probe side
+                # converts to match: ``_iso_probe``), which is what
+                # lets timestamp-keyed windowed views prune their
+                # retention reads.
                 try:
+                    mn, mx = st.min, st.max
                     ok = st is not None and st.has_min_max and all(
                         type(x) in (int, float, str)
-                        for x in (st.min, st.max)
+                        or isinstance(x, _dt.date)
+                        for x in (mn, mx)
                     )
                 except Exception:
                     ok = False
                 if not ok:
                     dropped.add(c)
                     continue
-                lo[c] = st.min if c not in lo else min(lo[c], st.min)
-                hi[c] = st.max if c not in hi else max(hi[c], st.max)
+                mn, mx = _iso_norm(mn), _iso_norm(mx)
+                lo[c] = mn if c not in lo else min(lo[c], mn)
+                hi[c] = mx if c not in hi else max(hi[c], mx)
         rows += frows
         files[name] = {"rows": frows,
                        "cols": {c: [lo[c], hi[c]] for c in lo}}
@@ -601,9 +669,13 @@ def _prune_entries(entries: list[tuple], prune_in: "dict | None",
     sorted_in = {}
     for c, vals in (prune_in or {}).items():
         try:
-            sorted_in[c] = sorted(vals)
+            sorted_in[c] = sorted(_iso_norm(v) for v in vals)
         except TypeError:  # mixed incomparable values: prove nothing
             sorted_in[c] = []
+    prune_between = {
+        c: (_iso_norm(lo), _iso_norm(hi))
+        for c, (lo, hi) in (prune_between or {}).items()
+    } or None
     kept = []
     for kind, path, info in entries:
         st = _dir_stats(path)
@@ -982,8 +1054,9 @@ def retire_tombstones(
                     cur["mode"] = MANIFEST
                 return cur
 
+            pre_seal = _manifest_load(troot)
             _manifest_update(troot, seal)
-            _gc(troot, _manifest_load(troot) or {})
+            _gc(troot, _manifest_load(troot) or {}, prev=pre_seal)
     if keep:
         # 3. partial: purge the retired rows with a sub-log fold — a
         #    Spark job, so it runs OUTSIDE the store lock (r10 ADVICE
@@ -1225,11 +1298,17 @@ def drop_snapshot(root: str, snapshot_id: int, *, mode: "str | None" = None,
         del snaps[str(snapshot_id)]
         return {**cur, "snapshots": snaps}
 
+    pre_unpin = _manifest_load(root)
     dropped = _manifest_update(root, unpin, expect_epoch=epoch)
     if dropped:
-        _gc(root, _manifest_load(root) or {})
+        _gc(root, _manifest_load(root) or {}, prev=pre_unpin)
         troot = _tomb_root(root)
         if os.path.isdir(troot):
+            # the parent's pin release is what frees sub-log dirs: pass
+            # the sub-log manifest as its own prev (no sub-log change),
+            # the parent-pin delta is visible through _live_set's parent
+            # lookup — a just-unpinned young dir still waits out the
+            # grace window, which is fine (snapshot drops are not hot)
             _gc(troot, _manifest_load(troot) or {})
     return dropped
 
@@ -1545,15 +1624,11 @@ def _write_segment(
     return name, _dir_bytes(dest), applied
 
 
-def _gc(root: str, man: dict) -> None:
-    """Best-effort reclamation of everything the manifest disowns —
-    merged-away segments, orphaned nonce dirs from crashed attempts, and
-    batch dirs at or below the horizon. Readers never see these (the
-    manifest is the truth), so no sequence of crashes can double-read or
-    lose a batch; a crashed cleanup just leaves work for the next one.
-    Directories pinned by a retained snapshot (create_snapshot) — this
-    root's own, or, for a tombstone sub-log, the PARENT store's — stay
-    on disk until the snapshot is dropped."""
+def _live_set(root: str, man: "dict | None") -> set:
+    """Directory names a manifest keeps alive: current segments + batch
+    dirs, plus everything pinned by retained snapshots (this root's
+    own, or, for a tombstone sub-log, the PARENT store's)."""
+    man = man or {}
     live = set(man.get("segments", [])) | set(man.get("batches", {}).values())
     for rec in man.get("snapshots", {}).values():
         live |= set(rec.get("segments", []))
@@ -1566,11 +1641,48 @@ def _gc(root: str, man: dict) -> None:
         pman = _manifest_load(os.path.dirname(root)) or {}
         for rec in pman.get("snapshots", {}).values():
             live |= set((rec.get("tomb") or {}).get("dirs", []))
+    return live
+
+
+def _gc(root: str, man: dict, *, prev: "dict | None" = None) -> None:
+    """Best-effort reclamation of everything the manifest disowns —
+    merged-away segments, orphaned nonce dirs from crashed attempts, and
+    batch dirs at or below the horizon. Readers never see these (the
+    manifest is the truth), so no sequence of crashes can double-read or
+    lose a batch; a crashed cleanup just leaves work for the next one.
+    Directories pinned by a retained snapshot (create_snapshot) — this
+    root's own, or, for a tombstone sub-log, the PARENT store's — stay
+    on disk until the snapshot is dropped.
+
+    ``prev`` is the manifest from just BEFORE the caller's update: dirs
+    it kept alive that ``man`` no longer does were explicitly disowned
+    by that update and reclaim immediately. Every OTHER unreferenced
+    nonce dir is reclaimed only past an age threshold — it may be a
+    concurrent shared writer's in-flight commit."""
+    live = _live_set(root, man)
+    doomed = (_live_set(root, prev) - live) if prev else set()
     horizon = int(man.get("horizon", -1))
+    now = _time.time()
     for name in os.listdir(root):
         if name in live:
             continue
         if _MERGED_RE.match(name) or _DATA_RE.match(name):
+            if name not in doomed:
+                # age threshold (the Iceberg orphan-cleanup pattern):
+                # an unreferenced nonce dir younger than the grace
+                # window may be a CONCURRENT writer's in-flight commit
+                # — data written, manifest publish pending — and
+                # reclaiming it would fail that commit (or publish a
+                # manifest entry to a deleted dir). True crash orphans
+                # age past the window and reclaim on any later pass;
+                # a caller that just DISOWNED a dir names it in
+                # ``doomed`` and reclaims immediately.
+                try:
+                    age = now - os.path.getmtime(os.path.join(root, name))
+                except OSError:
+                    continue
+                if age < GC_ORPHAN_GRACE_SECS:
+                    continue
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
         else:
             mb = _BATCH_RE.match(name)
@@ -1583,6 +1695,7 @@ def _gc(root: str, man: dict) -> None:
 # and the tombstone retirement watermark (sub-log manifests) are
 # orthogonal durable state and must ride through every rewrite
 _CARRIED_KEYS = ("snapshots", "snapshot_next", "retired_max", "retired_covers")
+
 
 
 def _carry(new_man: dict, cur: dict) -> dict:
@@ -1651,10 +1764,35 @@ def compact(
             }
         return _carry(new_man, cur)
 
+    pre = _manifest_load(root)
     _manifest_update(root, flip, expect_epoch=epoch)
-    _gc(root, _manifest_load(root) or {})
+    _gc(root, _manifest_load(root) or {}, prev=pre)
     retire_tombstones(spark, root, mode=resolved, epoch=epoch)
     return True
+
+
+@contextlib.contextmanager
+def _compact_guard(root: str):
+    """At most one compactor per store at a time, non-blocking: yields
+    False when another compaction holds the lock — the caller SKIPS (the
+    running fold already covers the backlog; the next trigger re-checks)
+    instead of racing it. Needed for shared-writer stores: the manifest
+    flips already decline on conflict, but a concurrent fold's GC could
+    reclaim source dirs out from under this fold's in-flight Spark read.
+    The lock is advisory and crash-released (flock drops with the fd)."""
+    os.makedirs(root, exist_ok=True)
+    f = open(os.path.join(root, "_compact.lock"), "w")
+    try:
+        fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        f.close()
+        yield False
+        return
+    try:
+        yield True
+    finally:
+        fcntl.flock(f, fcntl.LOCK_UN)
+        f.close()
 
 
 def compact_tiered(
@@ -1700,6 +1838,27 @@ def compact_tiered(
     stats = {"flushed_bytes": 0, "merged_bytes": 0, "steps": 0, "segments": 0}
     if not os.path.isdir(root):
         return stats
+    with _compact_guard(root) as mine:
+        if not mine:
+            stats["segments"] = len(
+                (_manifest_load(root) or {}).get("segments", []))
+            return stats
+        return _compact_tiered_locked(
+            spark, root, ddl, stats, keep_last=keep_last, mode=resolved,
+            order_by=order_by, fanout=fanout,
+            band_base_bytes=band_base_bytes, target_files=target_files,
+            target_file_bytes=target_file_bytes, epoch=epoch,
+            fold_transform=fold_transform,
+        )
+
+
+def _compact_tiered_locked(
+    spark: SparkSession, root: str, ddl: str, stats: dict, *,
+    keep_last: int, mode: str, order_by: "list[str] | None", fanout: int,
+    band_base_bytes: int, target_files: int,
+    target_file_bytes: "int | None", epoch: "int | None", fold_transform,
+) -> dict:
+    resolved = mode
 
     def band_of(nbytes: int) -> int:
         return _band_of(nbytes, band_base_bytes, fanout)
@@ -1725,7 +1884,16 @@ def compact_tiered(
             mode=resolved, fold_transform=fold_transform,
         )
 
-        def flush_flip(cur: dict) -> dict:
+        def flush_flip(cur: dict) -> "dict | None":
+            if resolved == MANIFEST and (
+                new_horizon <= int(cur.get("horizon", -1))
+                or any(str(b) not in cur.get("batches", {}) for b in fold)
+            ):
+                # a concurrent shared writer's flush already folded part
+                # of this prefix: decline — committing would double-count
+                # the overlap. The orphan segment dir is GC'd below.
+                # Always-true under the single-writer contract.
+                return None
             sizes = _segment_sizes(root, cur)
             sizes[seg_name] = seg_bytes
             tapp = dict(cur.get("tomb_applied", {}))
@@ -1745,10 +1913,12 @@ def compact_tiered(
                 }
             return _carry(new_man, cur)
 
-        _manifest_update(root, flush_flip, expect_epoch=epoch)
-        _gc(root, _manifest_load(root) or {})
-        stats["flushed_bytes"] += seg_bytes
-        stats["steps"] += 1
+        pre = _manifest_load(root)
+        flushed = _manifest_update(root, flush_flip, expect_epoch=epoch)
+        _gc(root, _manifest_load(root) or {}, prev=pre)
+        if flushed:
+            stats["flushed_bytes"] += seg_bytes
+            stats["steps"] += 1
     # ---- merge policy: collapse any size band holding >= fanout segments
     while True:
         man = _manifest_load(root)
@@ -1775,7 +1945,11 @@ def compact_tiered(
             mode=resolved, fold_transform=fold_transform,
         )
 
-        def merge_flip(cur: dict) -> dict:
+        def merge_flip(cur: dict) -> "dict | None":
+            if any(s not in cur.get("segments", []) for s in victims):
+                # a concurrent merge already consumed a victim: decline
+                # (the overlap would double its rows); orphan GC'd below
+                return None
             keep = [s for s in cur.get("segments", []) if s not in victim_set]
             cur_sizes = _segment_sizes(root, cur)
             new_sizes = {s: cur_sizes[s] for s in keep}
@@ -1786,10 +1960,12 @@ def compact_tiered(
             return {**cur, "segments": keep + [seg_name],
                     "segment_bytes": new_sizes, "tomb_applied": tapp}
 
-        _manifest_update(root, merge_flip, expect_epoch=epoch)
-        _gc(root, _manifest_load(root) or {})
-        stats["merged_bytes"] += seg_bytes
-        stats["steps"] += 1
+        pre = _manifest_load(root)
+        merged_ok = _manifest_update(root, merge_flip, expect_epoch=epoch)
+        _gc(root, _manifest_load(root) or {}, prev=pre)
+        if merged_ok:
+            stats["merged_bytes"] += seg_bytes
+            stats["steps"] += 1
     retire_tombstones(spark, root, mode=resolved, epoch=epoch)
     final = _manifest_load(root)
     stats["segments"] = len((final or {}).get("segments", []))

@@ -120,6 +120,75 @@ def _hll_partial(batch: DataFrame, key_cols: list, out: str,
     )
 
 
+def _var_partial(fn: str, e: str):
+    """fn "var"/"std" — exact moment partials: struct(n, s, s2) where the
+    merge is an element-wise SUM (distributive, so roll-up-safe), and the
+    finalize recovers variance/stddev from the merged moments. Exact
+    modulo float addition order, same as any distributed SUM."""
+    x = F.expr(e).cast("double")
+    return F.struct(
+        F.count(x).alias("n"), F.sum(x).alias("s"),
+        F.sum(x * x).alias("s2"),
+    )
+
+
+def _var_finalize(fn: str, out: str, opts: "dict | None"):
+    """variance from the merged moment struct column ``out``: population
+    (ddof=0, default) or sample (ddof=1). NULL on empty groups (and on
+    n<=ddof), matching SQL var_pop/var_samp over an all-NULL group."""
+    ddof = int((opts or {}).get("ddof", 0))
+    m = F.col(out)
+    n = m.getField("n").cast("double")
+    num = m.getField("s2") - m.getField("s") * m.getField("s") / n
+    var = F.when(n > ddof, F.greatest(num, F.lit(0.0)) / (n - ddof))
+    return F.sqrt(var) if fn == "std" else var
+
+
+def _mg_trim(entries, cap: int):
+    """Misra-Gries trim of ``array<struct<k, n>>`` counter entries to
+    ``cap`` counters: keep the cap largest after subtracting the
+    (cap+1)-th largest count (the mergeable-summaries merge rule —
+    Agarwal et al. 2012), drop non-positive. Each trim undercounts every
+    survivor by at most (batch weight)/(cap+1); a summary that never
+    exceeds cap counters is exact."""
+    arr = F.sort_array(
+        F.transform(entries, lambda x: F.struct(x.n.alias("n"),
+                                                x.k.alias("k"))),
+        asc=False,
+    )
+    # try_element_at: past-the-end must be NULL→0, not the ANSI error
+    cut = F.coalesce(F.try_element_at(arr, F.lit(cap + 1)).getField("n"),
+                     F.lit(0))
+    kept = F.filter(
+        F.transform(F.slice(arr, 1, cap),
+                    lambda x: F.struct(x.k.alias("k"),
+                                       (x.n - cut).alias("n"))),
+        lambda x: x.n > 0,
+    )
+    return F.map_from_entries(F.sort_array(kept))
+
+
+def _topk_partial(batch: DataFrame, key_cols: list, out: str, expr: str,
+                  opts: dict) -> DataFrame:
+    """Heavy-hitter sketch (fn "topk"): map<item, count> per group per
+    batch, Misra-Gries-trimmed to ``cap`` counters. Merge = per-item
+    counter SUM followed by the same trim — the mergeable top-k the
+    exact two-pass heavy_hitters (queries/textops.py) can't do
+    incrementally without re-scanning history."""
+    cap = int(opts["cap"])
+    return (
+        batch.where(F.expr(expr).isNotNull())
+        .select(*key_cols, F.expr(expr).alias("__k"))
+        .groupBy(*key_cols, "__k").agg(F.count(F.lit(1)).alias("__n"))
+        .groupBy(*key_cols).agg(
+            F.collect_list(
+                F.struct(F.col("__k").alias("k"), F.col("__n").alias("n"))
+            ).alias("__e")
+        )
+        .select(*key_cols, _mg_trim(F.col("__e"), cap).alias(out))
+    )
+
+
 def _hist_partial(batch: DataFrame, key_cols: list, out: str, expr: str,
                   opts: dict) -> DataFrame:
     """Fixed-bin histogram sketch (fn "hist"): map<bin, count> per group
@@ -146,21 +215,17 @@ def _hist_partial(batch: DataFrame, key_cols: list, out: str, expr: str,
     )
 
 
-def _hll_estimate(regs: DataFrame, key_cols: list, out: str) -> DataFrame:
-    """Standard HLL estimator over merged registers: harmonic mean with
-    untouched registers counting 2^0, linear-counting correction in the
-    small range (E <= 2.5m with empty registers) — which is also what
-    makes the all-null group estimate an exact 0."""
-    n = F.count("__reg")
-    z = F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("__rho"))), F.lit(0.0)) \
-        + (F.lit(float(_HLL_M)) - n)
+def _hll_est(n, z):
+    """Standard HLL estimator given the touched-register count ``n`` and
+    the harmonic sum ``z`` (untouched registers already counted as 2^0
+    in ``z``): linear-counting correction in the small range (E <= 2.5m
+    with empty registers) — which is also what makes the all-null group
+    estimate an exact 0. Lives in exactly one place so the view read and
+    any other consumer cannot diverge (r12 ADVICE)."""
     raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / z
     v = F.lit(float(_HLL_M)) - n
     lin = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v)
-    est = F.when((raw <= F.lit(2.5 * _HLL_M)) & (v > 0), lin).otherwise(raw)
-    return regs.groupBy(*key_cols).agg(
-        F.round(est).cast("bigint").alias(out)
-    )
+    return F.when((raw <= F.lit(2.5 * _HLL_M)) & (v > 0), lin).otherwise(raw)
 
 
 class AggregateStore:
@@ -177,8 +242,9 @@ class AggregateStore:
                  aggs: "dict | None" = None,
                  compact_every: int | None = 64,
                  commit_mode: "str | None" = None,
-                 fenced: "bool | None" = None,
-                 target_file_bytes: "int | None" = 128 << 20):
+                 fenced: "bool | str | None" = None,
+                 target_file_bytes: "int | None" = 128 << 20,
+                 partial_rows_per_file: int = 1 << 20):
         self.spark = spark
         self.root = root.rstrip("/")
         self._log = f"{self.root}/partials"
@@ -198,16 +264,19 @@ class AggregateStore:
                 )
             aggs = norm(aggs)
             for out, (fn, e, opts) in aggs.items():
-                if fn not in _PARTIAL and fn not in ("hll", "hist",
-                                                     "last", "first"):
+                if fn not in _PARTIAL and fn not in (
+                        "hll", "hist", "last", "first", "var", "std",
+                        "topk"):
                     raise ValueError(
                         f"{out}: fn must be one of "
-                        f"{sorted(_PARTIAL) + ['first', 'hist', 'hll', 'last']}"
-                        f", got {fn!r} (avg = sum/count at read; hll = "
-                        "mergeable approx-distinct; hist = mergeable "
-                        "quantile sketch; last/first = argmax/argmin by "
-                        "an order key — the latest-state/upsert view; "
-                        "exact distinct/medians need the raw rows)"
+                        f"{sorted(_PARTIAL) + ['first', 'hist', 'hll', 'last', 'std', 'topk', 'var']}"
+                        f", got {fn!r} (avg = sum/count at read; var/std "
+                        "= exact moment partials; hll = mergeable "
+                        "approx-distinct; hist = mergeable quantile "
+                        "sketch; topk = mergeable heavy-hitter sketch; "
+                        "last/first = argmax/argmin by an order key — "
+                        "the latest-state/upsert view; exact "
+                        "distinct/medians need the raw rows)"
                     )
                 if e is None and fn != "count":
                     raise ValueError(f"{out}: {fn} needs a source expression")
@@ -218,6 +287,18 @@ class AggregateStore:
                         "include a tiebreaker for determinism, e.g. "
                         "struct(ts, event_id)"
                     )
+                if fn == "topk":
+                    if not opts or "k" not in opts:
+                        raise ValueError(
+                            f"{out}: topk needs opts {{'k': <int>}} "
+                            "(optional 'cap': counter capacity, default "
+                            "8*k — undercount per trim is bounded by "
+                            "weight/(cap+1))"
+                        )
+                    opts.setdefault("cap", 8 * int(opts["k"]))
+                    if not (int(opts["k"]) >= 1
+                            and int(opts["cap"]) >= int(opts["k"])):
+                        raise ValueError(f"{out}: need k >= 1, cap >= k")
                 if fn == "hist":
                     if not opts or not {"lo", "hi", "bins"} <= set(opts):
                         raise ValueError(
@@ -248,10 +329,22 @@ class AggregateStore:
         self.commit_mode = BC._mode_of(self._log, commit_mode)
         if fenced is None:
             fenced = self.commit_mode == BC.MANIFEST
-        self._epoch = (BC.acquire_writer(self._log, mode=self.commit_mode)
-                       if fenced else None)
+        if fenced == "shared":
+            # optimistic multi-writer (the Delta/Iceberg commit-retry
+            # pattern): join the CURRENT epoch without bumping it, so
+            # any number of shared writers coexist — conflicts resolve
+            # at commit time (disjoint batch ids commit; an id race
+            # retries in process_batch/delete_groups) — while a hard
+            # acquire_writer (migration, alias flip) still bumps the
+            # epoch and fences every shared writer out mid-flight
+            self._epoch = BC.join_writer(self._log, mode=self.commit_mode)
+        else:
+            self._epoch = (BC.acquire_writer(self._log,
+                                             mode=self.commit_mode)
+                           if fenced else None)
         self.compact_every = compact_every
         self.target_file_bytes = target_file_bytes
+        self.partial_rows_per_file = int(partial_rows_per_file)
 
     @classmethod
     def from_alias(cls, spark: SparkSession, alias_root: str, name: str,
@@ -266,15 +359,20 @@ class AggregateStore:
     # ------------------------------------------------------------ write
     def _attach(self, base: DataFrame, right: DataFrame,
                 how: str = "left") -> DataFrame:
-        """Join ``right`` onto ``base`` by the group keys with
-        NULL-SAFE equality: SQL GROUP BY treats NULL as a real group,
-        so a null-unsafe key join would silently detach the NULL
-        group's sketch/estimate from its row (r12 review finding).
-        The right side's keys are renamed to unique temps first — both
-        frames derive from the same lineage, and Spark's self-join
+        return self._attach_by(base, right, self.key_cols, how)
+
+    @staticmethod
+    def _attach_by(base: DataFrame, right: DataFrame, keys: list,
+                   how: str = "left") -> DataFrame:
+        """Join ``right`` onto ``base`` by ``keys`` with NULL-SAFE
+        equality: SQL GROUP BY treats NULL as a real group, so a
+        null-unsafe key join would silently detach the NULL group's
+        sketch/estimate from its row (r12 review finding). The right
+        side's keys are renamed to unique temps first — both frames
+        derive from the same lineage, and Spark's self-join
         disambiguation makes dropping ``right[k]`` by column reference
         silently drop the LEFT key instead."""
-        tmp = {k: f"__rk_{k}" for k in self.key_cols}
+        tmp = {k: f"__rk_{k}" for k in keys}
         for k, t in tmp.items():
             right = right.withColumnRenamed(k, t)
         cond = None
@@ -284,37 +382,51 @@ class AggregateStore:
         return base.join(right, cond, how).drop(*tmp.values())
 
     def _partial(self, batch: DataFrame) -> DataFrame:
+        def plain_expr(o, fn, e, opts):
+            if fn in ("last", "first"):
+                return _by_partial(fn, e, opts, batch).alias(o)
+            if fn in ("var", "std"):
+                return _var_partial(fn, e).alias(o)
+            return _PARTIAL[fn](F.expr(e) if e is not None else None).alias(o)
+
         plain = [
-            (_by_partial(fn, e, opts, batch) if fn in ("last", "first")
-             else _PARTIAL[fn](F.expr(e) if e is not None else None)
-             ).alias(o)
+            plain_expr(o, fn, e, opts)
             for o, (fn, e, opts) in self.aggs.items()
-            if fn in _PARTIAL or fn in ("last", "first")
+            if fn not in ("hll", "hist", "topk")
         ]
         base = (batch.groupBy(*self.key_cols).agg(*plain) if plain
                 else batch.select(*self.key_cols).distinct())
         for o, (fn, e, opts) in self.aggs.items():
-            if fn in ("hll", "hist"):
+            if fn in ("hll", "hist", "topk"):
                 # left join: a group whose sketch source is all-null in
                 # this batch keeps its row with a NULL map (hll
-                # estimates it 0, like SQL count(distinct); hist
-                # contributes no mass)
-                sketch = (_hll_partial(batch, self.key_cols, o, e)
-                          if fn == "hll"
-                          else _hist_partial(batch, self.key_cols, o, e,
-                                             opts))
+                # estimates it 0, like SQL count(distinct); hist/topk
+                # contribute no mass)
+                sketch = {
+                    "hll": lambda: _hll_partial(batch, self.key_cols, o, e),
+                    "hist": lambda: _hist_partial(batch, self.key_cols, o,
+                                                  e, opts),
+                    "topk": lambda: _topk_partial(batch, self.key_cols, o,
+                                                  e, opts),
+                }[fn]()
                 base = self._attach(base, sketch)
         return base
 
     def process_batch(self, batch: DataFrame,
-                      batch_id: "int | None" = None) -> None:
+                      batch_id: "int | None" = None) -> int:
         """One tiny groupBy of the batch → exactly-once commit of the
         partial rows, sorted by the group keys with key-range sidecars
         (keyed reads prune the partial log like a store probe). A
-        redelivered batch id commits nothing — double-counting is
-        structurally impossible, which is the whole reason the partial
-        log rides the commit protocol instead of a blind append."""
-        if batch_id is None:
+        redelivered EXPLICIT batch id commits nothing — double-counting
+        is structurally impossible, which is the whole reason the
+        partial log rides the commit protocol instead of a blind
+        append. An AUTO-allocated id that loses the allocation race to
+        a concurrent ``fenced="shared"`` writer retries with a fresh id
+        (bounded — the optimistic-concurrency commit rule), so no
+        writer's batch is ever silently dropped as a phantom
+        redelivery. Returns the committed batch id."""
+        auto = batch_id is None
+        if auto:
             batch_id = BC.next_batch_id(self._log, mode=self.commit_mode)
         part = self._partial(batch)
         if self._ddl is None:
@@ -343,20 +455,59 @@ class AggregateStore:
                     f"writer wanted {self.key_cols} / {self.aggs}"
                 )
             self._ddl = won["ddl"]
-        shaped = part.repartition(1).sortWithinPartitions(*self.key_cols)
-        BC.commit_batch(shaped, self._log, batch_id, mode=self.commit_mode,
-                        epoch=self._epoch, stats_cols=self.key_cols)
+        # size the partial's file count from its actual row count (the
+        # r12 review nit: a fixed repartition(1) single-threads the
+        # encode of a very-high-cardinality partial) — the partial is
+        # groups-bounded, so the extra count is one job over an
+        # already-aggregated cached frame
+        part = part.persist()
+        try:
+            rows = part.count()
+            nf = max(1, -(-rows // self.partial_rows_per_file))
+            shaped = (
+                part.repartitionByRange(nf, *self.key_cols)
+                .sortWithinPartitions(*self.key_cols)
+                if nf > 1
+                else part.repartition(1).sortWithinPartitions(*self.key_cols)
+            )
+            for _ in range(16):
+                committed = BC.commit_batch(
+                    shaped, self._log, batch_id, mode=self.commit_mode,
+                    epoch=self._epoch, stats_cols=self.key_cols,
+                )
+                if committed or not auto:
+                    break
+                # a concurrent shared writer took this id first: its
+                # commit holds DIFFERENT data, so this is an allocation
+                # conflict, not a redelivery — retry on a fresh id
+                batch_id = BC.next_batch_id(self._log,
+                                            mode=self.commit_mode)
+            else:
+                raise RuntimeError(
+                    f"store at {self.root}: batch id allocation lost 16 "
+                    "straight races — writer contention is pathological"
+                )
+        finally:
+            part.unpersist()
         ce = self.compact_every
-        if ce and batch_id % ce == ce - 1:
+        if ce and len(BC.committed_ids(self._log,
+                                       mode=self.commit_mode)) >= ce:
             # roll-up fold: every segment re-aggregates to one partial
             # row per group, so the log — and with it the view-read
-            # cost — stays O(groups × tiers), never O(batches)
+            # cost — stays O(groups × tiers), never O(batches).
+            # Trigger on the UNCOMPACTED batch count, not id % ce:
+            # tombstone commits (delete_groups / expire_windows) consume
+            # ids from the shared space, so an id-modulo trigger can
+            # phase-shift past its residue and never fire again — a
+            # retention loop that expires weekly would grow the log
+            # unboundedly (caught by test_expire_windows_retention)
             BC.compact_tiered(self.spark, self._log, self._ddl,
                               mode=self.commit_mode,
                               order_by=self.key_cols,
                               target_file_bytes=self.target_file_bytes,
                               fold_transform=self._roll_up,
                               epoch=self._epoch)
+        return batch_id
 
     # ------------------------------------------------------------- read
     def partials(self, *, snapshot: "int | None" = None,
@@ -382,14 +533,20 @@ class AggregateStore:
         driver-side, and the caller applies the same predicate
         row-level (pruning alone is a superset, exactly like the
         vector-store probes)."""
-        m = self._merged_partials(
+        return self._finalize(self._merge_by(
             self.partials(snapshot=snapshot, prune_in=prune_in,
                           prune_between=prune_between)
-        )
-        # hll columns leave the merged view as register maps; the VIEW
-        # contract is the cardinality estimate — one projection over
-        # the merged map, no explode (size + harmonic fold of values)
-        for o, (fn, _, _) in self.aggs.items():
+        ))
+
+    def _finalize(self, m: DataFrame) -> DataFrame:
+        """Merged partials → the view's contract columns: hll register
+        maps become cardinality estimates (one projection over the
+        merged map, no explode: size + harmonic fold of values),
+        last/first structs serve their VALUE (the order key was only the
+        merge's argmax/argmin carrier), var/std moments become the
+        statistic. hist/topk maps pass through — they are served by
+        read_quantiles / read_topk."""
+        for o, (fn, _, opts) in self.aggs.items():
             if fn == "hll":
                 # size(NULL) is -1 outside ANSI mode — branch, don't
                 # coalesce
@@ -400,60 +557,81 @@ class AggregateStore:
                                 lambda a, x: a + F.pow(F.lit(2.0), -x)),
                     F.lit(0.0),
                 ) + (F.lit(float(_HLL_M)) - n)
-                raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / z
-                v = F.lit(float(_HLL_M)) - n
-                lin = F.lit(float(_HLL_M)) * \
-                    F.log(F.lit(float(_HLL_M)) / v)
-                est = F.when((raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
-                             lin).otherwise(raw)
-                m = m.withColumn(o, F.round(est).cast("bigint"))
+                m = m.withColumn(o, F.round(_hll_est(n, z)).cast("bigint"))
             elif fn in ("last", "first"):
-                # the view serves the VALUE; the order key was only the
-                # merge's argmax/argmin carrier
                 m = m.withColumn(o, F.col(o).getField("v"))
+            elif fn in ("var", "std"):
+                m = m.withColumn(o, _var_finalize(fn, o, opts))
         return m
 
-    def _merged_partials(self, base: DataFrame) -> DataFrame:
-        """One VALID partial row per group: plain columns by their
-        merge fn, sketch maps by their element-wise merge (hll = MAX
-        per register, hist = SUM per bin). A merge of merged partials
-        is itself a partial (associativity), which is what lets this
-        single definition serve as BOTH the read-side merge and the
-        roll-up ``fold_transform`` compaction applies (``_roll_up``)."""
-        merged = [
-            _MERGE[fn](F.col(o)).alias(o)
-            for o, (fn, _, _) in self.aggs.items() if fn in _MERGE
-        ]
-        view = (base.groupBy(*self.key_cols).agg(*merged) if merged
-                else base.select(*self.key_cols).distinct())
+    def _merge_by(self, base: DataFrame,
+                  key_cols: "list[str] | None" = None) -> DataFrame:
+        """One VALID partial row per group of ``key_cols`` (default: the
+        store's own keys): plain columns by their merge fn, var/std
+        moment structs by element-wise SUM, sketch maps by their
+        element-wise merge (hll = MAX per register, hist = SUM per bin,
+        topk = SUM per item then Misra-Gries trim). A merge of merged
+        partials is itself a partial (associativity), which is what lets
+        this single definition serve as the read-side merge, the roll-up
+        ``fold_transform`` compaction applies (``_roll_up``), AND the
+        join view's re-group from FK grain to its final grain
+        (incremental_join.py) — any key subset works because every
+        aggregate here is distributive."""
+        keys = list(key_cols) if key_cols is not None else self.key_cols
+        merged = []
         for o, (fn, _, _) in self.aggs.items():
-            if fn not in ("hll", "hist"):
+            if fn in _MERGE:
+                merged.append(_MERGE[fn](F.col(o)).alias(o))
+            elif fn in ("var", "std"):
+                merged.append(F.struct(
+                    F.sum(F.col(o).getField("n")).alias("n"),
+                    F.sum(F.col(o).getField("s")).alias("s"),
+                    F.sum(F.col(o).getField("s2")).alias("s2"),
+                ).alias(o))
+        view = (base.groupBy(*keys).agg(*merged) if merged
+                else base.select(*keys).distinct())
+        for o, (fn, _, opts) in self.aggs.items():
+            if fn not in ("hll", "hist", "topk"):
                 continue
             val, comb = (("__rho", F.max) if fn == "hll"
                          else ("__n", F.sum))
             ent = base.select(
-                *self.key_cols,
+                *keys,
                 F.explode_outer(F.col(o)).alias("__k", val),
             ).where(F.col("__k").isNotNull()).groupBy(
-                *self.key_cols, "__k"
+                *keys, "__k"
             ).agg(comb(val).alias(val))
-            maps = ent.groupBy(*self.key_cols).agg(
-                F.map_from_entries(
-                    F.sort_array(F.collect_list(F.struct("__k", val)))
-                ).alias(o)
-            )
+            grouped = ent.groupBy(*keys)
+            if fn == "topk":
+                maps = grouped.agg(
+                    F.collect_list(
+                        F.struct(F.col("__k").alias("k"),
+                                 F.col(val).alias("n"))
+                    ).alias("__e")
+                ).select(
+                    *keys,
+                    _mg_trim(F.col("__e"), int(opts["cap"])).alias(o),
+                )
+            else:
+                maps = grouped.agg(
+                    F.map_from_entries(
+                        F.sort_array(F.collect_list(F.struct("__k", val)))
+                    ).alias(o)
+                )
             # left attach: an all-null-map group keeps its row with a
             # NULL map, exactly like its source partials
-            view = self._attach(view, maps)
+            view = self._attach_by(view, maps, keys)
         return view
 
     def _roll_up(self, fold: DataFrame) -> DataFrame:
         """compact_tiered ``fold_transform``: re-aggregate the fold so
         a segment holds ONE partial row per group (Druid-style segment
         roll-up) instead of one per (group, source batch) — the
-        partial log stays O(groups × tiers) on disk, not O(batches)."""
-        cols = [f.split(" ", 1)[0] for f in (self._ddl or "").split(", ")]
-        return self._merged_partials(fold).select(*cols)
+        partial log stays O(groups × tiers) on disk, not O(batches).
+        Column order comes from the fold's own schema, not a parse of
+        the recorded DDL (r12 review finding: ``split(", ")`` corrupts
+        on struct/map types, which var/std partials now are)."""
+        return self._merge_by(fold).select(*fold.columns)
 
     def read_quantiles(self, col: str, qs, *,
                        snapshot: "int | None" = None) -> DataFrame:
@@ -476,7 +654,8 @@ class AggregateStore:
         # read() would compute — and discard — every OTHER aggregate
         # column, including other sketches' explode/join chains (r12
         # review finding)
-        ex = self.partials(snapshot=snapshot).select(
+        src = self.partials(snapshot=snapshot)
+        ex = src.select(
             *self.key_cols, F.explode_outer(F.col(col)).alias("__bin", "__n")
         ).where(F.col("__bin").isNotNull()).groupBy(
             *self.key_cols, "__bin"
@@ -489,7 +668,11 @@ class AggregateStore:
                 W.partitionBy(*self.key_cols)
             ).alias("__tot"),
         )
-        view = None
+        # seed with the FULL group set (not just groups with histogram
+        # mass): a group whose sketch source was all-NULL in every
+        # partial must keep its row with NULL estimates, exactly like
+        # SQL quantile_cont over an all-NULL group (r12 ADVICE)
+        view = src.select(*self.key_cols).distinct()
         for q in qs:
             name = f"q_{str(q).replace('.', '_')}"
             tgt = F.col("__tot") * float(q)
@@ -510,8 +693,40 @@ class AggregateStore:
             # null-safe attach (a NULL group key is a real group);
             # every q in (0, 1] yields the same group set — the last
             # bin's cumulative equals the total — so left is exact
-            view = hit if view is None else self._attach(view, hit)
+            view = self._attach(view, hit)
         return view
+
+    def read_topk(self, col: str, *, k: "int | None" = None,
+                  snapshot: "int | None" = None) -> DataFrame:
+        """Top-k heavy hitters from a merged ``topk`` sketch column:
+        per-item counter SUM across all partials (only the final rank
+        trims, so read-time error is one Misra-Gries bound better than
+        trimming per merge step), deterministic rank by (count desc,
+        item asc). Output: key columns + ``item``, ``est_n``, ``rank``
+        rows, rank <= k (default: the recorded k). Estimates UNDERCOUNT
+        by at most (group weight)/(cap+1) per trim that touched the
+        item's group; a group whose distinct items never exceeded cap
+        is exact."""
+        from pyspark.sql import Window as W
+
+        fn, _, opts = self.aggs[col]
+        if fn != "topk":
+            raise ValueError(f"{col} is {fn}, read_topk needs topk")
+        k = int(k if k is not None else opts["k"])
+        ex = self.partials(snapshot=snapshot).select(
+            *self.key_cols, F.explode_outer(F.col(col)).alias("__k", "__n")
+        ).where(F.col("__k").isNotNull()).groupBy(
+            *self.key_cols, "__k"
+        ).agg(F.sum("__n").alias("__n"))
+        w = W.partitionBy(*self.key_cols).orderBy(
+            F.col("__n").desc(), F.col("__k")
+        )
+        return (
+            ex.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(*self.key_cols, F.col("__k").alias("item"),
+                    F.col("__n").alias("est_n"), "rank")
+        )
 
     # ------------------------------------------------- lifecycle plumbing
     def delete_groups(self, values, *, col: "str | None" = None,
@@ -523,17 +738,62 @@ class AggregateStore:
         if self._ddl is None:
             raise ValueError(f"store at {self.root} has no committed state")
         col = col or self.key_cols[0]
-        ktype = dict(
-            (f.split(" ", 1)[0], f.split(" ", 1)[1])
-            for f in self._ddl.split(", ")
-        ).get(col, "bigint")
-        if batch_id is None:
+        # parse the key's type from the DDL with Spark's own parser, not
+        # a ", " split — struct/map partial columns (var/std, sketches)
+        # embed commas the split would corrupt on (r12 review finding)
+        from pyspark.sql.types import StructType
+
+        fields = {f.name: f.dataType.simpleString()
+                  for f in StructType.fromDDL(self._ddl).fields}
+        ktype = fields.get(col, "bigint")
+        auto = batch_id is None
+        if auto:
             batch_id = BC.next_batch_id(
                 self._log, BC._tomb_root(self._log), mode=self.commit_mode
             )
-        return BC.delete_keys(self.spark, self._log, values, batch_id,
-                              key_cols=col, key_type=ktype,
-                              mode=self.commit_mode, epoch=self._epoch)
+        for _ in range(16):
+            done = BC.delete_keys(self.spark, self._log, values, batch_id,
+                                  key_cols=col, key_type=ktype,
+                                  mode=self.commit_mode, epoch=self._epoch)
+            if done or not auto:
+                return done
+            # auto-id race against a concurrent shared writer's commit:
+            # allocation conflict, not redelivery — retry on a fresh id
+            batch_id = BC.next_batch_id(
+                self._log, BC._tomb_root(self._log), mode=self.commit_mode
+            )
+        raise RuntimeError(
+            f"store at {self.root}: delete id allocation lost 16 straight "
+            "races — writer contention is pathological"
+        )
+
+    def expire_windows(self, older_than, *, col: "str | None" = None) -> list:
+        """Time-based retention for a windowed view (key_cols includes
+        an event-time window column, e.g. the ``hour`` of
+        agg_window_incremental): tombstone every group whose window key
+        is strictly below ``older_than``. Metadata-cheap — the expired
+        window values are enumerated from a sidecar-pruned range read
+        of the partial log (O(expired groups) driver rows, never a
+        history scan), masked immediately via the normal group-takedown
+        tombstones, and physically reclaimed at the next roll-up fold
+        (compaction drops tombstoned rows; retire_tombstones then seals
+        the masks). A snapshot pinned BEFORE expiry still serves the
+        expired windows — tombstones are sequence-scoped. Very-late
+        data for an expired window that arrives in a LATER batch
+        re-accumulates from zero (the commit layer's covers rule): call
+        expire_windows again on the next retention tick, exactly like
+        Iceberg's expire-snapshots/delete-where maintenance loop.
+        Returns the expired window key values."""
+        col = col or self.key_cols[0]
+        rows = (
+            self.partials(prune_between={col: (None, older_than)})
+            .select(col).where(F.col(col) < F.lit(older_than))
+            .distinct().collect()
+        )
+        vals = [r[0] for r in rows]
+        if vals:
+            self.delete_groups(vals, col=col)
+        return vals
 
     def snapshot(self) -> int:
         """Pin the view as-of now (metadata-only): ``read(snapshot=)``

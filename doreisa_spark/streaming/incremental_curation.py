@@ -166,7 +166,12 @@ class CurationStore:
         finally:
             admitted.unpersist()
         ce = self.compact_every
-        if ce and batch_id % ce == ce - 1:
+        # modulo cadence + backlog backstop: interleaved tombstone ids
+        # must not phase-shift the fold cadence off its residue (r13);
+        # a pure modulo stream never exceeds ce+1 uncompacted batches,
+        # so the backstop fires only when the modulo lost phase
+        if ce and (batch_id % ce == ce - 1 or len(BC.committed_ids(
+                self._seen, mode=self.commit_mode)) >= 2 * ce):
             # size-tiered: bounded write amplification (r8 verdict)
             BC.compact_tiered(self.spark, self._seen, _SEEN_DDL,
                               mode=self.commit_mode,

@@ -199,7 +199,14 @@ class LSHSignatureStore:
         # O(batch * log(store/batch)), not the full-rewrite O(store/N)
         # the r8 verdict flagged — see batch_commit.compact_tiered
         ce = self.compact_every
-        if ce and batch_id % ce == ce - 1:
+        # id-modulo keeps the historical cadence; the backlog backstop
+        # heals the r13 phase-shift hazard (tombstone commits consume
+        # ids from the shared space, so a pure modulo trigger can drift
+        # past its residue and never fire again) — a pure modulo stream
+        # never exceeds ce+1 uncompacted batches, so the backstop fires
+        # ONLY when the modulo lost phase
+        if ce and (batch_id % ce == ce - 1 or len(BC.committed_ids(
+                self.members_dir, mode=self.commit_mode)) >= 2 * ce):
             m = self.commit_mode
             tfb = self.target_file_bytes
             BC.compact_tiered(self.spark, self.members_dir, _MEMBERS_DDL,
@@ -622,7 +629,9 @@ class PrunedLSHSignatureStore(LSHSignatureStore):
         # key, so row-group min/max locality survives folding and the
         # pruned probes just union a handful of sorted tiers
         ce = self.compact_every
-        if ce and batch_id % ce == ce - 1:
+        # modulo cadence + phase-shift backstop (see base _maybe_compact)
+        if ce and (batch_id % ce == ce - 1 or len(BC.committed_ids(
+                self.members_dir, mode=self.commit_mode)) >= 2 * ce):
             m = self.commit_mode
             tfb = self.target_file_bytes
             BC.compact_tiered(self.spark, self.members_dir, _MEMBERS_DDL,

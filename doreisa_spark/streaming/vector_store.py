@@ -206,7 +206,12 @@ class SortedVectorLog:
             finally:
                 keyed.unpersist()
         ce = self.compact_every
-        if ce and batch_id % ce == ce - 1:
+        # modulo cadence + backlog backstop: interleaved tombstone ids
+        # must not phase-shift the fold cadence off its residue (r13);
+        # a pure modulo stream never exceeds ce+1 uncompacted batches,
+        # so the backstop fires only when the modulo lost phase
+        if ce and (batch_id % ce == ce - 1 or len(BC.committed_ids(
+                self._members, mode=self.commit_mode)) >= 2 * ce):
             # size-tiered: bounded write amplification (r8 verdict);
             # each tier stays probe-sorted so pruning survives folding
             BC.compact_tiered(self.spark, self._members, self._members_ddl,

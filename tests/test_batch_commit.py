@@ -127,6 +127,7 @@ def test_compact_crash_leftovers_invisible(spark, tmp_path):
     # manifest), with real data inside — also invisible
     orphan = os.path.join(root, "m000000000001_deadbeef")
     spark.createDataFrame([(888,)], "v int").write.mode("overwrite").parquet(orphan)
+    os.utime(orphan, (1, 1))  # age past the GC grace window
     assert _vals(spark, root) == before
     # the next compact reclaims both leftovers
     BC.commit_batch(spark.createDataFrame([(5,)], "v int"), root, 5)

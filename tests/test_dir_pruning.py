@@ -190,10 +190,12 @@ def test_range_prune_between(spark, tmp_path, mode):
 
 
 def test_non_json_stat_types_drop_column_not_commit(spark, tmp_path):
-    """Footer min/max that json can't carry (timestamps, dates,
-    decimals) must drop the COLUMN from the sidecar, never fail the
-    commit — a crash here would wedge the stream permanently, since
-    every redelivery recomputes the same stats (r12 review finding)."""
+    """Footer min/max that json can't carry (decimals) must drop the
+    COLUMN from the sidecar, never fail the commit — a crash here would
+    wedge the stream permanently, since every redelivery recomputes the
+    same stats (r12 review finding). Timestamps and dates ARE carried
+    since r13, as ISO-8601 strings (which sort like the instants), so
+    timestamp-keyed windowed views can prune their retention reads."""
     root = str(tmp_path / "s")
     df = spark.sql(
         "select id as k, timestamp'2026-01-01 00:00:00' + "
@@ -204,11 +206,25 @@ def test_non_json_stat_types_drop_column_not_commit(spark, tmp_path):
     assert BC.commit_batch(df, root, 0, mode=BC.RENAME,
                            stats_cols=["k", "ts", "d", "day"])
     st = BC._dir_stats(BC._committed_dirs(root, mode=BC.RENAME)[0])
-    assert set(st["cols"]) == {"k"}  # only the json-safe column
+    assert set(st["cols"]) == {"k", "ts", "day"}  # decimal dropped
+    assert st["cols"]["ts"] == ["2026-01-01T00:00:00",
+                                "2026-01-01T00:00:04"]
     kept = BC._prune_entries(
-        BC._committed_entries(root, mode=BC.RENAME), {"ts": ["2026"]}
+        BC._committed_entries(root, mode=BC.RENAME), {"d": ["2026"]}
     )
     assert len(kept) == 1  # unrecorded column proves nothing
+    # datetime probes prune via the ISO form...
+    import datetime as dt
+
+    assert BC._prune_entries(
+        BC._committed_entries(root, mode=BC.RENAME),
+        None, {"ts": (dt.datetime(2027, 1, 1), None)},
+    ) == []
+    # ...and a matching range keeps the dir
+    assert len(BC._prune_entries(
+        BC._committed_entries(root, mode=BC.RENAME),
+        None, {"ts": (dt.datetime(2026, 1, 1, 0, 0, 2), None)},
+    )) == 1
 
 
 def test_dedup_shingle_probe_prunes_by_doc_id(spark, tmp_path):

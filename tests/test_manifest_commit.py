@@ -82,6 +82,7 @@ def test_manifest_crash_orphan_invisible_and_gcd(spark, tmp_path):
     # simulate the crashed first delivery of batch 1: data, no manifest
     orphan = os.path.join(root, "d000000000001_deadbeef")
     spark.createDataFrame([(777,)], "v int").write.parquet(orphan)
+    os.utime(orphan, (1, 1))  # age past the GC grace window
     assert _vals(spark, root) == [0]
     assert not BC.is_committed(root, 1, mode=M)
     # redelivery commits for real

@@ -1,0 +1,171 @@
+"""Optimistic multi-writer commits (r12 verdict ask #3).
+
+The commit layer's single-writer fence (acquire_writer) stays the hard
+fence — migrations and alias flips still kill every other writer — but
+two pipelines may now append to one store concurrently by joining as
+SHARED writers (join_writer / AggregateStore(fenced="shared")): commits
+CAS against the shared epoch, disjoint batch ids all land, an
+id-allocation race declines exactly one side and the loser retries on a
+fresh id (the Delta/Iceberg commit-retry pattern). Model test: two
+concurrent writer loops — no lost batch, no double-counted batch,
+explicit same-id conflicts still refuse, concurrent compactions decline
+rather than double-fold, and a hard fence stops both writers.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from doreisa_spark.streaming import batch_commit as BC
+from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+AGGS = {"cnt": ("count", None), "sum_v": ("sum", "v")}
+
+
+def _mk(spark, root, **kw):
+    return AggregateStore(spark, root, key_cols=["k"], aggs=AGGS,
+                          commit_mode=BC.MANIFEST, fenced="shared", **kw)
+
+
+def _slice(spark, writer: int, i: int):
+    # writer-disjoint, deterministic data: (writer, i) -> 20 rows
+    base = writer * 1000 + i * 20
+    return spark.range(base, base + 20).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") * 0.5).alias("v"))
+
+
+def _all_data(spark, n_each: int):
+    frames = [_slice(spark, w, i) for w in (1, 2) for i in range(n_each)]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
+
+
+def test_two_concurrent_writer_loops_lose_nothing(spark, tmp_path):
+    root = str(tmp_path / "mw")
+    n_each = 10
+    st1 = _mk(spark, root)
+    st1.process_batch(_slice(spark, 1, 0))  # seed the spec marker
+    st2 = _mk(spark, root)
+    start = threading.Barrier(2)
+    errs: list = []
+
+    def loop(store, writer, lo):
+        try:
+            start.wait()
+            for i in range(lo, n_each):
+                store.process_batch(_slice(spark, writer, i))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    t1 = threading.Thread(target=loop, args=(st1, 1, 1))
+    t2 = threading.Thread(target=loop, args=(st2, 2, 0))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    # every batch landed exactly once: the view equals the one-pass
+    # aggregate of ALL the data both writers produced
+    exp = {
+        (r["k"], r["cnt"], round(r["sum_v"], 6))
+        for r in _all_data(spark, n_each).groupBy("k").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("sum_v")).collect()
+    }
+    got = {(r["k"], r["cnt"], round(r["sum_v"], 6))
+           for r in st1.read().collect()}
+    assert got == exp
+    # 2 * n_each distinct batch ids committed (compaction off by
+    # default here would keep them all; compact_every=64 never fired)
+    ids = BC.committed_ids(f"{root}/partials", mode=BC.MANIFEST)
+    assert len(ids) == 2 * n_each and len(set(ids)) == len(ids)
+
+
+def test_explicit_same_id_conflict_still_refuses(spark, tmp_path):
+    root = str(tmp_path / "dup")
+    st1 = _mk(spark, root)
+    bid = st1.process_batch(_slice(spark, 1, 0))
+    st2 = _mk(spark, root)
+    # explicit redelivery of a committed id commits NOTHING, even from
+    # a different shared writer with different data
+    st2.process_batch(_slice(spark, 2, 0), batch_id=bid)
+    exp = {
+        (r["k"], r["cnt"]) for r in _slice(spark, 1, 0).groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert {(r["k"], r["cnt"]) for r in st1.read().collect()} == exp
+
+
+def test_hard_fence_stops_shared_writers(spark, tmp_path):
+    root = str(tmp_path / "fence")
+    st1 = _mk(spark, root)
+    st1.process_batch(_slice(spark, 1, 0))
+    st2 = _mk(spark, root)
+    st2.process_batch(_slice(spark, 2, 0))
+    # a hard (exclusive) acquire — what migrate/alias-flip do — bumps
+    # the epoch: both shared writers are fenced mid-flight
+    BC.acquire_writer(f"{root}/partials", mode=BC.MANIFEST)
+    with pytest.raises(BC.StaleWriterError):
+        st1.process_batch(_slice(spark, 1, 1))
+    with pytest.raises(BC.StaleWriterError):
+        st2.process_batch(_slice(spark, 2, 1))
+    # late joiners resume under the new epoch
+    st3 = _mk(spark, root)
+    st3.process_batch(_slice(spark, 1, 1))
+
+
+def test_concurrent_deletes_both_apply(spark, tmp_path):
+    root = str(tmp_path / "dels")
+    st1 = _mk(spark, root)
+    st1.process_batch(_slice(spark, 1, 0))
+    st1.process_batch(_slice(spark, 2, 0))
+    st2 = _mk(spark, root)
+    start = threading.Barrier(2)
+    errs: list = []
+
+    def dele(store, keys):
+        try:
+            start.wait()
+            store.delete_groups(keys)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=dele, args=(st1, [0, 1]))
+    t2 = threading.Thread(target=dele, args=(st2, [1, 2]))  # overlap on 1
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    left = {r["k"] for r in st1.read().collect()}
+    assert left == {3, 4, 5, 6}
+
+
+def test_concurrent_compaction_declines_never_double_folds(spark, tmp_path):
+    root = str(tmp_path / "comp")
+    st1 = _mk(spark, root, compact_every=4)
+    st1.process_batch(_slice(spark, 1, 0))
+    st2 = _mk(spark, root, compact_every=4)
+    start = threading.Barrier(2)
+    errs: list = []
+
+    def loop(store, writer, lo, n):
+        try:
+            start.wait()
+            for i in range(lo, n):
+                store.process_batch(_slice(spark, writer, i))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=loop, args=(st1, 1, 1, 8))
+    t2 = threading.Thread(target=loop, args=(st2, 2, 0, 8))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    exp = {
+        (r["k"], r["cnt"], round(r["sum_v"], 6))
+        for r in _all_data(spark, 8).groupBy("k").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("sum_v")).collect()
+    }
+    got = {(r["k"], r["cnt"], round(r["sum_v"], 6))
+           for r in st2.read().collect()}
+    assert got == exp

@@ -149,6 +149,7 @@ def test_tiered_orphans_invisible_and_reclaimed(spark, tmp_path, mode):
     # crashed merge attempt: a real-data segment the manifest never named
     orphan = os.path.join(root, "m000000000009_deadbeef")
     spark.createDataFrame([(10**9,)], "v bigint").write.mode("overwrite").parquet(orphan)
+    os.utime(orphan, (1, 1))  # age past the GC grace window
     assert _vals(spark, root, mode) == before
     _commit_range(spark, root, [6], mode, rows=50)
     BC.compact_tiered(spark, root, "v bigint", keep_last=1, mode=mode)
