@@ -751,6 +751,59 @@ def agg_join_incremental_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_join_incremental_star",
+    extended=True,
+    oracle="""
+SELECT source, n_name, cnt, round(sum_value, 2) AS sum_value
+FROM (
+  SELECT d.source, n.n_name,
+         count(*) AS cnt, sum(e.value) AS sum_value
+  FROM events e
+  JOIN documents d ON (e.event_id % 700) = d.doc_id
+  JOIN nation n ON (e.user_id % 25) = n.n_nationkey
+  GROUP BY d.source, n.n_name)
+""",
+)
+def agg_join_incremental_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-SCHEMA incremental join view: one fact stream against TWO
+    independently-updating dimensions (documents by a deliberately-
+    missing FK range, nation by a derived geo key), grouped by one
+    attribute of each. The fact store keeps partials at the COMPOSITE
+    FK grain; each dim is its own latest-state store; the read joins
+    both GRAINS (each broadcast-guarded) and re-groups — hash-exact vs
+    DuckDB's one-pass two-join GROUP BY. All three inputs arrive as
+    out-of-order micro-batches."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_join import JoinedAggregateView
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "doc_fk", F.expr("event_id % 700")
+    ).withColumn("nation_fk", F.expr("user_id % 25"))
+    d = table(spark, sf_dir, "documents")
+    n = table(spark, sf_dir, "nation")
+    view = JoinedAggregateView(
+        spark, _fresh_store_dir("incjoins"),
+        fact_keys=[],
+        fact_aggs={"cnt": ("count", None), "sum_value": ("sum", "value")},
+        dims=[
+            {"name": "doc", "fk": "doc_fk", "key": "doc_id",
+             "cols": ["source"], "order_by": "doc_id"},
+            {"name": "geo", "fk": "nation_fk", "key": "n_nationkey",
+             "cols": ["n_name"], "order_by": "n_nationkey"},
+        ],
+    )
+    view.process_dim_batch(n.where("n_nationkey % 2 = 0"), dim="geo")
+    view.process_fact_batch(e.where("event_id % 2 = 1"))
+    view.process_dim_batch(d.where("doc_id % 2 = 1"), dim="doc")
+    view.process_fact_batch(e.where("event_id % 2 = 0"))
+    view.process_dim_batch(d.where("doc_id % 2 = 0"), dim="doc")
+    view.process_dim_batch(n.where("n_nationkey % 2 = 1"), dim="geo")
+    return view.read(["source", "n_name"]).withColumn(
+        "sum_value", F.round("sum_value", 2)
+    )
+
+
+@register(
     "agg_expire_windows",
     extended=True,
     oracle="""

@@ -1,10 +1,11 @@
-"""Incrementally-maintained grouped views over a JOIN (fact ⋈ dim).
+"""Incrementally-maintained grouped views over JOINs (fact ⋈ dims).
 
 The one materialized-view shape single-table ``AggregateStore``s cannot
 serve (r12 verdict ask #1): a training-data dashboard groups events by
-an attribute of the DOCUMENT they touched (``events ⋈ documents``), and
-rescanning both raw histories — paying the join's shuffle on every
-refresh — is exactly the cost the view layer exists to kill.
+an attribute of the DOCUMENT they touched (``events ⋈ documents``) —
+and usually by attributes of a second dimension too (the star-schema
+shape) — and rescanning the histories, paying the join's shuffle on
+every refresh, is exactly the cost the view layer exists to kill.
 
 Architecture: **factorized incremental view maintenance** — aggregate
 BELOW the join, join only the tiny grains (the reduce-before-join
@@ -12,30 +13,34 @@ factorization used by DBSP/Materialize and by Catalyst's own
 partial-aggregate pushdown, here made durable):
 
 - the **fact** side is an ``AggregateStore`` grouped at *FK grain*
-  (``[fk, *fact_keys]``): each micro-batch commits one tiny partial
+  (``[*fks, *fact_keys]``): each micro-batch commits one tiny partial
   through the exactly-once log, so fact state is O(FK-grain groups),
   never O(history);
-- the **dim** side is an ``AggregateStore`` keyed by the dim key whose
+- each **dim** side is an ``AggregateStore`` keyed by its dim key whose
   attribute columns are ``last``-by-order partials — the latest-state
   (upsert/CDC-mirror) view, so dim updates stream in out of order and
-  the newest version wins, state O(dim keys);
+  the newest version wins, state O(dim keys). A dim ATTRIBUTE CHANGE
+  never touches the fact log at all — the read always joins the
+  current (or pinned) dim state, so there is no delta-amplification
+  step, the classic IVM pain point;
 - a **read** merges the fact partials (O(fk_groups × tiers) rows),
-  joins the dim's latest state onto them (broadcast-guarded — a
+  joins each dim's latest state onto them (broadcast-guarded — a
   dimension is dimension-sized until it isn't, then Catalyst/AQE picks
   the strategy), and RE-GROUPS to the requested grain. The re-group is
   sound because every aggregate the store algebra admits is
-  distributive (sum/count by SUM, min/max by MIN/MAX, moment structs by
-  field SUM, HLL registers by MAX, histogram bins by SUM, Misra-Gries
-  counters by SUM+trim, last/first by struct MAX/MIN) — merging the
-  FK-grain partials grouped by the dim attribute IS the one-pass joined
-  GROUP BY, which the gate pins hash-exact against DuckDB.
+  distributive (sum/count by SUM, min/max by MIN/MAX, moment structs
+  by field SUM, HLL registers by MAX, histogram bins by SUM,
+  Misra-Gries counters by SUM+trim, last/first by struct MAX/MIN) —
+  merging the FK-grain partials grouped by the dim attributes IS the
+  one-pass joined GROUP BY, which the gate pins hash-exact against
+  DuckDB.
 
-At 100 TB: neither raw history is ever rescanned — a refresh touches
-fk_groups + dim_keys rows. The join shuffles at most the two GRAINS
-(and broadcasts when the dim state fits); late/out-of-order data on
-either input is just another partial/upsert; exactly-once, takedowns,
-snapshots, compaction roll-up, and sidecar pruning all come from the
-commit layer underneath, per side.
+At 100 TB: no raw history is ever rescanned — a refresh touches
+fk_groups + Σ dim_keys rows. The joins shuffle at most the GRAINS (and
+broadcast when a dim state fits); late/out-of-order data on any input
+is just another partial/upsert; exactly-once, takedowns, snapshots,
+compaction roll-up, and sidecar pruning all come from the commit layer
+underneath, per side.
 
 Inner-join semantics match SQL: an FK group with no dim match drops at
 read (and reappears if the dim row later arrives — the view is always
@@ -58,28 +63,33 @@ from doreisa_spark.streaming.incremental_agg import AggregateStore
 
 
 class JoinedAggregateView:
-    """Grouped view over ``fact ⋈ dim``, incrementally maintained.
+    """Grouped view over ``fact ⋈ dim [⋈ dim2 ...]``, incrementally
+    maintained.
 
-    Parameters
-    ----------
-    fk : str
-        Fact column holding the dim key (must be in ``fact_keys``' FK
-        grain; it is added automatically).
-    fact_keys : list[str]
-        Extra fact group columns that survive to the final grain
-        (e.g. ``["event_type"]``).
-    fact_aggs : dict
-        ``{out_col: (fn, src_expr[, opts])}`` — the AggregateStore
-        algebra (sum/count/min/max/var/std/hll/hist/topk/last/first).
-    dim_key : str
-        Dim key column the FK joins to.
-    dim_cols : list[str]
-        Dim attribute columns served by the view (latest state).
-    dim_order_by : str
-        SQL expression ordering dim versions (newest wins); include a
-        tiebreaker for determinism, e.g. ``struct(updated_at, seq)``.
-        Defaults to the ingestion batch id surrogate ``NULL``-free
-        monotonic expression the caller provides.
+    Single-dim form (the common case)::
+
+        JoinedAggregateView(spark, root,
+            fk="doc_fk", fact_keys=["event_type"],
+            fact_aggs={"cnt": ("count", None)},
+            dim_key="doc_id", dim_cols=["source"], dim_order_by="ver")
+
+    Star-schema form — any number of dimensions, each with its own FK
+    on the fact, key, attribute columns, and version order::
+
+        JoinedAggregateView(spark, root,
+            fact_keys=["event_type"], fact_aggs={...},
+            dims=[
+                {"name": "doc",  "fk": "doc_fk",  "key": "doc_id",
+                 "cols": ["source"], "order_by": "ver"},
+                {"name": "geo",  "fk": "nation_fk", "key": "n_nationkey",
+                 "cols": ["n_name"], "order_by": "n_nationkey"},
+            ])
+
+    ``fact_aggs``: ``{out_col: (fn, src_expr[, opts])}`` — the full
+    AggregateStore algebra (sum/count/min/max/var/std/hll/hist/topk/
+    last/first). ``order_by`` is any SQL expression ordering dim
+    versions (newest wins); include a tiebreaker for determinism, e.g.
+    ``struct(updated_at, seq)``.
     """
 
     def __init__(self, spark: SparkSession, root: str, *,
@@ -89,42 +99,92 @@ class JoinedAggregateView:
                  dim_key: "str | None" = None,
                  dim_cols: "list[str] | None" = None,
                  dim_order_by: "str | None" = None,
+                 dims: "list[dict] | None" = None,
                  compact_every: int | None = 64,
                  commit_mode: "str | None" = None,
                  fenced: "bool | str | None" = None):
         self.spark = spark
         self.root = root.rstrip("/")
-        fact_key_cols = ([fk] + list(fact_keys or [])) if fk else None
+        if dims is not None and (dim_key or dim_cols or fk):
+            raise ValueError("pass either the single-dim params or dims=, "
+                             "not both")
+        if dims is None:
+            # single-dim form: one spec named "dim", store at {root}/dim
+            # (same layout as before the star generalization)
+            dims = [{"name": "dim", "fk": fk, "key": dim_key,
+                     "cols": dim_cols, "order_by": dim_order_by,
+                     "_root": f"{self.root}/dim"}]
+        if not dims:
+            raise ValueError("a join view needs at least one dimension")
+        names = [d.get("name", "dim") for d in dims]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate dim names: {names}")
+        self._dims: list[dict] = []
+        fact_fks = [d.get("fk") for d in dims]
+        fact_key_cols = (
+            [k for k in fact_fks if k is not None] + list(fact_keys or [])
+            if all(k is not None for k in fact_fks) else None
+        )
         self.fact = AggregateStore(
             spark, f"{self.root}/fact", key_cols=fact_key_cols,
             aggs=fact_aggs, compact_every=compact_every,
             commit_mode=commit_mode, fenced=fenced,
         )
-        dim_aggs = (
-            {c: ("last", c, {"by": dim_order_by}) for c in dim_cols}
-            if dim_cols else None
-        )
-        self.dim = AggregateStore(
-            spark, f"{self.root}/dim",
-            key_cols=[dim_key] if dim_key else None,
-            aggs=dim_aggs, compact_every=compact_every,
-            commit_mode=commit_mode, fenced=fenced,
-        )
-        self.fk = fk if fk is not None else self.fact.key_cols[0]
-        self.fact_keys = (list(fact_keys) if fact_keys is not None
-                          else self.fact.key_cols[1:])
-        self.dim_key = dim_key if dim_key is not None else self.dim.key_cols[0]
-        self.dim_cols = (list(dim_cols) if dim_cols is not None
-                         else list(self.dim.aggs))
-        clash = set(self.dim_cols) & (
-            set(self.fact.aggs) | set(self.fact.key_cols)
-        )
-        if clash:
-            raise ValueError(
-                f"dim attribute(s) {sorted(clash)} collide with fact "
-                "columns — rename one side (the read projects dim "
-                "attributes into the joined frame by name)"
+        for i, d in enumerate(dims):
+            name = d.get("name", "dim")
+            droot = d.get("_root", f"{self.root}/dim_{name}")
+            aggs = (
+                {c: ("last", c, {"by": d["order_by"]}) for c in d["cols"]}
+                if d.get("cols") else None
             )
+            store = AggregateStore(
+                spark, droot,
+                key_cols=[d["key"]] if d.get("key") else None,
+                aggs=aggs, compact_every=compact_every,
+                commit_mode=commit_mode, fenced=fenced,
+            )
+            self._dims.append({
+                "name": name,
+                "fk": d.get("fk") if d.get("fk") is not None
+                      else self.fact.key_cols[i],
+                "key": d.get("key") if d.get("key") is not None
+                       else store.key_cols[0],
+                "cols": (list(d["cols"]) if d.get("cols") is not None
+                         else list(store.aggs)),
+                "store": store,
+            })
+        self.fact_keys = (list(fact_keys) if fact_keys is not None
+                          else self.fact.key_cols[len(self._dims):])
+        # legacy single-dim accessors (tests, gated entries)
+        self.dim = self._dims[0]["store"]
+        self.fk = self._dims[0]["fk"]
+        self.dim_key = self._dims[0]["key"]
+        self.dim_cols = self._dims[0]["cols"]
+        fact_cols = set(self.fact.aggs) | set(self.fact.key_cols)
+        seen: set = set()
+        for d in self._dims:
+            clash = (set(d["cols"]) & fact_cols) | (set(d["cols"]) & seen)
+            if clash:
+                raise ValueError(
+                    f"dim {d['name']!r} attribute(s) {sorted(clash)} "
+                    "collide with fact columns or another dim — rename "
+                    "one side (the read projects dim attributes into "
+                    "the joined frame by name)"
+                )
+            seen |= set(d["cols"])
+
+    def _dim(self, name: "str | None") -> dict:
+        if name is None:
+            if len(self._dims) > 1:
+                raise ValueError(
+                    f"this view has {len(self._dims)} dims "
+                    f"({[d['name'] for d in self._dims]}); name one"
+                )
+            return self._dims[0]
+        for d in self._dims:
+            if d["name"] == name:
+                return d
+        raise ValueError(f"no dim named {name!r}")
 
     # ------------------------------------------------------------- write
     def process_fact_batch(self, batch: DataFrame,
@@ -133,43 +193,57 @@ class JoinedAggregateView:
         return self.fact.process_batch(batch, batch_id)
 
     def process_dim_batch(self, batch: DataFrame,
-                          batch_id: "int | None" = None) -> int:
+                          batch_id: "int | None" = None, *,
+                          dim: "str | None" = None) -> int:
         """Exactly-once upsert of the batch's dim rows (newest version
-        per key wins by ``dim_order_by``, regardless of arrival order)."""
-        return self.dim.process_batch(batch, batch_id)
+        per key wins by the dim's order expression, regardless of
+        arrival order). ``dim`` names the dimension on star views."""
+        return self._dim(dim)["store"].process_batch(batch, batch_id)
 
     # -------------------------------------------------------------- read
     def read(self, group_by: "list[str] | None" = None, *,
              how: str = "inner",
              fact_snapshot: "int | None" = None,
-             dim_snapshot: "int | None" = None) -> DataFrame:
+             dim_snapshot: "int | None" = None,
+             dim_snapshots: "dict | None" = None) -> DataFrame:
         """The joined view at ``group_by`` grain (any mix of dim
-        attribute columns and fact key columns; default: all dim_cols +
-        fact_keys). O(fk_groups + dim_keys) rows touched — never a
-        history rescan. ``how="left"`` keeps FK groups without a dim
-        match (NULL attributes), like SQL LEFT JOIN."""
+        attribute columns and fact key columns; default: all dim
+        attributes + fact_keys). O(fk_groups + Σ dim_keys) rows touched
+        — never a history rescan. ``how="left"`` keeps FK groups
+        without a dim match (NULL attributes), like SQL LEFT JOIN.
+        ``dim_snapshots`` maps dim name → pin for star views;
+        ``dim_snapshot`` is the single-dim shorthand."""
         if how not in ("inner", "left"):
             raise ValueError(f"how must be inner|left, got {how!r}")
+        if dim_snapshot is not None:
+            if dim_snapshots is not None:
+                raise ValueError("pass dim_snapshot or dim_snapshots, "
+                                 "not both")
+            dim_snapshots = {self._dims[0]["name"]: dim_snapshot}
+        dim_snapshots = dim_snapshots or {}
         group_by = (list(group_by) if group_by is not None
-                    else self.dim_cols + self.fact_keys)
-        fact_m = self.fact._merge_by(
+                    else [c for d in self._dims for c in d["cols"]]
+                    + self.fact_keys)
+        joined = self.fact._merge_by(
             self.fact.partials(snapshot=fact_snapshot)
         )
-        dim_state = self.dim.read(snapshot=dim_snapshot)
-        # unique temp names: both sides may carry identically-named
-        # columns, and the join key must survive the attribute project
-        dk = f"__dim_{self.dim_key}"
-        dim_state = dim_state.withColumnRenamed(self.dim_key, dk)
-        for c in self.dim_cols:
-            dim_state = dim_state.withColumnRenamed(c, f"__dim_{c}")
-        joined = fact_m.join(
-            bcast(dim_state),
-            fact_m[self.fk].eqNullSafe(F.col(dk)),
-            how,
-        ).drop(dk)
-        for c in self.dim_cols:
-            joined = joined.withColumn(c, F.col(f"__dim_{c}")) \
-                .drop(f"__dim_{c}")
+        for d in self._dims:
+            state = d["store"].read(
+                snapshot=dim_snapshots.get(d["name"]))
+            # unique temp names: sides may carry identically-named
+            # columns, and the join key must survive the project
+            pre = f"__dim_{d['name']}_"
+            dk = pre + d["key"]
+            state = state.withColumnRenamed(d["key"], dk)
+            for c in d["cols"]:
+                state = state.withColumnRenamed(c, pre + c)
+            joined = joined.join(
+                bcast(state),
+                joined[d["fk"]].eqNullSafe(F.col(dk)),
+                how,
+            ).drop(dk)
+            for c in d["cols"]:
+                joined = joined.withColumn(c, F.col(pre + c)).drop(pre + c)
         regrouped = self.fact._merge_by(
             joined.select(*group_by, *self.fact.aggs), group_by
         )
@@ -177,29 +251,46 @@ class JoinedAggregateView:
 
     # --------------------------------------------------------- lifecycle
     def snapshot(self) -> dict[str, int]:
-        """Pin BOTH sides at one cut (metadata-only): pass the returned
-        pins to ``read(fact_snapshot=..., dim_snapshot=...)`` to replay
-        the joined view exactly. All-or-nothing: a failed dim pin
-        releases the fact pin."""
-        fp = self.fact.snapshot()
+        """Pin EVERY side at one cut (metadata-only): pass the returned
+        pins to ``read(fact_snapshot=..., dim_snapshots=...)`` to
+        replay the joined view exactly. All-or-nothing: a failed pin
+        releases everything already pinned."""
+        pins: dict[str, int] = {}
         try:
-            dp = self.dim.snapshot()
+            pins["fact"] = self.fact.snapshot()
+            for d in self._dims:
+                pins[d["name"]] = d["store"].snapshot()
         except Exception:
-            self.fact.drop_snapshot(fp)
+            for name, pin in pins.items():
+                store = (self.fact if name == "fact"
+                         else self._dim(name)["store"])
+                store.drop_snapshot(pin)
             raise
-        return {"fact": fp, "dim": dp}
+        return pins
 
     def drop_snapshot(self, pins: dict) -> None:
         self.fact.drop_snapshot(int(pins["fact"]))
-        self.dim.drop_snapshot(int(pins["dim"]))
+        for d in self._dims:
+            if d["name"] in pins:
+                d["store"].drop_snapshot(int(pins[d["name"]]))
 
-    def delete_dim_keys(self, values) -> bool:
+    def read_pins(self, pins: dict, group_by=None, *,
+                  how: str = "inner") -> DataFrame:
+        """Convenience: read the view exactly as pinned by snapshot()."""
+        return self.read(group_by, how=how, fact_snapshot=pins["fact"],
+                         dim_snapshots={d["name"]: pins[d["name"]]
+                                        for d in self._dims
+                                        if d["name"] in pins})
+
+    def delete_dim_keys(self, values, *, dim: "str | None" = None) -> bool:
         """Dim-side takedown: the keys' attributes vanish; their fact
         groups drop from inner reads (NULL-attributed in left reads) —
         a document takedown hides its contribution without touching the
         fact log."""
-        return self.dim.delete_groups(values, col=self.dim_key)
+        d = self._dim(dim)
+        return d["store"].delete_groups(values, col=d["key"])
 
     def delete_fact_groups(self, values, *, col: "str | None" = None) -> bool:
-        """Fact-side takedown by FK (default) or any fact key column."""
-        return self.fact.delete_groups(values, col=col or self.fk)
+        """Fact-side takedown by the first FK (default) or any fact key
+        column."""
+        return self.fact.delete_groups(values, col=col or self._dims[0]["fk"])

@@ -166,3 +166,73 @@ def test_dim_column_collision_rejected(spark, tmp_path):
             fact_aggs={"cnt": ("count", None)},
             dim_key="doc_id", dim_cols=["source"], dim_order_by="ver",
         )
+
+
+def test_star_two_dims_snapshot_and_takedown(spark, tmp_path):
+    """Star form: two dims, independent updates, per-dim takedown, and
+    a full star pin replay."""
+    f = spark.createDataFrame(
+        [(1, 10, "click", 2.0), (2, 11, "view", 3.0), (1, 11, "click", 5.0),
+         (9, 10, "view", 7.0)],  # fk 9: no doc match
+        "dfk bigint, gfk bigint, et string, v double",
+    )
+    docs = spark.createDataFrame([(1, "web", 1), (2, "pdf", 1)],
+                                 "doc_id bigint, source string, ver int")
+    geo = spark.createDataFrame([(10, "US", 1), (11, "FR", 1)],
+                                "geo_id bigint, region string, ver int")
+    v = JoinedAggregateView(
+        spark, str(tmp_path / "star"), fact_keys=["et"],
+        fact_aggs={"cnt": ("count", None), "sum_v": ("sum", "v")},
+        dims=[
+            {"name": "doc", "fk": "dfk", "key": "doc_id",
+             "cols": ["source"], "order_by": "ver"},
+            {"name": "geo", "fk": "gfk", "key": "geo_id",
+             "cols": ["region"], "order_by": "ver"},
+        ],
+    )
+    v.process_dim_batch(geo, dim="geo")
+    v.process_fact_batch(f)
+    v.process_dim_batch(docs, dim="doc")
+
+    def exp(fd, dd, gd):
+        return _got(
+            fd.join(dd, fd["dfk"] == dd["doc_id"])
+              .join(gd, fd["gfk"] == gd["geo_id"])
+              .groupBy("source", "region", "et").agg(
+                  F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v"))
+        )
+
+    assert _got(v.read(["source", "region", "et"])) == exp(f, docs, geo)
+    pins = v.snapshot()
+    before = _got(v.read(["source", "region", "et"]))
+    # dim updates on both sides + a geo takedown
+    v.process_dim_batch(
+        spark.createDataFrame([(1, "pdf", 2)],
+                              "doc_id bigint, source string, ver int"),
+        dim="doc")
+    v.delete_dim_keys([10], dim="geo")
+    docs2 = spark.createDataFrame([(1, "pdf", 2), (2, "pdf", 1)],
+                                  "doc_id bigint, source string, ver int")
+    geo2 = geo.where("geo_id = 11")
+    assert _got(v.read(["source", "region", "et"])) == exp(f, docs2, geo2)
+    # the pinned star replays the pre-churn view exactly
+    assert _got(v.read_pins(pins, ["source", "region", "et"])) == before
+    v.drop_snapshot(pins)
+
+
+def test_star_requires_dim_name_on_ambiguity(spark, tmp_path):
+    v = JoinedAggregateView(
+        spark, str(tmp_path / "star2"), fact_keys=[],
+        fact_aggs={"cnt": ("count", None)},
+        dims=[
+            {"name": "a", "fk": "fa", "key": "ka",
+             "cols": ["ca"], "order_by": "ka"},
+            {"name": "b", "fk": "fb", "key": "kb",
+             "cols": ["cb"], "order_by": "kb"},
+        ],
+    )
+    d = spark.createDataFrame([(1, "x")], "ka bigint, ca string")
+    with pytest.raises(ValueError, match="name one"):
+        v.process_dim_batch(d)
+    with pytest.raises(ValueError, match="no dim named"):
+        v.process_dim_batch(d, dim="zzz")

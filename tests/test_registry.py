@@ -17,7 +17,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 from check_oracle import normalize, value_hash  # noqa: E402
 
 from doreisa_spark.catalog import TABLES
-from doreisa_spark.registry import oracles, queries
+from doreisa_spark.registry import (
+    extended_oracles,
+    extended_queries,
+    oracles,
+    queries,
+)
 
 from conftest import SF_SMALL
 
@@ -26,8 +31,10 @@ SAMPLE = [
     "join_left_anti",
     "agg_rollup",
     "window_ranking",
-    "setop_except",
-    "func_string",
+    "setop_except",  # extended since the r13 rotation
+    "func_string",   # extended since the r13 rotation
+    "agg_join_incremental",
+    "agg_var_incremental",
     "subq_correlated_agg",
     "text_token_stats",
     "dedup_exact",
@@ -56,8 +63,10 @@ def duck():
 
 @pytest.mark.parametrize("name", SAMPLE)
 def test_differential_sample(spark, duck, name):
-    sdf = queries()[name](spark, SF_SMALL).toPandas()
-    odf = duck.execute(oracles()[name]).fetchdf()
+    qs = {**extended_queries(), **queries()}
+    os_ = {**extended_oracles(), **oracles()}
+    sdf = qs[name](spark, SF_SMALL).toPandas()
+    odf = duck.execute(os_[name]).fetchdf()
     assert len(sdf) == len(odf)
     assert sorted(sdf.columns) == sorted(odf.columns)
     assert value_hash(normalize(sdf)) == value_hash(normalize(odf))

@@ -36,9 +36,14 @@ N_USERS = 200_000  # high-cardinality second key: multi-file partials
 
 
 def synth(spark, lo: int, n: int):
+    # hash-decorrelated keys: every (type, user) combination occurs, so
+    # within an event_type span the files really are contiguous user
+    # slices (a modulo pair would make type a function of user — the
+    # probe would match nothing and the curve would be vacuous)
     return spark.range(lo, lo + n).select(
-        F.concat(F.lit("et"), (F.col("id") % N_TYPES)).alias("event_type"),
-        (F.col("id") % N_USERS).alias("user_id"),
+        F.concat(F.lit("et"),
+                 F.pmod(F.hash("id"), F.lit(N_TYPES))).alias("event_type"),
+        F.pmod(F.hash("id", F.lit(1)), F.lit(N_USERS)).alias("user_id"),
         (F.col("id") % 97 * 0.5).alias("v"),
     )
 
@@ -51,14 +56,17 @@ def main() -> None:
     rows_per_batch = int(sys.argv[4]) if len(sys.argv) > 4 else 200_000
     spark = get_spark("bench-composite-pruning")
     tmp = tempfile.mkdtemp(prefix="composite_prune_")
-    probe = {"event_type": ["et3"], "user_id": [777, 4242, 123456]}
+    # a TIGHT user cluster: the partials sort by (event_type, user_id), so
+    # each file inside an event_type span covers a contiguous user slice
+    # — a clustered probe isolates files the type predicate alone cannot
+    probe = {"event_type": ["et3"], "user_id": [777, 781, 790]}
     points = []
     try:
         store = AggregateStore(
             spark, f"{tmp}/agg", key_cols=["event_type", "user_id"],
             aggs={"cnt": ("count", None), "sum_v": ("sum", "v")},
             compact_every=4, commit_mode=BC.MANIFEST,
-            partial_rows_per_file=100_000, target_file_bytes=4 << 20,
+            partial_rows_per_file=25_000, target_file_bytes=1 << 19,
         )
         done = 0
         total = batches0
@@ -115,8 +123,11 @@ def main() -> None:
                         & F.col("user_id").isin(probe["user_id"])
                     ).collect()
                 }
-            assert rowset(probe) == rowset(None), "pruned read diverged!"
+            base = rowset(None)
+            assert base, "probe matched nothing — the curve would be vacuous"
+            assert rowset(probe) == base, "pruned read diverged!"
             pt["result_identical"] = True
+            pt["result_rows"] = len(base)
             points.append(pt)
             print(json.dumps(pt))
             total *= 2
