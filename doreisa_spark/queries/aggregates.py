@@ -577,10 +577,12 @@ def agg_window_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_var_incremental",
     oracle="""
 SELECT event_type, cnt,
+       round(avg_value, 6) AS avg_value,
        round(var_value, 4) AS var_value,
        round(std_samp_value, 4) AS std_samp_value
 FROM (
   SELECT event_type, count(*) AS cnt,
+         avg(value) AS avg_value,
          var_pop(value) AS var_value,
          stddev_samp(value) AS std_samp_value
   FROM events GROUP BY event_type)
@@ -603,7 +605,8 @@ def agg_var_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     store = AggregateStore(
         spark, _fresh_store_dir("incvar"), key_cols=["event_type"],
-        aggs={"cnt": ("count", None), "var_value": ("var", "value"),
+        aggs={"cnt": ("count", None), "avg_value": ("avg", "value"),
+              "var_value": ("var", "value"),
               "std_samp_value": ("std", "value", {"ddof": 1})},
     )
     mid = e.where((F.col("event_id") > cut1) & (F.col("event_id") <= cut2))
@@ -613,6 +616,7 @@ def agg_var_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.process_batch(mid, batch_id=mid_id)  # redelivery: must no-op
     return (
         store.read()
+        .withColumn("avg_value", F.round("avg_value", 6))
         .withColumn("var_value", F.round("var_value", 4))
         .withColumn("std_samp_value", F.round("std_samp_value", 4))
     )
@@ -751,6 +755,77 @@ def agg_join_incremental_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_join_incremental_distinct",
+    extended=True,
+    band_oracle="""
+SELECT source, count(DISTINCT e.user_id) AS approx_users
+FROM events e JOIN documents d ON (e.event_id % 700) = d.doc_id
+GROUP BY d.source
+""",
+    band_rtol=0.05,
+)
+def agg_join_incremental_distinct(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Mergeable sketches survive the join-view re-group: the fact
+    store keeps an HLL register map per FK grain, and the read's
+    re-group to the dim attribute merges registers by element-wise MAX
+    across the FK subgroups — which IS the HLL of the union, so the
+    per-source distinct-user estimate lands in the same ±5% band as a
+    single-pass sketch over the joined raw tables would. The thing a
+    naive "store the estimate" design cannot do: estimates don't merge,
+    register vectors do."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_join import JoinedAggregateView
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "doc_fk", F.expr("event_id % 700")
+    )
+    d = table(spark, sf_dir, "documents")
+    view = JoinedAggregateView(
+        spark, _fresh_store_dir("incjoind"),
+        fk="doc_fk",
+        fact_aggs={"approx_users": ("hll", "user_id")},
+        dim_key="doc_id", dim_cols=["source"], dim_order_by="doc_id",
+    )
+    view.process_fact_batch(e.where("event_id % 2 = 1"))
+    view.process_dim_batch(d.where("doc_id % 2 = 0"))
+    view.process_fact_batch(e.where("event_id % 2 = 0"))
+    view.process_dim_batch(d.where("doc_id % 2 = 1"))
+    return view.read(["source"])
+
+
+@register(
+    "agg_avg_incremental",
+    extended=True,
+    band_oracle="""
+SELECT event_type, avg(value) AS avg_value FROM events GROUP BY event_type
+""",
+    band_rtol=1e-9,
+)
+def agg_avg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fn "avg" standalone (the most-asked-for view column): moment
+    partials, element-wise-SUM merge, finalize s/n. Band-gated at
+    rtol=1e-9 rather than hash-gated: the source values are exact
+    2-decimal doubles, so group averages land on EXACT decimal ties
+    where Spark's shortest-decimal HALF_UP and DuckDB's
+    nearest-double rounding disagree deterministically (the q8 tie
+    class — see the verify notes); the unrounded values agree to the
+    summation-order ulp, which the band pins 100× tighter than any
+    rounding would."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    store = AggregateStore(
+        spark, _fresh_store_dir("incavg"), key_cols=["event_type"],
+        aggs={"avg_value": ("avg", "value")},
+    )
+    store.process_batch(e.where("event_id % 2 = 1"))
+    store.process_batch(e.where("event_id % 2 = 0"))
+    return store.read()
+
+
+@register(
     "agg_join_incremental_star",
     extended=True,
     oracle="""
@@ -801,6 +876,50 @@ def agg_join_incremental_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.read(["source", "n_name"]).withColumn(
         "sum_value", F.round("sum_value", 2)
     )
+
+
+@register(
+    "agg_evolve_incremental",
+    extended=True,
+    oracle="""
+SELECT event_type, cnt, round(sum_value_late, 2) AS sum_value_late
+FROM (
+  SELECT event_type, count(*) AS cnt,
+         sum(CASE WHEN event_id > (SELECT min(event_id)
+                                   + (max(event_id) - min(event_id)) // 3
+                                   FROM events)
+                  THEN value END) AS sum_value_late
+  FROM events GROUP BY event_type)
+""",
+)
+def agg_evolve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION on a live view (add_agg): the store starts as a
+    per-type count, ingests a third of the stream, then gains a sum
+    column mid-stream — which accumulates FROM THE EVOLUTION POINT
+    (old partials read NULL for it; nothing is rewritten). The view
+    must hash-match DuckDB computing the count over ALL rows and the
+    sum over only the post-evolution rows — the CASE-gated oracle IS
+    the evolution semantics expressed in one pass."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    cut = lo + (hi - lo) // 3
+    store = AggregateStore(
+        spark, _fresh_store_dir("incevo"), key_cols=["event_type"],
+        aggs={"cnt": ("count", None)},
+    )
+    store.process_batch(e.where(F.col("event_id") <= cut))
+    store.add_agg("sum_value_late", "sum", "value")
+    # post-evolution batches arrive out of order; the new column sums
+    # exactly the rows ingested after the evolution point
+    mid = lo + 2 * (hi - lo) // 3
+    store.process_batch(e.where(F.col("event_id") > mid))
+    store.process_batch(
+        e.where((F.col("event_id") > cut) & (F.col("event_id") <= mid)))
+    return store.read().withColumn(
+        "sum_value_late", F.round("sum_value_late", 2))
 
 
 @register(

@@ -13,9 +13,11 @@ DURABLE across batches):
 
 - ``sum`` / ``count`` partials merge by SUM;
 - ``min`` / ``max`` partials merge by MIN / MAX;
-- ``avg`` is the caller's ``sum/count`` (document-level recipe below),
-  and non-distributive aggregates (exact distinct, medians) are out of
-  scope by design — they need the raw rows.
+- ``avg`` / ``var`` / ``std`` ride exact moment partials
+  struct(n, s, s2) merged by element-wise SUM;
+- non-distributive EXACT distinct/medians are out of scope by design
+  (they need the raw rows) — their mergeable sketches are fn ``hll``
+  and fn ``hist``; heavy hitters are fn ``topk`` (Misra-Gries).
 
 Everything the commit layer provides composes for free, and is tested
 to: exactly-once per-batch commits (a redelivered batch cannot
@@ -28,12 +30,10 @@ key ranges, so a keyed lookup (``read(prune_in=...)`` /
 ``read(prune_between=...)``) merges only the directories whose key
 range can match.
 
-avg recipe::
+avg example::
 
-    store = AggregateStore(spark, root, ["event_type"],
-                           {"cnt": ("count", None),
-                            "sum_v": ("sum", "value")})
-    view = store.read().withColumn("avg_v", F.col("sum_v") / F.col("cnt"))
+    store = AggregateStore(spark, root, key_cols=["event_type"],
+                           aggs={"avg_v": ("avg", "value")})
 
 Reference scope note: the reference engine (AdrienVannson/doreisa)
 delegates reductions to dask.array over in-flight chunks
@@ -121,10 +121,13 @@ def _hll_partial(batch: DataFrame, key_cols: list, out: str,
 
 
 def _var_partial(fn: str, e: str):
-    """fn "var"/"std" — exact moment partials: struct(n, s, s2) where the
-    merge is an element-wise SUM (distributive, so roll-up-safe), and the
-    finalize recovers variance/stddev from the merged moments. Exact
-    modulo float addition order, same as any distributed SUM."""
+    """fn "avg"/"var"/"std" — exact moment partials: struct(n, s, s2)
+    where the merge is an element-wise SUM (distributive, so
+    roll-up-safe), and the finalize recovers the statistic from the
+    merged moments. Exact modulo float addition order, same as any
+    distributed SUM. (avg carries s2 it doesn't need — three shared
+    fields keep the moment algebra one code path, and the roll-up keeps
+    one struct per group regardless.)"""
     x = F.expr(e).cast("double")
     return F.struct(
         F.count(x).alias("n"), F.sum(x).alias("s"),
@@ -133,15 +136,63 @@ def _var_partial(fn: str, e: str):
 
 
 def _var_finalize(fn: str, out: str, opts: "dict | None"):
-    """variance from the merged moment struct column ``out``: population
-    (ddof=0, default) or sample (ddof=1). NULL on empty groups (and on
-    n<=ddof), matching SQL var_pop/var_samp over an all-NULL group."""
+    """avg/variance/stddev from the merged moment struct column
+    ``out``: population (ddof=0, default) or sample (ddof=1) for
+    var/std. NULL on empty groups (and on n<=ddof), matching SQL
+    avg/var_pop/var_samp over an all-NULL group."""
     ddof = int((opts or {}).get("ddof", 0))
     m = F.col(out)
     n = m.getField("n").cast("double")
+    if fn == "avg":
+        return F.when(n > 0, m.getField("s") / n)
     num = m.getField("s2") - m.getField("s") * m.getField("s") / n
     var = F.when(n > ddof, F.greatest(num, F.lit(0.0)) / (n - ddof))
     return F.sqrt(var) if fn == "std" else var
+
+
+def _validate_agg(out: str, fn: str, e, opts, key_cols) -> None:
+    """Per-column spec validation, shared by the constructor and
+    ``add_agg`` (schema evolution). Mutates ``opts`` only to fill
+    topk's default cap."""
+    if fn not in _PARTIAL and fn not in (
+            "avg", "hll", "hist", "last", "first", "var", "std", "topk"):
+        raise ValueError(
+            f"{out}: fn must be one of "
+            f"{sorted(_PARTIAL) + ['avg', 'first', 'hist', 'hll', 'last', 'std', 'topk', 'var']}"
+            f", got {fn!r} (avg/var/std = exact moment partials; hll = "
+            "mergeable approx-distinct; hist = mergeable quantile "
+            "sketch; topk = mergeable heavy-hitter sketch; last/first = "
+            "argmax/argmin by an order key — the latest-state/upsert "
+            "view; exact distinct/medians need the raw rows)"
+        )
+    if e is None and fn != "count":
+        raise ValueError(f"{out}: {fn} needs a source expression")
+    if fn in ("last", "first") and not (opts and opts.get("by")):
+        raise ValueError(
+            f"{out}: {fn} needs opts {{'by': <order expr>}} — include a "
+            "tiebreaker for determinism, e.g. struct(ts, event_id)"
+        )
+    if fn == "topk":
+        if not opts or "k" not in opts:
+            raise ValueError(
+                f"{out}: topk needs opts {{'k': <int>}} (optional 'cap': "
+                "counter capacity, default 8*k — undercount per trim is "
+                "bounded by weight/(cap+1))"
+            )
+        opts.setdefault("cap", 8 * int(opts["k"]))
+        if not (int(opts["k"]) >= 1 and int(opts["cap"]) >= int(opts["k"])):
+            raise ValueError(f"{out}: need k >= 1, cap >= k")
+    if fn == "hist":
+        if not opts or not {"lo", "hi", "bins"} <= set(opts):
+            raise ValueError(
+                f"{out}: hist needs opts {{lo, hi, bins}} — fixed edges "
+                "are what make the sketch mergeable"
+            )
+        if not (float(opts["lo"]) < float(opts["hi"])
+                and int(opts["bins"]) >= 2):
+            raise ValueError(f"{out}: need lo < hi and bins >= 2")
+    if out in key_cols:
+        raise ValueError(f"output column {out} shadows a key")
 
 
 def _mg_trim(entries, cap: int):
@@ -264,52 +315,7 @@ class AggregateStore:
                 )
             aggs = norm(aggs)
             for out, (fn, e, opts) in aggs.items():
-                if fn not in _PARTIAL and fn not in (
-                        "hll", "hist", "last", "first", "var", "std",
-                        "topk"):
-                    raise ValueError(
-                        f"{out}: fn must be one of "
-                        f"{sorted(_PARTIAL) + ['first', 'hist', 'hll', 'last', 'std', 'topk', 'var']}"
-                        f", got {fn!r} (avg = sum/count at read; var/std "
-                        "= exact moment partials; hll = mergeable "
-                        "approx-distinct; hist = mergeable quantile "
-                        "sketch; topk = mergeable heavy-hitter sketch; "
-                        "last/first = argmax/argmin by an order key — "
-                        "the latest-state/upsert view; exact "
-                        "distinct/medians need the raw rows)"
-                    )
-                if e is None and fn != "count":
-                    raise ValueError(f"{out}: {fn} needs a source expression")
-                if fn in ("last", "first") and \
-                        not (opts and opts.get("by")):
-                    raise ValueError(
-                        f"{out}: {fn} needs opts {{'by': <order expr>}} — "
-                        "include a tiebreaker for determinism, e.g. "
-                        "struct(ts, event_id)"
-                    )
-                if fn == "topk":
-                    if not opts or "k" not in opts:
-                        raise ValueError(
-                            f"{out}: topk needs opts {{'k': <int>}} "
-                            "(optional 'cap': counter capacity, default "
-                            "8*k — undercount per trim is bounded by "
-                            "weight/(cap+1))"
-                        )
-                    opts.setdefault("cap", 8 * int(opts["k"]))
-                    if not (int(opts["k"]) >= 1
-                            and int(opts["cap"]) >= int(opts["k"])):
-                        raise ValueError(f"{out}: need k >= 1, cap >= k")
-                if fn == "hist":
-                    if not opts or not {"lo", "hi", "bins"} <= set(opts):
-                        raise ValueError(
-                            f"{out}: hist needs opts {{lo, hi, bins}} — "
-                            "fixed edges are what make the sketch mergeable"
-                        )
-                    if not (float(opts["lo"]) < float(opts["hi"])
-                            and int(opts["bins"]) >= 2):
-                        raise ValueError(f"{out}: need lo < hi and bins >= 2")
-                if out in key_cols:
-                    raise ValueError(f"output column {out} shadows a key")
+                _validate_agg(out, fn, e, opts, key_cols)
         else:
             recorded = norm(spec["aggs"])
             if key_cols is not None and list(key_cols) != spec["key_cols"]:
@@ -345,6 +351,46 @@ class AggregateStore:
         self.compact_every = compact_every
         self.target_file_bytes = target_file_bytes
         self.partial_rows_per_file = int(partial_rows_per_file)
+        self._nf: "int | None" = None  # cached partial file count
+        self._staged: dict = {}  # add_agg columns pending their 1st batch
+
+    def add_agg(self, out: str, fn: str, expr: "str | None" = None,
+                opts: "dict | None" = None) -> None:
+        """Schema evolution: add an aggregate column to a LIVE view.
+
+        The column ACCUMULATES FROM THE NEXT INGESTED BATCH: partials
+        committed before the evolution simply read NULL for it
+        (``spark.read.schema`` over parquet), so a group whose data all
+        predates the column shows NULL — "unknown before the column
+        existed" — and every merge fn already ignores NULLs (SUM/MIN/
+        MAX skip them, sketch maps explode_outer them, moment structs
+        sum per field with the struct itself NULL). Nothing is
+        rewritten: old segments stay byte-identical until the next
+        roll-up fold naturally widens them.
+
+        The staged column takes effect — and the widened spec + ddl
+        publish atomically — at the NEXT ``process_batch``; reads in
+        between serve the old view. A crash before that batch loses
+        only the staging (re-issue add_agg — idempotent).
+
+        Evolution is EXCLUSIVE maintenance: on a manifest-mode store
+        this hard-fences every other writer (acquire_writer), exactly
+        like a migration — a shared writer still folding old-schema
+        partials could otherwise compact the new column away. On a
+        rename-mode store the single-writer contract is the caller's
+        (fencing needs a manifest)."""
+        opts = dict(opts) if opts is not None else None
+        _validate_agg(out, fn, expr, opts, self.key_cols)
+        if out in self.aggs or out in self._staged:
+            raise ValueError(f"column {out} already exists on this view")
+        if self._ddl is None:
+            # nothing committed yet: just part of the initial spec
+            self.aggs[out] = (fn, expr, opts)
+            return
+        if self.commit_mode == BC.MANIFEST:
+            self._epoch = BC.acquire_writer(self._log,
+                                            mode=self.commit_mode)
+        self._staged[out] = (fn, expr, opts)
 
     @classmethod
     def from_alias(cls, spark: SparkSession, alias_root: str, name: str,
@@ -381,22 +427,25 @@ class AggregateStore:
             cond = c if cond is None else cond & c
         return base.join(right, cond, how).drop(*tmp.values())
 
-    def _partial(self, batch: DataFrame) -> DataFrame:
+    def _partial(self, batch: DataFrame,
+                 aggs: "dict | None" = None) -> DataFrame:
+        aggs = aggs if aggs is not None else self.aggs
+
         def plain_expr(o, fn, e, opts):
             if fn in ("last", "first"):
                 return _by_partial(fn, e, opts, batch).alias(o)
-            if fn in ("var", "std"):
+            if fn in ("avg", "var", "std"):
                 return _var_partial(fn, e).alias(o)
             return _PARTIAL[fn](F.expr(e) if e is not None else None).alias(o)
 
         plain = [
             plain_expr(o, fn, e, opts)
-            for o, (fn, e, opts) in self.aggs.items()
+            for o, (fn, e, opts) in aggs.items()
             if fn not in ("hll", "hist", "topk")
         ]
         base = (batch.groupBy(*self.key_cols).agg(*plain) if plain
                 else batch.select(*self.key_cols).distinct())
-        for o, (fn, e, opts) in self.aggs.items():
+        for o, (fn, e, opts) in aggs.items():
             if fn in ("hll", "hist", "topk"):
                 # left join: a group whose sketch source is all-null in
                 # this batch keeps its row with a NULL map (hll
@@ -428,7 +477,7 @@ class AggregateStore:
         auto = batch_id is None
         if auto:
             batch_id = BC.next_batch_id(self._log, mode=self.commit_mode)
-        part = self._partial(batch)
+        part = self._partial(batch, {**self.aggs, **self._staged})
         if self._ddl is None:
             ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
@@ -455,20 +504,73 @@ class AggregateStore:
                     f"writer wanted {self.key_cols} / {self.aggs}"
                 )
             self._ddl = won["ddl"]
+        elif self._staged:
+            # schema evolution commit point (add_agg): publish the
+            # widened spec + ddl ATOMICALLY before this first
+            # new-schema partial commits, inside the store lock AND the
+            # writer fence — add_agg hard-fenced every other writer, so
+            # nobody can have evolved or committed old-schema folds in
+            # between; older partials/segments simply read NULL for the
+            # new columns (spark.read.schema on parquet), which is the
+            # accumulate-since-evolution contract
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in part.schema.fields
+            )
+            marker = f"{self.root}/_aggs.json"
+            with BC._locked(self._log):
+                # inline epoch check (not _epoch_guard: it takes this
+                # same lock internally — nesting would self-deadlock)
+                if self._epoch is not None:
+                    cur = int((BC._manifest_load(self._log) or {})
+                              .get("writer_epoch", 0))
+                    if cur != self._epoch:
+                        raise BC._stale(self._epoch, cur, self._log)
+                spec = read_marker(marker) or {}
+                recorded = {
+                    o: (v[0], v[1],
+                        dict(v[2]) if len(v) > 2 and v[2] is not None
+                        else None)
+                    for o, v in spec.get("aggs", {}).items()
+                }
+                if spec.get("key_cols") != self.key_cols or \
+                        recorded != self.aggs:
+                    raise ValueError(
+                        f"store at {self.root} evolved concurrently "
+                        f"(recorded {sorted(recorded)} vs this handle's "
+                        f"{sorted(self.aggs)}): reopen before add_agg"
+                    )
+                BC._json_replace(marker, {
+                    "key_cols": self.key_cols,
+                    "aggs": {o: list(v) for o, v in
+                             {**self.aggs, **self._staged}.items()},
+                    "ddl": ddl, "v": int(spec.get("v", 1)) + 1,
+                })
+            self.aggs.update(self._staged)
+            self._staged = {}
+            self._ddl = ddl
+            self._nf = None  # the partial got wider: re-measure
         # size the partial's file count from its actual row count (the
         # r12 review nit: a fixed repartition(1) single-threads the
-        # encode of a very-high-cardinality partial) — the partial is
-        # groups-bounded, so the extra count is one job over an
-        # already-aggregated cached frame
-        part = part.persist()
+        # encode of a very-high-cardinality partial). The count is one
+        # job over an already-aggregated cached frame, and it runs on
+        # the FIRST batch only, then again at each fold cadence — a
+        # stream's partials are groups-bounded and near-stationary, so
+        # re-measuring every batch would buy nothing for a per-batch
+        # job's cost (a one-off outlier batch merely over/under-sizes
+        # its own files until the next re-measure)
+        cached = part
+        if self._nf is None:
+            cached = part.persist()
+            rows = cached.count()
+            self._nf = max(1, -(-rows // self.partial_rows_per_file))
         try:
-            rows = part.count()
-            nf = max(1, -(-rows // self.partial_rows_per_file))
+            nf = self._nf
             shaped = (
-                part.repartitionByRange(nf, *self.key_cols)
+                cached.repartitionByRange(nf, *self.key_cols)
                 .sortWithinPartitions(*self.key_cols)
                 if nf > 1
-                else part.repartition(1).sortWithinPartitions(*self.key_cols)
+                else cached.repartition(1).sortWithinPartitions(*self.key_cols)
             )
             for _ in range(16):
                 committed = BC.commit_batch(
@@ -488,10 +590,12 @@ class AggregateStore:
                     "straight races — writer contention is pathological"
                 )
         finally:
-            part.unpersist()
+            if cached is not part:
+                cached.unpersist()
         ce = self.compact_every
         if ce and len(BC.committed_ids(self._log,
                                        mode=self.commit_mode)) >= ce:
+            self._nf = None  # re-measure the partial size next batch
             # roll-up fold: every segment re-aggregates to one partial
             # row per group, so the log — and with it the view-read
             # cost — stays O(groups × tiers), never O(batches).
@@ -560,7 +664,7 @@ class AggregateStore:
                 m = m.withColumn(o, F.round(_hll_est(n, z)).cast("bigint"))
             elif fn in ("last", "first"):
                 m = m.withColumn(o, F.col(o).getField("v"))
-            elif fn in ("var", "std"):
+            elif fn in ("avg", "var", "std"):
                 m = m.withColumn(o, _var_finalize(fn, o, opts))
         return m
 
@@ -582,7 +686,7 @@ class AggregateStore:
         for o, (fn, _, _) in self.aggs.items():
             if fn in _MERGE:
                 merged.append(_MERGE[fn](F.col(o)).alias(o))
-            elif fn in ("var", "std"):
+            elif fn in ("avg", "var", "std"):
                 merged.append(F.struct(
                     F.sum(F.col(o).getField("n")).alias("n"),
                     F.sum(F.col(o).getField("s")).alias("s"),

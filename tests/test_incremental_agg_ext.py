@@ -30,7 +30,7 @@ def test_var_std_match_one_pass(spark, tmp_path):
            [("b", 7.0)] + [("c", None), ("c", None)]
     df = spark.createDataFrame(rows, "k string, v double")
     st = _store(spark, tmp_path, "var", ["k"], {
-        "n": ("count", "v"), "var_p": ("var", "v"),
+        "n": ("count", "v"), "avg_v": ("avg", "v"), "var_p": ("var", "v"),
         "var_s": ("var", "v", {"ddof": 1}), "std_p": ("std", "v"),
         "std_s": ("std", "v", {"ddof": 1}),
     })
@@ -40,11 +40,12 @@ def test_var_std_match_one_pass(spark, tmp_path):
     st.process_batch(df.where("v >= 3 and v < 4"))
     got = {r["k"]: r for r in st.read().collect()}
     exp = {r["k"]: r for r in df.groupBy("k").agg(
+        F.avg("v").alias("avg_v"),
         F.var_pop("v").alias("var_p"), F.var_samp("v").alias("var_s"),
         F.stddev_pop("v").alias("std_p"), F.stddev_samp("v").alias("std_s"),
     ).collect()}
     for k in ("a", "b", "c"):
-        for c in ("var_p", "var_s", "std_p", "std_s"):
+        for c in ("avg_v", "var_p", "var_s", "std_p", "std_s"):
             e, g = exp[k][c], got[k][c]
             if e is None:
                 assert g is None, (k, c, g)
@@ -52,8 +53,9 @@ def test_var_std_match_one_pass(spark, tmp_path):
                 assert g == pytest.approx(e, rel=1e-9, abs=1e-9), (k, c)
     # single-value group: var_pop exact 0, var_samp NULL (matches SQL)
     assert got["b"]["var_p"] == 0.0 and got["b"]["var_s"] is None
-    # all-NULL group keeps its row with NULL stats
+    # all-NULL group keeps its row with NULL stats (avg too, like SQL)
     assert got["c"]["var_p"] is None and got["c"]["n"] == 0
+    assert got["c"]["avg_v"] is None
 
 
 def test_var_survives_rollup_compaction(spark, tmp_path):
@@ -263,3 +265,83 @@ def test_stats_write_skips_sidecar_on_unreadable_footer(spark, tmp_path):
         f.write(b"not a parquet footer")
     BC._stats_write(dest, ["k"])
     assert not os.path.exists(os.path.join(dest, "_stats.json"))
+
+
+# ------------------------------------------------------ schema evolution
+
+
+def test_add_agg_accumulates_from_evolution(spark, tmp_path):
+    df1 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double")
+    df2 = spark.createDataFrame([("a", 10.0), ("c", 5.0)], "k string, v double")
+    df3 = spark.createDataFrame([("a", 100.0)], "k string, v double")
+    st = _store(spark, tmp_path, "evo", ["k"], {"cnt": ("count", None)},
+                commit_mode=BC.MANIFEST)
+    st.process_batch(df1)
+    st.add_agg("sum_v", "sum", "v")
+    # staged: reads between add_agg and the next batch serve the OLD view
+    assert "sum_v" not in st.read().columns
+    st.process_batch(df2)
+    st.process_batch(df3)
+    got = {(r["k"], r["cnt"], r["sum_v"]) for r in st.read().collect()}
+    # sums accumulate from the evolution point; group b (pre-evolution
+    # only) keeps its count but shows NULL for the new column
+    assert got == {("a", 3, 110.0), ("b", 1, None), ("c", 1, 5.0)}
+
+
+def test_add_agg_survives_rollup_and_reopen(spark, tmp_path):
+    st = _store(spark, tmp_path, "evo2", ["k"],
+                {"cnt": ("count", None)},
+                commit_mode=BC.MANIFEST, compact_every=3)
+    mk = lambda lo: spark.range(lo, lo + 40).select(
+        (F.col("id") % 4).cast("string").alias("k"),
+        (F.col("id") * 0.5).alias("v"))
+    st.process_batch(mk(0))
+    st.process_batch(mk(40))
+    st.add_agg("mx", "max", "v")
+    for i in range(2, 8):  # folds fire: mixed old/new-schema sources
+        st.process_batch(mk(40 * i))
+    exp_mx = {r["k"]: r["mx"] for r in
+              spark.range(80, 320).select(
+                  (F.col("id") % 4).cast("string").alias("k"),
+                  (F.col("id") * 0.5).alias("v"))
+              .groupBy("k").agg(F.max("v").alias("mx")).collect()}
+    got = {r["k"]: (r["cnt"], r["mx"]) for r in st.read().collect()}
+    assert {k: v[0] for k, v in got.items()} == {str(i): 80 for i in range(4)}
+    assert {k: v[1] for k, v in got.items()} == exp_mx
+    # a fresh handle reopens the EVOLVED spec from the marker
+    st2 = AggregateStore(spark, str(tmp_path / "evo2"), fenced=False)
+    assert set(st2.aggs) == {"cnt", "mx"}
+    got2 = {r["k"]: (r["cnt"], r["mx"]) for r in st2.read().collect()}
+    assert got2 == got
+
+
+def test_add_agg_fences_shared_writers(spark, tmp_path):
+    root = str(tmp_path / "evo3")
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    st1 = AggregateStore(spark, root, key_cols=["k"],
+                         aggs={"cnt": ("count", None)},
+                         commit_mode=BC.MANIFEST, fenced="shared")
+    st1.process_batch(df)
+    st2 = AggregateStore(spark, root, commit_mode=BC.MANIFEST,
+                         fenced="shared")
+    st2.process_batch(df)
+    st1.add_agg("sum_v", "sum", "v")  # hard-fences st2
+    with pytest.raises(BC.StaleWriterError):
+        st2.process_batch(df)
+    st1.process_batch(df)  # evolution publishes, st1 keeps writing
+    assert {(r["k"], r["cnt"], r["sum_v"]) for r in st1.read().collect()} \
+        == {("a", 3, 1.0)}
+
+
+def test_add_agg_validation(spark, tmp_path):
+    st = _store(spark, tmp_path, "evo4", ["k"], {"cnt": ("count", None)})
+    with pytest.raises(ValueError, match="already exists"):
+        st.add_agg("cnt", "sum", "v")
+    with pytest.raises(ValueError, match="needs a source"):
+        st.add_agg("s", "sum", None)
+    # pre-first-batch evolution folds straight into the initial spec
+    st.add_agg("sum_v", "sum", "v")
+    st.process_batch(spark.createDataFrame([("a", 2.0)],
+                                           "k string, v double"))
+    assert {(r["k"], r["cnt"], r["sum_v"]) for r in st.read().collect()} \
+        == {("a", 1, 2.0)}
