@@ -71,7 +71,7 @@ class SortedVectorLog:
                  compact_every: int | None = 64,
                  commit_mode: "str | None" = None,
                  batch_files: int = 1,
-                 fenced: "bool | None" = None,
+                 fenced: "bool | str | None" = None,
                  target_file_bytes: "int | None" = 128 << 20):
         self.spark = spark
         self.root = root.rstrip("/")
@@ -89,10 +89,24 @@ class SortedVectorLog:
         # live writer). Rename mode has no manifest to fence through.
         if fenced is None:
             fenced = self.commit_mode == BC.MANIFEST
-        self._epoch = (
-            BC.acquire_writer(self._members, mode=self.commit_mode)
-            if fenced else None
-        )
+        if fenced == "shared":
+            # optimistic multi-writer (r13, same rule as AggregateStore:
+            # join the current epoch without bumping — any number of
+            # shared ingest pipelines coexist on this single-root log;
+            # disjoint batch ids all land, and a hard acquire_writer —
+            # migration, alias flip — still fences them all). The
+            # multi-ROOT stores (dedup's members/shingles/pairs,
+            # curation's seen/kept) deliberately do NOT offer this: one
+            # logical batch spans several logs there, and two writers
+            # racing the same id could interleave a composite batch —
+            # that needs a cross-log transaction, not a shared epoch.
+            self._epoch = BC.join_writer(self._members,
+                                         mode=self.commit_mode)
+        else:
+            self._epoch = (
+                BC.acquire_writer(self._members, mode=self.commit_mode)
+                if fenced else None
+            )
         # default ON (see LSHSignatureStore): bounds read-planning cost
         # on long streams; None disables for raw-dir-inspecting tests
         self.compact_every = compact_every

@@ -169,3 +169,99 @@ def test_concurrent_compaction_declines_never_double_folds(spark, tmp_path):
     got = {(r["k"], r["cnt"], round(r["sum_v"], 6))
            for r in st2.read().collect()}
     assert got == exp
+
+
+def test_shared_writers_on_join_view(spark, tmp_path):
+    """Two pipelines feed ONE join view concurrently — one ingesting
+    facts, one ingesting dim updates — as shared writers; the view
+    equals the one-pass join of everything both wrote."""
+    from doreisa_spark.streaming.incremental_join import JoinedAggregateView
+
+    def mk():
+        return JoinedAggregateView(
+            spark, str(tmp_path / "jv"), fk="fk", fact_keys=[],
+            fact_aggs={"cnt": ("count", None), "sum_v": ("sum", "v")},
+            dim_key="doc_id", dim_cols=["source"], dim_order_by="ver",
+            commit_mode=BC.MANIFEST, fenced="shared",
+        )
+
+    def facts(i):
+        base = i * 30
+        return spark.range(base, base + 30).select(
+            (F.col("id") % 5).alias("fk"), (F.col("id") * 0.25).alias("v"))
+
+    def dimv(i):
+        return spark.range(0, 5).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(f"s{i}_"), F.col("id")).alias("source"),
+            F.lit(i).alias("ver"))
+
+    v1 = mk()
+    v1.process_fact_batch(facts(0))
+    v1.process_dim_batch(dimv(0))
+    v2 = mk()
+    start = threading.Barrier(2)
+    errs: list = []
+
+    def fact_loop():
+        try:
+            start.wait()
+            for i in range(1, 6):
+                v1.process_fact_batch(facts(i))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def dim_loop():
+        try:
+            start.wait()
+            for i in range(1, 4):
+                v2.process_dim_batch(dimv(i))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=fact_loop)
+    t2 = threading.Thread(target=dim_loop)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    all_f = facts(0)
+    for i in range(1, 6):
+        all_f = all_f.unionAll(facts(i))
+    latest = dimv(3)  # ver 3 wins every key
+    exp = {
+        (r["source"], r["cnt"], round(r["sum_v"], 6))
+        for r in all_f.join(latest, all_f["fk"] == latest["doc_id"])
+        .groupBy("source").agg(F.count(F.lit(1)).alias("cnt"),
+                               F.sum("v").alias("sum_v")).collect()
+    }
+    got = {(r["source"], r["cnt"], round(r["sum_v"], 6))
+           for r in v2.read(["source"]).collect()}
+    assert got == exp
+
+
+def test_shared_writers_on_vector_store(spark, tmp_path):
+    """Two ingest pipelines append to ONE LSH vector store as shared
+    writers; a probe sees every vector both committed, and the hard
+    fence (what migrate/alias-flip acquire) still stops both."""
+    from doreisa_spark.streaming.incremental_ann import LSHVectorStore
+
+    def vecs(lo, n=40):
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("vec_id"),
+            F.expr("transform(sequence(0, 7), j -> "
+                   "CAST(pmod(hash(id, j), 100) / 50.0 - 1.0 AS FLOAT))")
+            .alias("embedding"))
+
+    root = str(tmp_path / "lsh")
+    s1 = LSHVectorStore(spark, root, commit_mode=BC.MANIFEST,
+                        fenced="shared", compact_every=None)
+    s1.process_batch(vecs(0), 0)
+    s2 = LSHVectorStore(spark, root, commit_mode=BC.MANIFEST,
+                        fenced="shared", compact_every=None)
+    s2.process_batch(vecs(40), 1)
+    s1.process_batch(vecs(80), 2)
+    assert s1.members().count() == 120
+    BC.acquire_writer(f"{root}/members", mode=BC.MANIFEST)
+    with pytest.raises(BC.StaleWriterError):
+        s1.process_batch(vecs(120), 3)
+    with pytest.raises(BC.StaleWriterError):
+        s2.process_batch(vecs(120), 3)
