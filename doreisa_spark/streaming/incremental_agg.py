@@ -418,6 +418,8 @@ class AggregateStore:
         derive from the same lineage, and Spark's self-join
         disambiguation makes dropping ``right[k]`` by column reference
         silently drop the LEFT key instead."""
+        from doreisa_spark.operators.broadcast import bcast
+
         tmp = {k: f"__rk_{k}" for k in keys}
         for k, t in tmp.items():
             right = right.withColumnRenamed(k, t)
@@ -425,7 +427,14 @@ class AggregateStore:
         for k, t in tmp.items():
             c = base[k].eqNullSafe(F.col(t))
             cond = c if cond is None else cond & c
-        return base.join(right, cond, how).drop(*tmp.values())
+        # size-guarded broadcast: the right side is one row per group
+        # (a merged sketch map), but Catalyst's size-only estimate
+        # inherits the whole partial-log lineage and can push the
+        # attach into a sort-merge join at bench scales; bcast hints
+        # while the estimate stays under the 8 GiB ceiling and backs
+        # off to the shuffle join exactly when the group count is big
+        # enough to deserve one
+        return base.join(bcast(right), cond, how).drop(*tmp.values())
 
     def _partial(self, batch: DataFrame,
                  aggs: "dict | None" = None) -> DataFrame:
@@ -683,7 +692,7 @@ class AggregateStore:
         aggregate here is distributive."""
         keys = list(key_cols) if key_cols is not None else self.key_cols
         merged = []
-        for o, (fn, _, _) in self.aggs.items():
+        for o, (fn, _, opts) in self.aggs.items():
             if fn in _MERGE:
                 merged.append(_MERGE[fn](F.col(o)).alias(o))
             elif fn in ("avg", "var", "std"):
@@ -692,40 +701,44 @@ class AggregateStore:
                     F.sum(F.col(o).getField("s")).alias("s"),
                     F.sum(F.col(o).getField("s2")).alias("s2"),
                 ).alias(o))
-        view = (base.groupBy(*keys).agg(*merged) if merged
+            elif fn in ("hll", "hist", "topk"):
+                # sketch maps merge INSIDE the same single aggregate: a
+                # JVM-side fold over the group's collected maps
+                # (element-wise MAX for hll registers, SUM for hist
+                # bins / topk counters via map_zip_with). This replaces
+                # the r12 explode → re-group → attach-join chain — the
+                # view read is ONE exchange for every fn, and the
+                # deep-lineage size estimates that pushed the join-view
+                # re-group's attach into a sort-merge join can't: there
+                # is no join left to misplan. Memory is bounded: one
+                # group collects tiers-many maps of ≤ registers/bins/
+                # cap entries. collect_list drops NULL maps; a group
+                # whose maps were all NULL folds to an EMPTY map, which
+                # every reader treats exactly like the old NULL (hll
+                # estimates 0, explode_outer yields no rows).
+                if fn == "hll":
+                    comb = (lambda k, a, b:
+                            F.greatest(F.coalesce(a, F.lit(0)),
+                                       F.coalesce(b, F.lit(0))))
+                else:
+                    comb = (lambda k, a, b:
+                            F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)))
+                dtype = base.schema[o].dataType.simpleString()
+                folded = F.aggregate(
+                    F.collect_list(F.col(o)),
+                    F.expr(f"cast(map() as {dtype})"),
+                    lambda acc, m: F.map_zip_with(acc, m, comb),
+                )
+                if fn == "topk":
+                    ent = F.transform(
+                        F.map_entries(folded),
+                        lambda x: F.struct(x.key.alias("k"),
+                                           x.value.alias("n")),
+                    )
+                    folded = _mg_trim(ent, int(opts["cap"]))
+                merged.append(folded.alias(o))
+        return (base.groupBy(*keys).agg(*merged) if merged
                 else base.select(*keys).distinct())
-        for o, (fn, _, opts) in self.aggs.items():
-            if fn not in ("hll", "hist", "topk"):
-                continue
-            val, comb = (("__rho", F.max) if fn == "hll"
-                         else ("__n", F.sum))
-            ent = base.select(
-                *keys,
-                F.explode_outer(F.col(o)).alias("__k", val),
-            ).where(F.col("__k").isNotNull()).groupBy(
-                *keys, "__k"
-            ).agg(comb(val).alias(val))
-            grouped = ent.groupBy(*keys)
-            if fn == "topk":
-                maps = grouped.agg(
-                    F.collect_list(
-                        F.struct(F.col("__k").alias("k"),
-                                 F.col(val).alias("n"))
-                    ).alias("__e")
-                ).select(
-                    *keys,
-                    _mg_trim(F.col("__e"), int(opts["cap"])).alias(o),
-                )
-            else:
-                maps = grouped.agg(
-                    F.map_from_entries(
-                        F.sort_array(F.collect_list(F.struct("__k", val)))
-                    ).alias(o)
-                )
-            # left attach: an all-null-map group keeps its row with a
-            # NULL map, exactly like its source partials
-            view = self._attach_by(view, maps, keys)
-        return view
 
     def _roll_up(self, fold: DataFrame) -> DataFrame:
         """compact_tiered ``fold_transform``: re-aggregate the fold so

@@ -265,3 +265,60 @@ def test_shared_writers_on_vector_store(spark, tmp_path):
         s1.process_batch(vecs(120), 3)
     with pytest.raises(BC.StaleWriterError):
         s2.process_batch(vecs(120), 3)
+
+
+def test_shared_writers_across_processes(spark, tmp_path):
+    """The deployment shape: two OS PROCESSES (not threads — flock
+    semantics differ) ingest one store concurrently as shared writers.
+    Every batch lands exactly once."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "xproc")
+    st = _mk(spark, root)
+    st.process_batch(_slice(spark, 1, 0))  # seed the spec marker
+
+    script = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from doreisa_spark.session import get_spark
+from doreisa_spark.streaming import batch_commit as BC
+from doreisa_spark.streaming.incremental_agg import AggregateStore
+from pyspark.sql import functions as F
+
+writer = int(sys.argv[1]); root = sys.argv[2]
+spark = get_spark(f"xproc-w{{writer}}", cpus=2, shuffle_partitions=2,
+                  extra_conf={{"spark.driver.memory": "2g",
+                               "spark.driver.extraJavaOptions":
+                               "-Xms512m -XX:ReservedCodeCacheSize=128m"}})
+st = AggregateStore(spark, root, commit_mode=BC.MANIFEST, fenced="shared")
+for i in range(0 if writer == 2 else 1, 6):
+    base = writer * 1000 + i * 20
+    st.process_batch(
+        spark.range(base, base + 20).select(
+            (F.col("id") % 7).alias("k"), (F.col("id") * 0.5).alias("v")))
+print("DONE", writer)
+"""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = script.format(repo=repo)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", code, str(w), root],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for w in (1, 2)
+    ]
+    outs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert all(f"DONE {w}" in o for w, o in zip((1, 2), outs)), outs
+    exp = {
+        (r["k"], r["cnt"], round(r["sum_v"], 6))
+        for r in _all_data(spark, 6).groupBy("k").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("sum_v")).collect()
+    }
+    got = {(r["k"], r["cnt"], round(r["sum_v"], 6))
+           for r in st.read().collect()}
+    assert got == exp
+    ids = BC.committed_ids(f"{root}/partials", mode=BC.MANIFEST)
+    assert len(ids) == 12 and len(set(ids)) == 12
