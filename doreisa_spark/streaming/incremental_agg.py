@@ -195,6 +195,27 @@ def _validate_agg(out: str, fn: str, e, opts, key_cols) -> None:
         raise ValueError(f"output column {out} shadows a key")
 
 
+def _fold_maps(col: str, dtype: str, how: str):
+    """Aggregate expression folding a group's sketch maps into one map
+    JVM-side (collect_list + aggregate + map_zip_with): element-wise
+    MAX (``how="max"`` — HLL registers) or SUM (hist bins, Misra-Gries
+    counters). One hash aggregate, no explode, no join — memory bounded
+    by tiers × sketch entries per group; NULL maps drop at collect, an
+    all-NULL group folds to an EMPTY map which every reader treats like
+    the old NULL (hll estimates 0, explode_outer yields no rows)."""
+    if how == "max":
+        comb = (lambda k, a, b: F.greatest(F.coalesce(a, F.lit(0)),
+                                           F.coalesce(b, F.lit(0))))
+    else:
+        comb = (lambda k, a, b:
+                F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)))
+    return F.aggregate(
+        F.collect_list(F.col(col)),
+        F.expr(f"cast(map() as {dtype})"),
+        lambda acc, m: F.map_zip_with(acc, m, comb),
+    )
+
+
 def _mg_trim(entries, cap: int):
     """Misra-Gries trim of ``array<struct<k, n>>`` counter entries to
     ``cap`` counters: keep the cap largest after subtracting the
@@ -716,18 +737,9 @@ class AggregateStore:
                 # whose maps were all NULL folds to an EMPTY map, which
                 # every reader treats exactly like the old NULL (hll
                 # estimates 0, explode_outer yields no rows).
-                if fn == "hll":
-                    comb = (lambda k, a, b:
-                            F.greatest(F.coalesce(a, F.lit(0)),
-                                       F.coalesce(b, F.lit(0))))
-                else:
-                    comb = (lambda k, a, b:
-                            F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0)))
-                dtype = base.schema[o].dataType.simpleString()
-                folded = F.aggregate(
-                    F.collect_list(F.col(o)),
-                    F.expr(f"cast(map() as {dtype})"),
-                    lambda acc, m: F.map_zip_with(acc, m, comb),
+                folded = _fold_maps(
+                    o, base.schema[o].dataType.simpleString(),
+                    "max" if fn == "hll" else "sum",
                 )
                 if fn == "topk":
                     ent = F.transform(
@@ -772,11 +784,13 @@ class AggregateStore:
         # column, including other sketches' explode/join chains (r12
         # review finding)
         src = self.partials(snapshot=snapshot)
-        ex = src.select(
+        folded = src.groupBy(*self.key_cols).agg(
+            _fold_maps(col, src.schema[col].dataType.simpleString(),
+                       "sum").alias(col)
+        )
+        ex = folded.select(
             *self.key_cols, F.explode_outer(F.col(col)).alias("__bin", "__n")
-        ).where(F.col("__bin").isNotNull()).groupBy(
-            *self.key_cols, "__bin"
-        ).agg(F.sum("__n").alias("__n"))
+        ).where(F.col("__bin").isNotNull())
         w = W.partitionBy(*self.key_cols).orderBy("__bin")
         cum = ex.select(
             *self.key_cols, "__bin", "__n",
@@ -788,8 +802,9 @@ class AggregateStore:
         # seed with the FULL group set (not just groups with histogram
         # mass): a group whose sketch source was all-NULL in every
         # partial must keep its row with NULL estimates, exactly like
-        # SQL quantile_cont over an all-NULL group (r12 ADVICE)
-        view = src.select(*self.key_cols).distinct()
+        # SQL quantile_cont over an all-NULL group (r12 ADVICE); the
+        # folded frame is already one row per group
+        view = folded.select(*self.key_cols)
         for q in qs:
             name = f"q_{str(q).replace('.', '_')}"
             tgt = F.col("__tot") * float(q)
@@ -830,11 +845,13 @@ class AggregateStore:
         if fn != "topk":
             raise ValueError(f"{col} is {fn}, read_topk needs topk")
         k = int(k if k is not None else opts["k"])
-        ex = self.partials(snapshot=snapshot).select(
+        src = self.partials(snapshot=snapshot)
+        ex = src.groupBy(*self.key_cols).agg(
+            _fold_maps(col, src.schema[col].dataType.simpleString(),
+                       "sum").alias(col)
+        ).select(
             *self.key_cols, F.explode_outer(F.col(col)).alias("__k", "__n")
-        ).where(F.col("__k").isNotNull()).groupBy(
-            *self.key_cols, "__k"
-        ).agg(F.sum("__n").alias("__n"))
+        ).where(F.col("__k").isNotNull())
         w = W.partitionBy(*self.key_cols).orderBy(
             F.col("__n").desc(), F.col("__k")
         )
