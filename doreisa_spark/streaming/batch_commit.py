@@ -501,6 +501,29 @@ def _iso_norm(v):
     return v
 
 
+_TS_STR_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}")
+
+
+def _probe_variants(v) -> list:
+    """Every representation a recorded stat could use for one probe
+    value — the r13 ADVICE fix. Sidecars record datetime stats
+    'T'-separated (``_iso_norm``), but a caller probing with a
+    Spark/SQL-style ``'YYYY-MM-DD HH:MM:SS'`` STRING (or with a
+    datetime against a raw string column that stores the space form)
+    would compare lexicographically across the separator (``' ' <
+    'T'``) and could FALSELY PRUNE a directory that contains matching
+    rows — silent wrong results instead of the documented conservative
+    superset. So a timestamp-shaped value probes under BOTH separators:
+    a prune happens only when NO representation can match, which is
+    conservative for temporal and plain-string columns alike."""
+    v = _iso_norm(v)
+    out = [v]
+    if isinstance(v, str) and _TS_STR_RE.match(v):
+        sep = "T" if v[10] == " " else " "
+        out.append(v[:10] + sep + v[11:])
+    return out
+
+
 def _stats_write(dest: str, cols) -> None:
     """Record min/max of ``cols`` for the parquet directory ``dest`` in
     a ``_stats.json`` sidecar (underscore name — invisible to Spark's
@@ -669,11 +692,17 @@ def _prune_entries(entries: list[tuple], prune_in: "dict | None",
     sorted_in = {}
     for c, vals in (prune_in or {}).items():
         try:
-            sorted_in[c] = sorted(_iso_norm(v) for v in vals)
+            # each value probes under every representation the stats
+            # could have recorded it as (separator-swapped timestamp
+            # strings — r13 ADVICE); extra variants only widen the
+            # match set, never prune more
+            sorted_in[c] = sorted(x for v in vals
+                                  for x in _probe_variants(v))
         except TypeError:  # mixed incomparable values: prove nothing
             sorted_in[c] = []
     prune_between = {
-        c: (_iso_norm(lo), _iso_norm(hi))
+        c: (None if lo is None else min(_probe_variants(lo)),
+            None if hi is None else max(_probe_variants(hi)))
         for c, (lo, hi) in (prune_between or {}).items()
     } or None
     kept = []
@@ -1683,6 +1712,20 @@ def _gc(root: str, man: dict, *, prev: "dict | None" = None) -> None:
                     continue
                 if age < GC_ORPHAN_GRACE_SECS:
                     continue
+                # reclaim an AGED orphan only under the store lock with
+                # a fresh liveness recheck (r13 ADVICE): a stalled
+                # writer may be publishing this very dir right now —
+                # its publish holds the same lock and re-verifies the
+                # dir exists (_commit_manifest), so exactly one of the
+                # two wins; without the recheck a publish that landed
+                # between this pass's manifest read and the rmtree
+                # would commit a dangling batch entry
+                with _locked(root):
+                    if name in _live_set(root, _manifest_load(root) or {}):
+                        continue
+                    shutil.rmtree(os.path.join(root, name),
+                                  ignore_errors=True)
+                continue
             shutil.rmtree(os.path.join(root, name), ignore_errors=True)
         else:
             mb = _BATCH_RE.match(name)
@@ -2037,34 +2080,62 @@ def _commit_manifest(
     if is_committed(root, batch_id, mode=MANIFEST):
         return False
     os.makedirs(root, exist_ok=True)
-    dname = f"d{batch_id:012d}_{uuid.uuid4().hex[:8]}"
-    dest = os.path.join(root, dname)
-    try:
-        df.write.mode("overwrite").parquet(dest)
-        if stats_cols:
-            _stats_write(dest, stats_cols)
-    except Exception:
-        shutil.rmtree(dest, ignore_errors=True)
-        raise
+    for _ in range(3):
+        dname = f"d{batch_id:012d}_{uuid.uuid4().hex[:8]}"
+        dest = os.path.join(root, dname)
+        try:
+            df.write.mode("overwrite").parquet(dest)
+            if stats_cols:
+                _stats_write(dest, stats_cols)
+        except Exception:
+            shutil.rmtree(dest, ignore_errors=True)
+            raise
+        # refresh the nonce dir's mtime right before publish: a writer
+        # that STALLED between its parquet write and this point (r13
+        # ADVICE) would otherwise look like an aged-out crash orphan to
+        # a concurrent compactor's _gc, which could reclaim the dir and
+        # let the later publish commit a batch entry pointing at
+        # nothing — readers fail, batch silently lost
+        vanished = False
+        with contextlib.suppress(OSError):
+            os.utime(dest, None)
 
-    def add(cur: dict) -> "dict | None":
-        if str(batch_id) in cur.get("batches", {}) or \
-                batch_id <= int(cur.get("horizon", -1)):
-            return None  # redelivery raced us: decline, commit nothing
-        cur.setdefault("mode", MANIFEST)
-        cur.setdefault("horizon", -1)
-        cur.setdefault("segments", [])
-        cur.setdefault("batches", {})[str(batch_id)] = dname
-        return cur
+        def add(cur: dict) -> "dict | None":
+            nonlocal vanished
+            if str(batch_id) in cur.get("batches", {}) or \
+                    batch_id <= int(cur.get("horizon", -1)):
+                return None  # redelivery raced us: decline, commit nothing
+            if not os.path.isdir(dest):
+                # a concurrent _gc reclaimed the dir before this locked
+                # publish (it had aged past the orphan grace): decline —
+                # publishing would commit a dangling entry — and retry
+                # the whole write under a fresh nonce. _gc's own locked
+                # liveness recheck makes the two serializable: whichever
+                # takes the store lock first wins, never both.
+                vanished = True
+                return None
+            cur.setdefault("mode", MANIFEST)
+            cur.setdefault("horizon", -1)
+            cur.setdefault("segments", [])
+            cur.setdefault("batches", {})[str(batch_id)] = dname
+            return cur
 
-    try:
-        with (publish_guard() if publish_guard else contextlib.nullcontext()):
-            committed = _manifest_update(root, add, expect_epoch=epoch)
-            if committed and on_commit is not None:
-                on_commit()
-    except StaleWriterError:
-        shutil.rmtree(dest, ignore_errors=True)
-        raise
-    if not committed:
-        shutil.rmtree(dest, ignore_errors=True)
-    return committed
+        try:
+            with (publish_guard() if publish_guard
+                  else contextlib.nullcontext()):
+                committed = _manifest_update(root, add, expect_epoch=epoch)
+                if committed and on_commit is not None:
+                    on_commit()
+        except StaleWriterError:
+            shutil.rmtree(dest, ignore_errors=True)
+            raise
+        if not committed:
+            shutil.rmtree(dest, ignore_errors=True)
+        if not vanished:
+            return committed
+    raise RuntimeError(
+        f"commit of batch {batch_id} at {root} lost its data dir to "
+        "concurrent GC 3 times in a row — the grace window "
+        f"(GC_ORPHAN_GRACE_SECS={GC_ORPHAN_GRACE_SECS}s) is far too "
+        "small for this deployment's write latency"
+    )

@@ -237,9 +237,16 @@ class JoinedAggregateView:
             state = state.withColumnRenamed(d["key"], dk)
             for c in d["cols"]:
                 state = state.withColumnRenamed(c, pre + c)
+            # PLAIN equality, not eqNullSafe: SQL ``JOIN ... ON fk =
+            # key`` never matches NULLs, so a NULL-FK fact group must
+            # not pick up a NULL-keyed dim row's attributes (r13
+            # ADVICE — null-safe equality is only for the same-lineage
+            # _attach self-joins inside one store, where NULL is a
+            # real GROUP key). A NULL-FK group drops from inner reads
+            # and keeps NULL attributes in left reads, exactly like SQL.
             joined = joined.join(
                 bcast(state),
-                joined[d["fk"]].eqNullSafe(F.col(dk)),
+                joined[d["fk"]] == F.col(dk),
                 how,
             ).drop(dk)
             for c in d["cols"]:
