@@ -1038,3 +1038,204 @@ def agg_upsert_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.process_batch(e.where("event_id % 2 = 0"))
     store.process_batch(e.where("event_id % 2 = 1"))
     return store.read()
+
+
+@register(
+    "agg_retract_incremental",
+    oracle="""
+SELECT event_type, cnt, round(sum_value, 2) AS sum_value,
+       round(avg_value, 6) AS avg_value,
+       round(var_value, 4) AS var_value
+FROM (
+  SELECT event_type, count(*) AS cnt, sum(value) AS sum_value,
+         avg(value) AS avg_value, var_pop(value) AS var_value
+  FROM events
+  WHERE NOT (event_id % 7 = 3
+             OR event_type = (SELECT min(event_type) FROM events))
+  GROUP BY event_type)
+""",
+)
+def agg_retract_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level retraction in the incremental materialized view (r13
+    verdict ask #1): a ``retractable=True`` store ingests the events
+    stream as out-of-order micro-batches INTERLEAVED with CDC delete
+    batches — every ``event_id % 7 = 3`` row, plus every row of one
+    whole event_type (which must DROP from the view, not linger as a
+    zero row: the signed __support multiplicity). One delete batch is
+    REDELIVERED under its committed id and must no-op (double-deletion
+    is the retraction twin of double-counting), and one delete arrives
+    BEFORE the batch that inserts its rows (the merge is commutative —
+    Z-set semantics, DBSP/Materialize). The merged view must hash-match
+    DuckDB's one-pass aggregate over the POST-DELETE table — count,
+    sum, and the raw-moment avg/var_pop partials all decremented
+    exactly."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    gone_type = e.agg(F.min("event_type")).first()[0]
+    store = AggregateStore(
+        spark, _fresh_store_dir("incret"), key_cols=["event_type"],
+        retractable=True,
+        aggs={"cnt": ("count", None), "sum_value": ("sum", "value"),
+              "avg_value": ("avg", "value"),
+              "var_value": ("var", "value")},
+    )
+    dels = e.where("event_id % 7 = 3")
+    store.process_batch(e.where(F.col("event_id") > cut2))
+    # this delete covers rows of ALL THREE insert batches — including
+    # two not yet ingested: retraction order must not matter
+    rid = store.process_retract_batch(dels)
+    store.process_batch(e.where(F.col("event_id") <= cut1))
+    store.process_retract_batch(dels, batch_id=rid)  # redelivery: no-op
+    store.process_batch(
+        e.where((F.col("event_id") > cut1) & (F.col("event_id") <= cut2)))
+    # full-group CDC delete: every remaining row of the first type
+    store.process_retract_batch(
+        e.where((F.col("event_type") == gone_type)
+                & (F.col("event_id") % 7 != 3)))
+    return (
+        store.read()
+        .withColumn("sum_value", F.round("sum_value", 2))
+        .withColumn("avg_value", F.round("avg_value", 6))
+        .withColumn("var_value", F.round("var_value", 4))
+    )
+
+
+@register(
+    "agg_join_retract_incremental",
+    extended=True,
+    oracle="""
+SELECT source, event_type, cnt, round(sum_value, 2) AS sum_value
+FROM (
+  SELECT d.source, e.event_type,
+         count(*) AS cnt, sum(e.value) AS sum_value
+  FROM events e JOIN documents d ON (e.event_id % 700) = d.doc_id
+  WHERE NOT (e.event_id % 5 = 2 OR e.event_id % 700 = 0)
+  GROUP BY d.source, e.event_type)
+""",
+)
+def agg_join_retract_incremental(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """CDC deletes through the JOIN view's fact side: the retractable
+    fact store absorbs out-of-order insert AND delete batches —
+    including one that empties an entire FK group (doc_fk 0), which
+    must vanish from every read grain — while the dim upserts stream
+    independently. Hash-exact vs DuckDB's one-pass joined GROUP BY
+    over the post-delete fact table: the negative partials ride the
+    same FK-grain log, so a retraction costs O(touched FK groups),
+    never a history rescan."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_join import JoinedAggregateView
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "doc_fk", F.expr("event_id % 700")
+    )
+    d = table(spark, sf_dir, "documents")
+    view = JoinedAggregateView(
+        spark, _fresh_store_dir("incjoinr"),
+        fk="doc_fk", fact_keys=["event_type"],
+        fact_aggs={"cnt": ("count", None), "sum_value": ("sum", "value")},
+        dim_key="doc_id", dim_cols=["source"], dim_order_by="doc_id",
+        retractable=True,
+    )
+    view.process_fact_batch(e.where("event_id % 2 = 1"))
+    view.process_dim_batch(d.where("doc_id % 2 = 0"))
+    view.process_fact_retract_batch(e.where("event_id % 5 = 2"))
+    view.process_fact_batch(e.where("event_id % 2 = 0"))
+    view.process_dim_batch(d.where("doc_id % 2 = 1"))
+    # empty a whole FK group: its row must DROP at every grain
+    view.process_fact_retract_batch(
+        e.where("event_id % 700 = 0 and event_id % 5 != 2"))
+    return view.read(["source", "event_type"]).withColumn(
+        "sum_value", F.round("sum_value", 2)
+    )
+
+
+@register(
+    "agg_join_incremental_topk",
+    extended=True,
+    oracle="""
+SELECT source, item, est_n, rank FROM (
+  SELECT d.source, e.user_id AS item, count(*) AS est_n,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY count(*) DESC, e.user_id) AS rank
+  FROM events e JOIN documents d ON (e.event_id % 700) = d.doc_id
+  GROUP BY d.source, e.user_id)
+WHERE rank <= 3
+""",
+)
+def agg_join_incremental_topk(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Heavy hitters ACROSS the join re-group (r13 verdict ask #2's
+    opt-in path): per-source top user_ids from the fact store's
+    Misra-Gries maps, merged counter-SUM through the FK→source
+    re-group. ``cap`` is sized above the distinct-user count, so no
+    merge ever trims and the sketch is EXACT — hash-matched against
+    DuckDB's full recount + rank. The default ``view.read()`` REFUSES
+    topk columns (the single-store undercount bound does not carry
+    across the re-group); ``read_topk`` is the documented surface."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_join import JoinedAggregateView
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "doc_fk", F.expr("event_id % 700")
+    )
+    d = table(spark, sf_dir, "documents")
+    view = JoinedAggregateView(
+        spark, _fresh_store_dir("incjoink"),
+        fk="doc_fk", fact_keys=[],
+        fact_aggs={"top_users": ("topk", "user_id",
+                                 {"k": 3, "cap": 65536})},
+        dim_key="doc_id", dim_cols=["source"], dim_order_by="doc_id",
+    )
+    view.process_fact_batch(e.where("event_id % 2 = 0"))
+    view.process_dim_batch(d.where("doc_id % 2 = 1"))
+    view.process_fact_batch(e.where("event_id % 2 = 1"))
+    view.process_dim_batch(d.where("doc_id % 2 = 0"))
+    return view.read_topk("top_users", ["source"]).withColumn(
+        "rank", F.col("rank").cast("bigint")
+    )
+
+
+@register(
+    "agg_retract_quantile",
+    extended=True,
+    band_oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5) AS q_0_5,
+       quantile_cont(value, 0.9) AS q_0_9
+FROM events
+WHERE event_id % 3 != 1
+GROUP BY event_type
+""",
+    band_rtol=0.05,
+)
+def agg_retract_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketches under retraction: the fixed-edge histogram's
+    per-bin SUM merge subtracts a delete batch's negated bin counts
+    exactly, so read_quantiles over the post-delete sketch lands
+    within the same ±5% band as the insert-only twin
+    (agg_quantile_incremental) — vs DuckDB's exact quantile_cont over
+    the remaining rows."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    store = AggregateStore(
+        spark, _fresh_store_dir("incretq"), key_cols=["event_type"],
+        retractable=True,
+        aggs={"vhist": ("hist", "value",
+                        {"lo": 0.0, "hi": 500.0, "bins": 2048})},
+    )
+    store.process_batch(e.where("event_id % 2 = 0"))
+    store.process_retract_batch(e.where("event_id % 3 = 1"))
+    store.process_batch(e.where("event_id % 2 = 1"))
+    # p50/p90, not p95: the post-delete groups are small (~130 rows at
+    # sf0.001) and the value tail is sparse — at p95 the gap between
+    # adjacent order statistics exceeds the band, which measures
+    # order-statistic interpolation, not the sketch (the folded bins
+    # are recount-exact under retraction; see test_incremental_agg)
+    return store.read_quantiles("vhist", [0.5, 0.9])

@@ -74,6 +74,11 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_lag_lead",
+    # rotated to extended in r14 to stay inside the driver's 50-entry
+    # primary budget when agg_retract_incremental joined: the window
+    # family keeps ranking/range_frame/topk_per_group primary, and
+    # lag/lead stays hash-gated by the local full-registry run
+    extended=True,
     oracle="""
 SELECT user_id, event_id,
        round(value, 2) AS value,

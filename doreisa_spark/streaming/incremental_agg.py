@@ -13,11 +13,23 @@ DURABLE across batches):
 
 - ``sum`` / ``count`` partials merge by SUM;
 - ``min`` / ``max`` partials merge by MIN / MAX;
-- ``avg`` / ``var`` / ``std`` ride exact moment partials
-  struct(n, s, s2) merged by element-wise SUM;
+- ``avg`` / ``var`` / ``std`` ride exact moment partials: Welford
+  struct(n, mean, M2) with the Chan pairwise merge by default
+  (numerically stable — r13 ADVICE), raw struct(n, s, s2) merged by
+  element-wise SUM on ``retractable=True`` stores (a signed merge
+  needs group structure; see ``_var_partial``);
 - non-distributive EXACT distinct/medians are out of scope by design
   (they need the raw rows) — their mergeable sketches are fn ``hll``
   and fn ``hist``; heavy hitters are fn ``topk`` (Misra-Gries).
+
+Row-level retraction (CDC deletes — r13 verdict ask #1):
+``retractable=True`` stores accept ``process_retract_batch(rows)``,
+whose partial is the NEGATED batch aggregate plus a hidden signed
+``__support`` multiplicity (the DBSP/Materialize Z-set weight); the
+ordinary merges cancel the deleted contribution exactly and a fully
+retracted group drops from the view. Only sum/count/avg/var/std/hist
+are retraction-distributive; min/max/last/first/hll/topk are refused
+at creation on retractable stores.
 
 Everything the commit layer provides composes for free, and is tested
 to: exactly-once per-batch commits (a redelivered batch cannot
@@ -120,22 +132,77 @@ def _hll_partial(batch: DataFrame, key_cols: list, out: str,
     )
 
 
-def _var_partial(fn: str, e: str):
-    """fn "avg"/"var"/"std" — exact moment partials: struct(n, s, s2)
-    where the merge is an element-wise SUM (distributive, so
-    roll-up-safe), and the finalize recovers the statistic from the
-    merged moments. Exact modulo float addition order, same as any
-    distributed SUM. (avg carries s2 it doesn't need — three shared
-    fields keep the moment algebra one code path, and the roll-up keeps
-    one struct per group regardless.)"""
+def _var_partial(fn: str, e: str, raw: bool = False, sign: int = 1):
+    """fn "avg"/"var"/"std" — exact moment partials, in one of two
+    representations recorded per store:
+
+    - DEFAULT (``raw=False``): Welford/Chan struct(n, m, m2) — n rows,
+      m the mean, m2 the centered second moment Σ(x-m)². Spark's own
+      avg/var_pop compute these with the numerically-stable incremental
+      update, and the pairwise Chan merge (``_chan_fold``) keeps them
+      stable across partials — no catastrophic cancellation when
+      |mean| >> stddev (epoch timestamps, large ids — r13 ADVICE; the
+      raw-moment finalize s2 - s²/n loses ALL significant digits there
+      and F.greatest masked it as variance 0).
+    - RETRACTABLE stores (``raw=True``): raw moments struct(n, s, s2)
+      merged by element-wise SUM. Retraction needs the merge to be a
+      GROUP operation (negative partials must cancel exactly, including
+      through transient n=0 states a fold order can produce — a Chan
+      struct cannot represent n=0 with s≠0, so it cannot ride a signed
+      merge). PRECISION HAZARD, documented: when |mean| >> stddev the
+      raw finalize cancels catastrophically — center such columns
+      before ingest (e.g. ``value - 1.7e9`` for epoch seconds)."""
     x = F.expr(e).cast("double")
+    if raw:
+        sg = F.lit(int(sign))
+        return F.struct(
+            (F.count(x) * sg).alias("n"),
+            (F.coalesce(F.sum(x), F.lit(0.0)) * sg).alias("s"),
+            (F.coalesce(F.sum(x * x), F.lit(0.0)) * sg).alias("s2"),
+        )
+    n = F.count(x)
     return F.struct(
-        F.count(x).alias("n"), F.sum(x).alias("s"),
-        F.sum(x * x).alias("s2"),
+        n.alias("n"),
+        F.coalesce(F.avg(x), F.lit(0.0)).alias("m"),
+        F.coalesce(F.var_pop(x) * n, F.lit(0.0)).alias("m2"),
     )
 
 
-def _var_finalize(fn: str, out: str, opts: "dict | None"):
+def _chan_fold(col: str):
+    """Aggregate expression merging a group's Welford moment structs
+    pairwise (Chan et al. 1979; the same combine Spark's own
+    CentralMomentAgg uses between partitions): one JVM-side fold over
+    the collected structs — no join, memory bounded by tiers per group.
+    Algebraically exact for any merge order; numerically stable because
+    m2 accumulates CENTERED mass (every term non-negative), unlike the
+    raw s2 - s²/n finalize. NULL structs (partials from before a schema
+    evolution) drop at collect; an all-NULL group folds to n=0, which
+    finalizes NULL like SQL."""
+    def comb(acc, x):
+        na, nb = acc.getField("n"), x.getField("n")
+        nab = na + nb
+        delta = x.getField("m") - acc.getField("m")
+        fna = na.cast("double")
+        fnb = nb.cast("double")
+        return F.when(nab == 0, F.struct(
+            F.lit(0).cast("bigint").alias("n"),
+            F.lit(0.0).alias("m"), F.lit(0.0).alias("m2"),
+        )).otherwise(F.struct(
+            nab.alias("n"),
+            (acc.getField("m") + delta * fnb / nab).alias("m"),
+            (acc.getField("m2") + x.getField("m2")
+             + delta * delta * fna * fnb / nab).alias("m2"),
+        ))
+
+    zero = F.expr(
+        "named_struct('n', cast(0 as bigint), 'm', cast(0 as double), "
+        "'m2', cast(0 as double))"
+    )
+    return F.aggregate(F.collect_list(F.col(col)), zero, comb)
+
+
+def _var_finalize(fn: str, out: str, opts: "dict | None",
+                  raw: bool = False):
     """avg/variance/stddev from the merged moment struct column
     ``out``: population (ddof=0, default) or sample (ddof=1) for
     var/std. NULL on empty groups (and on n<=ddof), matching SQL
@@ -144,16 +211,34 @@ def _var_finalize(fn: str, out: str, opts: "dict | None"):
     m = F.col(out)
     n = m.getField("n").cast("double")
     if fn == "avg":
-        return F.when(n > 0, m.getField("s") / n)
-    num = m.getField("s2") - m.getField("s") * m.getField("s") / n
+        if raw:
+            return F.when(n > 0, m.getField("s") / n)
+        return F.when(n > 0, m.getField("m"))
+    if raw:
+        num = m.getField("s2") - m.getField("s") * m.getField("s") / n
+    else:
+        num = m.getField("m2")
     var = F.when(n > ddof, F.greatest(num, F.lit(0.0)) / (n - ddof))
     return F.sqrt(var) if fn == "std" else var
 
 
-def _validate_agg(out: str, fn: str, e, opts, key_cols) -> None:
+RETRACTABLE_FNS = ("sum", "count", "avg", "var", "std", "hist")
+
+
+def _validate_agg(out: str, fn: str, e, opts, key_cols,
+                  retractable: bool = False) -> None:
     """Per-column spec validation, shared by the constructor and
     ``add_agg`` (schema evolution). Mutates ``opts`` only to fill
     topk's default cap."""
+    if retractable and fn not in RETRACTABLE_FNS:
+        raise ValueError(
+            f"{out}: fn {fn!r} is not retraction-distributive — a "
+            "deleted row's contribution to min/max/last/first cannot be "
+            "decremented out of a partial, and hll registers / "
+            "Misra-Gries counters only grow. A retractable store admits "
+            f"{list(RETRACTABLE_FNS)}; keep non-retractable columns in "
+            "a separate store (bounded re-derive) or drop retractable=True"
+        )
     if fn not in _PARTIAL and fn not in (
             "avg", "hll", "hist", "last", "first", "var", "std", "topk"):
         raise ValueError(
@@ -316,7 +401,8 @@ class AggregateStore:
                  commit_mode: "str | None" = None,
                  fenced: "bool | str | None" = None,
                  target_file_bytes: "int | None" = 128 << 20,
-                 partial_rows_per_file: int = 1 << 20):
+                 partial_rows_per_file: int = 1 << 20,
+                 retractable: "bool | None" = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self._log = f"{self.root}/partials"
@@ -334,9 +420,11 @@ class AggregateStore:
                 raise ValueError(
                     f"new store at {self.root}: key_cols and aggs required"
                 )
+            self.retractable = bool(retractable)
             aggs = norm(aggs)
             for out, (fn, e, opts) in aggs.items():
-                _validate_agg(out, fn, e, opts, key_cols)
+                _validate_agg(out, fn, e, opts, key_cols,
+                              retractable=self.retractable)
         else:
             recorded = norm(spec["aggs"])
             if key_cols is not None and list(key_cols) != spec["key_cols"]:
@@ -349,6 +437,15 @@ class AggregateStore:
                     f"store at {self.root} records aggs {recorded}, "
                     f"got {aggs}"
                 )
+            rec_retract = bool(spec.get("retract", False))
+            if retractable is not None and bool(retractable) != rec_retract:
+                raise ValueError(
+                    f"store at {self.root} records retractable="
+                    f"{rec_retract} (the moment representation and the "
+                    "__support column differ per mode); reopen without "
+                    "the flag or migrate through a rebuild"
+                )
+            self.retractable = rec_retract
             key_cols, aggs = spec["key_cols"], recorded
         self.key_cols = list(key_cols)
         self.aggs = dict(aggs)
@@ -401,7 +498,8 @@ class AggregateStore:
         rename-mode store the single-writer contract is the caller's
         (fencing needs a manifest)."""
         opts = dict(opts) if opts is not None else None
-        _validate_agg(out, fn, expr, opts, self.key_cols)
+        _validate_agg(out, fn, expr, opts, self.key_cols,
+                      retractable=self.retractable)
         if out in self.aggs or out in self._staged:
             raise ValueError(f"column {out} already exists on this view")
         if self._ddl is None:
@@ -458,21 +556,33 @@ class AggregateStore:
         return base.join(bcast(right), cond, how).drop(*tmp.values())
 
     def _partial(self, batch: DataFrame,
-                 aggs: "dict | None" = None) -> DataFrame:
+                 aggs: "dict | None" = None, sign: int = 1) -> DataFrame:
         aggs = aggs if aggs is not None else self.aggs
 
         def plain_expr(o, fn, e, opts):
             if fn in ("last", "first"):
                 return _by_partial(fn, e, opts, batch).alias(o)
             if fn in ("avg", "var", "std"):
-                return _var_partial(fn, e).alias(o)
-            return _PARTIAL[fn](F.expr(e) if e is not None else None).alias(o)
+                return _var_partial(fn, e, raw=self.retractable,
+                                    sign=sign).alias(o)
+            expr = _PARTIAL[fn](F.expr(e) if e is not None else None)
+            # sign=-1 (retraction) negates the distributive partials so
+            # the ordinary SUM merge cancels them exactly; validation
+            # guarantees a retractable store never holds min/max
+            return (expr if sign == 1 else expr * F.lit(sign)).alias(o)
 
         plain = [
             plain_expr(o, fn, e, opts)
             for o, (fn, e, opts) in aggs.items()
             if fn not in ("hll", "hist", "topk")
         ]
+        if self.retractable:
+            # signed multiplicity (the Z-set weight, DBSP/Materialize):
+            # distinguishes "group fully retracted" (row DROPS from the
+            # view, like SQL over the post-delete table) from "group
+            # whose aggregates sum to zero"
+            plain.append((F.count(F.lit(1)) * F.lit(sign))
+                         .alias("__support"))
         base = (batch.groupBy(*self.key_cols).agg(*plain) if plain
                 else batch.select(*self.key_cols).distinct())
         for o, (fn, e, opts) in aggs.items():
@@ -488,6 +598,12 @@ class AggregateStore:
                     "topk": lambda: _topk_partial(batch, self.key_cols, o,
                                                   e, opts),
                 }[fn]()
+                if fn == "hist" and sign != 1:
+                    # negative bin mass: the per-bin SUM merge subtracts
+                    # the deleted rows' counts exactly
+                    sketch = sketch.withColumn(
+                        o, F.transform_values(F.col(o),
+                                              lambda k, v: v * F.lit(sign)))
                 base = self._attach(base, sketch)
         return base
 
@@ -504,10 +620,48 @@ class AggregateStore:
         (bounded — the optimistic-concurrency commit rule), so no
         writer's batch is ever silently dropped as a phantom
         redelivery. Returns the committed batch id."""
+        return self._process(batch, batch_id, 1)
+
+    def process_retract_batch(self, batch: DataFrame,
+                              batch_id: "int | None" = None) -> int:
+        """Row-level retraction (CDC deletes — r13 verdict ask #1):
+        ``batch`` holds rows PREVIOUSLY INSERTED that must leave the
+        view, in the same shape as an insert batch. The partial is the
+        NEGATED aggregate of the batch (the Z-set negative-weight
+        delta: DBSP/Materialize semantics), committed through the same
+        exactly-once log — so retractions get redelivery protection,
+        roll-up folds, snapshots, and sidecar pruning for free, and
+        arrival order never matters (the merge is commutative; a
+        delete can land before its insert and the view heals once both
+        are in). A group whose every row is retracted DROPS from
+        ``read()`` — the hidden signed ``__support`` multiplicity is
+        what separates that from a live group summing to zero — which
+        matches SQL over the post-delete table exactly.
+
+        Only on stores created with ``retractable=True``: min/max/
+        last/first/hll/topk are not retraction-distributive (a deleted
+        row's contribution cannot be decremented out), so the
+        constructor refuses them there; keep such columns in a
+        separate non-retractable store and re-derive on takedown.
+        CONTRACT: retract only rows that were (or will be) inserted —
+        the engine cannot verify membership without the raw history it
+        exists to avoid scanning."""
+        if not self.retractable:
+            raise ValueError(
+                f"store at {self.root} is not retractable: recreate with "
+                "retractable=True (sum/count/avg/var/std/hist only) — "
+                "min/max/last/first/hll/topk partials cannot absorb "
+                "deletes; group-level takedown is delete_groups()"
+            )
+        return self._process(batch, batch_id, -1)
+
+    def _process(self, batch: DataFrame, batch_id: "int | None",
+                 sign: int) -> int:
         auto = batch_id is None
         if auto:
             batch_id = BC.next_batch_id(self._log, mode=self.commit_mode)
-        part = self._partial(batch, {**self.aggs, **self._staged})
+        part = self._partial(batch, {**self.aggs, **self._staged},
+                             sign=sign)
         if self._ddl is None:
             ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
@@ -516,14 +670,15 @@ class AggregateStore:
             write_marker_once(f"{self.root}/_aggs.json", {
                 "key_cols": self.key_cols,
                 "aggs": {o: list(v) for o, v in self.aggs.items()},
-                "ddl": ddl, "v": 1,
+                "ddl": ddl, "v": 1, "retract": self.retractable,
             })
             # write-once can LOSE to a concurrent first-ingest: validate
             # the full winning spec, not just adopt its ddl — two
             # incompatible writers must not interleave their partials
             # into one log (r12 review finding)
             won = read_marker(f"{self.root}/_aggs.json")
-            if won["key_cols"] != self.key_cols or {
+            if won["key_cols"] != self.key_cols or \
+                    bool(won.get("retract", False)) != self.retractable or {
                 o: (v[0], v[1], dict(v[2]) if len(v) > 2 and v[2] is not None
                     else None)
                 for o, v in won["aggs"].items()
@@ -575,6 +730,7 @@ class AggregateStore:
                     "aggs": {o: list(v) for o, v in
                              {**self.aggs, **self._staged}.items()},
                     "ddl": ddl, "v": int(spec.get("v", 1)) + 1,
+                    "retract": self.retractable,
                 })
             self.aggs.update(self._staged)
             self._staged = {}
@@ -680,6 +836,11 @@ class AggregateStore:
         merge's argmax/argmin carrier), var/std moments become the
         statistic. hist/topk maps pass through — they are served by
         read_quantiles / read_topk."""
+        if "__support" in m.columns:
+            # signed multiplicity: a fully-retracted group (every
+            # inserted row later deleted) drops from the view, exactly
+            # like SQL over the post-delete table
+            m = m.where(F.col("__support") > 0).drop("__support")
         for o, (fn, _, opts) in self.aggs.items():
             if fn == "hll":
                 # size(NULL) is -1 outside ANSI mode — branch, don't
@@ -695,7 +856,8 @@ class AggregateStore:
             elif fn in ("last", "first"):
                 m = m.withColumn(o, F.col(o).getField("v"))
             elif fn in ("avg", "var", "std"):
-                m = m.withColumn(o, _var_finalize(fn, o, opts))
+                m = m.withColumn(
+                    o, _var_finalize(fn, o, opts, raw=self.retractable))
         return m
 
     def _merge_by(self, base: DataFrame,
@@ -717,11 +879,22 @@ class AggregateStore:
             if fn in _MERGE:
                 merged.append(_MERGE[fn](F.col(o)).alias(o))
             elif fn in ("avg", "var", "std"):
-                merged.append(F.struct(
-                    F.sum(F.col(o).getField("n")).alias("n"),
-                    F.sum(F.col(o).getField("s")).alias("s"),
-                    F.sum(F.col(o).getField("s2")).alias("s2"),
-                ).alias(o))
+                if self.retractable:
+                    # raw moments: the merge is a GROUP operation
+                    # (element-wise SUM), so negative retraction
+                    # partials cancel exactly in any fold order —
+                    # including through transient n=0, s≠0 states a
+                    # Chan struct cannot represent
+                    merged.append(F.struct(
+                        F.sum(F.col(o).getField("n")).alias("n"),
+                        F.sum(F.col(o).getField("s")).alias("s"),
+                        F.sum(F.col(o).getField("s2")).alias("s2"),
+                    ).alias(o))
+                else:
+                    # Welford moments, Chan pairwise merge — the
+                    # numerically-stable path (r13 ADVICE): no
+                    # cancellation when |mean| >> stddev
+                    merged.append(_chan_fold(o).alias(o))
             elif fn in ("hll", "hist", "topk"):
                 # sketch maps merge INSIDE the same single aggregate: a
                 # JVM-side fold over the group's collected maps
@@ -749,6 +922,8 @@ class AggregateStore:
                     )
                     folded = _mg_trim(ent, int(opts["cap"]))
                 merged.append(folded.alias(o))
+        if "__support" in base.columns:
+            merged.append(F.sum("__support").alias("__support"))
         return (base.groupBy(*keys).agg(*merged) if merged
                 else base.select(*keys).distinct())
 
@@ -784,13 +959,21 @@ class AggregateStore:
         # column, including other sketches' explode/join chains (r12
         # review finding)
         src = self.partials(snapshot=snapshot)
-        folded = src.groupBy(*self.key_cols).agg(
+        fold_exprs = [
             _fold_maps(col, src.schema[col].dataType.simpleString(),
                        "sum").alias(col)
-        )
+        ]
+        if self.retractable:
+            fold_exprs.append(F.sum("__support").alias("__support"))
+        folded = src.groupBy(*self.key_cols).agg(*fold_exprs)
+        if self.retractable:
+            # fully-retracted groups drop (matching read()); bins whose
+            # insert and delete mass cancelled carry no quantile weight
+            folded = folded.where(F.col("__support") > 0) \
+                           .drop("__support")
         ex = folded.select(
             *self.key_cols, F.explode_outer(F.col(col)).alias("__bin", "__n")
-        ).where(F.col("__bin").isNotNull())
+        ).where(F.col("__bin").isNotNull() & (F.col("__n") > 0))
         w = W.partitionBy(*self.key_cols).orderBy("__bin")
         cum = ex.select(
             *self.key_cols, "__bin", "__n",
@@ -942,3 +1125,40 @@ class AggregateStore:
     def expire_snapshots(self, *, keep_last: int) -> list[int]:
         return BC.expire_snapshots(self._log, keep_last=keep_last,
                                    mode=self.commit_mode, epoch=self._epoch)
+
+
+def drive_aggregate_view(
+    stream: DataFrame, store: AggregateStore, *,
+    timeout_sec: float = 300, checkpoint: "str | None" = None,
+    transform=None,
+) -> DataFrame:
+    """Structured-Streaming drive for the view layer (r13 verdict ask
+    #4, mirroring incremental_dedup.run_incremental_dedup /
+    incremental_ivf.run_incremental_ivf): each micro-batch lands as one
+    exactly-once partial commit via ``foreachBatch``; returns the
+    merged view once the source drains.
+
+    End-to-end exactly-once is the COMPOSITION of two contracts: Spark
+    redelivers an interrupted micro-batch under the SAME batch id on
+    restart (checkpointed offsets), and ``process_batch`` refuses an
+    already-committed id — so a crash anywhere between the sink's
+    commit and the checkpoint write cannot double-count
+    (tests/test_view_stream_drive.py forces exactly that crash).
+
+    ``checkpoint``: pass a persistent path to make the drive RESUMABLE
+    — a later call with the same path processes only new source files
+    and keeps the micro-batch id sequence; the default drains once on
+    a throwaway checkpoint. ``transform`` (optional ``df -> df``) maps
+    the raw stream batch to the store's ingest shape (derive window
+    keys, project columns) — it runs inside the sink, so the
+    exactly-once guarantee covers it."""
+    from doreisa_spark.streaming.structured import run_foreach_batch
+
+    def sink(df: DataFrame, bid: int) -> None:
+        if transform is not None:
+            df = transform(df)
+        store.process_batch(df, bid)
+
+    run_foreach_batch(stream, sink, timeout_sec=timeout_sec,
+                      checkpoint=checkpoint)
+    return store.read()

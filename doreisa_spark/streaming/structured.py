@@ -180,19 +180,27 @@ def run_foreach_batch(
     batch_fn,
     *,
     timeout_sec: float = 120,
+    checkpoint: "str | None" = None,
 ) -> None:
     """Drive a stream through ``foreachBatch`` — the sink that hands each
     micro-batch to arbitrary user code as a plain DataFrame (doreisa's
     consumption loop handing assembled arrays to the callback,
     window_api.py:101-103). Used for sinks Spark lacks natively (JDBC
     upsert, dedup-merge, multi-table fan-out); the batch DataFrame can be
-    written with the full batch API, transactionally per epoch."""
+    written with the full batch API, transactionally per epoch.
+
+    ``checkpoint=None`` (drain-once mode) uses a FRESH checkpoint and
+    deletes it afterwards — a reused one would make availableNow skip
+    offsets a previous invocation processed. Pass a PERSISTENT
+    ``checkpoint`` path for resumable drives: a later call with the same
+    path processes only NEW source data, micro-batch ids keep
+    increasing, and a batch interrupted mid-sink is REDELIVERED under
+    the same id on restart — which is exactly what the commit layer's
+    per-id refusal turns into end-to-end exactly-once."""
     import shutil
     import tempfile
 
-    # a fresh checkpoint per run: a reused one makes availableNow skip
-    # offsets already processed by a previous invocation
-    ckpt = tempfile.mkdtemp(prefix="doreisa_fb_ckpt_")
+    ckpt = checkpoint or tempfile.mkdtemp(prefix="doreisa_fb_ckpt_")
     q = (
         stream.writeStream.foreachBatch(batch_fn)
         .trigger(availableNow=True)
@@ -208,8 +216,9 @@ def run_foreach_batch(
             # else the dying query races rmtree and logs spurious errors
             q.awaitTermination(30)
     finally:
-        # the per-run checkpoint is garbage once the query is finished
-        shutil.rmtree(ckpt, ignore_errors=True)
+        if checkpoint is None:
+            # the per-run checkpoint is garbage once the query finished
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def run_to_memory(

@@ -1,0 +1,241 @@
+"""Row-level retraction (CDC deletes) in the view layer — r13 verdict
+ask #1 — plus the Welford/Chan moment stability fix (r13 ADVICE) and
+the topk-across-join refusal (r13 verdict ask #2).
+
+A ``retractable=True`` AggregateStore commits NEGATED partials for
+delete batches (Z-set negative weights) plus a hidden signed
+``__support`` multiplicity; the ordinary merges cancel deleted
+contributions exactly in any arrival order, fully-retracted groups
+drop from the view, and everything composes with the commit layer:
+redelivered delete batches no-op, roll-up folds preserve the signed
+partials, snapshots pinned before a delete still serve it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from doreisa_spark.streaming.incremental_agg import AggregateStore
+from doreisa_spark.streaming.incremental_join import JoinedAggregateView
+
+
+def _rows(spark, n=120):
+    return spark.range(n).select(
+        (F.col("id") % 4).alias("k"), (F.col("id") * 1.0).alias("v"),
+        F.col("id"),
+    )
+
+
+def _store(spark, tmp_path, name="r", **kw):
+    kw.setdefault("aggs", {"cnt": ("count", None), "sum_v": ("sum", "v"),
+                           "avg_v": ("avg", "v"), "var_v": ("var", "v")})
+    return AggregateStore(spark, str(tmp_path / name), key_cols=["k"],
+                          retractable=True, **kw)
+
+
+def _expect(df):
+    return {
+        r["k"]: (r["cnt"], round(r["sum_v"], 6), round(r["avg_v"], 6),
+                 round(r["var_v"], 6))
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v"),
+            F.avg("v").alias("avg_v"), F.var_pop("v").alias("var_v"),
+        ).collect()
+    }
+
+
+def _got(store, **kw):
+    return {
+        r["k"]: (r["cnt"], round(r["sum_v"], 6), round(r["avg_v"], 6),
+                 round(r["var_v"], 6))
+        for r in store.read(**kw).collect()
+    }
+
+
+def test_retract_matches_post_delete_table_any_order(spark, tmp_path):
+    rows = _rows(spark)
+    st = _store(spark, tmp_path)
+    dels = rows.where("id % 3 = 1")
+    # delete arrives BEFORE most of its inserts (commutative merge)
+    st.process_batch(rows.where("id < 40"))
+    st.process_retract_batch(dels)
+    st.process_batch(rows.where("id >= 80"))
+    st.process_batch(rows.where("id >= 40 and id < 80"))
+    assert _got(st) == _expect(rows.where("id % 3 != 1"))
+
+
+def test_fully_retracted_group_drops_not_zero_row(spark, tmp_path):
+    rows = _rows(spark)
+    st = _store(spark, tmp_path)
+    st.process_batch(rows)
+    st.process_retract_batch(rows.where("k = 2"))
+    got = _got(st)
+    assert 2 not in got  # dropped, like SQL over the post-delete table
+    assert got == _expect(rows.where("k != 2"))
+    # re-inserting revives the group from zero
+    st.process_batch(rows.where("k = 2 and id < 20"))
+    assert _got(st) == _expect(
+        rows.where("k != 2").unionAll(rows.where("k = 2 and id < 20")))
+
+
+def test_retract_redelivery_noops(spark, tmp_path):
+    rows = _rows(spark)
+    st = _store(spark, tmp_path)
+    st.process_batch(rows)
+    dels = rows.where("id % 5 = 0")
+    rid = st.process_retract_batch(dels)
+    st.process_retract_batch(dels, batch_id=rid)  # must not double-delete
+    assert _got(st) == _expect(rows.where("id % 5 != 0"))
+
+
+def test_retract_survives_rollup_compaction(spark, tmp_path):
+    rows = _rows(spark)
+    st = _store(spark, tmp_path, name="c", compact_every=4)
+    for i in range(4):
+        st.process_batch(rows.where(f"id % 4 = {i}"))
+    st.process_retract_batch(rows.where("id % 3 = 0"))
+    for i in range(4):  # churn past the fold cadence
+        st.process_batch(rows.where(f"id % 4 = {i}").withColumn(
+            "v", F.col("v") + 1000))
+    extra = rows.withColumn("v", F.col("v") + 1000)
+    assert _got(st) == _expect(rows.where("id % 3 != 0").unionAll(extra))
+
+
+def test_snapshot_pinned_before_delete_still_serves(spark, tmp_path):
+    rows = _rows(spark)
+    st = _store(spark, tmp_path, name="s")
+    st.process_batch(rows)
+    pin = st.snapshot()
+    st.process_retract_batch(rows.where("k = 0"))
+    assert _got(st) == _expect(rows.where("k != 0"))
+    assert _got(st, snapshot=pin) == _expect(rows)
+
+
+def test_hist_retraction_bins_recount_exact(spark, tmp_path):
+    rows = _rows(spark)
+    st = AggregateStore(
+        spark, str(tmp_path / "h"), key_cols=["k"], retractable=True,
+        aggs={"hv": ("hist", "v", {"lo": 0.0, "hi": 120.0, "bins": 64})},
+    )
+    st.process_batch(rows.where("id % 2 = 0"))
+    st.process_retract_batch(rows.where("id % 3 = 0"))
+    st.process_batch(rows.where("id % 2 = 1"))
+    qs = {r["k"]: r["q_0_5"] for r in
+          st.read_quantiles("hv", [0.5]).collect()}
+    # the estimate lands inside the bin of the CROSSING order statistic
+    # (the smallest value whose rank reaches 0.5·n) — the sketch's
+    # actual guarantee; vs the interpolated median it can differ by the
+    # data's value gaps, which is not what retraction is being tested on
+    rem = {k: sorted(r["v"] for r in
+                     rows.where(f"id % 3 != 0 and k = {k}").collect())
+           for k in range(4)}
+    for k, vals in rem.items():
+        import math
+        cross = vals[math.ceil(0.5 * len(vals)) - 1]
+        assert abs(qs[k] - cross) <= 120.0 / 64 + 1e-9, (k, qs[k], cross)
+
+
+def test_retractable_refuses_non_distributive_fns(spark, tmp_path):
+    for fn, spec in [("max", ("max", "v")), ("min", ("min", "v")),
+                     ("hll", ("hll", "v")),
+                     ("topk", ("topk", "v", {"k": 2})),
+                     ("last", ("last", "v", {"by": "id"}))]:
+        with pytest.raises(ValueError, match="not retraction-distributive"):
+            AggregateStore(spark, str(tmp_path / f"bad_{fn}"),
+                           key_cols=["k"], retractable=True,
+                           aggs={"x": spec})
+
+
+def test_non_retractable_store_refuses_retract(spark, tmp_path):
+    st = AggregateStore(spark, str(tmp_path / "nr"), key_cols=["k"],
+                        aggs={"cnt": ("count", None)})
+    with pytest.raises(ValueError, match="not retractable"):
+        st.process_retract_batch(_rows(spark))
+
+
+def test_marker_pins_retractable_mode_on_reopen(spark, tmp_path):
+    rows = _rows(spark)
+    st = _store(spark, tmp_path, name="m",
+                aggs={"cnt": ("count", None), "sum_v": ("sum", "v")})
+    st.process_batch(rows)
+    # reopen without the flag adopts the recorded mode
+    st2 = AggregateStore(spark, str(tmp_path / "m"))
+    assert st2.retractable
+    st2.process_retract_batch(rows.where("k = 1"))
+    assert 1 not in {r["k"] for r in st2.read().collect()}
+    # an explicit contradicting flag fails loudly (the moment
+    # representation differs per mode — partials must not interleave)
+    with pytest.raises(ValueError, match="retractable"):
+        AggregateStore(spark, str(tmp_path / "m"), retractable=False)
+
+
+def test_chan_moments_stable_at_huge_mean(spark, tmp_path):
+    """The r13 ADVICE hazard: |mean| >> stddev. Raw moments lose every
+    significant digit (s² ~ 2.9e25 at mean 1.7e9 — double epsilon makes
+    the s2 - s²/n finalize pure noise); the default store's Welford/
+    Chan partials stay within 1e-6 relative."""
+    big = spark.range(20000).select(
+        F.lit(0).alias("k"), (1.7e9 + (F.col("id") % 11) * 0.25).alias("v"))
+    st = AggregateStore(spark, str(tmp_path / "chan"), key_cols=["k"],
+                        aggs={"var_v": ("var", "v"),
+                              "std_v": ("std", "v", {"ddof": 1})})
+    st.process_batch(big.where("id < 7000"))
+    st.process_batch(big.where("id >= 7000 and id < 15000"))
+    st.process_batch(big.where("id >= 15000"))
+    got = st.read().collect()[0]
+    exp = big.agg(F.var_pop("v"), F.stddev_samp("v")).collect()[0]
+    assert abs(got["var_v"] - exp[0]) < 1e-6 * exp[0]
+    assert abs(got["std_v"] - exp[1]) < 1e-6 * exp[1]
+
+
+def test_join_view_fact_retraction_all_grains(spark, tmp_path):
+    f = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "b", 4.0), (2, "a", 8.0), (2, "a", 16.0),
+         (3, "b", 32.0)],
+        "fk bigint, et string, v double")
+    d = spark.createDataFrame(
+        [(1, "web", 1), (2, "pdf", 1), (3, "web", 1)],
+        "doc_id bigint, source string, ver int")
+    v = JoinedAggregateView(
+        spark, str(tmp_path / "jv"), fk="fk", fact_keys=["et"],
+        fact_aggs={"cnt": ("count", None), "sum_v": ("sum", "v")},
+        dim_key="doc_id", dim_cols=["source"], dim_order_by="ver",
+        retractable=True)
+    v.process_fact_batch(f)
+    v.process_dim_batch(d)
+    # retract one row of fk=1 and ALL of fk=3 (whole FK group empties)
+    v.process_fact_retract_batch(f.where("fk = 1 and et = 'b'"))
+    v.process_fact_retract_batch(f.where("fk = 3"))
+    rem = f.where("not (fk = 1 and et = 'b') and fk != 3")
+    exp = {tuple(r) for r in rem.join(d, rem["fk"] == d["doc_id"])
+           .groupBy("source", "et")
+           .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("sum_v"))
+           .collect()}
+    assert {tuple(r) for r in v.read(["source", "et"]).collect()} == exp
+    # coarser grain too — the regrouped __support still gates drops
+    exp_src = {tuple(r) for r in rem.join(d, rem["fk"] == d["doc_id"])
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("cnt"),
+                    F.sum("v").alias("sum_v")).collect()}
+    assert {tuple(r) for r in v.read(["source"]).collect()} == exp_src
+
+
+def test_join_view_read_refuses_topk_by_default(spark, tmp_path):
+    v = JoinedAggregateView(
+        spark, str(tmp_path / "jt"), fk="fk", fact_keys=[],
+        fact_aggs={"top": ("topk", "u", {"k": 2, "cap": 64})},
+        dim_key="doc_id", dim_cols=["source"], dim_order_by="ver")
+    f = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 11), (2, 10), (2, 12), (2, 12)],
+        "fk bigint, u bigint")
+    d = spark.createDataFrame([(1, "web", 1), (2, "web", 1)],
+                              "doc_id bigint, source string, ver int")
+    v.process_fact_batch(f)
+    v.process_dim_batch(d)
+    with pytest.raises(ValueError, match="topk"):
+        v.read(["source"])
+    # the documented opt-in surface: cap > distinct items => exact
+    got = {(r["source"], r["item"], r["est_n"], r["rank"])
+           for r in v.read_topk("top", ["source"]).collect()}
+    assert got == {("web", 10, 3, 1), ("web", 12, 2, 2)}
