@@ -1670,6 +1670,19 @@ def _live_set(root: str, man: "dict | None") -> set:
         pman = _manifest_load(os.path.dirname(root)) or {}
         for rec in pman.get("snapshots", {}).values():
             live |= set((rec.get("tomb") or {}).get("dirs", []))
+    # a group PRIMARY's pending txns keep its own entry via batches;
+    # a SECONDARY's pending dirs are named only by the primary's txn
+    # table until the roll-forward — treat them as live or a concurrent
+    # GC between publish and heal would reclaim committed group data
+    gp = _group_primary_of(root, man)
+    if gp is not None:
+        pman = _manifest_load(gp) or {}
+        rel_self = os.path.relpath(os.path.abspath(root),
+                                   os.path.dirname(os.path.abspath(gp)))
+        for members in (pman.get("txns") or {}).values():
+            d = members.get(rel_self)
+            if d:
+                live.add(d)
     return live
 
 
@@ -1734,10 +1747,13 @@ def _gc(root: str, man: dict, *, prev: "dict | None" = None) -> None:
 
 
 # manifest keys that survive a wholesale flip: compact/flush rebuild the
-# directory bookkeeping from scratch, but snapshot pins (create_snapshot)
-# and the tombstone retirement watermark (sub-log manifests) are
-# orthogonal durable state and must ride through every rewrite
-_CARRIED_KEYS = ("snapshots", "snapshot_next", "retired_max", "retired_covers")
+# directory bookkeeping from scratch, but snapshot pins (create_snapshot),
+# the tombstone retirement watermark (sub-log manifests), and the group
+# transaction state (pending txns on a primary, the primary pointer on a
+# secondary) are orthogonal durable state and must ride through every
+# rewrite
+_CARRIED_KEYS = ("snapshots", "snapshot_next", "retired_max",
+                 "retired_covers", "txns", "group_primary")
 
 
 
@@ -2136,6 +2152,223 @@ def _commit_manifest(
     raise RuntimeError(
         f"commit of batch {batch_id} at {root} lost its data dir to "
         "concurrent GC 3 times in a row — the grace window "
+        f"(GC_ORPHAN_GRACE_SECS={GC_ORPHAN_GRACE_SECS}s) is far too "
+        "small for this deployment's write latency"
+    )
+
+
+# ------------------------------------------------ cross-log group commits
+# One logical batch spanning SEVERAL sibling logs (the dedup store's
+# members+shingles+pairs, curation's seen+kept) commits atomically
+# through a PRIMARY-log transaction record — the Percolator primary-row
+# pattern: every log's data lands under reader-invisible nonce dirs,
+# then ONE locked mutation of the primary manifest (its own batch entry
+# plus ``txns[batch_id] = {sibling: nonce_dir}``) is the commit point
+# for the whole group. Secondary manifests are a roll-forward CACHE:
+# ``heal_txn_group`` (idempotent, runs before every group read/commit/
+# compaction) adds any entry the crash window left out, then clears the
+# txn record. Serializability for concurrent shared writers falls out
+# of auto-id allocation: a group commit of id N succeeds only if N is
+# uncommitted at publish, and every interleaved group commit consumes
+# exactly the next id — so a successful publish PROVES no other commit
+# landed between this writer's probe reads (before=N) and its publish;
+# a decline means the writer recomputes against the new state under a
+# fresh id (optimistic concurrency with full re-validation).
+
+
+def _group_rel(primary_root: str, root: str) -> str:
+    """A sibling log's stable name inside the primary's txn records:
+    its path relative to the primary's parent (the store root)."""
+    rel = os.path.relpath(os.path.abspath(root),
+                          os.path.dirname(os.path.abspath(primary_root)))
+    if rel.startswith(".."):
+        raise ValueError(
+            f"group member {root} is not under the primary's store root "
+            f"({os.path.dirname(primary_root)}) — group commits span the "
+            "sibling logs of ONE store"
+        )
+    return rel
+
+
+def _group_primary_of(root: str, man: "dict | None") -> "str | None":
+    gp = (man or {}).get("group_primary")
+    if not gp:
+        return None
+    return os.path.normpath(
+        os.path.join(os.path.dirname(os.path.abspath(root)), gp))
+
+
+def _ensure_group_member(root: str, primary_root: str) -> None:
+    """Record, once, in a secondary's manifest where its group primary
+    lives — what lets ``_live_set`` (GC) treat pending-txn nonce dirs
+    as live and lets any handle heal the group from either end."""
+    rel = os.path.relpath(os.path.abspath(primary_root),
+                          os.path.dirname(os.path.abspath(root)))
+
+    def mark(cur: dict) -> "dict | None":
+        if cur.get("group_primary") == rel:
+            return None
+        cur.setdefault("mode", MANIFEST)
+        cur.setdefault("horizon", -1)
+        cur.setdefault("segments", [])
+        cur.setdefault("batches", {})
+        cur["group_primary"] = rel
+        return cur
+
+    _manifest_update(root, mark)
+
+
+def group_pending(primary_root: str) -> dict:
+    """Pending (committed-but-not-rolled-forward) group txns:
+    ``{batch_id: {sibling_rel: nonce_dir}}``. Normally empty — a txn is
+    pending only across the crash window between the primary publish
+    and the roll-forward."""
+    man = _manifest_load(primary_root) or {}
+    return {int(b): dict(m) for b, m in (man.get("txns") or {}).items()}
+
+
+def heal_txn_group(primary_root: str) -> int:
+    """Roll every pending group txn forward — add the named nonce dirs
+    to their secondary manifests (idempotent: skip entries already
+    present or already folded), then clear the txn record — and return
+    how many txns healed. Runs at the head of every group commit, group
+    read, and group-store compaction, so the secondary lag window is
+    one crash wide; cost when nothing is pending is one JSON read."""
+    pending = group_pending(primary_root)
+    if not pending:
+        return 0
+    base = os.path.dirname(os.path.abspath(primary_root))
+    healed = 0
+    for bid in sorted(pending):
+        for rel, dname in sorted(pending[bid].items()):
+            sroot = os.path.join(base, rel)
+            dest = os.path.join(sroot, dname)
+
+            def add(cur: dict, dname=dname, bid=bid, dest=dest) -> "dict | None":
+                if cur.get("batches", {}).get(str(bid)) == dname or \
+                        bid <= int(cur.get("horizon", -1)):
+                    return None  # already rolled forward / already folded
+                if str(bid) in cur.get("batches", {}):
+                    raise RuntimeError(
+                        f"group heal: secondary {dest} already holds batch "
+                        f"{bid} under a DIFFERENT dir — two groups shared "
+                        "an id, which the primary publish must prevent"
+                    )
+                if not os.path.isdir(dest):
+                    raise RuntimeError(
+                        f"group heal: committed txn {bid} names missing "
+                        f"dir {dest} — group data was reclaimed before "
+                        "roll-forward (GC must treat pending txn dirs as "
+                        "live via group_primary)"
+                    )
+                cur.setdefault("mode", MANIFEST)
+                cur.setdefault("horizon", -1)
+                cur.setdefault("segments", [])
+                cur.setdefault("batches", {})[str(bid)] = dname
+                return cur
+
+            _manifest_update(sroot, add)
+
+        def clear(cur: dict, bid=bid) -> "dict | None":
+            txns = dict(cur.get("txns") or {})
+            if str(bid) not in txns:
+                return None
+            del txns[str(bid)]
+            return {**cur, "txns": txns}
+
+        _manifest_update(primary_root, clear)
+        healed += 1
+    return healed
+
+
+def commit_batch_group(
+    frames: dict, primary_root: str, batch_id: int, *,
+    stats_cols: "dict | None" = None, epoch: "int | None" = None,
+) -> bool:
+    """Commit one logical batch spanning several sibling logs EXACTLY
+    ONCE and atomically: ``frames`` maps log root -> DataFrame and must
+    include ``primary_root``. Returns True if this call committed the
+    whole group; False if the id was already committed (a redelivery,
+    or a concurrent shared writer won the allocation race — the caller
+    heals/retries). Manifest mode only. ``stats_cols`` maps root ->
+    sidecar columns; ``epoch`` fences the PRIMARY publish (the single
+    commit point — secondary roll-forwards are idempotent cache heals
+    and stay unfenced)."""
+    primary_root = primary_root.rstrip("/")
+    roots = {r.rstrip("/"): df for r, df in frames.items()}
+    if primary_root not in roots:
+        raise ValueError("frames must include the primary root")
+    for r in roots:
+        if _mode_of(r, None) == RENAME and _manifest_load(r) is not None:
+            raise ValueError(f"group commits require manifest mode: {r}")
+    stats_cols = {r.rstrip("/"): c for r, c in (stats_cols or {}).items()}
+    secondaries = sorted(r for r in roots if r != primary_root)
+    if is_committed(primary_root, batch_id, mode=MANIFEST):
+        heal_txn_group(primary_root)  # a predecessor's crash window
+        return False
+    for r in secondaries:
+        _ensure_group_member(r, primary_root)
+    for _ in range(3):
+        dests: dict = {}
+        try:
+            for r, df in roots.items():
+                dname = f"d{batch_id:012d}_{uuid.uuid4().hex[:8]}"
+                dest = os.path.join(r, dname)
+                os.makedirs(r, exist_ok=True)
+                df.write.mode("overwrite").parquet(dest)
+                if stats_cols.get(r):
+                    _stats_write(dest, stats_cols[r])
+                dests[r] = (dname, dest)
+        except Exception:
+            for _, d in dests.values():
+                shutil.rmtree(d, ignore_errors=True)
+            raise
+        for _, d in dests.values():  # GC grace refresh (r13 ADVICE)
+            with contextlib.suppress(OSError):
+                os.utime(d, None)
+        vanished = False
+
+        def add(cur: dict) -> "dict | None":
+            nonlocal vanished
+            if str(batch_id) in cur.get("batches", {}) or \
+                    batch_id <= int(cur.get("horizon", -1)):
+                return None  # redelivery / allocation race: decline
+            if not all(os.path.isdir(d) for _, d in dests.values()):
+                vanished = True  # concurrent GC: retry fresh nonces
+                return None
+            cur.setdefault("mode", MANIFEST)
+            cur.setdefault("horizon", -1)
+            cur.setdefault("segments", [])
+            cur.setdefault("batches", {})[str(batch_id)] = \
+                dests[primary_root][0]
+            txns = dict(cur.get("txns") or {})
+            txns[str(batch_id)] = {
+                _group_rel(primary_root, r): dests[r][0]
+                for r in secondaries
+            }
+            return {**cur, "txns": txns}
+
+        try:
+            committed = _manifest_update(primary_root, add,
+                                         expect_epoch=epoch)
+        except StaleWriterError:
+            for _, d in dests.values():
+                shutil.rmtree(d, ignore_errors=True)
+            raise
+        if committed:
+            # best-effort immediate roll-forward; a crash here leaves a
+            # pending txn that the next heal (any handle, any path)
+            # completes — the group is ALREADY durably committed
+            heal_txn_group(primary_root)
+            return True
+        for _, d in dests.values():
+            shutil.rmtree(d, ignore_errors=True)
+        if not vanished:
+            heal_txn_group(primary_root)  # the winner may need a heal
+            return False
+    raise RuntimeError(
+        f"group commit of batch {batch_id} at {primary_root} lost its "
+        "data dirs to concurrent GC 3 times in a row — the grace window "
         f"(GC_ORPHAN_GRACE_SECS={GC_ORPHAN_GRACE_SECS}s) is far too "
         "small for this deployment's write latency"
     )

@@ -59,7 +59,7 @@ class CurationStore:
     def __init__(self, spark: SparkSession, root: str, *,
                  compact_every: int | None = 64,
                  commit_mode: "str | None" = None,
-                 fenced: "bool | None" = None,
+                 fenced: "bool | str | None" = None,
                  target_file_bytes: "int | None" = 128 << 20):
         self.spark = spark
         self.root = root.rstrip("/")
@@ -78,10 +78,20 @@ class CurationStore:
         commit_mode = BC._mode_of(self._seen, commit_mode)
         if fenced is None:
             fenced = commit_mode == BC.MANIFEST
-        self._epochs = {
-            d: BC.acquire_writer(d, mode=commit_mode) if fenced else None
-            for d in (self._seen, self._kept)
-        }
+        if fenced == "shared":
+            # optimistic multi-writer (r13 verdict ask #3): shared
+            # epochs; allocation races decline one side's group commit
+            # and it recomputes admission under a fresh id
+            self._epochs = {d: BC.join_writer(d, mode=commit_mode)
+                            for d in (self._seen, self._kept)}
+        else:
+            self._epochs = {
+                d: BC.acquire_writer(d, mode=commit_mode) if fenced else None
+                for d in (self._seen, self._kept)
+            }
+        # manifest-mode stores commit seen+kept as ONE transaction via
+        # the seen (primary) manifest — batch_commit.commit_batch_group
+        self._group = commit_mode == BC.MANIFEST
         # default ON (see LSHSignatureStore): bounds read-planning cost on
         # long streams; None disables for raw-dir-inspecting tests
         self.compact_every = compact_every
@@ -102,6 +112,11 @@ class CurationStore:
         )
 
     def kept(self, *, snapshot: "int | None" = None) -> DataFrame:
+        if self._group:
+            # kept/ is the group SECONDARY: roll pending txns forward so
+            # the read sees every committed group batch (one JSON read
+            # when nothing pends)
+            BC.heal_txn_group(self._seen)
         if snapshot is not None:
             return BC.read_snapshot(self.spark, self._kept, _KEPT_DDL, snapshot)
         return BC.read_committed(
@@ -115,6 +130,8 @@ class CurationStore:
         is later ingested, deleted, or compacted: the reproducibility
         contract a model trained on this corpus needs. Takedowns reach
         the pinned bytes once the snapshot is dropped (retention)."""
+        if self._group:
+            BC.heal_txn_group(self._seen)  # pin a rolled-forward cut
         return BC.create_snapshot(self._kept, mode=self.commit_mode,
                                   epoch=self._epochs[self._kept])
 
@@ -135,17 +152,60 @@ class CurationStore:
         (batch_commit.py); the seen-store read excludes this batch's own
         (possibly partially-committed) output so a replay recomputes
         against the pre-batch state. ``batch_id=None`` auto-increments."""
-        if batch_id is None:
-            # max over BOTH log roots so a crash that committed only one
-            # of seen/kept can never hand a new batch a reused id (its
-            # commit against the leftover dir would no-op — ADVICE r7)
-            batch_id = BC.next_batch_id(
-                self._seen, self._kept, mode=self.commit_mode
+        auto = batch_id is None
+        for _ in range(16):
+            if auto:
+                # max over BOTH log roots so a crash that committed only
+                # one of seen/kept (pre-group layouts) can never hand a
+                # new batch a reused id (its commit against the leftover
+                # dir would no-op — ADVICE r7)
+                batch_id = BC.next_batch_id(
+                    self._seen, self._kept, mode=self.commit_mode
+                )
+            if self._group:
+                BC.heal_txn_group(self._seen)
+                if BC.is_committed(self._seen, batch_id,
+                                   mode=self.commit_mode):
+                    return  # redelivery
+            elif BC.is_committed(
+                self._seen, batch_id, mode=self.commit_mode
+            ) and BC.is_committed(self._kept, batch_id,
+                                  mode=self.commit_mode):
+                return  # fully-committed redelivery
+            if self._attempt_batch(docs, batch_id):
+                break
+            if not auto:
+                return  # explicit id raced a concurrent commit: redelivery
+        else:
+            raise RuntimeError(
+                f"store at {self.root}: batch id allocation lost 16 "
+                "straight races — writer contention is pathological"
             )
-        if BC.is_committed(
-            self._seen, batch_id, mode=self.commit_mode
-        ) and BC.is_committed(self._kept, batch_id, mode=self.commit_mode):
-            return  # fully-committed redelivery
+        ce = self.compact_every
+        # modulo cadence + backlog backstop: interleaved tombstone ids
+        # must not phase-shift the fold cadence off its residue (r13);
+        # a pure modulo stream never exceeds ce+1 uncompacted batches,
+        # so the backstop fires only when the modulo lost phase
+        if ce and (batch_id % ce == ce - 1 or len(BC.committed_ids(
+                self._seen, mode=self.commit_mode)) >= 2 * ce):
+            if self._group:
+                # a secondary's fold must never advance its horizon
+                # past a group batch it has not rolled forward yet
+                BC.heal_txn_group(self._seen)
+            # size-tiered: bounded write amplification (r8 verdict)
+            BC.compact_tiered(self.spark, self._seen, _SEEN_DDL,
+                              mode=self.commit_mode,
+                              target_file_bytes=self.target_file_bytes,
+                              epoch=self._epochs[self._seen])
+            BC.compact_tiered(self.spark, self._kept, _KEPT_DDL,
+                              mode=self.commit_mode,
+                              target_file_bytes=self.target_file_bytes,
+                              epoch=self._epochs[self._kept])
+
+    def _attempt_batch(self, docs: DataFrame, batch_id: int) -> bool:
+        """One admission + commit attempt against the state committed
+        below ``batch_id``; False = a concurrent group commit took the
+        id first (the caller re-allocates and recomputes admission)."""
         fp = F.md5(F.col("text").cast("binary")).alias("fp")
         batch = docs.select("doc_id", "lang", "text", fp)
         # in-batch canonicalization: smallest doc_id wins its fingerprint
@@ -159,28 +219,24 @@ class CurationStore:
         admitted = self._admit(canon, batch_id).persist()
         try:
             m = self.commit_mode
+            if self._group:
+                # seen+kept commit as ONE transaction via the seen
+                # (primary) manifest: a crash or concurrent writer can
+                # never observe kept docs whose fingerprints are not in
+                # seen (which would re-admit duplicates) or vice versa
+                return BC.commit_batch_group(
+                    {self._seen: admitted.select("fp"),
+                     self._kept: quality_filter(admitted)},
+                    self._seen, batch_id,
+                    epoch=self._epochs[self._seen],
+                )
             BC.commit_batch(quality_filter(admitted), self._kept, batch_id,
                             mode=m, epoch=self._epochs[self._kept])
             BC.commit_batch(admitted.select("fp"), self._seen, batch_id,
                             mode=m, epoch=self._epochs[self._seen])
+            return True
         finally:
             admitted.unpersist()
-        ce = self.compact_every
-        # modulo cadence + backlog backstop: interleaved tombstone ids
-        # must not phase-shift the fold cadence off its residue (r13);
-        # a pure modulo stream never exceeds ce+1 uncompacted batches,
-        # so the backstop fires only when the modulo lost phase
-        if ce and (batch_id % ce == ce - 1 or len(BC.committed_ids(
-                self._seen, mode=self.commit_mode)) >= 2 * ce):
-            # size-tiered: bounded write amplification (r8 verdict)
-            BC.compact_tiered(self.spark, self._seen, _SEEN_DDL,
-                              mode=self.commit_mode,
-                              target_file_bytes=self.target_file_bytes,
-                              epoch=self._epochs[self._seen])
-            BC.compact_tiered(self.spark, self._kept, _KEPT_DDL,
-                              mode=self.commit_mode,
-                              target_file_bytes=self.target_file_bytes,
-                              epoch=self._epochs[self._kept])
 
     def delete_docs(
         self, doc_ids, *, texts=None, batch_id: int | None = None
@@ -194,6 +250,8 @@ class CurationStore:
         Exactly-once: a redelivered delete batch id commits nothing."""
         import hashlib
 
+        if self._group:
+            BC.heal_txn_group(self._seen)  # mask a COMPLETE cut
         if batch_id is None:
             batch_id = BC.next_batch_id(
                 self._seen, self._kept, mode=self.commit_mode

@@ -106,7 +106,7 @@ class LSHSignatureStore:
                  commit_mode: "str | None" = None,
                  n_bands: int | None = None,
                  band_rows: int | None = None,
-                 fenced: "bool | None" = None,
+                 fenced: "bool | str | None" = None,
                  target_file_bytes: "int | None" = 128 << 20):
         self.spark = spark
         self.root = root
@@ -128,10 +128,26 @@ class LSHSignatureStore:
         commit_mode = BC._mode_of(self.members_dir, commit_mode)
         if fenced is None:
             fenced = commit_mode == BC.MANIFEST
-        self._epochs = {
-            d: BC.acquire_writer(d, mode=commit_mode) if fenced else None
-            for d in (self.members_dir, self.shingles_dir, self.pairs_dir)
-        }
+        logs = (self.members_dir, self.shingles_dir, self.pairs_dir)
+        if fenced == "shared":
+            # optimistic multi-writer ingest (r13 verdict ask #3): join
+            # the CURRENT epoch on every log without bumping it — any
+            # number of shared pipelines coexist; an allocation race
+            # declines exactly one group commit and the loser recomputes
+            # under a fresh id. A hard acquire (migration, alias flip,
+            # takedown maintenance) still bumps and fences everyone.
+            self._epochs = {d: BC.join_writer(d, mode=commit_mode)
+                            for d in logs}
+        else:
+            self._epochs = {
+                d: BC.acquire_writer(d, mode=commit_mode) if fenced else None
+                for d in logs
+            }
+        # manifest-mode stores commit the THREE logs as ONE transaction
+        # through the members (primary) manifest — batch_commit's group
+        # commit (Percolator primary-row pattern): no crash or
+        # concurrent writer can ever observe a half-committed batch
+        self._group = commit_mode == BC.MANIFEST
         # fold per-batch log dirs every N batches: long streams otherwise
         # accumulate one directory per batch and the per-batch history
         # read pays the file-count planning cost. DEFAULT ON (64 — a
@@ -207,6 +223,11 @@ class LSHSignatureStore:
         # ONLY when the modulo lost phase
         if ce and (batch_id % ce == ce - 1 or len(BC.committed_ids(
                 self.members_dir, mode=self.commit_mode)) >= 2 * ce):
+            if self._group:
+                # complete any pending cross-log txn BEFORE folding: a
+                # secondary's fold must never advance its horizon past
+                # a group batch it has not rolled forward yet
+                BC.heal_txn_group(self.members_dir)
             m = self.commit_mode
             tfb = self.target_file_bytes
             BC.compact_tiered(self.spark, self.members_dir, _MEMBERS_DDL,
@@ -221,6 +242,11 @@ class LSHSignatureStore:
 
     def _read(self, path: str, ddl: str, before: int | None = None,
               prune_in: "dict | None" = None) -> DataFrame:
+        if self._group and path != self.members_dir:
+            # a secondary manifest may lag the primary by one crash
+            # window; roll pending txns forward so this read sees every
+            # COMMITTED group batch (one JSON read when nothing pends)
+            BC.heal_txn_group(self.members_dir)
         return BC.read_committed(
             self.spark, path, ddl, before=before, mode=self.commit_mode,
             prune_in=prune_in,
@@ -279,6 +305,11 @@ class LSHSignatureStore:
         every pin: the takedown reaches the pinned bytes when the
         snapshot is dropped). Pin at a batch boundary — the store is
         single-writer, so the three pins are one consistent cut."""
+        if self._group:
+            # a pin must capture a ROLLED-FORWARD cut: a pending txn's
+            # secondary entries are committed but not yet in their own
+            # manifests, which is what create_snapshot records
+            BC.heal_txn_group(self.members_dir)
         extra = None
         if pin_members:
             extra = {}
@@ -360,6 +391,8 @@ class LSHSignatureStore:
         drops the rows (batch_commit module docstring). Exactly-once
         like any batch: a redelivered delete id commits nothing."""
         ids = [int(i) for i in doc_ids]
+        if self._group:
+            BC.heal_txn_group(self.members_dir)  # mask a COMPLETE cut
         if batch_id is None:
             batch_id = BC.next_batch_id(
                 self.members_dir, self.shingles_dir, self.pairs_dir,
@@ -415,22 +448,61 @@ class LSHSignatureStore:
         approximation: a late small doc_id cannot evict a stored member,
         and a pair whose larger doc lives in history is not re-verified
         (its shingles are not in the batch frame) — it is dropped, in
-        BOTH store layouts."""
-        if batch_id is None:
-            # max over ALL three log roots: a crash that committed e.g.
-            # pairs but not members must not let the next different-data
-            # batch reuse the id (its pairs commit would silently no-op
-            # against the crashed batch's leftover dir — ADVICE r7)
-            batch_id = BC.next_batch_id(
-                self.members_dir, self.shingles_dir, self.pairs_dir,
-                mode=self.commit_mode,
+        BOTH store layouts.
+
+        Manifest-mode stores commit all three logs as ONE transaction
+        (batch_commit.commit_batch_group) and support CONCURRENT shared
+        writers (``fenced="shared"``): a group commit of id N lands
+        only if N is still uncommitted at the primary publish, which
+        proves no other group commit interleaved with this batch's
+        history probes (``before=N``) — the loser of an allocation race
+        RECOMPUTES its whole batch against the new state under a fresh
+        id (bounded), so two pipelines sharing one store serialize
+        without losing or double-admitting a batch."""
+        auto = batch_id is None
+        for _ in range(16):
+            if auto:
+                # max over ALL three log roots: a crash that committed
+                # e.g. pairs but not members (pre-group layouts) must
+                # not let the next different-data batch reuse the id
+                # (its pairs commit would silently no-op against the
+                # crashed batch's leftover dir — ADVICE r7)
+                batch_id = BC.next_batch_id(
+                    self.members_dir, self.shingles_dir, self.pairs_dir,
+                    mode=self.commit_mode,
+                )
+            if self._group:
+                # the primary (members) txn is the whole group's commit
+                # point; heal completes any predecessor's crash window
+                # BEFORE the probes read the secondary logs
+                BC.heal_txn_group(self.members_dir)
+                if BC.is_committed(self.members_dir, batch_id,
+                                   mode=self.commit_mode):
+                    return  # redelivery: exactly-once no-op
+            elif (
+                BC.is_committed(self.pairs_dir, batch_id,
+                                mode=self.commit_mode)
+                and BC.is_committed(self.members_dir, batch_id,
+                                    mode=self.commit_mode)
+                and BC.is_committed(self.shingles_dir, batch_id,
+                                    mode=self.commit_mode)
+            ):
+                return  # fully-committed redelivery: exactly-once no-op
+            if self._attempt_batch(batch_docs, batch_id):
+                break
+            if not auto:
+                return  # explicit id raced a concurrent commit: redelivery
+        else:
+            raise RuntimeError(
+                f"store at {self.root}: batch id allocation lost 16 "
+                "straight races — writer contention is pathological"
             )
-        if (
-            BC.is_committed(self.pairs_dir, batch_id, mode=self.commit_mode)
-            and BC.is_committed(self.members_dir, batch_id, mode=self.commit_mode)
-            and BC.is_committed(self.shingles_dir, batch_id, mode=self.commit_mode)
-        ):
-            return  # fully-committed redelivery: exactly-once no-op
+        self._maybe_compact(batch_id)
+
+    def _attempt_batch(self, batch_docs: DataFrame, batch_id: int) -> bool:
+        """One full computation + commit attempt against the state
+        committed below ``batch_id``; False = a concurrent group commit
+        took the id first (the caller re-allocates and recomputes)."""
         spark = self.spark
         self._record_bands()
         sig = minhash_signature_frame(
@@ -511,32 +583,46 @@ class LSHSignatureStore:
                 .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
             )
             m = self.commit_mode
+            # shingles are stored only for docs future batches can ever
+            # meet in a bucket — i.e. admitted somewhere
+            shingles_df = self._shingles_to_commit(
+                sig.join(
+                    admitted.select("doc_id").distinct(), "doc_id", "left_semi"
+                ).select("doc_id", "shingles")
+            )
+            if self._group:
+                # ONE cross-log transaction (r13 verdict ask #3): the
+                # members (primary) manifest publish commits all three
+                # logs atomically — no crash or concurrent writer can
+                # see pairs without their members/shingles
+                return BC.commit_batch_group(
+                    {self.pairs_dir: new_pairs,
+                     self.members_dir: self._members_to_commit(admitted),
+                     self.shingles_dir: shingles_df},
+                    self.members_dir, batch_id,
+                    stats_cols={self.shingles_dir: ["doc_id"]},
+                    epoch=self._epochs[self.members_dir],
+                )
             BC.commit_batch(new_pairs, self.pairs_dir, batch_id, mode=m,
                             epoch=self._epochs[self.pairs_dir])
             BC.commit_batch(
                 self._members_to_commit(admitted), self.members_dir, batch_id,
                 mode=m, epoch=self._epochs[self.members_dir],
             )
-            # shingles are stored only for docs future batches can ever
-            # meet in a bucket — i.e. admitted somewhere
             BC.commit_batch(
-                self._shingles_to_commit(
-                    sig.join(
-                        admitted.select("doc_id").distinct(), "doc_id", "left_semi"
-                    ).select("doc_id", "shingles")
-                ),
+                shingles_df,
                 self.shingles_dir,
                 batch_id,
                 stats_cols=["doc_id"],
                 mode=m,
                 epoch=self._epochs[self.shingles_dir],
             )
+            return True
         finally:
             sig.unpersist()
             for frame in (admitted, cand):
                 if frame is not None:
                     frame.unpersist()
-        self._maybe_compact(batch_id)
 
 
 class PrunedLSHSignatureStore(LSHSignatureStore):
@@ -632,6 +718,8 @@ class PrunedLSHSignatureStore(LSHSignatureStore):
         # modulo cadence + phase-shift backstop (see base _maybe_compact)
         if ce and (batch_id % ce == ce - 1 or len(BC.committed_ids(
                 self.members_dir, mode=self.commit_mode)) >= 2 * ce):
+            if self._group:
+                BC.heal_txn_group(self.members_dir)  # see base class
             m = self.commit_mode
             tfb = self.target_file_bytes
             BC.compact_tiered(self.spark, self.members_dir, _MEMBERS_DDL,
