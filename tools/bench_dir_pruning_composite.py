@@ -11,7 +11,13 @@ counterfactuals show why composite matters — either predicate alone
 plans strictly more files than both together.
 
 Usage: python tools/bench_dir_pruning_composite.py [out.json]
-       [rounds=4] [batches0=8] [rows_per_batch=200000]
+       [rounds=4] [batches0=8] [rows_per_batch=200000] [n_users=200000]
+
+The r13 receipt proved the PLANNING claim (10 vs 79 files) but its
+wall clock was floor-dominated: with n_users=200k the roll-up caps the
+partial log at ~1.6M group rows, which 32 cores merge at job-overhead
+speed either way. Raising n_users (r14: 2M) grows the unpruned merge
+into scan dominance so the LATENCY separation shows on the same curve.
 """
 
 from __future__ import annotations
@@ -32,10 +38,10 @@ from doreisa_spark.streaming import batch_commit as BC  # noqa: E402
 from doreisa_spark.streaming.incremental_agg import AggregateStore  # noqa: E402
 
 N_TYPES = 8
-N_USERS = 200_000  # high-cardinality second key: multi-file partials
+N_USERS = 200_000  # default; argv[5] overrides (r14 latency curve: 2M)
 
 
-def synth(spark, lo: int, n: int):
+def synth(spark, lo: int, n: int, n_users: int = N_USERS):
     # hash-decorrelated keys: every (type, user) combination occurs, so
     # within an event_type span the files really are contiguous user
     # slices (a modulo pair would make type a function of user — the
@@ -43,7 +49,7 @@ def synth(spark, lo: int, n: int):
     return spark.range(lo, lo + n).select(
         F.concat(F.lit("et"),
                  F.pmod(F.hash("id"), F.lit(N_TYPES))).alias("event_type"),
-        F.pmod(F.hash("id", F.lit(1)), F.lit(N_USERS)).alias("user_id"),
+        F.pmod(F.hash("id", F.lit(1)), F.lit(n_users)).alias("user_id"),
         (F.col("id") % 97 * 0.5).alias("v"),
     )
 
@@ -54,6 +60,7 @@ def main() -> None:
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     batches0 = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     rows_per_batch = int(sys.argv[4]) if len(sys.argv) > 4 else 200_000
+    n_users = int(sys.argv[5]) if len(sys.argv) > 5 else N_USERS
     spark = get_spark("bench-composite-pruning")
     tmp = tempfile.mkdtemp(prefix="composite_prune_")
     # a TIGHT user cluster: the partials sort by (event_type, user_id), so
@@ -74,7 +81,8 @@ def main() -> None:
             t0 = time.time()
             while done < total:
                 store.process_batch(
-                    synth(spark, done * rows_per_batch, rows_per_batch))
+                    synth(spark, done * rows_per_batch, rows_per_batch,
+                          n_users))
                 done += 1
             build_s = time.time() - t0
             root = f"{tmp}/agg/partials"
@@ -133,7 +141,7 @@ def main() -> None:
             total *= 2
         line = {"metric": "agg_composite_pruning_curve", "unit": "files",
                 "value": points[-1]["files_planned_composite"],
-                "probe": probe, "points": points}
+                "probe": probe, "n_users": n_users, "points": points}
         with open(out, "w") as f:
             json.dump(line, f, indent=1)
         print(json.dumps({k: line[k] for k in
