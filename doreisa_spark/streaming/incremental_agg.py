@@ -645,7 +645,14 @@ class AggregateStore:
         separate non-retractable store and re-derive on takedown.
         CONTRACT: retract only rows that were (or will be) inserted —
         the engine cannot verify membership without the raw history it
-        exists to avoid scanning."""
+        exists to avoid scanning. With SCHEMA EVOLUTION (add_agg), a
+        retract batch deleting rows inserted BEFORE the evolution must
+        carry NULL for the post-evolution source columns (a CDC feed
+        replaying the original row does this naturally — the column
+        did not exist): NULLs are skipped by every partial, so the
+        contribution that was never added is never subtracted. A
+        backfilled current-schema value in such a retract row would
+        decrement mass the view never accumulated."""
         if not self.retractable:
             raise ValueError(
                 f"store at {self.root} is not retractable: recreate with "

@@ -364,9 +364,10 @@ class JoinedAggregateView:
                 d["store"].drop_snapshot(int(pins[d["name"]]))
 
     def read_pins(self, pins: dict, group_by=None, *,
-                  how: str = "inner") -> DataFrame:
+                  how: str = "inner", allow_topk: bool = False) -> DataFrame:
         """Convenience: read the view exactly as pinned by snapshot()."""
         return self.read(group_by, how=how, fact_snapshot=pins["fact"],
+                         allow_topk=allow_topk,
                          dim_snapshots={d["name"]: pins[d["name"]]
                                         for d in self._dims
                                         if d["name"] in pins})

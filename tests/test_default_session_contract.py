@@ -16,13 +16,16 @@ from __future__ import annotations
 
 import pytest
 
-from doreisa_spark.registry import REGISTRY, queries
+from doreisa_spark.registry import EXTENDED, REGISTRY, _ensure_loaded
 
 SF = "/root/testdata/sf0.001"
 
-# Primary queries that read the events table (keep in sync with
-# `grep -l events doreisa_spark/queries/*.py` — the registry has no
-# per-query source metadata, so the set is pinned explicitly).
+# Events-reading queries exercised on a default-conf session (keep in
+# sync with `grep -l events doreisa_spark/queries/*.py` — the registry
+# has no per-query source metadata, so the set is pinned explicitly).
+# Tier doesn't matter for the guard: window_lag_lead rotated to
+# extended in r14 and stays listed; agg_retract_incremental joined the
+# primary tier and reads events on a fresh session too.
 EVENTS_QUERIES = [
     "window_ranking",
     "window_lag_lead",
@@ -34,12 +37,17 @@ EVENTS_QUERIES = [
     "stream_sessionization_islands",
     "join_asof_purchase_click",
     "func_pandas_udf_scalar",
+    "agg_retract_incremental",
 ]
 
 
-def test_events_queries_listed_are_primary():
-    q = queries()
-    missing = [n for n in EVENTS_QUERIES if n not in q]
+def _lookup(name):
+    _ensure_loaded()
+    return REGISTRY.get(name) or EXTENDED.get(name)
+
+
+def test_events_queries_listed_are_registered():
+    missing = [n for n in EVENTS_QUERIES if _lookup(n) is None]
     assert not missing, f"stale EVENTS_QUERIES entries: {missing}"
 
 
@@ -48,5 +56,5 @@ def test_events_query_on_default_conf_session(spark, name):
     # newSession(): shared SparkContext (no second JVM) but a fresh SQLConf
     # — the closest in-process stand-in for the driver's own session.
     fresh = spark.newSession()
-    df = REGISTRY[name].fn(fresh, SF)
+    df = _lookup(name).fn(fresh, SF)
     assert df.count() >= 0

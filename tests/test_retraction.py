@@ -239,3 +239,50 @@ def test_join_view_read_refuses_topk_by_default(spark, tmp_path):
     got = {(r["source"], r["item"], r["est_n"], r["rank"])
            for r in v.read_topk("top", ["source"]).collect()}
     assert got == {("web", 10, 3, 1), ("web", 12, 2, 2)}
+
+
+def test_retract_with_schema_evolution_null_columns(spark, tmp_path):
+    """Retraction × add_agg: deleting a PRE-evolution row must not
+    decrement the post-evolution column — the CDC replay carries NULL
+    for a column that did not exist at insert time, and NULLs skip
+    every partial (the documented contract on process_retract_batch)."""
+    st = AggregateStore(spark, str(tmp_path / "evo"), key_cols=["k"],
+                        retractable=True,
+                        aggs={"cnt": ("count", None)})
+    old = spark.createDataFrame([(0, 10.0), (0, 20.0), (1, 30.0)],
+                                "k bigint, v double")
+    st.process_batch(old.select("k"))  # pre-evolution shape: no v
+    st.add_agg("sum_v", "sum", "v")
+    new = spark.createDataFrame([(0, 100.0), (1, 200.0)],
+                                "k bigint, v double")
+    st.process_batch(new)
+    # CDC delete of one OLD row: v NULL (the column didn't exist then)
+    st.process_retract_batch(
+        spark.createDataFrame([(0, None)], "k bigint, v double"))
+    got = {r["k"]: (r["cnt"], r["sum_v"]) for r in st.read().collect()}
+    # counts: k0 had 2 old + 1 new - 1 deleted = 2; k1: 1 old + 1 new
+    # sum_v accumulates from evolution only and the delete must not
+    # touch it (the deleted row never contributed)
+    assert got == {0: (2, 100.0), 1: (2, 200.0)}
+
+
+def test_retract_windowed_view_then_expire(spark, tmp_path):
+    """Retraction composes with event-time retention: CDC deletes heal
+    a window's aggregates; expire_windows then tombstones whole window
+    groups below the horizon, including ones already retracted to
+    nothing."""
+    rows = spark.createDataFrame(
+        [(h, i, float(h * 100 + i)) for h in range(4) for i in range(5)],
+        "hour bigint, i bigint, v double")
+    st = AggregateStore(spark, str(tmp_path / "win"), key_cols=["hour"],
+                        retractable=True,
+                        aggs={"cnt": ("count", None), "sum_v": ("sum", "v")})
+    st.process_batch(rows)
+    st.process_retract_batch(rows.where("hour = 1"))  # window emptied
+    st.process_retract_batch(rows.where("hour = 3 and i < 2"))
+    got = {r["hour"]: r["cnt"] for r in st.read().collect()}
+    assert got == {0: 5, 2: 5, 3: 3}  # hour 1 dropped by retraction
+    expired = st.expire_windows(2)
+    assert set(expired) <= {0, 1}
+    got = {r["hour"]: r["cnt"] for r in st.read().collect()}
+    assert got == {2: 5, 3: 3}
