@@ -69,8 +69,12 @@ def main() -> None:
                 for _ in range(3):
                     m = len(deleted_mods) + 1
                     deleted_mods.append(m)
+                    # the CDC feed HANDS the pipeline its delete rows;
+                    # materialize them before the timer so the receipt
+                    # prices the RETRACTION, not the feed's own scan
                     dels = spark.read.parquet(raw).where(
-                        f"id % 1009 = {m}").drop("id")
+                        f"id % 1009 = {m}").drop("id").persist()
+                    dels.count()
                     t0 = time.time()
                     store.process_retract_batch(dels)
                     store.read().count()
@@ -87,6 +91,7 @@ def main() -> None:
                     t0 = time.time()
                     store.read().count()
                     vts.append(time.time() - t0)
+                    dels.unpersist()
                 points.append({
                     "batches": i + 1, "raw_rows": (i + 1) * rows,
                     "retract_plus_read_s": round(min(rts), 3),
