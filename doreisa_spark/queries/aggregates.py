@@ -1239,3 +1239,97 @@ def agg_retract_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order-statistic interpolation, not the sketch (the folded bins
     # are recount-exact under retraction; see test_incremental_agg)
     return store.read_quantiles("vhist", [0.5, 0.9])
+
+
+@register(
+    "agg_join_incremental_quantile",
+    extended=True,
+    band_oracle="""
+SELECT source,
+       quantile_disc(value, 0.5) AS q_0_5,
+       quantile_disc(value, 0.9) AS q_0_9
+FROM (SELECT d.source, e.value
+      FROM events e JOIN documents d ON (e.event_id % 700) = d.doc_id)
+GROUP BY source
+""",
+    band_rtol=0.05,
+)
+def agg_join_incremental_quantile(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Quantile sketches ACROSS the join re-group — the third member of
+    the sketch-across-join family (HLL: agg_join_incremental_distinct;
+    topk: agg_join_incremental_topk): fixed-edge histogram bins merge
+    by per-bin SUM through the FK → source re-group, so unlike topk no
+    error bound is lost — the merged sketch IS the sketch of the
+    joined rows, and the joined-grain p50/p90 land within ±5% of
+    DuckDB's exact quantile_disc over the raw join — the DISC quantile
+    (crossing order statistic) is the estimator's own definition, so
+    the bound is the bin width even for the small sparse joined groups
+    at sf0.001 where quantile_cont's interpolation across value gaps
+    diverges from any histogram."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_join import JoinedAggregateView
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "doc_fk", F.expr("event_id % 700")
+    )
+    d = table(spark, sf_dir, "documents")
+    view = JoinedAggregateView(
+        spark, _fresh_store_dir("incjoinq"),
+        fk="doc_fk", fact_keys=[],
+        fact_aggs={"vhist": ("hist", "value",
+                             {"lo": 0.0, "hi": 500.0, "bins": 2048})},
+        dim_key="doc_id", dim_cols=["source"], dim_order_by="doc_id",
+    )
+    view.process_fact_batch(e.where("event_id % 2 = 0"))
+    view.process_dim_batch(d.where("doc_id % 2 = 1"))
+    view.process_fact_batch(e.where("event_id % 2 = 1"))
+    view.process_dim_batch(d.where("doc_id % 2 = 0"))
+    return view.read_quantiles("vhist", [0.5, 0.9], ["source"])
+
+
+@register(
+    "agg_update_incremental",
+    extended=True,
+    oracle="""
+SELECT event_type, cnt, round(sum_value, 2) AS sum_value,
+       round(avg_value, 6) AS avg_value
+FROM (
+  SELECT event_type, count(*) AS cnt,
+         sum(CASE WHEN event_id % 11 = 5 THEN value + 1000.0
+                  ELSE value END) AS sum_value,
+         avg(CASE WHEN event_id % 11 = 5 THEN value + 1000.0
+                  ELSE value END) AS avg_value
+  FROM events GROUP BY event_type)
+""",
+)
+def agg_update_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC UPDATE = retract(old row) + insert(new row) — the standard
+    Z-set decomposition: every ``event_id % 11 = 5`` row's value is
+    bumped by 1000 AFTER initial ingest by retracting the original rows
+    and inserting the modified ones (out of order relative to each
+    other — the merge commutes). The view must hash-match DuckDB's
+    one-pass aggregate over the post-update table; counts are unchanged
+    (an update is not a delete), sums and the raw-moment averages move
+    exactly."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    store = AggregateStore(
+        spark, _fresh_store_dir("incupd"), key_cols=["event_type"],
+        retractable=True,
+        aggs={"cnt": ("count", None), "sum_value": ("sum", "value"),
+              "avg_value": ("avg", "value")},
+    )
+    store.process_batch(e.where("event_id % 2 = 0"))
+    store.process_batch(e.where("event_id % 2 = 1"))
+    upd = e.where("event_id % 11 = 5")
+    # the INSERT half of the update lands before the RETRACT half
+    store.process_batch(upd.withColumn("value", F.col("value") + 1000.0))
+    store.process_retract_batch(upd)
+    return (
+        store.read()
+        .withColumn("sum_value", F.round("sum_value", 2))
+        .withColumn("avg_value", F.round("avg_value", 6))
+    )

@@ -385,6 +385,54 @@ def _hll_est(n, z):
     return F.when((raw <= F.lit(2.5 * _HLL_M)) & (v > 0), lin).otherwise(raw)
 
 
+def _interp_quantiles(folded: DataFrame, key_cols: list, col: str, qs,
+                      lo: float, hi: float, bins: int) -> DataFrame:
+    """Quantile estimates from a frame with ONE merged ``hist`` map per
+    group: per-group cumulative bin counts (one window over groups ×
+    bins rows — sketch-bounded) + linear interpolation inside the
+    crossing bin. Shared by AggregateStore.read_quantiles (folded off
+    the partial log) and JoinedAggregateView.read_quantiles (folded
+    through the join re-group). Output: key columns + one ``q_<pct>``
+    column per requested quantile; error bounded by the bin width."""
+    from pyspark.sql import Window as W
+
+    width = (hi - lo) / bins
+    ex = folded.select(
+        *key_cols, F.explode_outer(F.col(col)).alias("__bin", "__n")
+    ).where(F.col("__bin").isNotNull() & (F.col("__n") > 0))
+    w = W.partitionBy(*key_cols).orderBy("__bin")
+    cum = ex.select(
+        *key_cols, "__bin", "__n",
+        F.sum("__n").over(w).alias("__cum"),
+        F.sum("__n").over(W.partitionBy(*key_cols)).alias("__tot"),
+    )
+    # seed with the FULL group set (not just groups with histogram
+    # mass): a group whose sketch source was all-NULL in every
+    # partial must keep its row with NULL estimates, exactly like
+    # SQL quantile_cont over an all-NULL group (r12 ADVICE); the
+    # folded frame is already one row per group
+    view = folded.select(*key_cols)
+    for q in qs:
+        name = f"q_{str(q).replace('.', '_')}"
+        tgt = F.col("__tot") * float(q)
+        hit = cum.where(F.col("__cum") >= tgt).groupBy(*key_cols).agg(
+            F.min(F.struct("__bin", "__n", "__cum", "__tot")).alias("__h")
+        ).select(
+            *key_cols,
+            (F.lit(lo) + (
+                F.col("__h.__bin")
+                + (F.col("__h.__tot") * float(q)
+                   - (F.col("__h.__cum") - F.col("__h.__n")))
+                / F.col("__h.__n")
+            ) * F.lit(width)).alias(name),
+        )
+        # null-safe attach (a NULL group key is a real group); every
+        # q in (0, 1] yields the same group set — the last bin's
+        # cumulative equals the total — so left is exact
+        view = AggregateStore._attach_by(view, hit, key_cols)
+    return view
+
+
 class AggregateStore:
     """Persisted incremental GROUP BY ``key_cols`` view.
 
@@ -952,15 +1000,12 @@ class AggregateStore:
         interpolation inside the crossing bin. Output: key columns +
         one ``q_<pct>`` column per requested quantile. Error is
         bounded by the recorded bin width."""
-        from pyspark.sql import Window as W
-
         fn, _, opts = self.aggs[col]
         if fn != "hist":
             raise ValueError(f"{col} is {fn}, read_quantiles needs hist")
         if not qs or not all(0 < float(q) <= 1 for q in qs):
             raise ValueError(f"quantiles must be in (0, 1], got {qs}")
         lo, hi, bins = float(opts["lo"]), float(opts["hi"]), int(opts["bins"])
-        width = (hi - lo) / bins
         # merge the bins straight off the partial log: going through
         # read() would compute — and discard — every OTHER aggregate
         # column, including other sketches' explode/join chains (r12
@@ -978,45 +1023,8 @@ class AggregateStore:
             # insert and delete mass cancelled carry no quantile weight
             folded = folded.where(F.col("__support") > 0) \
                            .drop("__support")
-        ex = folded.select(
-            *self.key_cols, F.explode_outer(F.col(col)).alias("__bin", "__n")
-        ).where(F.col("__bin").isNotNull() & (F.col("__n") > 0))
-        w = W.partitionBy(*self.key_cols).orderBy("__bin")
-        cum = ex.select(
-            *self.key_cols, "__bin", "__n",
-            F.sum("__n").over(w).alias("__cum"),
-            F.sum("__n").over(
-                W.partitionBy(*self.key_cols)
-            ).alias("__tot"),
-        )
-        # seed with the FULL group set (not just groups with histogram
-        # mass): a group whose sketch source was all-NULL in every
-        # partial must keep its row with NULL estimates, exactly like
-        # SQL quantile_cont over an all-NULL group (r12 ADVICE); the
-        # folded frame is already one row per group
-        view = folded.select(*self.key_cols)
-        for q in qs:
-            name = f"q_{str(q).replace('.', '_')}"
-            tgt = F.col("__tot") * float(q)
-            hit = cum.where(F.col("__cum") >= tgt).groupBy(
-                *self.key_cols
-            ).agg(
-                F.min(F.struct("__bin", "__n", "__cum", "__tot"))
-                .alias("__h")
-            ).select(
-                *self.key_cols,
-                (F.lit(lo) + (
-                    F.col("__h.__bin")
-                    + (F.col("__h.__tot") * float(q)
-                       - (F.col("__h.__cum") - F.col("__h.__n")))
-                    / F.col("__h.__n")
-                ) * F.lit(width)).alias(name),
-            )
-            # null-safe attach (a NULL group key is a real group);
-            # every q in (0, 1] yields the same group set — the last
-            # bin's cumulative equals the total — so left is exact
-            view = self._attach(view, hit)
-        return view
+        return _interp_quantiles(folded, self.key_cols, col, qs,
+                                 lo, hi, bins)
 
     def read_topk(self, col: str, *, k: "int | None" = None,
                   snapshot: "int | None" = None) -> DataFrame:

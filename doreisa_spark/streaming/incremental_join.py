@@ -338,6 +338,37 @@ class JoinedAggregateView:
                     F.col("__n").alias("est_n"), "rank")
         )
 
+    def read_quantiles(self, col: str, qs,
+                       group_by: "list[str] | None" = None, *,
+                       how: str = "inner") -> DataFrame:
+        """Quantile estimates at the JOINED grain from a ``hist`` fact
+        column: the fixed-edge bins merge by per-bin SUM through the FK
+        → attribute re-group — the sketch of the union IS the union of
+        the sketches, so unlike topk there is no bound to lose — then
+        the shared crossing-bin interpolation serves ``q_<pct>``
+        columns. Completes the sketch-across-join family next to HLL
+        (agg_join_incremental_distinct) and topk (read_topk); error is
+        the recorded bin width, exactly the single-store bound."""
+        from doreisa_spark.streaming.incremental_agg import (
+            _interp_quantiles,
+        )
+
+        fn, _, opts = self.fact.aggs[col]
+        if fn != "hist":
+            raise ValueError(f"{col} is {fn}, read_quantiles needs hist")
+        if not qs or not all(0 < float(q) <= 1 for q in qs):
+            raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+        group_by = (list(group_by) if group_by is not None
+                    else [c for d in self._dims for c in d["cols"]]
+                    + self.fact_keys)
+        # allow_topk: any topk column is computed by the re-group but
+        # NOT served here — the refusal protects read()'s outputs
+        grain = self.read(group_by, how=how, allow_topk=True)
+        return _interp_quantiles(
+            grain.select(*group_by, col), group_by, col, qs,
+            float(opts["lo"]), float(opts["hi"]), int(opts["bins"]),
+        )
+
     # --------------------------------------------------------- lifecycle
     def snapshot(self) -> dict[str, int]:
         """Pin EVERY side at one cut (metadata-only): pass the returned
