@@ -1333,3 +1333,54 @@ def agg_update_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sum_value", F.round("sum_value", 2))
         .withColumn("avg_value", F.round("avg_value", 6))
     )
+
+
+@register(
+    "agg_cdc_incremental",
+    extended=True,
+    oracle="""
+SELECT event_type, cnt, round(sum_value, 2) AS sum_value
+FROM (
+  SELECT event_type, count(*) AS cnt,
+         sum(CASE WHEN event_id % 13 = 4 THEN value * 2.0
+                  ELSE value END) AS sum_value
+  FROM events
+  WHERE event_id % 13 != 9
+  GROUP BY event_type)
+""",
+)
+def agg_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED CDC micro-batches (process_cdc_batch): each batch carries
+    op-tagged inserts AND deletes committed as ONE atomic signed
+    partial — the half-application window of paired insert/retract
+    commits cannot exist. The feed: initial inserts, then one mixed
+    batch UPDATING every ``event_id % 13 = 4`` row (delete old value +
+    insert doubled value) while DELETING every ``% 13 = 9`` row, with
+    one mixed batch REDELIVERED under its committed id (refused whole).
+    Hash-exact vs DuckDB's one-pass over the post-CDC table."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    store = AggregateStore(
+        spark, _fresh_store_dir("inccdc"), key_cols=["event_type"],
+        retractable=True,
+        aggs={"cnt": ("count", None), "sum_value": ("sum", "value")},
+    )
+    ins = e.select("event_type", "value", F.lit("I").alias("op"),
+                   "event_id")
+    store.process_cdc_batch(ins.where("event_id % 2 = 0").drop("event_id"))
+    store.process_cdc_batch(ins.where("event_id % 2 = 1").drop("event_id"))
+    upd = e.where("event_id % 13 = 4")
+    dels = e.where("event_id % 13 = 9")
+    mixed = (
+        upd.select("event_type", "value", F.lit("D").alias("op"))
+        .unionByName(upd.select(
+            "event_type", (F.col("value") * 2.0).alias("value"),
+            F.lit("I").alias("op")))
+        .unionByName(dels.select("event_type", "value",
+                                 F.lit("D").alias("op")))
+    )
+    bid = store.process_cdc_batch(mixed)
+    store.process_cdc_batch(mixed, batch_id=bid)  # redelivery: whole no-op
+    return store.read().withColumn("sum_value", F.round("sum_value", 2))

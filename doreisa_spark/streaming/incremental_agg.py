@@ -710,13 +710,54 @@ class AggregateStore:
             )
         return self._process(batch, batch_id, -1)
 
+    def process_cdc_batch(self, batch: DataFrame,
+                          batch_id: "int | None" = None, *,
+                          op_col: str = "op", insert_op="I",
+                          delete_op="D") -> int:
+        """One MIXED CDC micro-batch — inserts and deletes tagged by
+        ``op_col`` — applied ATOMICALLY: the insert half's partial
+        UNIONs the delete half's NEGATED partial and the result commits
+        under ONE batch id. This closes the half-application window a
+        process_batch + process_retract_batch pair would have (a crash
+        between the two commits redelivers one half and refuses the
+        other); here a redelivered mixed batch is refused whole or
+        applied whole, never split. An UPDATE is its standard Z-set
+        decomposition: a delete row carrying the OLD values plus an
+        insert row carrying the new ones, both in the same batch.
+        Unknown op values fail loudly — a CDC feed's op vocabulary
+        drifting must not silently drop rows."""
+        if not self.retractable:
+            raise ValueError(
+                f"store at {self.root} is not retractable: recreate with "
+                "retractable=True — CDC deletes need signed partials"
+            )
+        bad = batch.where(
+            ~F.col(op_col).isin(insert_op, delete_op)).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"CDC batch carries op {bad[0][op_col]!r} — expected "
+                f"{insert_op!r} (insert / update-new) or {delete_op!r} "
+                "(delete / update-old)"
+            )
+        aggs = {**self.aggs, **self._staged}
+        ins = batch.where(F.col(op_col) == insert_op).drop(op_col)
+        dels = batch.where(F.col(op_col) == delete_op).drop(op_col)
+        part = self._partial(ins, aggs, sign=1).unionByName(
+            self._partial(dels, aggs, sign=-1))
+        return self._commit_partial(part, batch_id)
+
     def _process(self, batch: DataFrame, batch_id: "int | None",
                  sign: int) -> int:
+        return self._commit_partial(
+            self._partial(batch, {**self.aggs, **self._staged}, sign=sign),
+            batch_id,
+        )
+
+    def _commit_partial(self, part: DataFrame,
+                        batch_id: "int | None") -> int:
         auto = batch_id is None
         if auto:
             batch_id = BC.next_batch_id(self._log, mode=self.commit_mode)
-        part = self._partial(batch, {**self.aggs, **self._staged},
-                             sign=sign)
         if self._ddl is None:
             ddl = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
@@ -1176,4 +1217,27 @@ def drive_aggregate_view(
 
     run_foreach_batch(stream, sink, timeout_sec=timeout_sec,
                       checkpoint=checkpoint)
+    return store.read()
+
+
+def drive_cdc_view(
+    stream: DataFrame, store: AggregateStore, *,
+    op_col: str = "op", insert_op="I", delete_op="D",
+    timeout_sec: float = 300, checkpoint: "str | None" = None,
+) -> DataFrame:
+    """CDC-stream drive: each micro-batch may MIX inserts and deletes
+    (op-tagged rows); process_cdc_batch applies it as ONE atomic
+    signed-partial commit, so the exactly-once story of
+    ``drive_aggregate_view`` extends to mixed batches — a crash after
+    the commit but before the checkpoint redelivers the whole batch
+    and the whole batch is refused, never one half."""
+    from doreisa_spark.streaming.structured import run_foreach_batch
+
+    run_foreach_batch(
+        stream,
+        lambda df, bid: store.process_cdc_batch(
+            df, bid, op_col=op_col, insert_op=insert_op,
+            delete_op=delete_op),
+        timeout_sec=timeout_sec, checkpoint=checkpoint,
+    )
     return store.read()

@@ -286,3 +286,90 @@ def test_retract_windowed_view_then_expire(spark, tmp_path):
     assert set(expired) <= {0, 1}
     got = {r["hour"]: r["cnt"] for r in st.read().collect()}
     assert got == {2: 5, 3: 3}
+
+
+def test_cdc_mixed_batch_atomic(spark, tmp_path):
+    """process_cdc_batch: inserts + deletes of ONE micro-batch commit
+    as ONE signed partial — a redelivered mixed batch is refused whole
+    (the half-application window of a process_batch +
+    process_retract_batch pair does not exist here)."""
+    st = AggregateStore(spark, str(tmp_path / "cdc"), key_cols=["k"],
+                        retractable=True,
+                        aggs={"cnt": ("count", None),
+                              "sum_v": ("sum", "v")})
+    def b(rows):
+        return spark.createDataFrame(rows, "k bigint, v double, op string")
+    st.process_cdc_batch(b([(0, 1.0, "I"), (0, 2.0, "I"), (1, 3.0, "I")]))
+    # UPDATE of (0, 2.0) -> (0, 5.0) plus a fresh insert, one batch
+    bid = st.process_cdc_batch(
+        b([(0, 2.0, "D"), (0, 5.0, "I"), (1, 7.0, "I")]))
+    # redelivery of the MIXED batch: refused whole
+    st.process_cdc_batch(
+        b([(0, 2.0, "D"), (0, 5.0, "I"), (1, 7.0, "I")]), batch_id=bid)
+    got = {r["k"]: (r["cnt"], r["sum_v"]) for r in st.read().collect()}
+    assert got == {0: (2, 6.0), 1: (2, 10.0)}
+    # unknown ops fail loudly
+    with pytest.raises(ValueError, match="op"):
+        st.process_cdc_batch(b([(0, 1.0, "X")]))
+    # non-retractable stores refuse
+    nr = AggregateStore(spark, str(tmp_path / "cdcnr"), key_cols=["k"],
+                        aggs={"cnt": ("count", None)})
+    with pytest.raises(ValueError, match="not retractable"):
+        nr.process_cdc_batch(b([(0, 1.0, "I")]))
+
+
+def test_cdc_stream_drive_exactly_once_mixed(spark, tmp_path):
+    """drive_cdc_view end-to-end with a forced crash AFTER a mixed
+    batch's commit: the restart redelivers the same micro-batch under
+    the same id and the view equals the one-pass expectation — neither
+    the insert half nor the delete half double-applies."""
+    import os
+
+    from doreisa_spark.streaming.incremental_agg import drive_cdc_view
+    from doreisa_spark.streaming.structured import run_foreach_batch
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    frames = [
+        [(k, float(k * 10 + i), "I") for k in range(3) for i in range(4)],
+        [(0, 0.0, "D"), (0, 1.0, "D"), (1, 99.0, "I")],  # mixed
+        [(2, 20.0, "D"), (2, 300.0, "I")],               # mixed
+    ]
+    for i, rows in enumerate(frames):
+        df = spark.createDataFrame(rows, "k bigint, v double, op string")
+        tmp = tmp_path / f"t{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        data = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        os.rename(str(tmp / data), str(src / f"{i:05d}.parquet"))
+        os.utime(str(src / f"{i:05d}.parquet"),
+                 (1_700_000_000 + i * 10,) * 2)
+
+    def read_stream():
+        return (spark.readStream.schema("k bigint, v double, op string")
+                .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    st = AggregateStore(spark, str(tmp_path / "cdcst"), key_cols=["k"],
+                        retractable=True,
+                        aggs={"cnt": ("count", None),
+                              "sum_v": ("sum", "v")})
+    ckpt = str(tmp_path / "ckpt")
+    crashed = {"n": 0}
+
+    def crashing(df, bid):
+        st.process_cdc_batch(df, bid)  # the mixed commit LANDS...
+        if bid == 1 and crashed["n"] == 0:
+            crashed["n"] = 1
+            raise RuntimeError("crash after mixed-batch commit")
+
+    try:
+        run_foreach_batch(read_stream(), crashing, timeout_sec=120,
+                          checkpoint=ckpt)
+    except Exception:
+        pass
+    assert crashed["n"] == 1
+    drive_cdc_view(read_stream(), st, checkpoint=ckpt, timeout_sec=120)
+    # survivors: k0 rows {2,3}; k1 rows {10..13, 99}; k2 rows {21,22,23,300}
+    exp = {0: (2, 5.0), 1: (5, 145.0), 2: (4, 366.0)}
+    got = {r["k"]: (r["cnt"], round(r["sum_v"], 6))
+           for r in st.read().collect()}
+    assert got == exp
