@@ -1384,3 +1384,53 @@ def agg_cdc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bid = store.process_cdc_batch(mixed)
     store.process_cdc_batch(mixed, batch_id=bid)  # redelivery: whole no-op
     return store.read().withColumn("sum_value", F.round("sum_value", 2))
+
+
+@register(
+    "agg_join_incremental_var",
+    extended=True,
+    oracle="""
+SELECT source, cnt,
+       round(avg_value, 6) AS avg_value,
+       round(var_value, 4) AS var_value
+FROM (
+  SELECT d.source, count(*) AS cnt,
+         avg(e.value) AS avg_value,
+         var_pop(e.value) AS var_value
+  FROM events e JOIN documents d ON (e.event_id % 700) = d.doc_id
+  GROUP BY d.source)
+""",
+)
+def agg_join_incremental_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welford/Chan moments ACROSS the join re-group: the fact store's
+    struct(n, mean, M2) partials merge by the Chan pairwise combine
+    TWICE — once at FK grain, once through the FK → source re-group —
+    and associativity makes the double merge exact (hash-matched after
+    rounding vs DuckDB's one-pass joined avg/var_pop). Completes the
+    across-join algebra table: sum/count (agg_join_incremental), HLL
+    (_distinct), Misra-Gries (_topk), histogram (_quantile), and now
+    the stable moment structs."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_join import JoinedAggregateView
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "doc_fk", F.expr("event_id % 700")
+    )
+    d = table(spark, sf_dir, "documents")
+    view = JoinedAggregateView(
+        spark, _fresh_store_dir("incjoinv"),
+        fk="doc_fk", fact_keys=[],
+        fact_aggs={"cnt": ("count", None),
+                   "avg_value": ("avg", "value"),
+                   "var_value": ("var", "value")},
+        dim_key="doc_id", dim_cols=["source"], dim_order_by="doc_id",
+    )
+    view.process_fact_batch(e.where("event_id % 2 = 1"))
+    view.process_dim_batch(d.where("doc_id % 2 = 0"))
+    view.process_fact_batch(e.where("event_id % 2 = 0"))
+    view.process_dim_batch(d.where("doc_id % 2 = 1"))
+    return (
+        view.read(["source"])
+        .withColumn("avg_value", F.round("avg_value", 6))
+        .withColumn("var_value", F.round("var_value", 4))
+    )

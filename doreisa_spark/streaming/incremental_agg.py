@@ -1101,6 +1101,31 @@ class AggregateStore:
                     F.col("__n").alias("est_n"), "rank")
         )
 
+    def unmatched_retractions(self, *,
+                              snapshot: "int | None" = None) -> DataFrame:
+        """Monitoring surface for the CDC contract: groups whose signed
+        ``__support`` multiplicity is NEGATIVE — more rows retracted
+        than inserted. Transiently normal when a delete outruns its
+        insert (out-of-order feeds heal once both land); PERSISTENTLY
+        negative means the feed violated the retract-only-inserted-rows
+        contract (or double-sent deletes under fresh ids) and the
+        affected groups' aggregates are untrustworthy until re-derived.
+        Returns key columns + ``support`` (the negative weight); empty
+        on a consistent store — alert on non-empty at quiescence."""
+        if not self.retractable:
+            raise ValueError(
+                f"store at {self.root} is not retractable — no signed "
+                "multiplicity to audit"
+            )
+        # sum ONLY the multiplicity — going through _merge_by would
+        # compute (and discard) every other aggregate's merge
+        return (
+            self.partials(snapshot=snapshot)
+            .groupBy(*self.key_cols)
+            .agg(F.sum("__support").alias("support"))
+            .where(F.col("support") < 0)
+        )
+
     # ------------------------------------------------- lifecycle plumbing
     def delete_groups(self, values, *, col: "str | None" = None,
                       batch_id: "int | None" = None) -> bool:

@@ -210,7 +210,14 @@ class JoinedAggregateView:
                           dim: "str | None" = None) -> int:
         """Exactly-once upsert of the batch's dim rows (newest version
         per key wins by the dim's order expression, regardless of
-        arrival order). ``dim`` names the dimension on star views."""
+        arrival order). ``dim`` names the dimension on star views.
+
+        CDC mapping for dims: INSERT and UPDATE are both just upserts
+        here. DELETE of a key is ``delete_dim_keys``. REVERTING to an
+        earlier version (a CDC delete of only the latest version) is
+        NOT expressible by un-seeing the max — re-upsert the prior
+        version's row under a NEWER order key instead (the standard
+        CDC-mirror compensation; the argmax partial then serves it)."""
         return self._dim(dim)["store"].process_batch(batch, batch_id)
 
     # -------------------------------------------------------------- read

@@ -373,3 +373,25 @@ def test_cdc_stream_drive_exactly_once_mixed(spark, tmp_path):
     got = {r["k"]: (r["cnt"], round(r["sum_v"], 6))
            for r in st.read().collect()}
     assert got == exp
+
+
+def test_unmatched_retractions_audit_surface(spark, tmp_path):
+    """The CDC-contract monitor: a delete that outran its insert shows
+    the group with negative support; it heals when the insert lands;
+    a consistent store audits empty."""
+    rows = _rows(spark)
+    st = _store(spark, tmp_path, name="aud",
+                aggs={"cnt": ("count", None)})
+    st.process_batch(rows.where("id < 40"))        # 10 rows per group
+    assert st.unmatched_retractions().count() == 0
+    st.process_retract_batch(rows.where("id >= 40"))  # 20/group, outruns
+    bad = {r["k"]: r["support"]
+           for r in st.unmatched_retractions().collect()}
+    assert set(bad) == {0, 1, 2, 3} and all(v == -10 for v in bad.values())
+    st.process_batch(rows.where("id >= 40"))  # the inserts land
+    assert st.unmatched_retractions().count() == 0
+    # non-retractable stores have no multiplicity to audit
+    nr = AggregateStore(spark, str(tmp_path / "audnr"), key_cols=["k"],
+                        aggs={"cnt": ("count", None)})
+    with pytest.raises(ValueError, match="not retractable"):
+        nr.unmatched_retractions()
