@@ -431,6 +431,8 @@ def drive_join_view(
     timeout_sec: float = 300,
     checkpoints: "dict | None" = None,
     fact_transform=None,
+    fact_op_col: "str | None" = None,
+    insert_op="I", delete_op="D",
 ) -> DataFrame:
     """Structured-Streaming drive for a joined view (r13 verdict ask
     #4): each input — the fact stream and any subset of the dim streams
@@ -441,7 +443,13 @@ def drive_join_view(
     ``drive_aggregate_view`` (whose docstring states the composition
     argument). Inputs drain sequentially — ordering between them is
     irrelevant by construction: fact partials and dim upserts commute
-    (tests/test_incremental_join.py pins arrival-order independence)."""
+    (tests/test_incremental_join.py pins arrival-order independence).
+
+    ``fact_op_col``: treat the fact stream as a CDC feed — each
+    micro-batch may MIX op-tagged inserts and deletes, applied as ONE
+    atomic signed-partial commit (``process_cdc_batch``; requires the
+    view built with ``retractable=True``). Dim streams are already
+    CDC-shaped: upserts natively, deletes via ``delete_dim_keys``."""
     from doreisa_spark.streaming.structured import run_foreach_batch
 
     checkpoints = checkpoints or {}
@@ -455,7 +463,12 @@ def drive_join_view(
         def sink(df: DataFrame, bid: int) -> None:
             if fact_transform is not None:
                 df = fact_transform(df)
-            view.process_fact_batch(df, bid)
+            if fact_op_col is not None:
+                view.fact.process_cdc_batch(
+                    df, bid, op_col=fact_op_col,
+                    insert_op=insert_op, delete_op=delete_op)
+            else:
+                view.process_fact_batch(df, bid)
 
         run_foreach_batch(fact_stream, sink, timeout_sec=timeout_sec,
                           checkpoint=checkpoints.get("fact"))

@@ -186,3 +186,50 @@ def test_drive_join_view_both_inputs(spark, tmp_path):
            .groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
            .collect()}
     assert {tuple(r) for r in got.collect()} == exp
+
+
+def test_drive_join_view_cdc_fact_stream(spark, tmp_path):
+    """fact_op_col: the join view's fact side drains a MIXED CDC
+    stream — each micro-batch's inserts+deletes commit atomically; the
+    view equals the one-pass join over the surviving fact rows."""
+    from doreisa_spark.streaming.incremental_join import (
+        JoinedAggregateView,
+        drive_join_view,
+    )
+
+    src = tmp_path / "cdcj_in"
+    src.mkdir()
+    frames = [
+        [(k, float(10 * k + i), "I") for k in range(4) for i in range(3)],
+        # delete one row of fk 0, insert a replacement, delete ALL fk 3
+        [(0, 1.0, "D"), (0, 100.0, "I"),
+         (3, 30.0, "D"), (3, 31.0, "D"), (3, 32.0, "D")],
+    ]
+    for i, rows in enumerate(frames):
+        df = spark.createDataFrame(rows, "fk bigint, v double, op string")
+        tmp = tmp_path / f"jt{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        data = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        os.rename(str(tmp / data), str(src / f"{i:05d}.parquet"))
+        os.utime(str(src / f"{i:05d}.parquet"),
+                 (1_700_000_000 + i * 10,) * 2)
+    dim = spark.createDataFrame(
+        [(k, f"s{k % 2}", 1) for k in range(4)],
+        "doc_id bigint, source string, ver int")
+    view = JoinedAggregateView(
+        spark, str(tmp_path / "jvc"), fk="fk", fact_keys=[],
+        fact_aggs={"cnt": ("count", None), "sum_v": ("sum", "v")},
+        dim_key="doc_id", dim_cols=["source"], dim_order_by="ver",
+        retractable=True)
+    view.process_dim_batch(dim)
+    got = drive_join_view(
+        view,
+        fact_stream=(spark.readStream
+                     .schema("fk bigint, v double, op string")
+                     .option("maxFilesPerTrigger", 1).parquet(str(src))),
+        fact_op_col="op", timeout_sec=120)
+    # survivors: fk0 {0,2,100}, fk1 {10,11,12}, fk2 {20,21,22}; fk3 gone
+    exp = {("s0", 6, 0.0 + 2.0 + 100.0 + 20.0 + 21.0 + 22.0),
+           ("s1", 3, 33.0)}
+    assert {(r["source"], r["cnt"], round(r["sum_v"], 6))
+            for r in got.collect()} == exp
