@@ -293,3 +293,119 @@ def test_shared_curation_writers_admit_each_fp_once(spark, tmp_path):
     # seen log and kept log agree batch-for-batch
     assert (BC.committed_ids(f"{root}/seen", mode=BC.MANIFEST)
             == BC.committed_ids(f"{root}/kept", mode=BC.MANIFEST))
+
+
+def test_crash_injection_at_every_mutation_point(spark, tmp_path,
+                                                 monkeypatch):
+    """Kill commit_batch_group at the 1st, 2nd, 3rd ... manifest
+    mutation (primary publish, secondary roll-forwards, txn clear) —
+    after every crash the store must read CONSISTENTLY (the batch is
+    visible in all logs or none, modulo a heal) and a retry must land
+    the batch exactly once."""
+    df = spark.range(6).select(F.col("id").alias("k"))
+    real_update = BC._manifest_update
+    for crash_at in (1, 2, 3, 4):
+        a = str(tmp_path / f"a{crash_at}")
+        b = str(tmp_path / f"b{crash_at}")
+        c = str(tmp_path / f"c{crash_at}")
+        calls = {"n": 0}
+
+        def bomb(root, mutate, **kw):
+            calls["n"] += 1
+            if calls["n"] == crash_at:
+                raise RuntimeError(f"induced crash at mutation {crash_at}")
+            return real_update(root, mutate, **kw)
+
+        monkeypatch.setattr(BC, "_manifest_update", bomb)
+        crashed = False
+        try:
+            BC.commit_batch_group({a: df, b: df, c: df}, a, 0)
+        except RuntimeError:
+            crashed = True
+        monkeypatch.undo()
+        # consistency after the crash: primary committed => heal makes
+        # every log serve the batch; primary not committed => no log
+        # serves anything
+        BC.heal_txn_group(a)
+        counts = [
+            BC.read_committed(spark, r, "k bigint", mode=BC.MANIFEST).count()
+            if BC._manifest_load(r) else 0
+            for r in (a, b, c)
+        ]
+        if BC.is_committed(a, 0, mode=BC.MANIFEST):
+            assert counts == [6, 6, 6], (crash_at, counts)
+        else:
+            assert counts == [0, 0, 0], (crash_at, counts)
+        # the retry (redelivery or fresh commit) converges to exactly once
+        BC.commit_batch_group({a: df, b: df, c: df}, a, 0)
+        BC.heal_txn_group(a)
+        assert [
+            BC.read_committed(spark, r, "k bigint",
+                              mode=BC.MANIFEST).count()
+            for r in (a, b, c)
+        ] == [6, 6, 6], (crash_at, "after retry")
+        assert BC.group_pending(a) == {}
+        if not crashed:
+            break  # ran out of mutation points: later crash_at are no-ops
+
+
+def test_concurrent_insert_and_retract_shared_writers(spark, tmp_path):
+    """One shared writer streams inserts while another streams CDC
+    deletes of already-inserted slices — the view must equal the
+    one-pass aggregate over the surviving rows (the commit layer
+    serializes; signed partials commute)."""
+    import threading
+
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    root = str(tmp_path / "ir")
+    rows = spark.range(240).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 0.5).alias("v"),
+        F.col("id"))
+
+    def mk():
+        return AggregateStore(
+            spark, root, key_cols=["k"], retractable=True,
+            commit_mode=BC.MANIFEST, fenced="shared",
+            aggs={"cnt": ("count", None), "sum_v": ("sum", "v")})
+
+    w1 = mk()
+    w1.process_batch(rows.where("id < 40").drop("id"))
+    w2 = mk()
+    start = threading.Barrier(2)
+    errs: list = []
+
+    def inserts():
+        try:
+            start.wait()
+            for lo in range(40, 240, 40):
+                w1.process_batch(
+                    rows.where(f"id >= {lo} and id < {lo + 40}").drop("id"))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def deletes():
+        try:
+            start.wait()
+            # delete slices of the FIRST batch only (contract: already
+            # inserted) — out-of-order vs w1's concurrent inserts
+            for m in range(4):
+                w2.process_retract_batch(
+                    rows.where(f"id < 40 and id % 4 = {m}").drop("id"))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=inserts)
+    t2 = threading.Thread(target=deletes)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    exp = {
+        (r["k"], r["cnt"], round(r["sum_v"], 6))
+        for r in rows.where("id >= 40").groupBy("k").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").alias("sum_v")).collect()
+    }
+    got = {(r["k"], r["cnt"], round(r["sum_v"], 6))
+           for r in w1.read().collect()}
+    assert got == exp
+    assert w1.unmatched_retractions().count() == 0
