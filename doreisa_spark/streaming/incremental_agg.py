@@ -725,7 +725,11 @@ class AggregateStore:
         decomposition: a delete row carrying the OLD values plus an
         insert row carrying the new ones, both in the same batch.
         Unknown op values fail loudly — a CDC feed's op vocabulary
-        drifting must not silently drop rows."""
+        drifting must not silently drop rows. (The validation is one
+        extra pass over the micro-batch — limit(1) short-circuits on
+        the first bad row, and micro-batches are small by definition;
+        an in-plan raise_error would save the pass but hands the
+        optimizer a branch it may legally simplify away.)"""
         if not self.retractable:
             raise ValueError(
                 f"store at {self.root} is not retractable: recreate with "
