@@ -1736,6 +1736,20 @@ def _gc(root: str, man: dict, *, prev: "dict | None" = None) -> None:
                 with _locked(root):
                     if name in _live_set(root, _manifest_load(root) or {}):
                         continue
+                    # re-stat the age under the lock (r14 ADVICE): a
+                    # group publish refreshes each secondary dest's
+                    # mtime under this same per-root lock just before
+                    # the primary commit point, so a fresh mtime here
+                    # means a publish is in flight — skip; the liveness
+                    # recheck alone can't see it because the txn is
+                    # recorded in the PRIMARY's manifest only at publish
+                    try:
+                        if _time.time() - os.path.getmtime(
+                                os.path.join(root, name)) \
+                                < GC_ORPHAN_GRACE_SECS:
+                            continue
+                    except OSError:
+                        continue
                     shutil.rmtree(os.path.join(root, name),
                                   ignore_errors=True)
                 continue
@@ -2323,10 +2337,28 @@ def commit_batch_group(
             for _, d in dests.values():
                 shutil.rmtree(d, ignore_errors=True)
             raise
-        for _, d in dests.values():  # GC grace refresh (r13 ADVICE)
-            with contextlib.suppress(OSError):
-                os.utime(d, None)
+        # verify + grace-refresh each dest under ITS OWN root's lock
+        # (r14 ADVICE): _gc reclaims an aged orphan only under the same
+        # per-root lock with a liveness AND mtime recheck, so a utime
+        # taken here serializes against any concurrent GC on that
+        # secondary — the old unlocked utime left a window where GC
+        # (aged mtime read before the refresh, primary txn not yet
+        # published so not in _live_set) could rmtree a secondary dest
+        # between the primary's isdir check and its publish, stranding
+        # a committed group txn with missing data. Locks are taken one
+        # at a time, never nested — no deadlock ordering to maintain.
         vanished = False
+        for r, (_, d) in sorted(dests.items()):
+            with _locked(r):
+                if not os.path.isdir(d):
+                    vanished = True  # concurrent GC won: retry fresh
+                    break
+                with contextlib.suppress(OSError):
+                    os.utime(d, None)
+        if vanished:
+            for _, d in dests.values():
+                shutil.rmtree(d, ignore_errors=True)
+            continue
 
         def add(cur: dict) -> "dict | None":
             nonlocal vanished

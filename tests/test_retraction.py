@@ -137,14 +137,21 @@ def test_hist_retraction_bins_recount_exact(spark, tmp_path):
 
 
 def test_retractable_refuses_non_distributive_fns(spark, tmp_path):
-    for fn, spec in [("max", ("max", "v")), ("min", ("min", "v")),
-                     ("hll", ("hll", "v")),
-                     ("topk", ("topk", "v", {"k": 2})),
-                     ("last", ("last", "v", {"by": "id"}))]:
+    # hll/topk summaries only grow — still refused; min/max/last/first
+    # are admitted since r15 via bounded k-extrema candidates
+    # (tests/test_retraction_extrema.py)
+    for fn, spec in [("hll", ("hll", "v")),
+                     ("topk", ("topk", "v", {"k": 2}))]:
         with pytest.raises(ValueError, match="not retraction-distributive"):
             AggregateStore(spark, str(tmp_path / f"bad_{fn}"),
                            key_cols=["k"], retractable=True,
                            aggs={"x": spec})
+    for fn, spec in [("max", ("max", "v")), ("min", ("min", "v")),
+                     ("last", ("last", "v", {"by": "id"}))]:
+        st = AggregateStore(spark, str(tmp_path / f"ok_{fn}"),
+                            key_cols=["k"], retractable=True,
+                            aggs={"x": spec})
+        assert st.retractable
 
 
 def test_non_retractable_store_refuses_retract(spark, tmp_path):
