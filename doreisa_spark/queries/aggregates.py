@@ -575,6 +575,9 @@ def agg_window_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_var_incremental",
+    extended=True,  # rotated out for the r15 50-entry driver budget in
+    # favor of agg_retract_minmax; the moment algebra stays driver-gated
+    # through agg_retract_incremental's avg/var columns
     oracle="""
 SELECT event_type, cnt,
        round(avg_value, 6) AS avg_value,
@@ -1102,6 +1105,98 @@ def agg_retract_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("avg_value", F.round("avg_value", 6))
         .withColumn("var_value", F.round("var_value", 4))
     )
+
+
+@register(
+    "agg_retract_minmax",
+    oracle="""
+WITH b AS (
+  SELECT (SELECT min(event_type) FROM events) AS t_lo,
+         (SELECT max(event_type) FROM events) AS t_hi
+), thr AS (
+  SELECT
+    (SELECT (min(value) + max(value)) / 2 FROM events, b
+     WHERE event_type = b.t_lo) AS c_lo,
+    (SELECT (min(value) + max(value)) / 2 FROM events, b
+     WHERE event_type = b.t_hi) AS c_hi
+), kept AS (
+  SELECT e.* FROM events e, b, thr
+  WHERE NOT (e.event_id % 7 = 3
+             OR (e.event_type = b.t_lo AND e.value < thr.c_lo)
+             OR (e.event_type = b.t_hi AND e.value > thr.c_hi))
+)
+SELECT event_type, cnt, min_value, max_value, latest_v FROM (
+  SELECT event_type, value AS latest_v,
+         count(*) OVER (PARTITION BY event_type) AS cnt,
+         min(value) OVER (PARTITION BY event_type) AS min_value,
+         max(value) OVER (PARTITION BY event_type) AS max_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM kept) WHERE rk = 1
+""",
+)
+def agg_retract_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC deletes against min/max/last columns in the retractable
+    view (r14 verdict ask #1 — the one CDC event class that previously
+    forced a view rebuild): bounded k-extrema candidate partials track
+    the k extreme distinct values per group as a signed multiset with
+    a completeness frontier, so deletes inside the frontier absorb in
+    O(touched groups) with the IDENTICAL one-merge read plan, and a
+    DRAINED frontier (this query deletes EVERY value below the lowest
+    type's midpoint — far more than k=8 candidates, by construction)
+    marks the group dirty for ``re_derive``, which tombstones and
+    re-ingests ONLY those groups' post-delete rows — never a history
+    rescan. The gate exercises the full contract: out-of-order insert
+    and delete batches, a redelivered delete (must no-op), a drained
+    min frontier on one type AND a drained max frontier on another,
+    the targeted re-derive, then a hash-exact match vs DuckDB's
+    one-pass min/max/argmax over the POST-DELETE table. Thresholds are
+    (min+max)/2 — bitwise identical in both engines, unlike an
+    accumulated avg. Raw values serve unrounded (no arithmetic)."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+
+    e = table(spark, sf_dir, "events")
+    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    t_lo, t_hi = e.agg(F.min("event_type"), F.max("event_type")).first()
+    c_lo = e.where(F.col("event_type") == t_lo).agg(
+        (F.min("value") + F.max("value")) / 2).first()[0]
+    c_hi = e.where(F.col("event_type") == t_hi).agg(
+        (F.min("value") + F.max("value")) / 2).first()[0]
+    store = AggregateStore(
+        spark, _fresh_store_dir("incmm"), key_cols=["event_type"],
+        retractable=True,
+        aggs={"cnt": ("count", None),
+              "min_value": ("min", "value", {"k": 8}),
+              "max_value": ("max", "value", {"k": 8}),
+              "latest_v": ("last", "value",
+                           {"by": "struct(ts, event_id)", "k": 8})},
+    )
+    # three DISJOINT delete sets (a row must be retracted exactly once)
+    d1 = e.where("event_id % 7 = 3")
+    d2 = e.where((F.col("event_type") == t_lo) & (F.col("value") < c_lo)
+                 & (F.col("event_id") % 7 != 3))  # drains t_lo's min
+    d3 = e.where((F.col("event_type") == t_hi) & (F.col("value") > c_hi)
+                 & (F.col("event_id") % 7 != 3))  # drains t_hi's max
+    store.process_batch(e.where(F.col("event_id") > cut2))
+    rid = store.process_retract_batch(d1)  # covers not-yet-inserted rows
+    store.process_batch(e.where(F.col("event_id") <= cut1))
+    store.process_retract_batch(d1, batch_id=rid)  # redelivery: no-op
+    store.process_retract_batch(d2)
+    store.process_batch(
+        e.where((F.col("event_id") > cut1) & (F.col("event_id") <= cut2)))
+    store.process_retract_batch(d3)
+    kept = e.where(~((F.col("event_id") % 7 == 3)
+                     | ((F.col("event_type") == t_lo)
+                        & (F.col("value") < c_lo))
+                     | ((F.col("event_type") == t_hi)
+                        & (F.col("value") > c_hi))))
+    # the drained frontiers are dirty by construction; heal exactly
+    # those groups from the post-delete source (any other group that
+    # happened to drain heals in the same targeted pass)
+    store.re_derive(kept)
+    return store.read()
 
 
 @register(
