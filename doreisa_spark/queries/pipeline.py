@@ -90,34 +90,96 @@ from doreisa_spark.registry import EXTENDED as _EXT  # noqa: E402
 _CURATION_ORACLE = _EXT["pipeline_corpus_curation"].oracle
 
 
-# promoted to the primary tier in r13 (driver-budget rotation)
+# promoted to the primary tier in r13 (driver-budget rotation);
+# extended in r15 to the PIPELINE-SCOPED atomic ingest (verdict ask #3)
 @register("pipeline_curation_incremental", oracle=_CURATION_ORACLE)
 def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-equivalence gate for the STREAMING-incremental curation
-    chain (streaming/incremental_curation.py): the corpus splits into
-    three monotonic doc_id ranges ingested micro-batch by micro-batch
-    against the persisted fingerprint store; the accumulated kept log
-    must hash-match the one-shot `pipeline_corpus_curation` oracle —
-    proving first-arrival canonicalization under streaming ingest equals
-    the batch min-doc_id keeper, with history touched only through the
-    fingerprint anti-join. The real stream driver (readStream +
-    foreachBatch) runs the identical `process_batch` in
-    tests/test_incremental_curation.py; this entry calls it directly so
-    the driver's gate is deterministic."""
+    chain — now driven through the CROSS-STORE atomic pipeline txn
+    (streaming/pipeline_commit.py, r14 verdict ask #3): the corpus
+    splits into three monotonic doc_id ranges, each committed as ONE
+    pipeline transaction feeding the curation store AND a dedup store.
+    Batch 2's txn is crash-injected BETWEEN the member stores (curation
+    applied, dedup not — the exact skew window the r14 verdict named);
+    a consistent pipeline cut is then taken through ``snapshot()``,
+    which heals FIRST from the staged redo payload, and this entry
+    RAISES unless the pinned cut shows the dedup store byte-identical
+    to a reference store that ingested the same ranges directly — the
+    cut-visible skew made impossible. The accumulated kept log must
+    still hash-match the one-shot `pipeline_corpus_curation` oracle.
+    The same crash windows are exercised mutation-by-mutation in
+    tests/test_pipeline_commit.py."""
     from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming import batch_commit as BC
+    from doreisa_spark.streaming import pipeline_commit as PC
     from doreisa_spark.streaming.incremental_curation import CurationStore
+    from doreisa_spark.streaming.incremental_dedup import LSHSignatureStore
+    from doreisa_spark.streaming.pipeline_commit import PipelineIngest
+    from doreisa_spark.streaming.pipeline_snapshot import (
+        read_pipeline_snapshot,
+    )
 
     d = table(spark, sf_dir, "documents", spread=True)
     lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
-    store = CurationStore(spark, _fresh_store_dir("inccur"))
-    for cond in (
+    ranges = (
         F.col("doc_id") <= cut1,
         (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2),
         F.col("doc_id") > cut2,
-    ):
-        store.process_batch(d.where(cond))
-    return store.kept()
+    )
+    root = _fresh_store_dir("inccur")
+    mk = lambda: (  # noqa: E731 — fresh handles model a driver restart
+        CurationStore(spark, f"{root}/cur", commit_mode=BC.MANIFEST,
+                      fenced=False),
+        LSHSignatureStore(spark, f"{root}/ded", commit_mode=BC.MANIFEST,
+                          fenced=False),
+    )
+    cur, ded = mk()
+    pipe = PipelineIngest(spark, root, {
+        "curation": (cur, lambda df: df.select("doc_id", "lang", "text")),
+        "dedup": ded,
+    })
+    pipe.commit(d.where(ranges[0]))
+
+    def bomb(name):  # dies after the curation sink, before dedup
+        raise RuntimeError("induced crash between member stores")
+
+    pipe._after_sink_apply = bomb
+    try:
+        pipe.commit(d.where(ranges[1]))
+    except RuntimeError:
+        pass
+    if set(PC.pipeline_pending(root)) != {1}:
+        raise ValueError("crash injection left no pending pipeline txn")
+    # the restarted driver: fresh handles, then a consistent cut — the
+    # snapshot heals the pending txn from the STAGED payload before
+    # pinning, so the cut cannot capture the between-stores skew
+    cur2, ded2 = mk()
+    pipe2 = PipelineIngest(spark, root, {
+        "curation": (cur2, lambda df: df.select("doc_id", "lang", "text")),
+        "dedup": ded2,
+    })
+    pin = read_pipeline_snapshot(
+        root,
+        pipe2.snapshot(snapshot_kwargs={"dedup": {"pin_members": True}}),
+    )
+    # cross-store consistency AT THE CUT: the pinned dedup members must
+    # equal a reference store's after ingesting the same ranges directly
+    ref = LSHSignatureStore(spark, f"{root}/ref", commit_mode=BC.MANIFEST,
+                            fenced=False)
+    for cond in ranges[:2]:
+        ref.process_batch(d.where(cond))
+    cols = ("band_id", "sig", "doc_id")
+    got = {tuple(r[c] for c in cols)
+           for r in ded2.members(snapshot=pin["dedup"]).collect()}
+    want = {tuple(r[c] for c in cols) for r in ref.members().collect()}
+    if got != want or PC.pipeline_pending(root):
+        raise ValueError(
+            f"pipeline cut captured a cross-store skew: {len(got)} pinned "
+            f"member rows vs {len(want)} reference rows"
+        )
+    pipe2.commit(d.where(ranges[2]))
+    return cur2.kept()
 
 
 @register(

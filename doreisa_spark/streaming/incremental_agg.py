@@ -1038,6 +1038,14 @@ class AggregateStore:
                 ) from ex
             raise
 
+    def next_batch_id(self) -> int:
+        """The id the next auto-allocated batch would take. Pipeline-
+        scoped atomic ingest (streaming/pipeline_commit.py) records
+        this in the pipeline txn so a crash-redo replays the partial
+        under the same id (a join view's fact side joins a pipeline
+        via ``view.fact``)."""
+        return BC.next_batch_id(self._log, mode=self.commit_mode)
+
     def _process(self, batch: DataFrame, batch_id: "int | None",
                  sign: int) -> int:
         self._ensure_offsets(batch)

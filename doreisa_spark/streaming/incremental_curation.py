@@ -147,6 +147,14 @@ class CurationStore:
                                    mode=self.commit_mode,
                                    epoch=self._epochs[self._kept])
 
+    def next_batch_id(self) -> int:
+        """The id the next auto-allocated batch would take (max over
+        BOTH logs — the process_batch rule). Pipeline-scoped atomic
+        ingest (streaming/pipeline_commit.py) pre-allocates and RECORDS
+        this in the pipeline txn so a crash-redo replays the store
+        under the same id (exactly-once per member store)."""
+        return BC.next_batch_id(self._seen, self._kept, mode=self.commit_mode)
+
     def process_batch(self, docs: DataFrame, batch_id: int | None = None) -> None:
         """Exactly-once: both logs rename-commit under the batch id
         (batch_commit.py); the seen-store read excludes this batch's own

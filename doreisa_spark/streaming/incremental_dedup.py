@@ -433,6 +433,16 @@ class LSHSignatureStore:
         return self.shingles(before=batch_id)
 
     # ------------------------------------------------------------ core step
+    def next_batch_id(self) -> int:
+        """The id the next auto-allocated batch would take (max over
+        ALL three logs — the process_batch rule). Pipeline-scoped
+        atomic ingest (streaming/pipeline_commit.py) records this in
+        the pipeline txn so a crash-redo replays under the same id."""
+        return BC.next_batch_id(
+            self.members_dir, self.shingles_dir, self.pairs_dir,
+            mode=self.commit_mode,
+        )
+
     def process_batch(self, batch_docs: DataFrame, batch_id: int | None = None) -> None:
         """Ingest one micro-batch of documents (see module docstring).
         ``batch_id=None`` (driver-loop callers without stream ids)

@@ -1,0 +1,223 @@
+"""Pipeline-scoped atomic ingest across stores (r14 verdict ask #3).
+
+One logical pipeline batch feeding curation AND dedup (AND a join
+view's fact side) commits through a single pipeline-primary txn record
+(streaming/pipeline_commit.py): the batch stages durably, ONE WAL
+write publishes the intent with pre-allocated store ids, each store
+applies exactly-once under its recorded id, and a crash anywhere heals
+from ANY handle — so a pipeline cut (which heals first) can never
+capture a between-stores skew.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from doreisa_spark.queries.textops import _STOPWORDS
+from doreisa_spark.streaming import batch_commit as BC
+from doreisa_spark.streaming import pipeline_commit as PC
+from doreisa_spark.streaming.incremental_curation import CurationStore
+from doreisa_spark.streaming.incremental_dedup import LSHSignatureStore
+from doreisa_spark.streaming.pipeline_commit import PipelineIngest
+
+DOCS_DDL = ("doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint")
+_SW = sorted(_STOPWORDS)
+
+
+def _docs(spark, lo, hi):
+    """Quality-passing texts (24 tokens, stopword ratio 0.5) whose
+    CONTENT tokens are unique per doc: every word 3-gram contains a
+    unique token, so shingle sets are pairwise disjoint — each doc is
+    admitted to the dedup store with zero bucket collisions and the
+    expected member set is exact."""
+    rows = []
+    for i in range(lo, hi):
+        t = " ".join(f"u{i}t{j} {_SW[j % len(_SW)]}" for j in range(12))
+        rows.append((i, t, "en", "web", len(t)))
+    return spark.createDataFrame(rows, DOCS_DDL)
+
+
+def _member_docs(ded, **kw) -> int:
+    return ded.members(**kw).select("doc_id").distinct().count()
+
+
+def _pipe(spark, tmp_path, name="pipe"):
+    root = str(tmp_path / name)
+    cur = CurationStore(spark, f"{root}/cur", commit_mode=BC.MANIFEST,
+                        compact_every=None, fenced=False)
+    ded = LSHSignatureStore(spark, f"{root}/ded", commit_mode=BC.MANIFEST,
+                            compact_every=None, fenced=False)
+    pipe = PipelineIngest(spark, root, {
+        "curation": (cur, lambda df: df.select("doc_id", "lang", "text")),
+        "dedup": ded,
+    })
+    return pipe, cur, ded
+
+
+def test_atomic_commit_and_redelivery(spark, tmp_path):
+    pipe, cur, ded = _pipe(spark, tmp_path)
+    assert pipe.commit(_docs(spark, 0, 6), 0)
+    assert not pipe.commit(_docs(spark, 0, 6), 0)  # redelivery no-ops
+    assert cur.kept().count() == 6
+    assert _member_docs(ded) == 6
+    assert PC.pipeline_pending(pipe.root) == {}
+    # both stores landed under the RECORDED (pre-allocated) ids
+    assert BC.committed_ids(f"{pipe.root}/cur/seen", mode=BC.MANIFEST) == [0]
+    assert BC.committed_ids(f"{pipe.root}/ded/members",
+                            mode=BC.MANIFEST) == [0]
+    # staging reclaimed after COMPLETE
+    assert os.listdir(os.path.join(pipe.root, "_txn_stage")) == []
+
+
+def test_auto_pid_sequences_and_folds_wal(spark, tmp_path):
+    pipe, cur, ded = _pipe(spark, tmp_path)
+    for k in range(3):
+        assert pipe.commit(_docs(spark, 10 * k, 10 * k + 4))
+    wal = PC._wal_load(pipe.root)
+    # completed txns fold into the contiguous horizon: O(pending) WAL
+    assert wal == {"next": 3, "done_horizon": 2, "done": [], "txns": {}}
+    assert cur.kept().count() == 12
+    assert _member_docs(ded) == 12
+
+
+def _arm_crash_between_stores(pipe):
+    """Crash between member stores on THIS handle: the curation sink
+    (first in sorted order) applies, then the txn dies before the
+    dedup sink — the exact window the r14 verdict named."""
+
+    def bomb(name):
+        raise RuntimeError("induced crash between member stores")
+
+    pipe._after_sink_apply = bomb
+
+
+def test_crash_between_stores_heals_from_fresh_handle(spark, tmp_path):
+    pipe, cur, ded = _pipe(spark, tmp_path)
+    assert pipe.commit(_docs(spark, 0, 4))
+    _arm_crash_between_stores(pipe)
+    with pytest.raises(RuntimeError, match="induced crash"):
+        pipe.commit(_docs(spark, 10, 14))
+    # the skew is REAL: curation admitted batch 1, dedup never saw it
+    assert cur.kept().count() == 8
+    assert _member_docs(ded) == 4
+    assert set(PC.pipeline_pending(pipe.root)) == {1}
+    # a FRESH handle (the restarted driver) heals without the original
+    # DataFrame — the staged payload is the redo log
+    pipe2, cur2, ded2 = _pipe(spark, tmp_path)
+    assert pipe2.heal() == 1
+    assert cur2.kept().count() == 8   # exactly-once: no double admit
+    assert _member_docs(ded2) == 8
+    assert PC.pipeline_pending(pipe2.root) == {}
+
+
+def test_pipeline_cut_cannot_capture_the_skew(spark, tmp_path):
+    """THE r14 'Done =' shape: a crash lands curation but not dedup;
+    a pipeline cut taken through snapshot() heals FIRST, so the pinned
+    cut sees both stores with the batch — never the skew."""
+    from doreisa_spark.streaming.pipeline_snapshot import (
+        read_pipeline_snapshot,
+    )
+
+    pipe, cur, ded = _pipe(spark, tmp_path)
+    assert pipe.commit(_docs(spark, 0, 4))
+    _arm_crash_between_stores(pipe)
+    with pytest.raises(RuntimeError, match="induced crash"):
+        pipe.commit(_docs(spark, 10, 14))
+    assert cur.kept().count() == 8 and _member_docs(ded) == 4  # skewed
+    pipe2, cur2, ded2 = _pipe(spark, tmp_path)
+    cut = pipe2.snapshot(snapshot_kwargs={"dedup": {"pin_members": True}})
+    pins = read_pipeline_snapshot(pipe2.root, cut)
+    assert set(pins) == {"curation", "dedup"}
+    # the pinned cut is consistent: BOTH stores contain both batches
+    assert cur2.kept(snapshot=pins["curation"]).count() == 8
+    assert _member_docs(ded2, snapshot=pins["dedup"]) == 8
+
+
+def test_crash_injection_at_every_wal_mutation(spark, tmp_path, monkeypatch):
+    """Kill the txn at the 1st, 2nd, ... WAL mutation (heal's GC sweep,
+    intent, complete): after every crash a heal converges both stores
+    to all-or-nothing, and a retry lands the batch exactly once."""
+    real_mutate = PipelineIngest._mutate
+    for crash_at in (1, 2, 3):
+        pipe, cur, ded = _pipe(spark, tmp_path, name=f"p{crash_at}")
+        calls = {"n": 0}
+
+        def bomb(self, fn, crash_at=crash_at, calls=calls):
+            calls["n"] += 1
+            if calls["n"] == crash_at:
+                raise RuntimeError(f"induced crash at mutation {crash_at}")
+            return real_mutate(self, fn)
+
+        monkeypatch.setattr(PipelineIngest, "_mutate", bomb)
+        crashed = False
+        try:
+            pipe.commit(_docs(spark, 0, 4), 0)
+        except RuntimeError:
+            crashed = True
+        monkeypatch.undo()
+        pipe.heal()
+        counts = (cur.kept().count(), _member_docs(ded))
+        committed = PipelineIngest._is_done(0, PC._wal_load(pipe.root))
+        assert counts == ((4, 4) if committed else (0, 0)), (
+            crash_at, counts, committed)
+        pipe.commit(_docs(spark, 0, 4), 0)  # retry / redelivery
+        assert (cur.kept().count(), _member_docs(ded)) == (4, 4), (
+            crash_at, "after retry")
+        assert PC.pipeline_pending(pipe.root) == {}
+        if not crashed:
+            break  # no mutation points left: later crash_at are no-ops
+
+
+def test_orphan_stage_gc_spares_fresh_dirs(spark, tmp_path):
+    pipe, cur, ded = _pipe(spark, tmp_path)
+    base = os.path.join(pipe.root, "_txn_stage")
+    # a crash BEFORE intent: staged dir, no WAL record
+    os.makedirs(os.path.join(base, "sdeadbeef0001"))
+    os.makedirs(os.path.join(base, "sdeadbeef0002"))
+    os.utime(os.path.join(base, "sdeadbeef0001"), (1.0, 1.0))  # aged
+    pipe.heal()
+    assert not os.path.isdir(os.path.join(base, "sdeadbeef0001"))
+    assert os.path.isdir(os.path.join(base, "sdeadbeef0002"))  # in grace
+
+
+def test_heal_refuses_a_handle_missing_sinks(spark, tmp_path):
+    pipe, cur, ded = _pipe(spark, tmp_path)
+    _arm_crash_between_stores(pipe)
+    with pytest.raises(RuntimeError, match="induced crash"):
+        pipe.commit(_docs(spark, 0, 4))
+    short = PipelineIngest(spark, pipe.root, {"curation": cur})
+    with pytest.raises(RuntimeError, match="names sinks.*dedup"):
+        short.heal()
+
+
+def test_join_view_fact_side_joins_a_pipeline(spark, tmp_path):
+    """A join view's fact side participates via ``view.fact`` — the
+    pipeline txn spans THREE stores; the view read reflects the batch
+    only after the atomic commit."""
+    from doreisa_spark.streaming.incremental_join import JoinedAggregateView
+
+    root = str(tmp_path / "p3")
+    cur = CurationStore(spark, f"{root}/cur", commit_mode=BC.MANIFEST,
+                        compact_every=None, fenced=False)
+    ded = LSHSignatureStore(spark, f"{root}/ded", commit_mode=BC.MANIFEST,
+                            compact_every=None, fenced=False)
+    view = JoinedAggregateView(
+        spark, f"{root}/view", fk="lang", fact_keys=[],
+        fact_aggs={"n_docs": ("count", None),
+                   "chars": ("sum", "n_chars")},
+        dim_key="lang", dim_cols=["lang_name"], dim_order_by="v",
+        commit_mode=BC.MANIFEST, fenced=False)
+    view.process_dim_batch(spark.createDataFrame(
+        [("en", "english", 0)], "lang string, lang_name string, v int"))
+    pipe = PipelineIngest(spark, root, {
+        "curation": (cur, lambda df: df.select("doc_id", "lang", "text")),
+        "dedup": ded,
+        "facts": (view.fact, lambda df: df.select("lang", "n_chars")),
+    })
+    assert pipe.commit(_docs(spark, 0, 5))
+    got = view.read().collect()
+    assert len(got) == 1
+    assert (got[0]["lang_name"], got[0]["n_docs"]) == ("english", 5)
+    assert cur.kept().count() == 5 and _member_docs(ded) == 5
