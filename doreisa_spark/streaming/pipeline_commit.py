@@ -301,3 +301,29 @@ class PipelineIngest:
             self.root, {n: s for n, (s, _) in self.sinks.items()},
             snapshot_kwargs=snapshot_kwargs,
         )
+
+
+def drive_pipeline(
+    stream: DataFrame, pipe: PipelineIngest, *,
+    timeout_sec: float = 300, checkpoint: "str | None" = None,
+) -> None:
+    """Structured-Streaming drive for the pipeline txn layer (the
+    drive_aggregate_view pattern at pipeline scope): each micro-batch
+    commits to EVERY member store as one pipeline transaction, keyed by
+    Spark's micro-batch id. End-to-end exactly-once is the composition
+    of three contracts — Spark redelivers an interrupted batch under
+    the SAME id on restart (checkpointed offsets), ``commit`` declines
+    a done pipeline id, and each member store declines its recorded
+    batch id — so a crash anywhere (between the txn commit and the
+    offset write, or BETWEEN member stores mid-apply) converges: the
+    redelivery is a no-op or the heal at the next commit's head
+    completes the pending txn from its staged payload.
+
+    ``checkpoint``: pass a persistent path for a RESUMABLE drive (only
+    new source files, continuing batch ids); default drains once."""
+    from doreisa_spark.streaming.structured import run_foreach_batch
+
+    run_foreach_batch(
+        stream, lambda df, bid: pipe.commit(df, bid),
+        timeout_sec=timeout_sec, checkpoint=checkpoint,
+    )

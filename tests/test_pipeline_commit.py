@@ -192,6 +192,81 @@ def test_heal_refuses_a_handle_missing_sinks(spark, tmp_path):
         short.heal()
 
 
+def _stream_src(spark, tmp_path, n_files=3, per=4):
+    """n_files parquet files of _docs rows, mtimes ascending so the
+    file source triggers them in order (monotone doc_ids — the dedup
+    store's ingest contract), one per micro-batch."""
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(n_files):
+        part = _docs(spark, i * per, (i + 1) * per)
+        tmp = src / f"tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        data = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        dst = str(src / f"{i:05d}.parquet")
+        os.rename(str(tmp / data), dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+    return str(src)
+
+
+def _read_stream(spark, src):
+    return (spark.readStream.schema(DOCS_DDL)
+            .option("maxFilesPerTrigger", 1).parquet(src))
+
+
+def test_drive_pipeline_stream_end_to_end(spark, tmp_path):
+    from doreisa_spark.streaming.pipeline_commit import drive_pipeline
+
+    pipe, cur, ded = _pipe(spark, tmp_path)
+    src = _stream_src(spark, tmp_path)
+    drive_pipeline(_read_stream(spark, src), pipe, timeout_sec=120)
+    assert cur.kept().count() == 12
+    assert _member_docs(ded) == 12
+    assert PC.pipeline_pending(pipe.root) == {}
+
+
+def test_drive_pipeline_crash_between_stores_then_restart(spark, tmp_path):
+    """The full at-least-once story at pipeline scope: micro-batch 1's
+    txn crashes BETWEEN member stores (curation applied, dedup not),
+    killing the query before the offset write. The restarted drive
+    redelivers batch 1 under the same id: commit's head-heal completes
+    the pending txn from the staged payload, the redelivered id then
+    no-ops, and the stream continues — both stores converge to exactly
+    one copy of every batch."""
+    from doreisa_spark.streaming.pipeline_commit import drive_pipeline
+
+    pipe, cur, ded = _pipe(spark, tmp_path)
+    src = _stream_src(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    fired = {"n": 0}
+
+    def bomb_once(name):
+        if fired["n"] == 0:
+            fired["n"] = 1
+            raise RuntimeError("induced crash between member stores")
+
+    def arming(df, bid):
+        pipe._after_sink_apply = bomb_once if bid == 1 else None
+        pipe.commit(df, bid)
+
+    from doreisa_spark.streaming.structured import run_foreach_batch
+
+    try:
+        run_foreach_batch(_read_stream(spark, src), arming,
+                          timeout_sec=120, checkpoint=ckpt)
+    except Exception:
+        pass  # the query died mid-stream, offsets for batch 1 unwritten
+    assert fired["n"] == 1
+    assert set(PC.pipeline_pending(pipe.root)) == {1}  # skew window open
+    # restart THROUGH THE PRODUCTION HELPER with fresh handles
+    pipe2, cur2, ded2 = _pipe(spark, tmp_path)
+    drive_pipeline(_read_stream(spark, src), pipe2, timeout_sec=120,
+                   checkpoint=ckpt)
+    assert cur2.kept().count() == 12        # exactly once, no double
+    assert _member_docs(ded2) == 12         # the healed store caught up
+    assert PC.pipeline_pending(pipe2.root) == {}
+
+
 def test_join_view_fact_side_joins_a_pipeline(spark, tmp_path):
     """A join view's fact side participates via ``view.fact`` — the
     pipeline txn spans THREE stores; the view read reflects the batch

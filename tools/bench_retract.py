@@ -62,7 +62,8 @@ def main() -> None:
             store.process_batch(b.drop("id"))
             b.write.mode("append").parquet(raw)
             b.unpersist()
-            if (i + 1) in (n_batches // 4, n_batches // 2, n_batches):
+            if (i + 1) in {max(1, n_batches // 10), n_batches // 4,
+                           n_batches // 2, n_batches}:  # a full decade (r15)
                 # three disjoint CDC delete slices (~rows/1009 each per
                 # ingested batch), timed retract+read, min-of-3
                 rts, vts, bts = [], [], []
