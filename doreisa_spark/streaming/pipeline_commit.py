@@ -303,6 +303,30 @@ class PipelineIngest:
         )
 
 
+class CdcSink:
+    """Adapter routing a pipeline txn's op-tagged batch into a
+    retractable store's ATOMIC mixed CDC commit (process_cdc_batch:
+    per-row signed weights, one partial, one id). Use when the staged
+    pipeline batch is a CDC feed: the view sink applies inserts AND
+    deletes in one signed pass, while append-only sinks in the same txn
+    take just the inserts via their transform (e.g. ``lambda df:
+    df.where("op = 'I'").select(...)``). Duck-typed like every sink:
+    ``next_batch_id``/``process_batch`` delegate, so staging, recorded
+    ids, redo, and exactly-once come from the txn layer unchanged."""
+
+    def __init__(self, store, *, op_col: str = "op",
+                 insert_op="I", delete_op="D"):
+        self.store = store
+        self._kw = dict(op_col=op_col, insert_op=insert_op,
+                        delete_op=delete_op)
+
+    def next_batch_id(self) -> int:
+        return self.store.next_batch_id()
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> int:
+        return self.store.process_cdc_batch(batch, batch_id, **self._kw)
+
+
 def drive_pipeline(
     stream: DataFrame, pipe: PipelineIngest, *,
     timeout_sec: float = 300, checkpoint: "str | None" = None,

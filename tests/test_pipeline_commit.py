@@ -192,6 +192,102 @@ def test_heal_refuses_a_handle_missing_sinks(spark, tmp_path):
         short.heal()
 
 
+def test_cdc_sink_routes_mixed_batches_atomically(spark, tmp_path):
+    """A CDC pipeline batch (op-tagged inserts AND deletes) spans an
+    append-only curation sink (transform keeps the inserts) and a
+    retractable view through CdcSink (one signed partial) — crashed
+    between the stores, healed from a fresh handle, the view must equal
+    the post-delete aggregate and curation must hold every insert."""
+    from pyspark.sql import functions as F
+
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+    from doreisa_spark.streaming.pipeline_commit import CdcSink
+
+    root = str(tmp_path / "cdcp")
+
+    def mk():
+        cur = CurationStore(spark, f"{root}/cur", commit_mode=BC.MANIFEST,
+                            compact_every=None, fenced=False)
+        view = AggregateStore(
+            spark, f"{root}/view", key_cols=["lang"], retractable=True,
+            aggs={"cnt": ("count", None), "chars": ("sum", "n_chars")},
+            commit_mode=BC.MANIFEST, fenced=False)
+        return cur, view, PipelineIngest(spark, root, {
+            "curation": (cur, lambda df: df.where("op = 'I'")
+                         .select("doc_id", "lang", "text")),
+            "view": (CdcSink(view),
+                     lambda df: df.select("op", "lang", "n_chars")),
+        })
+
+    cur, view, pipe = mk()
+    ins = lambda lo, hi: _docs(spark, lo, hi).withColumn(  # noqa: E731
+        "op", F.lit("I"))
+    assert pipe.commit(ins(0, 6))
+    # batch 1 MIXES inserts (6..8) with CDC deletes replaying rows 0..2
+    mixed = ins(6, 8).unionByName(
+        _docs(spark, 0, 2).withColumn("op", F.lit("D")))
+    _arm_crash_between_stores(pipe)  # curation applies, view does not
+    with pytest.raises(RuntimeError, match="induced crash"):
+        pipe.commit(mixed)
+    got = view.read().collect()  # skew: view still shows batch 0 only
+    assert [(r["lang"], r["cnt"]) for r in got] == [("en", 6)]
+    cur2, view2, pipe2 = mk()
+    assert pipe2.heal() == 1
+    got = view2.read().collect()  # post-delete: docs 2..8 survive
+    assert [(r["lang"], r["cnt"]) for r in got] == [("en", 6)]
+    exp_chars = sum(r["n_chars"] for r in
+                    _docs(spark, 2, 8).select("n_chars").collect())
+    assert got[0]["chars"] == exp_chars
+    assert cur2.kept().count() == 8  # every INSERT admitted exactly once
+
+
+def test_pipeline_heal_across_processes(spark, tmp_path):
+    """A SEPARATE OS process (real flock semantics) heals the crashed
+    txn from the staged payload; this process observes convergence."""
+    import subprocess
+    import sys
+
+    pipe, cur, ded = _pipe(spark, tmp_path)
+    assert pipe.commit(_docs(spark, 0, 4))
+    _arm_crash_between_stores(pipe)
+    with pytest.raises(RuntimeError, match="induced crash"):
+        pipe.commit(_docs(spark, 10, 14))
+    assert set(PC.pipeline_pending(pipe.root)) == {1}
+    script = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from doreisa_spark.session import get_spark
+from doreisa_spark.streaming import batch_commit as BC
+from doreisa_spark.streaming.incremental_curation import CurationStore
+from doreisa_spark.streaming.incremental_dedup import LSHSignatureStore
+from doreisa_spark.streaming.pipeline_commit import PipelineIngest
+
+root = sys.argv[1]
+spark = get_spark("pipe-heal-xproc", cpus=2, shuffle_partitions=2,
+                  extra_conf={{"spark.driver.memory": "2g",
+                               "spark.driver.extraJavaOptions":
+                               "-Xms512m -XX:ReservedCodeCacheSize=128m"}})
+cur = CurationStore(spark, f"{{root}}/cur", commit_mode=BC.MANIFEST,
+                    compact_every=None, fenced=False)
+ded = LSHSignatureStore(spark, f"{{root}}/ded", commit_mode=BC.MANIFEST,
+                        compact_every=None, fenced=False)
+pipe = PipelineIngest(spark, root, {{
+    "curation": (cur, lambda df: df.select("doc_id", "lang", "text")),
+    "dedup": ded,
+}})
+print("HEALED", pipe.heal())
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = script.format(repo=repo)
+    p = subprocess.run([sys.executable, "-c", code, pipe.root],
+                       capture_output=True, timeout=420)
+    out = p.stdout.decode() + p.stderr.decode()
+    assert p.returncode == 0 and "HEALED 1" in out, out
+    assert cur.kept().count() == 8
+    assert _member_docs(ded) == 8
+    assert PC.pipeline_pending(pipe.root) == {}
+
+
 def _stream_src(spark, tmp_path, n_files=3, per=4):
     """n_files parquet files of _docs rows, mtimes ascending so the
     file source triggers them in order (monotone doc_ids — the dedup
