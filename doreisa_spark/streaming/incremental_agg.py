@@ -598,31 +598,42 @@ def _interp_quantiles(folded: DataFrame, key_cols: list, col: str, qs,
         F.sum("__n").over(w).alias("__cum"),
         F.sum("__n").over(W.partitionBy(*key_cols)).alias("__tot"),
     )
+    # ALL quantiles in ONE groupBy: each q's crossing bin is the least
+    # cum-struct satisfying cum >= tot*q, i.e. a conditional MIN — so
+    # one aggregate pass serves every requested quantile where a per-q
+    # groupBy + join would add two exchanges per quantile to the plan
+    # (r15: the 9-exchange agg_join_incremental_quantile audit row
+    # collapsed to the family's 3-exchange shape). min ignores NULLs,
+    # so the when() guard is the old where() exactly.
+    names, hit_aggs = [], []
+    for i, q in enumerate(qs):
+        names.append(f"q_{str(q).replace('.', '_')}")
+        tgt = F.col("__tot") * float(q)
+        hit_aggs.append(
+            F.min(F.when(F.col("__cum") >= tgt,
+                         F.struct("__bin", "__n", "__cum", "__tot")))
+            .alias(f"__h{i}")
+        )
+    hits = cum.groupBy(*key_cols).agg(*hit_aggs).select(
+        *key_cols,
+        *[
+            (F.lit(lo) + (
+                F.col(f"__h{i}.__bin")
+                + (F.col(f"__h{i}.__tot") * float(q)
+                   - (F.col(f"__h{i}.__cum") - F.col(f"__h{i}.__n")))
+                / F.col(f"__h{i}.__n")
+            ) * F.lit(width)).alias(names[i])
+            for i, q in enumerate(qs)
+        ],
+    )
     # seed with the FULL group set (not just groups with histogram
     # mass): a group whose sketch source was all-NULL in every
     # partial must keep its row with NULL estimates, exactly like
     # SQL quantile_cont over an all-NULL group (r12 ADVICE); the
-    # folded frame is already one row per group
-    view = folded.select(*key_cols)
-    for q in qs:
-        name = f"q_{str(q).replace('.', '_')}"
-        tgt = F.col("__tot") * float(q)
-        hit = cum.where(F.col("__cum") >= tgt).groupBy(*key_cols).agg(
-            F.min(F.struct("__bin", "__n", "__cum", "__tot")).alias("__h")
-        ).select(
-            *key_cols,
-            (F.lit(lo) + (
-                F.col("__h.__bin")
-                + (F.col("__h.__tot") * float(q)
-                   - (F.col("__h.__cum") - F.col("__h.__n")))
-                / F.col("__h.__n")
-            ) * F.lit(width)).alias(name),
-        )
-        # null-safe attach (a NULL group key is a real group); every
-        # q in (0, 1] yields the same group set — the last bin's
-        # cumulative equals the total — so left is exact
-        view = AggregateStore._attach_by(view, hit, key_cols)
-    return view
+    # folded frame is already one row per group, null-safe attach (a
+    # NULL group key is a real group)
+    return AggregateStore._attach_by(folded.select(*key_cols), hits,
+                                     key_cols)
 
 
 class AggregateStore:
