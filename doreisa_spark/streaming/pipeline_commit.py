@@ -43,14 +43,26 @@ AggregateStore — and a JoinedAggregateView's fact side via
 input from the staged batch (e.g. project the doc columns the dedup
 store wants), so the batch stages ONCE however many stores it feeds.
 
-Concurrency contract (same as pipeline_snapshot's): the pipeline loop
-is the single writer to its member stores — the stores' own writer
-fencing (batch_commit.acquire_writer epochs) enforces one live handle
-per store, and the WAL's flock serializes pipeline handles sharing one
-root. Store ids are pre-allocated inside the WAL lock, so two pipeline
-handles cannot record the same store id; a FOREIGN direct writer to a
-member store between intent and apply would break id stability and is
-excluded by the fencing.
+Concurrency contract: every writer to the member stores must go
+THROUGH this pipeline root. Handles sharing the root serialize on the
+WAL's flock: store ids are pre-allocated inside the lock and floored
+above every pending txn's recorded ids (the store manifest only
+advances at apply, so without the floor two in-flight txns would
+record colliding store ids and one batch would no-op as a phantom
+redelivery — pinned by the concurrent-handles test). A handle's
+head-heal may roll a peer's in-flight txn forward concurrently; the
+stores' per-id refusal makes the double-apply a no-op and ``_apply``
+treats a staging dir reclaimed by a concurrent COMPLETE as success. A
+FOREIGN writer committing to a member store directly (not through the
+pipeline) between intent and apply would break id stability — that is
+what the stores' own writer fencing (batch_commit.acquire_writer /
+join_writer epochs) excludes. Scope note: intents serialize, APPLIES
+may overlap — concurrent handles ingesting OVERLAPPING content get
+each store's own admission contract (e.g. curation may admit the same
+fingerprint once per in-flight txn, exactly as two racing batches on
+a shared store would); content-level serializability across handles
+needs the single-pipeline-loop deployment, which is the
+pipeline_snapshot consistency contract this module inherits.
 
 100 TB posture: the WAL is O(pending txns) JSON — completed txns fold
 into a contiguous ``done_horizon`` so the ledger never grows with
@@ -176,13 +188,21 @@ class PipelineIngest:
                     "intent — GC grace is too small for this write latency"
                 )
             os.utime(stage, None)  # serialize vs the locked age-GC
-            # pre-allocate the store-level ids INSIDE the lock: two
-            # pipeline handles sharing this WAL cannot record the same
-            # id, and heal replays each store under the recorded id
+            # pre-allocate the store-level ids INSIDE the lock, floored
+            # ABOVE every pending txn's recorded id for that sink: the
+            # store manifest only advances at APPLY (outside this
+            # lock), so without the floor a second handle's intent
+            # before the first apply lands would record the SAME store
+            # id and its batch would no-op as a phantom redelivery
+            floor: dict = {}
+            for rec0 in cur["txns"].values():
+                for n, i in rec0["ids"].items():
+                    floor[n] = max(floor.get(n, -1), int(i))
             rec.update({
                 "stage": dname,
                 "schema": schema_json,
-                "ids": {n: int(s.next_batch_id())
+                "ids": {n: max(int(s.next_batch_id()),
+                               floor.get(n, -1) + 1)
                         for n, (s, _) in self.sinks.items()},
             })
             txns = dict(cur["txns"])
@@ -233,18 +253,29 @@ class PipelineIngest:
 
     # ------------------------------------------------------ internals
     def _apply(self, rec: dict) -> None:
-        staged = self.spark.read.schema(
-            StructType.fromJson(json.loads(rec["schema"]))
-        ).parquet(os.path.join(self.root, _STAGE, rec["stage"]))
-        for name in sorted(rec["ids"]):
-            store, transform = self.sinks[name]
-            frame = transform(staged) if transform is not None else staged
-            # exactly-once per store: a redelivered explicit id no-ops,
-            # so a partial predecessor apply is safe to replay whole
-            store.process_batch(frame, int(rec["ids"][name]))
-            hook = getattr(self, "_after_sink_apply", None)
-            if hook is not None:
-                hook(name)  # crash-injection seam (tests + gated entry)
+        try:
+            staged = self.spark.read.schema(
+                StructType.fromJson(json.loads(rec["schema"]))
+            ).parquet(os.path.join(self.root, _STAGE, rec["stage"]))
+            for name in sorted(rec["ids"]):
+                store, transform = self.sinks[name]
+                frame = (transform(staged) if transform is not None
+                         else staged)
+                # exactly-once per store: a redelivered explicit id
+                # no-ops, so a partial predecessor apply is safe to
+                # replay whole
+                store.process_batch(frame, int(rec["ids"][name]))
+                hook = getattr(self, "_after_sink_apply", None)
+                if hook is not None:
+                    hook(name)  # crash-injection seam (tests + gate)
+        except Exception:
+            # a CONCURRENT handle's head-heal may apply+complete this
+            # txn under us and reclaim the staging dir mid-read; if the
+            # txn is no longer pending, the work is durably done — this
+            # handle's apparent failure must not surface as one
+            if str(rec["pid"]) not in _wal_load(self.root)["txns"]:
+                return
+            raise
 
     def _complete(self, pid: int, dname: str) -> None:
         def retire(cur: dict) -> "dict | None":

@@ -192,6 +192,47 @@ def test_heal_refuses_a_handle_missing_sinks(spark, tmp_path):
         short.heal()
 
 
+def test_two_concurrent_handles_lose_nothing(spark, tmp_path):
+    """Two pipeline handles share one root and commit DISJOINT batches
+    concurrently: the WAL lock serializes intents, store ids floor
+    above pending txns' recorded ids (without the floor, two in-flight
+    txns would record colliding store ids and one batch would no-op as
+    a phantom redelivery), and a handle's head-heal rolling the peer's
+    in-flight txn forward is absorbed by the stores' per-id refusal —
+    every doc lands in BOTH stores exactly once."""
+    import threading
+
+    pipe1, cur, ded = _pipe(spark, tmp_path)
+    pipe2, _, _ = _pipe(spark, tmp_path)
+    start = threading.Barrier(2)
+    errs: list = []
+
+    def loop(pipe, lo):
+        try:
+            start.wait()
+            for k in range(3):
+                pipe.commit(_docs(spark, lo + 10 * k, lo + 10 * k + 4))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=loop, args=(pipe1, 0))
+    t2 = threading.Thread(target=loop, args=(pipe2, 100))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    pipe1.heal()
+    kept = sorted(r["doc_id"] for r in cur.kept().collect())
+    exp = sorted([lo + 10 * k + j for lo in (0, 100)
+                  for k in range(3) for j in range(4)])
+    assert kept == exp                       # each doc once, none lost
+    assert _member_docs(ded) == 24
+    # six distinct store ids per log — no collision ate a batch
+    ids = BC.committed_ids(f"{pipe1.root}/cur/seen", mode=BC.MANIFEST)
+    assert len(ids) == 6 and len(set(ids)) == 6
+    assert PC.pipeline_pending(pipe1.root) == {}
+    wal = PC._wal_load(pipe1.root)
+    assert wal["done_horizon"] == 5 and wal["txns"] == {}
+
+
 def test_cdc_sink_routes_mixed_batches_atomically(spark, tmp_path):
     """A CDC pipeline batch (op-tagged inserts AND deletes) spans an
     append-only curation sink (transform keeps the inserts) and a
