@@ -83,7 +83,8 @@ def main() -> None:
     spark = get_spark("bench-view-sf1")
     tmp = tempfile.mkdtemp(prefix="viewsf1_")
     e = table(spark, sf_dir, "events")
-    d = table(spark, sf_dir, "documents")
+    has_docs = os.path.exists(f"{sf_dir}/documents.parquet")
+    d = table(spark, sf_dir, "documents") if has_docs else None
     lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
     step = (hi - lo) // N_BATCHES + 1
 
@@ -104,45 +105,53 @@ def main() -> None:
     lookup = AggregateStore(
         spark, f"{tmp}/lookup", key_cols=["user_id"], compact_every=4,
         aggs={"cnt": ("count", None), "sum_value": ("sum", "value")})
-    join = JoinedAggregateView(
+    join = None if not has_docs else JoinedAggregateView(
         spark, f"{tmp}/join", fk="doc_fk", fact_keys=["event_type"],
         fact_aggs={"cnt": ("count", None), "sum_value": ("sum", "value")},
         dim_key="doc_id", dim_cols=["source"], dim_order_by="doc_id",
         compact_every=4)
-    join.process_dim_batch(d.where("doc_id % 2 = 1"))
+    if has_docs:
+        join.process_dim_batch(d.where("doc_id % 2 = 1"))
     for b in slices():
         rollup.process_batch(b)
         lookup.process_batch(b)
-        join.process_fact_batch(b.withColumn("doc_fk",
-                                             F.expr("event_id % 700")))
-    join.process_dim_batch(d.where("doc_id % 2 = 0"))
+        if has_docs:
+            join.process_fact_batch(b.withColumn(
+                "doc_fk", F.expr("event_id % 700")))
+    if has_docs:
+        join.process_dim_batch(d.where("doc_id % 2 = 0"))
     # the factorized-IVM WIN shape: 6M facts against a 10k-key FK grain
     # (lineitem ⋈ supplier, revenue by nation — the q5 sub-shape): the
     # view read merges O(10k x tiers) partial rows while every rescan
-    # re-joins all 6M facts
-    li = table(spark, sf_dir, "lineitem")
-    sup = table(spark, sf_dir, "supplier")
-    jls = JoinedAggregateView(
+    # re-joins all 6M facts. Skipped on events-only datasets (the sf10
+    # view receipt ships only the tables its kernels read).
+    has_li = os.path.exists(f"{sf_dir}/lineitem.parquet")
+    li = table(spark, sf_dir, "lineitem") if has_li else None
+    sup = table(spark, sf_dir, "supplier") if has_li else None
+    jls = None if not has_li else JoinedAggregateView(
         spark, f"{tmp}/jls", fk="l_suppkey", fact_keys=[],
         fact_aggs={"cnt": ("count", None),
                    "revenue": ("sum", "l_extendedprice * (1 - l_discount)")},
         dim_key="s_suppkey", dim_cols=["s_nationkey"],
         dim_order_by="s_suppkey", compact_every=4)
-    jls.process_dim_batch(sup)
-    klo, khi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
-    kstep = (khi - klo) // N_BATCHES + 1
-    for i in range(N_BATCHES):
-        jls.process_fact_batch(li.where(
-            (F.col("l_orderkey") >= klo + i * kstep)
-            & (F.col("l_orderkey") < klo + (i + 1) * kstep)))
+    if has_li:
+        jls.process_dim_batch(sup)
+        klo, khi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+        kstep = (khi - klo) // N_BATCHES + 1
+        for i in range(N_BATCHES):
+            jls.process_fact_batch(li.where(
+                (F.col("l_orderkey") >= klo + i * kstep)
+                & (F.col("l_orderkey") < klo + (i + 1) * kstep)))
 
     reads = {
         "rollup_full": lambda: rollup.read(),
         "rollup_lookup": lambda: (
             lookup.read(prune_between={"user_id": (3, 7)})
             .where(F.col("user_id").between(3, 7))),
-        "join_read": lambda: join.read(["source", "event_type"]),
-        "join_lineitem_supplier": lambda: jls.read(["s_nationkey"]),
+        **({"join_read": lambda: join.read(["source", "event_type"])}
+           if has_docs else {}),
+        **({"join_lineitem_supplier": lambda: jls.read(["s_nationkey"])}
+           if has_li else {}),
     }
     rescans = {
         "rollup_full": lambda: e.groupBy("event_type").agg(
@@ -152,24 +161,27 @@ def main() -> None:
         "rollup_lookup": lambda: e.where(F.col("user_id").between(3, 7))
         .groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"),
                                 F.sum("value").alias("sum_value")),
-        "join_read": lambda: e.withColumn("doc_fk", F.expr("event_id % 700"))
+        **({"join_read": lambda: e.withColumn(
+            "doc_fk", F.expr("event_id % 700"))
         .join(d.select("doc_id", "source"),
               F.col("doc_fk") == F.col("doc_id"))
         .groupBy("source", "event_type").agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("value").alias("sum_value")),
-        "join_lineitem_supplier": lambda: li.join(
+            F.sum("value").alias("sum_value"))} if has_docs else {}),
+        **({"join_lineitem_supplier": lambda: li.join(
             sup.select("s_suppkey", "s_nationkey"),
             li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy("s_nationkey").agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.expr("l_extendedprice * (1 - l_discount)"))
-            .alias("revenue")),
+            .alias("revenue"))} if has_li else {}),
     }
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
-    for t in ("events", "documents", "lineitem", "supplier"):
+    for t in [t for t, ok in (("events", True), ("documents", has_docs),
+                              ("lineitem", has_li), ("supplier", has_li))
+              if ok]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
