@@ -144,3 +144,64 @@ def test_random_cdc_scripts_match_one_pass(spark, tmp_path):
             assert got == exp, (seed, insert_order, deleted)
     finally:
         rows.unpersist()
+
+def test_random_extrema_scripts_match_one_pass(spark, tmp_path):
+    """Bounded k-extrema differential (r15): random insert/delete
+    interleavings on a retractable min/max/last store with a TINY
+    candidate window (k=3) so frontier drains actually happen; when a
+    read raises dirty, re_derive from the surviving rows must heal it,
+    and the final state must equal the one-pass aggregate — including
+    fully-retracted groups dropping."""
+    rows = _universe(spark).persist()
+    rows.count()
+    try:
+        for seed in (7, 31, 101):
+            rng = random.Random(seed)
+            ids = list(range(N_ROWS))
+            rng.shuffle(ids)
+            slices = [set(ids[i::6]) for i in range(6)]
+            to_delete = [i for i, _ in enumerate(slices)
+                         if rng.random() < 0.6]
+            script = [("I", i) for i in range(6)] + \
+                     [("D", i) for i in to_delete]
+            rng.shuffle(script)
+            st = AggregateStore(
+                spark, str(tmp_path / f"x{seed}"), key_cols=["k"],
+                retractable=True, compact_every=3,
+                aggs={"mn": ("min", "v", {"k": 3}),
+                      "mx": ("max", "v", {"k": 3}),
+                      "last_v": ("last", "v", {"by": "ord", "k": 3}),
+                      "cnt": ("count", None)},
+            )
+            for op, i in script:
+                frame = rows.where(
+                    F.col("id").isin(sorted(slices[i]))
+                ).withColumn("ord", F.col("id")).drop("id")
+                if op == "I":
+                    st.process_batch(frame)
+                else:
+                    st.process_retract_batch(frame)
+            surviving = sorted(
+                x for i, sl in enumerate(slices) if i not in to_delete
+                for x in sl
+            )
+            src = rows.where(F.col("id").isin(surviving)).withColumn(
+                "ord", F.col("id")).drop("id")
+            if st.dirty_groups().count():
+                st.re_derive(src)  # targeted: only the drained groups
+            exp = {
+                r["k"]: (round(r["mn"], 6), round(r["mx"], 6),
+                         round(r["last_v"], 6), r["cnt"])
+                for r in src.groupBy("k").agg(
+                    F.min("v").alias("mn"), F.max("v").alias("mx"),
+                    F.max_by("v", "ord").alias("last_v"),
+                    F.count(F.lit(1)).alias("cnt")).collect()
+            }
+            got = {
+                r["k"]: (round(r["mn"], 6), round(r["mx"], 6),
+                         round(r["last_v"], 6), r["cnt"])
+                for r in st.read().collect()
+            }
+            assert got == exp, (seed, script, to_delete)
+    finally:
+        rows.unpersist()
