@@ -580,60 +580,69 @@ def _hll_est(n, z):
 def _interp_quantiles(folded: DataFrame, key_cols: list, col: str, qs,
                       lo: float, hi: float, bins: int) -> DataFrame:
     """Quantile estimates from a frame with ONE merged ``hist`` map per
-    group: per-group cumulative bin counts (one window over groups ×
-    bins rows — sketch-bounded) + linear interpolation inside the
-    crossing bin. Shared by AggregateStore.read_quantiles (folded off
-    the partial log) and JoinedAggregateView.read_quantiles (folded
-    through the join re-group). Output: key columns + one ``q_<pct>``
-    column per requested quantile; error bounded by the bin width."""
-    from pyspark.sql import Window as W
-
+    group, computed entirely as PER-ROW array expressions: sort the
+    map's populated bins, total them, then ONE linear fold finds every
+    requested quantile's crossing bin (the least prefix whose sum
+    reaches tot·q), interpolated inside the crossing bin. ZERO
+    operators added to the plan — no explode, no window, no re-group,
+    no attach join (r15; the previous shape cost 1-2 extra exchanges
+    per read and originally 2 per QUANTILE — the 9-exchange
+    agg_join_incremental_quantile audit row now keeps the join-view
+    family's base shape). Work per group is O(bins log bins) on a
+    sketch-bounded array (≤ ``bins`` entries). A group with no
+    histogram mass (all-NULL source) keeps its row with NULL estimates,
+    exactly like SQL quantile_cont over an all-NULL group (r12 ADVICE).
+    Shared by AggregateStore.read_quantiles (folded off the partial
+    log) and JoinedAggregateView.read_quantiles (folded through the
+    join re-group); error bounded by the bin width."""
     width = (hi - lo) / bins
-    ex = folded.select(
-        *key_cols, F.explode_outer(F.col(col)).alias("__bin", "__n")
-    ).where(F.col("__bin").isNotNull() & (F.col("__n") > 0))
-    w = W.partitionBy(*key_cols).orderBy("__bin")
-    cum = ex.select(
-        *key_cols, "__bin", "__n",
-        F.sum("__n").over(w).alias("__cum"),
-        F.sum("__n").over(W.partitionBy(*key_cols)).alias("__tot"),
+    mdt = folded.schema[col].dataType
+    bin_t = mdt.keyType.simpleString()
+    cnt_t = mdt.valueType.simpleString()
+    hit_t = f"struct<b:{bin_t},n:{cnt_t},c:{cnt_t}>"
+    # populated bins, ascending (struct arrays sort by first field)
+    srt = F.array_sort(F.filter(
+        F.map_entries(F.col(col)),
+        lambda x: x.getField("key").isNotNull() & (x.getField("value") > 0),
+    ))
+    tot = F.aggregate(
+        srt, F.lit(0).cast(cnt_t), lambda a, x: a + x.getField("value")
     )
-    # ALL quantiles in ONE groupBy: each q's crossing bin is the least
-    # cum-struct satisfying cum >= tot*q, i.e. a conditional MIN — so
-    # one aggregate pass serves every requested quantile where a per-q
-    # groupBy + join would add two exchanges per quantile to the plan
-    # (r15: the 9-exchange agg_join_incremental_quantile audit row
-    # collapsed to the family's 3-exchange shape). min ignores NULLs,
-    # so the when() guard is the old where() exactly.
-    names, hit_aggs = [], []
-    for i, q in enumerate(qs):
-        names.append(f"q_{str(q).replace('.', '_')}")
-        tgt = F.col("__tot") * float(q)
-        hit_aggs.append(
-            F.min(F.when(F.col("__cum") >= tgt,
-                         F.struct("__bin", "__n", "__cum", "__tot")))
-            .alias(f"__h{i}")
-        )
-    hits = cum.groupBy(*key_cols).agg(*hit_aggs).select(
+    names = [f"q_{str(q).replace('.', '_')}" for q in qs]
+
+    def comb(acc, x):
+        newcum = acc.getField("cum") + x.getField("value")
+        fields = [newcum.alias("cum")]
+        for i, q in enumerate(qs):
+            hit = F.struct(x.getField("key").alias("b"),
+                           x.getField("value").alias("n"),
+                           newcum.alias("c"))
+            fields.append(F.coalesce(
+                acc.getField(f"h{i}"),
+                F.when(newcum.cast("double") >= tot.cast("double") * float(q),
+                       hit),
+            ).alias(f"h{i}"))
+        return F.struct(*fields)
+
+    zero = F.struct(
+        F.lit(0).cast(cnt_t).alias("cum"),
+        *[F.expr(f"cast(null as {hit_t})").alias(f"h{i}")
+          for i in range(len(qs))],
+    )
+    hits = F.aggregate(srt, zero, comb)
+    return folded.select(
         *key_cols,
         *[
             (F.lit(lo) + (
-                F.col(f"__h{i}.__bin")
-                + (F.col(f"__h{i}.__tot") * float(q)
-                   - (F.col(f"__h{i}.__cum") - F.col(f"__h{i}.__n")))
-                / F.col(f"__h{i}.__n")
+                hits.getField(f"h{i}").getField("b")
+                + (tot.cast("double") * float(q)
+                   - (hits.getField(f"h{i}").getField("c")
+                      - hits.getField(f"h{i}").getField("n")))
+                / hits.getField(f"h{i}").getField("n")
             ) * F.lit(width)).alias(names[i])
             for i, q in enumerate(qs)
         ],
     )
-    # seed with the FULL group set (not just groups with histogram
-    # mass): a group whose sketch source was all-NULL in every
-    # partial must keep its row with NULL estimates, exactly like
-    # SQL quantile_cont over an all-NULL group (r12 ADVICE); the
-    # folded frame is already one row per group, null-safe attach (a
-    # NULL group key is a real group)
-    return AggregateStore._attach_by(folded.select(*key_cols), hits,
-                                     key_cols)
 
 
 class AggregateStore:
