@@ -1337,6 +1337,80 @@ def agg_retract_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_retract_distinct",
+    extended=True,
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS distinct_user_id,
+       count(*) AS cnt
+FROM events
+WHERE event_id % 3 != 1
+GROUP BY event_type
+""",
+)
+def agg_retract_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT count(DISTINCT) under row-level CDC — the support-count
+    arrangement (streaming/incremental_distinct.py): hll is refused on
+    retractable stores (registers only grow), so the view keeps the
+    exact signed count of every (group, value) pair instead — the
+    DBSP/Materialize arrangement of the distinct operator — and a
+    delete is one −1 on one pair. Distinct = values with support > 0:
+    deletes are EXACT (hash gate, not a band — note the insert-only
+    sketch twin agg_distinct_incremental can only band-match ±5%),
+    state is O(distinct pairs), reads are 2 exchanges (pair-grain
+    fold + re-group) and never touch raw history. The delete arrives
+    BEFORE half its inserts (commutative Z-set merge)."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_distinct import DistinctView
+
+    e = table(spark, sf_dir, "events")
+    v = DistinctView(spark, _fresh_store_dir("incrdist"),
+                     key_cols=["event_type"], value_col="user_id")
+    v.process_batch(e.where("event_id % 2 = 0"))
+    v.process_retract_batch(e.where("event_id % 3 = 1"))
+    v.process_batch(e.where("event_id % 2 = 1"))
+    return v.read_distinct(include_total=True)
+
+
+@register(
+    "agg_retract_topk",
+    extended=True,
+    oracle="""
+SELECT event_type, user_id, n FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id) AS rk
+  FROM events
+  WHERE event_id % 3 != 1
+  GROUP BY event_type, user_id
+) WHERE rk <= 3
+""",
+)
+def agg_retract_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group heavy hitters under row-level CDC, from the
+    same support-count arrangement as agg_retract_distinct: the
+    Misra-Gries ``topk`` sketch cannot give deleted mass back (its
+    compression is lossy by design), but the exact pair-grain counts
+    can — top-k is then just the k largest surviving counts per group,
+    ties broken deterministically by ascending value (the identical
+    (n DESC, value ASC) order the DuckDB oracle states), so the gate
+    is hash-exact over the POST-DELETE table. The window sorts pairs
+    within each group — O(V log V) per group, the standard exact
+    top-k cost; insert-only pipelines keep the O(groups)-state sketch
+    (agg_topk_incremental) when approximation is acceptable."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_distinct import DistinctView
+
+    e = table(spark, sf_dir, "events")
+    v = DistinctView(spark, _fresh_store_dir("incrtopk"),
+                     key_cols=["event_type"], value_col="user_id")
+    v.process_batch(e.where("event_id % 2 = 0"))
+    v.process_retract_batch(e.where("event_id % 3 = 1"))
+    v.process_batch(e.where("event_id % 2 = 1"))
+    return v.read_topk(3)
+
+
+@register(
     "agg_join_incremental_quantile",
     extended=True,
     band_oracle="""

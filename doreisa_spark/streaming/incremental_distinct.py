@@ -1,0 +1,217 @@
+"""Exact retractable distinct-counts and heavy-hitters: the support-
+count arrangement.
+
+``AggregateStore`` refuses fn ``hll`` and fn ``topk`` on
+``retractable=True`` stores for a real reason: those sketches only
+grow — a register maximum or a Misra-Gries compression cannot give a
+deleted row's contribution back, so no signed merge exists
+(incremental_agg.py:401). But the standard IVM treatment
+(DBSP/Materialize — the same bar the rest of the view layer cites,
+incremental_join.py:10-14) does not retract the sketch; it changes the
+GRAIN: maintain the exact signed count of every (group, value) pair —
+the "arrangement" of the distinct operator — and derive both answers
+from it:
+
+- ``count(DISTINCT value)``  = the number of values with support > 0;
+- heavy hitters (exact top-k) = the k largest per-group counts.
+
+A delete is then just a −1 on one pair's count (the ordinary Z-set
+weight the retractable store already implements), so deletes are EXACT
+— no band, no drained-frontier dirty state, no rescan — at the price
+the literature is explicit about: state is O(distinct pairs), not
+O(groups × sketch). That price is the honest one for exact answers
+under updates; insert-only pipelines should keep the O(groups)-state
+``hll``/``topk`` sketch columns instead, and this module's docstrings
+say so rather than pretending to beat the lower bound.
+
+``DistinctView`` is a thin composition: an inner
+``AggregateStore(key_cols + [value_col], retractable=True)`` holds the
+arrangement in the exactly-once partial log (every commit-layer
+guarantee — redelivery refusal, compaction, snapshots, CDC single-pass
+batches, stats sidecars for keyed pruning — is inherited verbatim, not
+re-implemented), and the reads are one extra re-group on top of the
+store's own 1-exchange fold:
+
+- ``read_counts()``  — the arrangement itself: (keys, value, n), one
+  row per surviving pair. 1 exchange (the store's merge).
+- ``read_distinct()`` — exact per-group distinct counts. 2 exchanges
+  (fold at pair grain, re-group at group grain).
+- ``read_topk(k)``   — exact per-group top-k values by count with a
+  deterministic tie-break. 2 exchanges + a per-group sort (the window
+  that ranks pairs inside each group — O(V log V) per group, the
+  standard exact-top-k cost; the insert-only ``topk`` sketch remains
+  the O(groups)-state alternative when approximation is acceptable).
+
+100 TB posture: every micro-batch commits one partial groupBy at pair
+grain (map-side combinable, 1 exchange); reads never touch raw
+history. Pair-grain partials sort by (keys..., value), so the stats
+sidecars prune keyed lookups (``prune_in`` passes through) exactly
+like every other store. NULL values follow SQL: they never count
+toward ``count(DISTINCT)`` and never rank in top-k, but a group whose
+surviving rows are all-NULL still shows a row with distinct = 0,
+exactly like ``count(DISTINCT v)`` over an all-NULL group.
+
+Reference scope note: the reference engine (AdrienVannson/doreisa)
+has no persisted views and no CDC (append-only timesteps,
+doreisa/simulation_node.py); this closes the last refused aggregate
+class of THIS repo's own view layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doreisa_spark.streaming.incremental_agg import AggregateStore
+from doreisa_spark.streaming.vector_store import read_marker, write_marker_once
+
+
+class DistinctView:
+    """Exact distinct-count / heavy-hitter view under row-level CDC.
+
+    ``key_cols`` are the view's group keys; ``value_col`` is the column
+    whose distinct values (and their exact counts) are maintained.
+    All ingest surfaces delegate to the inner pair-grain store, so the
+    full CDC contract of ``AggregateStore`` applies unchanged:
+    ``process_batch`` / ``process_retract_batch`` / ``process_cdc_batch``
+    (atomic mixed batches, in-plan bad-op refusal), exactly-once batch
+    ids, snapshots, compaction, and the stream drives
+    (``drive_aggregate_view`` / ``drive_cdc_view`` accept this view
+    duck-typed — they only call process_* and read()).
+
+    Reopening an existing root needs no arguments: the inner store's
+    recorded spec plus the ``_distinct.json`` marker pin the grain, and
+    mismatched arguments fail loudly (write-once marker + the store's
+    own spec check)."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 key_cols: "list | None" = None,
+                 value_col: "str | None" = None, **store_kwargs):
+        root = root.rstrip("/")
+        marker = f"{root}/_distinct.json"
+        rec = read_marker(marker)
+        if rec is None:
+            if not key_cols or not value_col:
+                raise ValueError(
+                    f"new DistinctView at {root}: key_cols and value_col "
+                    "required"
+                )
+            if value_col in key_cols:
+                raise ValueError(
+                    f"value_col {value_col!r} is already a group key — "
+                    "distinct over a group key is constant 1"
+                )
+            write_marker_once(marker, {"value_col": value_col, "v": 1})
+            rec = read_marker(marker)
+        if value_col is not None and value_col != rec["value_col"]:
+            raise ValueError(
+                f"DistinctView at {root} records value_col="
+                f"{rec['value_col']!r}, got {value_col!r}"
+            )
+        self.value_col = rec["value_col"]
+        inner_keys = (list(key_cols) + [self.value_col]
+                      if key_cols is not None else None)
+        self.store = AggregateStore(
+            spark, root, key_cols=inner_keys,
+            aggs=({"n": ("count", None)} if inner_keys is not None
+                  else None),
+            retractable=True, **store_kwargs,
+        )
+        if self.store.key_cols[-1] != self.value_col:
+            raise ValueError(
+                f"store at {root} does not end its keys with the recorded "
+                f"value_col {self.value_col!r}: {self.store.key_cols}"
+            )
+        self.key_cols = self.store.key_cols[:-1]
+        self.spark = spark
+        self.root = root
+
+    # ---- ingest: the inner store IS the contract -------------------
+    def process_batch(self, batch: DataFrame, batch_id=None) -> int:
+        return self.store.process_batch(batch, batch_id)
+
+    def process_retract_batch(self, batch: DataFrame,
+                              batch_id=None) -> int:
+        return self.store.process_retract_batch(batch, batch_id)
+
+    def process_cdc_batch(self, batch: DataFrame, batch_id=None,
+                          **kw) -> int:
+        return self.store.process_cdc_batch(batch, batch_id, **kw)
+
+    def next_batch_id(self) -> int:
+        return self.store.next_batch_id()
+
+    def snapshot(self) -> int:
+        return self.store.snapshot()
+
+    def drop_snapshot(self, snapshot_id: int) -> bool:
+        return self.store.drop_snapshot(snapshot_id)
+
+    def expire_snapshots(self, *, keep_last: int):
+        return self.store.expire_snapshots(keep_last=keep_last)
+
+    def delete_groups(self, values, *, col: "str | None" = None,
+                      batch_id=None) -> bool:
+        """Group takedown at ANY grain the inner store supports: by a
+        group key (removes every pair under those groups) or by the
+        value column (forgets a value everywhere — the GDPR-style
+        "remove this user from every rollup" path)."""
+        return self.store.delete_groups(values, col=col, batch_id=batch_id)
+
+    # ---- reads -----------------------------------------------------
+    def read_counts(self, *, snapshot: "int | None" = None,
+                    prune_in: "dict | None" = None) -> DataFrame:
+        """The arrangement itself: one row per (group, value) pair with
+        surviving support, ``n`` = exact signed count. The store's own
+        1-exchange merge; keyed lookups prune via the sidecars."""
+        return self.store.read(snapshot=snapshot, prune_in=prune_in)
+
+    def read_distinct(self, *, out: "str | None" = None,
+                      include_total: bool = False,
+                      snapshot: "int | None" = None,
+                      prune_in: "dict | None" = None) -> DataFrame:
+        """Exact ``count(DISTINCT value_col)`` per group over the
+        post-delete table. NULL values do not count, but keep their
+        group alive (SQL semantics). ``include_total`` adds the exact
+        surviving row count (``cnt``) from the same re-group — free,
+        same plan."""
+        out = out or f"distinct_{self.value_col}"
+        pairs = self.read_counts(snapshot=snapshot, prune_in=prune_in)
+        aggs = [
+            F.sum(F.when(F.col(self.value_col).isNotNull(), 1)
+                  .otherwise(0)).cast("bigint").alias(out),
+        ]
+        if include_total:
+            aggs.append(F.sum("n").cast("bigint").alias("cnt"))
+        return pairs.groupBy(*self.key_cols).agg(*aggs)
+
+    def read_topk(self, k: int, *, snapshot: "int | None" = None,
+                  prune_in: "dict | None" = None) -> DataFrame:
+        """Exact per-group top-``k`` values by count, ties broken by
+        ascending value (deterministic — the same (n DESC, value ASC)
+        order an oracle can state in SQL). NULL values never rank.
+        Output: key columns + value_col + ``n``; at most k rows per
+        group."""
+        from pyspark.sql import Window as W
+
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        pairs = self.read_counts(snapshot=snapshot, prune_in=prune_in) \
+            .where(F.col(self.value_col).isNotNull())
+        w = W.partitionBy(*self.key_cols).orderBy(
+            F.desc("n"), F.asc(self.value_col))
+        return (pairs.withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") <= int(k)).drop("__rk"))
+
+    # convenience parity with the store surface
+    def read(self, **kw) -> DataFrame:
+        """Alias for ``read_distinct`` so the stream drives
+        (drive_aggregate_view / drive_cdc_view) return the headline
+        answer of this view."""
+        return self.read_distinct(**kw)
+
+    def unmatched_retractions(self, **kw) -> DataFrame:
+        """Pairs whose support went NEGATIVE (more deletes than inserts
+        ever seen) — the over-deletion audit, delegated. A clean CDC
+        feed keeps this empty."""
+        return self.store.unmatched_retractions(**kw)

@@ -1,0 +1,239 @@
+"""Exact retractable distinct-counts / heavy-hitters (DistinctView).
+
+The support-count arrangement: an inner pair-grain retractable store
+gives EXACT ``count(DISTINCT v)`` and exact per-group top-k under
+row-level CDC — the standard IVM treatment for the two aggregate
+classes (hll/topk) the sketch store refuses to retract. These tests
+pin the SQL semantics (NULLs, group existence, post-delete equality in
+any arrival order), the CDC contract inherited from the inner store
+(mixed batches, redelivery refusal, over-deletion audit), and the
+persistence surface (reopen, snapshots, spec mismatch refusal).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from doreisa_spark.streaming.incremental_distinct import DistinctView
+
+
+def _rows(spark, n=200):
+    # k: 4 groups; v: value with a skewed distribution so top-k is
+    # non-trivial; some NULL values (v is NULL when id % 13 == 0)
+    return spark.range(n).select(
+        (F.col("id") % 4).alias("k"),
+        F.when(F.col("id") % 13 != 0,
+               (F.col("id") % 7) * (F.col("id") % 3)).alias("v"),
+        F.col("id"),
+    )
+
+
+def _view(spark, tmp_path, name="dv", **kw):
+    return DistinctView(spark, str(tmp_path / name), key_cols=["k"],
+                        value_col="v", **kw)
+
+
+def _expect_distinct(df):
+    return {r["k"]: r["d"] for r in df.groupBy("k").agg(
+        F.countDistinct("v").alias("d")).collect()}
+
+
+def _got_distinct(view, **kw):
+    return {r["k"]: r["distinct_v"]
+            for r in view.read_distinct(**kw).collect()}
+
+
+def _expect_topk(df, k):
+    from pyspark.sql import Window as W
+
+    pairs = df.where(F.col("v").isNotNull()).groupBy("k", "v").agg(
+        F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("k").orderBy(F.desc("n"), F.asc("v"))
+    top = pairs.withColumn("r", F.row_number().over(w)).where(
+        F.col("r") <= k)
+    return sorted((r["k"], r["v"], r["n"]) for r in top.collect())
+
+
+def test_distinct_matches_post_delete_any_order(spark, tmp_path):
+    rows = _rows(spark)
+    v = _view(spark, tmp_path)
+    # delete arrives before most of its inserts (commutative Z-set merge)
+    v.process_retract_batch(rows.where("id % 3 = 1"))
+    v.process_batch(rows.where("id % 2 = 0"))
+    v.process_batch(rows.where("id % 2 = 1"))
+    expect = _expect_distinct(rows.where("id % 3 != 1"))
+    assert _got_distinct(v) == expect
+
+
+def test_value_fully_deleted_stops_counting(spark, tmp_path):
+    rows = _rows(spark, 60)
+    v = _view(spark, tmp_path)
+    v.process_batch(rows)
+    # remove EVERY occurrence of one value in one group
+    kill = rows.where("k = 1 AND v = 2")
+    assert kill.count() > 0
+    v.process_retract_batch(kill)
+    expect = _expect_distinct(
+        rows.exceptAll(kill))
+    assert _got_distinct(v) == expect
+    # the arrangement row is gone, not zeroed
+    pairs = v.read_counts().where("k = 1 AND v = 2")
+    assert pairs.count() == 0
+
+
+def test_group_fully_deleted_drops_row(spark, tmp_path):
+    rows = _rows(spark, 80)
+    v = _view(spark, tmp_path)
+    v.process_batch(rows)
+    v.process_retract_batch(rows.where("k = 2"))
+    got = _got_distinct(v)
+    assert 2 not in got
+    assert set(got) == {0, 1, 3}
+
+
+def test_null_values_follow_sql(spark, tmp_path):
+    # group 9 holds ONLY null-valued rows: distinct = 0, group present
+    rows = spark.range(30).select(
+        F.lit(9).alias("k"), F.lit(None).cast("bigint").alias("v"),
+        F.col("id"))
+    v = _view(spark, tmp_path)
+    v.process_batch(rows)
+    got = v.read_distinct(include_total=True).collect()
+    assert len(got) == 1
+    assert got[0]["distinct_v"] == 0 and got[0]["cnt"] == 30
+    # NULL never ranks in top-k
+    assert v.read_topk(3).count() == 0
+    # deleting the null rows drops the group entirely
+    v.process_retract_batch(rows)
+    assert v.read_distinct().count() == 0
+
+
+def test_topk_exact_with_deterministic_ties(spark, tmp_path):
+    rows = _rows(spark)
+    v = _view(spark, tmp_path)
+    v.process_batch(rows.where("id % 2 = 0"))
+    v.process_batch(rows.where("id % 2 = 1"))
+    v.process_retract_batch(rows.where("id % 5 = 2"))
+    surviving = rows.where("id % 5 != 2")
+    for k in (1, 3, 10_000):
+        got = sorted((r["k"], r["v"], r["n"])
+                     for r in v.read_topk(k).collect())
+        assert got == _expect_topk(surviving, k)
+    with pytest.raises(ValueError, match="k must be"):
+        v.read_topk(0)
+
+
+def test_cdc_mixed_batch_and_update(spark, tmp_path):
+    rows = _rows(spark, 90)
+    v = _view(spark, tmp_path)
+    v.process_batch(rows)
+    # UPDATE id=7's value: Z-set decomposition in ONE atomic batch
+    old = rows.where("id = 7").withColumn("op", F.lit("D"))
+    new = rows.where("id = 7").withColumn("v", F.lit(999)) \
+        .withColumn("op", F.lit("I"))
+    v.process_cdc_batch(old.unionByName(new))
+    after = rows.where("id != 7").unionByName(
+        rows.where("id = 7").withColumn("v", F.lit(999)))
+    assert _got_distinct(v) == _expect_distinct(after)
+    # unknown op fails loudly and commits nothing
+    nid = v.next_batch_id()
+    with pytest.raises(ValueError, match="unknown op"):
+        v.process_cdc_batch(
+            rows.limit(3).withColumn("op", F.lit("X")))
+    assert v.next_batch_id() == nid
+
+
+def test_redelivered_batch_refused(spark, tmp_path):
+    rows = _rows(spark, 40)
+    v = _view(spark, tmp_path)
+    bid = v.process_batch(rows, 7)
+    assert bid == 7
+    before = _got_distinct(v)
+    v.process_batch(rows, 7)  # same id: exactly-once no-op, no double count
+    assert _got_distinct(v) == before
+
+
+def test_over_deletion_audit(spark, tmp_path):
+    rows = _rows(spark, 40)
+    v = _view(spark, tmp_path)
+    v.process_batch(rows.where("id < 20"))
+    v.process_retract_batch(rows.where("id < 25"))  # 5 never inserted
+    bad = v.unmatched_retractions().collect()
+    assert len(bad) > 0 and all(r["support"] < 0 for r in bad)
+
+
+def test_reopen_and_spec_mismatch(spark, tmp_path):
+    rows = _rows(spark, 50)
+    v = _view(spark, tmp_path)
+    v.process_batch(rows)
+    expect = _got_distinct(v)
+    v2 = DistinctView(spark, str(tmp_path / "dv"))
+    assert v2.key_cols == ["k"] and v2.value_col == "v"
+    assert _got_distinct(v2) == expect
+    with pytest.raises(ValueError, match="value_col"):
+        DistinctView(spark, str(tmp_path / "dv"), key_cols=["k"],
+                     value_col="id")
+    with pytest.raises(ValueError, match="required"):
+        DistinctView(spark, str(tmp_path / "fresh"))
+    with pytest.raises(ValueError, match="group key"):
+        DistinctView(spark, str(tmp_path / "fresh2"), key_cols=["k"],
+                     value_col="k")
+
+
+def test_snapshot_pins_pre_delete_state(spark, tmp_path):
+    rows = _rows(spark, 60)
+    v = _view(spark, tmp_path)
+    v.process_batch(rows)
+    snap = v.snapshot()
+    v.process_retract_batch(rows.where("id % 2 = 0"))
+    assert _got_distinct(v) == _expect_distinct(rows.where("id % 2 = 1"))
+    assert _got_distinct(v, snapshot=snap) == _expect_distinct(rows)
+    assert v.drop_snapshot(snap)
+
+
+def test_value_takedown_via_delete_groups(spark, tmp_path):
+    rows = _rows(spark, 70)
+    v = _view(spark, tmp_path)
+    v.process_batch(rows)
+    # forget value 4 everywhere (GDPR-style): tombstone at pair grain
+    v.delete_groups([4], col="v")
+    expect = _expect_distinct(rows.where("v IS NULL OR v != 4"))
+    assert _got_distinct(v) == expect
+
+
+def test_seeded_random_differential(spark, tmp_path):
+    """Random insert/retract interleavings vs a pandas model of the
+    post-delete table — the same style as the bounded-extrema
+    differential (tests/test_retraction_properties.py)."""
+    import random
+
+    rng = random.Random(0xD15C)
+    live: list[tuple[int, int]] = []  # (id, v) currently inserted
+    v = _view(spark, tmp_path)
+    next_id = 0
+    for step in range(6):
+        if live and rng.random() < 0.4:
+            take = rng.sample(live, k=max(1, len(live) // 3))
+            for t in take:
+                live.remove(t)
+            df = spark.createDataFrame(
+                [(i % 3, val, i) for i, val in take], "k long, v long, id long")
+            v.process_retract_batch(df)
+        else:
+            batch = [(next_id + j, rng.randrange(6)) for j in range(25)]
+            next_id += 25
+            live.extend(batch)
+            df = spark.createDataFrame(
+                [(i % 3, val, i) for i, val in batch],
+                "k long, v long, id long")
+            v.process_batch(df)
+    import pandas as pd
+
+    if live:
+        model = pd.DataFrame([(i % 3, val) for i, val in live],
+                             columns=["k", "v"])
+        expect = model.groupby("k")["v"].nunique().to_dict()
+    else:
+        expect = {}
+    assert _got_distinct(v) == expect
