@@ -1250,6 +1250,58 @@ def agg_join_retract_incremental(spark: SparkSession,
 
 
 @register(
+    "agg_join_retract_distinct",
+    extended=True,
+    oracle="""
+SELECT d.source,
+       count(DISTINCT e.user_id) AS distinct_user_id,
+       count(*) AS cnt
+FROM events e JOIN documents d ON (e.event_id % 700) = d.doc_id
+WHERE e.event_id % 3 != 1
+GROUP BY d.source
+""",
+)
+def agg_join_retract_distinct(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """EXACT count(DISTINCT) ACROSS the join re-group under fact-side
+    CDC — the retractable, lossless counterpart of the HLL twin
+    (agg_join_incremental_distinct, which can only band-match ±5% and
+    cannot retract at all): the fact store keeps the support-count
+    arrangement at (doc_fk, user_id) grain, per-pair signed counts SUM
+    through the FK → source re-group into per-(source, user_id)
+    counts, and distinct = surviving pairs — hash-exact vs DuckDB's
+    count(DISTINCT) over the post-delete join. One exchange beyond
+    the join-view family's base shape (the final distinct re-group);
+    deletes cost O(touched pairs), never a history rescan. The delete
+    batch lands BETWEEN the two insert halves and before half the dim
+    rows (out-of-order Z-set merge + independent dim upserts)."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_distinct import (
+        read_joined_distinct,
+    )
+    from doreisa_spark.streaming.incremental_join import JoinedAggregateView
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "doc_fk", F.expr("event_id % 700")
+    )
+    d = table(spark, sf_dir, "documents")
+    view = JoinedAggregateView(
+        spark, _fresh_store_dir("incjoind"),
+        fk="doc_fk", fact_keys=["user_id"],
+        fact_aggs={"n": ("count", None)},
+        dim_key="doc_id", dim_cols=["source"], dim_order_by="doc_id",
+        retractable=True,
+    )
+    view.process_fact_batch(e.where("event_id % 2 = 1"))
+    view.process_dim_batch(d.where("doc_id % 2 = 0"))
+    view.process_fact_retract_batch(e.where("event_id % 3 = 1"))
+    view.process_fact_batch(e.where("event_id % 2 = 0"))
+    view.process_dim_batch(d.where("doc_id % 2 = 1"))
+    return read_joined_distinct(view, "user_id", ["source"],
+                                include_total=True)
+
+
+@register(
     "agg_join_incremental_topk",
     extended=True,
     oracle="""

@@ -215,3 +215,69 @@ class DistinctView:
         ever seen) — the over-deletion audit, delegated. A clean CDC
         feed keeps this empty."""
         return self.store.unmatched_retractions(**kw)
+
+
+def read_joined_distinct(view, value_col: str, group_by: list, *,
+                         out: "str | None" = None,
+                         include_total: bool = False,
+                         how: str = "inner", **read_kw) -> DataFrame:
+    """Exact ``count(DISTINCT value_col)`` ACROSS a join re-group,
+    under fact-side CDC.
+
+    ``view`` is a ``JoinedAggregateView`` whose fact store carries the
+    pair-grain arrangement: ``fact_keys`` includes ``value_col`` and
+    ``fact_aggs`` a plain count (and ``retractable=True`` for CDC).
+    Unlike the HLL column the insert-only twin rides
+    (agg_join_incremental_distinct, ±1.6% rsd), the arrangement is
+    LOSSLESS through the re-group: per-(fk, value) signed counts SUM
+    into per-(dim-attr, value) signed counts — the same Z-set algebra
+    as every other column — so the distinct count at the joined grain
+    is exact, and fact deletes retract it exactly. One extra exchange
+    on top of the join view's base shape (the final distinct
+    re-group); still never a history rescan."""
+    pairs = view.read(group_by=list(group_by) + [value_col],
+                      how=how, **read_kw)
+    out = out or f"distinct_{value_col}"
+    aggs = [
+        F.sum(F.when(F.col(value_col).isNotNull(), 1)
+              .otherwise(0)).cast("bigint").alias(out),
+    ]
+    if include_total:
+        cnt = [o for o, (fn, _, _x) in view.fact.aggs.items()
+               if fn == "count"]
+        if not cnt:
+            raise ValueError(
+                "include_total needs a count column in fact_aggs"
+            )
+        aggs.append(F.sum(cnt[0]).cast("bigint").alias("cnt"))
+    return pairs.groupBy(*group_by).agg(*aggs)
+
+
+def read_joined_topk(view, value_col: str, group_by: list, k: int, *,
+                     count_col: "str | None" = None,
+                     how: str = "inner", **read_kw) -> DataFrame:
+    """Exact per-group heavy hitters ACROSS a join re-group, from the
+    same pair-grain arrangement as ``read_joined_distinct`` — the
+    exact counterpart of the REFUSED topk-sketch re-group
+    (incremental_join.py:238: Misra-Gries undercount compounds across
+    FK subgroups; exact pair counts make the question moot). Ties
+    break by ascending value — the same deterministic (n DESC, value
+    ASC) order a SQL oracle states."""
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if count_col is None:
+        cnt = [o for o, (fn, _, _x) in view.fact.aggs.items()
+               if fn == "count"]
+        if not cnt:
+            raise ValueError("fact_aggs carries no count column; name "
+                             "one via count_col")
+        count_col = cnt[0]
+    pairs = view.read(group_by=list(group_by) + [value_col],
+                      how=how, **read_kw) \
+        .where(F.col(value_col).isNotNull())
+    w = W.partitionBy(*group_by).orderBy(
+        F.desc(count_col), F.asc(value_col))
+    return (pairs.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= int(k)).drop("__rk"))

@@ -202,6 +202,58 @@ def test_value_takedown_via_delete_groups(spark, tmp_path):
     assert _got_distinct(v) == expect
 
 
+def test_joined_distinct_and_topk_exact(spark, tmp_path):
+    """The arrangement is LOSSLESS through the join re-group: exact
+    distinct and exact top-k at the dim-attribute grain under
+    fact-side CDC, vs a direct computation over the post-delete join."""
+    from doreisa_spark.streaming.incremental_distinct import (
+        read_joined_distinct, read_joined_topk,
+    )
+    from doreisa_spark.streaming.incremental_join import (
+        JoinedAggregateView,
+    )
+
+    facts = spark.range(300).select(
+        (F.col("id") % 10).alias("fk"),
+        (F.col("id") % 6).alias("u"),
+        F.col("id"),
+    )
+    dims = spark.range(10).select(
+        F.col("id").alias("dk"),
+        F.concat(F.lit("g"), (F.col("id") % 3).cast("string")).alias("grp"),
+    )
+    view = JoinedAggregateView(
+        spark, str(tmp_path / "jd"), fk="fk", fact_keys=["u"],
+        fact_aggs={"n": ("count", None)}, dim_key="dk",
+        dim_cols=["grp"], dim_order_by="dk", retractable=True,
+    )
+    view.process_fact_batch(facts.where("id % 2 = 0"))
+    view.process_dim_batch(dims)
+    view.process_fact_retract_batch(facts.where("id % 7 = 3"))
+    view.process_fact_batch(facts.where("id % 2 = 1"))
+
+    surviving = facts.where("id % 7 != 3").join(
+        dims, facts["fk"] == dims["dk"])
+    expect = {r["grp"]: r["d"] for r in surviving.groupBy("grp").agg(
+        F.countDistinct("u").alias("d")).collect()}
+    got = {r["grp"]: r["distinct_u"] for r in
+           read_joined_distinct(view, "u", ["grp"]).collect()}
+    assert got == expect
+
+    from pyspark.sql import Window as W
+
+    pairs = surviving.groupBy("grp", "u").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("grp").orderBy(F.desc("n"), F.asc("u"))
+    exp_tk = sorted(
+        (r["grp"], r["u"], r["n"]) for r in
+        pairs.withColumn("r", F.row_number().over(w))
+        .where("r <= 2").collect())
+    got_tk = sorted(
+        (r["grp"], r["u"], r["n"]) for r in
+        read_joined_topk(view, "u", ["grp"], 2).collect())
+    assert got_tk == exp_tk
+
+
 def test_seeded_random_differential(spark, tmp_path):
     """Random insert/retract interleavings vs a pandas model of the
     post-delete table — the same style as the bounded-extrema
