@@ -34,7 +34,10 @@ the k extreme distinct values per group plus a completeness frontier
 — so deletes below the frontier absorb free and a drained frontier
 marks the group DIRTY for a targeted ``re_derive`` of only those
 groups from the raw source (the standard IVM treatment). hll/topk
-stay refused on retractable stores (their summaries only grow).
+stay refused on retractable stores (their summaries only grow) —
+their EXACT retractable counterparts live in incremental_distinct.py
+(the support-count arrangement: state O(distinct pairs), deletes
+exact).
 
 Everything the commit layer provides composes for free, and is tested
 to: exactly-once per-batch commits (a redelivered batch cannot
@@ -405,8 +408,11 @@ def _validate_agg(out: str, fn: str, e, opts, key_cols,
             "row's contribution cannot be decremented out. A retractable "
             f"store admits {list(RETRACTABLE_FNS)} (min/max/last/first "
             "ride bounded k-extrema candidates with a targeted re_derive "
-            "when a group's frontier drains); keep hll/topk in a "
-            "separate non-retractable store or drop retractable=True"
+            "when a group's frontier drains); for EXACT distinct counts "
+            "and heavy hitters under CDC use the support-count "
+            "arrangement (streaming/incremental_distinct.DistinctView — "
+            "state O(distinct pairs)), or keep hll/topk in a separate "
+            "non-retractable store / drop retractable=True"
         )
     if retractable and fn in _EXTREMA_FNS and opts and \
             int(opts.get("k", EXTREMA_K)) < 1:
