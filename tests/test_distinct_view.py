@@ -254,6 +254,62 @@ def test_joined_distinct_and_topk_exact(spark, tmp_path):
     assert got_tk == exp_tk
 
 
+def test_cdc_stream_drive_exactly_once(spark, tmp_path):
+    """drive_cdc_view accepts a DistinctView duck-typed, with the same
+    crash-after-commit exactly-once guarantee as the sketch stores: a
+    mixed batch's commit lands, the sink crashes before the checkpoint,
+    the restart redelivers the batch under the same id and the refusal
+    makes it a no-op — exact distinct counts equal the one-pass
+    expectation."""
+    import os
+
+    from doreisa_spark.streaming.incremental_agg import drive_cdc_view
+    from doreisa_spark.streaming.structured import run_foreach_batch
+
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    frames = [
+        [(k, v, "I") for k in range(2) for v in (1, 1, 2, 3)],
+        [(0, 1, "D"), (0, 1, "D"), (1, 9, "I")],  # drains value 1 of k=0
+        [(1, 3, "D"), (0, 7, "I")],
+    ]
+    for i, rows in enumerate(frames):
+        df = spark.createDataFrame(rows, "k bigint, v bigint, op string")
+        tmp = tmp_path / f"t{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        data = next(x for x in os.listdir(tmp) if x.endswith(".parquet"))
+        os.rename(str(tmp / data), str(src / f"{i:05d}.parquet"))
+        os.utime(str(src / f"{i:05d}.parquet"),
+                 (1_700_000_000 + i * 10,) * 2)
+
+    def read_stream():
+        return (spark.readStream.schema("k bigint, v bigint, op string")
+                .option("maxFilesPerTrigger", 1).parquet(str(src)))
+
+    view = _view(spark, tmp_path, name="cdcdv")
+    ckpt = str(tmp_path / "ckpt")
+    crashed = {"n": 0}
+
+    def crashing(df, bid):
+        view.process_cdc_batch(df, bid)
+        if bid == 1 and crashed["n"] == 0:
+            crashed["n"] = 1
+            raise RuntimeError("crash after mixed-batch commit")
+
+    try:
+        run_foreach_batch(read_stream(), crashing, timeout_sec=120,
+                          checkpoint=ckpt)
+    except Exception:
+        pass
+    assert crashed["n"] == 1
+    final = drive_cdc_view(read_stream(), view, checkpoint=ckpt,
+                           timeout_sec=120)
+    # k0 survivors: {2, 3, 7} (both copies of value 1 deleted);
+    # k1 survivors: {1, 1, 2, 9} (value 3 deleted)
+    got = {r["k"]: r["distinct_v"] for r in final.collect()}
+    assert got == {0: 3, 1: 3}
+
+
 def test_seeded_random_differential(spark, tmp_path):
     """Random insert/retract interleavings vs a pandas model of the
     post-delete table — the same style as the bounded-extrema
