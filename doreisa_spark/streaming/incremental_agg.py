@@ -1426,15 +1426,69 @@ class AggregateStore:
         return (base.groupBy(*keys).agg(*merged) if merged
                 else base.select(*keys).distinct())
 
+    def _consolidated(self, m: DataFrame) -> DataFrame:
+        """Z-set CONSOLIDATION at roll-up (DBSP/Materialize: a
+        collection is consolidated when no element carries zero
+        weight): drop a merged row iff it is provably the MERGE
+        IDENTITY — ``__support`` exactly 0 AND every aggregate column
+        at its own fold identity — so removing it cannot change any
+        future merge, read, or re-group, while the folded log shrinks
+        from O(ever-seen groups) to O(live groups). Without this, a
+        churn-heavy CDC feed (session ids, rotating tokens — acute for
+        the pair-grain support-count arrangement, incremental_distinct
+        .py) accretes one dead zero row per retired group per tier,
+        forever. Conservative by construction: a row with pending
+        out-of-order state — negative support (delete before its
+        insert), a nonzero moment field under a zero support (NULL-
+        valued deletes vs non-NULL inserts), a truncated extrema
+        frontier, any nonzero sketch bin — is NOT identity and stays.
+        """
+        zero = F.col("__support") == 0
+        for o, (fn, _, _opts) in self.aggs.items():
+            if o not in m.columns:
+                continue
+            c = F.col(o)
+            if fn in ("sum", "count"):
+                cond = c.isNull() | (c == 0)
+            elif fn in ("avg", "var", "std"):
+                # retractable stores are raw struct(n, s, s2)
+                cond = c.isNull() | (
+                    (F.coalesce(c.getField("n"), F.lit(0)) == 0)
+                    & (F.coalesce(c.getField("s"), F.lit(0.0)) == 0.0)
+                    & (F.coalesce(c.getField("s2"), F.lit(0.0)) == 0.0))
+            elif fn == "hist":
+                cond = c.isNull() | F.forall(
+                    F.map_values(c), lambda v: v == 0)
+            elif fn in _EXTREMA_FNS:
+                # {m: empty/all-zero, f: NULL} is the extrema merge
+                # identity (empty multiset union; NULL = loosest
+                # frontier); a non-NULL frontier carries truncation
+                # evidence and must survive
+                mm = c.getField("m")
+                cond = c.isNull() | (
+                    c.getField("f").isNull()
+                    & (mm.isNull() | F.forall(F.map_values(mm),
+                                              lambda v: v == 0)))
+            else:  # unknown/future fn: never assume identity
+                cond = F.lit(False)
+            zero = zero & cond
+        return m.where(~zero)
+
     def _roll_up(self, fold: DataFrame) -> DataFrame:
         """compact_tiered ``fold_transform``: re-aggregate the fold so
         a segment holds ONE partial row per group (Druid-style segment
         roll-up) instead of one per (group, source batch) — the
-        partial log stays O(groups × tiers) on disk, not O(batches).
-        Column order comes from the fold's own schema, not a parse of
-        the recorded DDL (r12 review finding: ``split(", ")`` corrupts
-        on struct/map types, which var/std partials now are)."""
-        return self._merge_by(fold).select(*fold.columns)
+        partial log stays O(groups × tiers) on disk, not O(batches);
+        on retractable stores the fold also CONSOLIDATES (drops
+        merge-identity rows, ``_consolidated``), so it stays O(LIVE
+        groups × tiers) under churn. Column order comes from the
+        fold's own schema, not a parse of the recorded DDL (r12 review
+        finding: ``split(", ")`` corrupts on struct/map types, which
+        var/std partials now are)."""
+        m = self._merge_by(fold)
+        if self.retractable and "__support" in m.columns:
+            m = self._consolidated(m)
+        return m.select(*fold.columns)
 
     def read_quantiles(self, col: str, qs, *,
                        snapshot: "int | None" = None) -> DataFrame:

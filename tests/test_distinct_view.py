@@ -254,6 +254,31 @@ def test_joined_distinct_and_topk_exact(spark, tmp_path):
     assert got_tk == exp_tk
 
 
+def test_churn_state_stays_bounded_by_live_pairs(spark, tmp_path):
+    """The arrangement's operational hazard is churn: ever-seen pairs
+    vastly outnumber live pairs when values rotate (session ids,
+    tokens). Z-set consolidation at roll-up (incremental_agg._roll_up)
+    must keep the pair-grain log tracking LIVE pairs — retired cycles
+    consolidate away once the tiered policy merges their band."""
+    v = DistinctView(spark, str(tmp_path / "churn"), key_cols=["k"],
+                     value_col="v", compact_every=2)
+
+    def gen(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 2).alias("k"), F.col("id").alias("v"))
+
+    v.process_batch(gen(0, 4))  # 4 pairs stay live
+    for c in range(8):
+        cyc = gen(1000 + c * 40, 1040 + c * 40)
+        v.process_batch(cyc)
+        v.process_retract_batch(cyc)
+    pair_rows = v.store.partials().count()
+    # 4 live + only the newest cycles' unmerged halves; ever-seen = 324
+    assert pair_rows <= 170, pair_rows
+    got = {r["k"]: r["distinct_v"] for r in v.read_distinct().collect()}
+    assert got == {0: 2, 1: 2}
+
+
 def test_cdc_stream_drive_exactly_once(spark, tmp_path):
     """drive_cdc_view accepts a DistinctView duck-typed, with the same
     crash-after-commit exactly-once guarantee as the sketch stores: a

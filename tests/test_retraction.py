@@ -402,3 +402,102 @@ def test_unmatched_retractions_audit_surface(spark, tmp_path):
                         aggs={"cnt": ("count", None)})
     with pytest.raises(ValueError, match="not retractable"):
         nr.unmatched_retractions()
+
+
+def test_roll_up_consolidates_retired_groups(spark, tmp_path):
+    """Z-set consolidation at roll-up: groups whose every row was
+    retracted (support 0, all aggregates at merge identity) DROP from
+    the folded log — under churn the log tracks LIVE groups, not
+    ever-seen groups — while reads and late re-inserts stay exact."""
+    from doreisa_spark.streaming import batch_commit as BC
+
+    st = AggregateStore(
+        spark, str(tmp_path / "cons"), key_cols=["k"], retractable=True,
+        aggs={"cnt": ("count", None), "sum_v": ("sum", "v"),
+              "avg_v": ("avg", "v"),
+              "vh": ("hist", "v", {"lo": 0.0, "hi": 500.0, "bins": 64})},
+        compact_every=2,
+    )
+
+    def gen(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+
+    # churn: each cycle inserts a fresh 50-group slice and retracts it;
+    # two groups stay live throughout. An insert and its retract land
+    # in DIFFERENT flush segments, so cancellation happens when the
+    # size-tiered policy merges their band — older cycles climb bands
+    # first and consolidate away.
+    st.process_batch(gen(0, 2))
+    for c in range(8):
+        slice_ = gen(100 + c * 50, 150 + c * 50)
+        st.process_batch(slice_)
+        st.process_retract_batch(slice_)
+    man = BC._manifest_load(st._log) or {}
+    assert man.get("segments"), "compaction should have folded"
+    log_groups = {r["k"] for r in st.partials().select("k").collect()}
+    # the early cycles' 150 retired groups are consolidated away...
+    assert not any(100 <= k < 250 for k in log_groups), sorted(log_groups)
+    # ...so the log holds the live groups + only the newest cycles'
+    # not-yet-band-merged halves: far below the 402 ever-seen groups
+    assert st.partials().count() <= 250
+    assert {r["k"]: r["cnt"] for r in st.read().collect()} == {0: 1, 1: 1}
+    # a retired group re-inserts from a clean slate
+    st.process_batch(gen(100, 101))
+    assert {r["k"]: r["cnt"] for r in st.read().collect()} \
+        == {0: 1, 1: 1, 100: 1}
+
+
+def test_consolidation_keeps_pending_and_partial_state(spark, tmp_path):
+    """Rows that are NOT merge identity survive the fold: negative
+    support (delete before its insert) and zero-support rows whose
+    moment fields are nonzero (a NULL-valued delete against a
+    non-NULL insert). Dropping either would corrupt the late half."""
+    st = AggregateStore(
+        spark, str(tmp_path / "pend"), key_cols=["k"], retractable=True,
+        aggs={"cnt": ("count", None), "sum_v": ("sum", "v")},
+        compact_every=4,
+    )
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v double")  # noqa: E731
+    # k=7: delete arrives first (support -1). k=8: insert v=5 and a
+    # NULL-valued delete land together (support 0, sum_v stays 5).
+    st.process_retract_batch(mk([(7, 1.0)]))
+    st.process_batch(mk([(8, 5.0)]))
+    st.process_retract_batch(mk([(8, None)]))
+    st.process_batch(mk([(0, 2.0)]))
+    st.process_batch(mk([(1, 3.0)]))  # 5th commit -> fold happened
+    kept = {r["k"] for r in st.partials().select("k").collect()}
+    assert {7, 8}.issubset(kept), kept
+    # the pending halves land: k=7's late insert matches its early
+    # delete (net zero — the group correctly has NO surviving rows and
+    # the audit clears), k=8's NULL-valued insert restores support 1
+    # with the preserved sum intact
+    st.process_batch(mk([(7, 1.0)]))
+    st.process_batch(mk([(8, None)]))
+    got = {r["k"]: (r["cnt"], r["sum_v"]) for r in st.read().collect()}
+    assert 7 not in got
+    assert st.unmatched_retractions().count() == 0
+    assert got[8] == (1, 5.0)
+    # a fresh insert revives k=7 from a clean slate
+    st.process_batch(mk([(7, 2.0)]))
+    got = {r["k"]: (r["cnt"], r["sum_v"]) for r in st.read().collect()}
+    assert got[7] == (1, 2.0)
+
+
+def test_consolidation_keeps_truncated_extrema_frontier(spark, tmp_path):
+    """A zero-support group whose extrema frontier is non-NULL carries
+    truncation evidence and must NOT consolidate away."""
+    st = AggregateStore(
+        spark, str(tmp_path / "extf"), key_cols=["k"], retractable=True,
+        aggs={"cnt": ("count", None), "mx": ("max", "v", {"k": 2})},
+        compact_every=4,
+    )
+    rows = spark.createDataFrame(
+        [(5, float(v)) for v in range(10)], "k bigint, v double")
+    st.process_batch(rows)            # k=2 candidates, frontier set
+    st.process_retract_batch(rows)    # support 0, frontier survives
+    for i in range(3):                # push past the fold boundary
+        st.process_batch(spark.createDataFrame(
+            [(i, 1.0)], "k bigint, v double"))
+    kept = {r["k"] for r in st.partials().select("k").collect()}
+    assert 5 in kept, kept
