@@ -150,6 +150,16 @@ class DistinctView:
     def expire_snapshots(self, *, keep_last: int):
         return self.store.expire_snapshots(keep_last=keep_last)
 
+    def expire_windows(self, older_than, *, col: "str | None" = None):
+        """Time-based retention for a WINDOWED distinct view (a window
+        column — day, hour — among the key_cols; the daily-uniques
+        shape): expire every window strictly below ``older_than``.
+        Delegated; ``col`` defaults to the view's first group key, and
+        the expired windows' pair rows reclaim physically at the next
+        roll-up fold like any other takedown."""
+        return self.store.expire_windows(
+            older_than, col=col or self.key_cols[0])
+
     def delete_groups(self, values, *, col: "str | None" = None,
                       batch_id=None) -> bool:
         """Group takedown at ANY grain the inner store supports: by a

@@ -254,6 +254,30 @@ def test_joined_distinct_and_topk_exact(spark, tmp_path):
     assert got_tk == exp_tk
 
 
+def test_windowed_distinct_with_retention(spark, tmp_path):
+    """The daily-uniques shape: distinct users per (day, segment) with
+    CDC exactness, expired days dropped by retention while later days
+    keep serving — window keys are just more group keys, so the whole
+    store lifecycle applies unchanged."""
+    rows = spark.createDataFrame(
+        [(d, s, u) for d in (1, 2, 3) for s in ("a", "b")
+         for u in range(d * 3)],
+        "day bigint, seg string, u bigint")
+    v = DistinctView(spark, str(tmp_path / "dau"),
+                     key_cols=["day", "seg"], value_col="u")
+    v.process_batch(rows)
+    v.process_retract_batch(rows.where("day = 2 AND u = 0"))
+    got = {(r["day"], r["seg"]): r["distinct_u"]
+           for r in v.read_distinct().collect()}
+    assert got == {(1, "a"): 3, (1, "b"): 3, (2, "a"): 5, (2, "b"): 5,
+                   (3, "a"): 9, (3, "b"): 9}
+    expired = v.expire_windows(2, col="day")
+    assert sorted(expired) == [1]
+    got = {(r["day"], r["seg"]): r["distinct_u"]
+           for r in v.read_distinct().collect()}
+    assert set(d for d, _ in got) == {2, 3}
+
+
 def test_churn_state_stays_bounded_by_live_pairs(spark, tmp_path):
     """The arrangement's operational hazard is churn: ever-seen pairs
     vastly outnumber live pairs when values rotate (session ids,
