@@ -14,7 +14,7 @@ tools/bench_retract.py: decade points, interleaved min-of-3 reads,
 disjoint delete slices.
 
 Usage: python tools/bench_distinct_view.py [out.json] [batches=32]
-       [rows=500000] [groups=1000] [values=20000]
+       [rows=500000] [groups=1000] [values=20000] [compact_every=4]
 """
 
 from __future__ import annotations
@@ -50,12 +50,13 @@ def main() -> None:
     rows = int(sys.argv[3]) if len(sys.argv) > 3 else 500_000
     groups = int(sys.argv[4]) if len(sys.argv) > 4 else 1_000
     values = int(sys.argv[5]) if len(sys.argv) > 5 else 20_000
+    compact_every = int(sys.argv[6]) if len(sys.argv) > 6 else 4
     spark = get_spark("bench-distinct")
     tmp = tempfile.mkdtemp(prefix="distinct_")
     raw = f"{tmp}/raw"
     view = DistinctView(
         spark, f"{tmp}/dv", key_cols=["k"], value_col="v",
-        compact_every=16,
+        compact_every=compact_every,
     )
     deleted_mods = []
     points = []
