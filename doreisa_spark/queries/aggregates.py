@@ -1250,6 +1250,42 @@ def agg_join_retract_incremental(spark: SparkSession,
 
 
 @register(
+    "agg_retract_quantile_exact",
+    extended=True,
+    oracle="""
+SELECT event_type,
+       quantile_disc(value, 0.5) AS q_0_5,
+       quantile_disc(value, 0.9) AS q_0_9
+FROM events
+WHERE event_id % 3 != 1
+GROUP BY event_type
+""",
+)
+def agg_retract_quantile_exact(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """EXACT medians/quantiles under row-level CDC — the arrangement's
+    third exact answer: quantile_disc's crossing order statistic falls
+    out of the same per-(group, value) signed counts as distinct and
+    top-k (smallest value with cumulative count >= ceil(q·total)), so
+    the gate is HASH-exact vs DuckDB over the post-delete table —
+    where the retractable hist-sketch twin (agg_retract_quantile) can
+    only band-match within its bin width. Raw values serve unrounded
+    (the quantile IS a source value, no arithmetic). Same honest price
+    as the rest of the arrangement: O(distinct pairs) state, per-group
+    sort on read."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_distinct import DistinctView
+
+    e = table(spark, sf_dir, "events")
+    v = DistinctView(spark, _fresh_store_dir("incrqx"),
+                     key_cols=["event_type"], value_col="value")
+    v.process_batch(e.where("event_id % 2 = 0"))
+    v.process_retract_batch(e.where("event_id % 3 = 1"))
+    v.process_batch(e.where("event_id % 2 = 1"))
+    return v.read_quantiles([0.5, 0.9])
+
+
+@register(
     "agg_join_retract_distinct",
     extended=True,
     oracle="""

@@ -213,6 +213,48 @@ class DistinctView:
         return (pairs.withColumn("__rk", F.row_number().over(w))
                 .where(F.col("__rk") <= int(k)).drop("__rk"))
 
+    def read_quantiles(self, qs, *, snapshot: "int | None" = None,
+                       prune_in: "dict | None" = None) -> DataFrame:
+        """EXACT discrete quantiles (SQL ``quantile_disc`` /
+        ``percentile_disc``) per group over the post-delete table, from
+        the same pair counts: the q-quantile is the smallest value
+        whose cumulative count reaches ``ceil(q · total)`` — one
+        per-group running sum over the (already value-distinct) pairs,
+        then ONE conditional-MIN aggregate serves every requested q.
+        This is the arrangement's third exact answer (after distinct
+        and top-k) and the exact counterpart of the band-matched
+        ``hist`` sketch (incremental_agg.read_quantiles, error = bin
+        width): medians under CDC with no band, at the same O(V log V)
+        per-group sort cost as top-k. NULL values never count, but an
+        all-NULL group keeps its row with NULL estimates, exactly like
+        SQL. Output: key columns + one ``q_<q>`` column per quantile,
+        named like the sketch twin for oracle parity."""
+        from pyspark.sql import Window as W
+
+        qs = list(qs)
+        if not qs or not all(0 < float(q) <= 1 for q in qs):
+            raise ValueError(f"quantiles must lie in (0, 1], got {qs}")
+        pairs = self.read_counts(snapshot=snapshot, prune_in=prune_in)
+        v = F.col(self.value_col)
+        # NULL-valued pairs ride along weightless so an all-NULL group
+        # still yields a row (with NULL quantiles); they sort first
+        # under asc NULLS FIRST and can never satisfy cum >= 1
+        n = F.when(v.isNotNull(), F.col("n")).otherwise(F.lit(0))
+        cum = pairs.select(
+            *self.key_cols, self.value_col,
+            F.sum(n).over(
+                W.partitionBy(*self.key_cols).orderBy(self.value_col)
+            ).alias("__cum"),
+            F.sum(n).over(W.partitionBy(*self.key_cols)).alias("__tot"),
+        )
+        aggs = []
+        for q in qs:
+            tgt = F.ceil(F.lit(float(q)) * F.col("__tot"))
+            aggs.append(F.min(F.when(
+                (F.col("__cum") >= tgt) & v.isNotNull(), v
+            )).alias(f"q_{str(q).replace('.', '_')}"))
+        return cum.groupBy(*self.key_cols).agg(*aggs)
+
     # convenience parity with the store surface
     def read(self, **kw) -> DataFrame:
         """Alias for ``read_distinct`` so the stream drives

@@ -254,6 +254,38 @@ def test_joined_distinct_and_topk_exact(spark, tmp_path):
     assert got_tk == exp_tk
 
 
+def test_exact_quantiles_match_duckdb_disc(spark, tmp_path):
+    """read_quantiles implements SQL quantile_disc exactly: smallest
+    value whose cumulative count reaches ceil(q * total), NULLs never
+    counting but all-NULL groups keeping a row — differentially checked
+    vs DuckDB over the post-delete table, plus boundary probes."""
+    import duckdb
+
+    rows = _rows(spark)
+    v = _view(spark, tmp_path)
+    v.process_batch(rows.where("id % 2 = 0"))
+    v.process_retract_batch(rows.where("id % 5 = 2"))
+    v.process_batch(rows.where("id % 2 = 1"))
+    pdf = rows.where("id % 5 != 2").toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = {r[0]: (r[1], r[2], r[3]) for r in con.execute(
+        "SELECT k, quantile_disc(v, 0.25), quantile_disc(v, 0.5), "
+        "quantile_disc(v, 0.9) FROM t GROUP BY k").fetchall()}
+    got = {r["k"]: (r["q_0_25"], r["q_0_5"], r["q_0_9"])
+           for r in v.read_quantiles([0.25, 0.5, 0.9]).collect()}
+    assert got == exp
+    with pytest.raises(ValueError, match="quantiles"):
+        v.read_quantiles([0.0])
+    # all-NULL group keeps its row with NULL quantiles
+    v2 = _view(spark, tmp_path, name="qnull")
+    v2.process_batch(spark.range(5).select(
+        F.lit(3).alias("k"), F.lit(None).cast("bigint").alias("v"),
+        F.col("id")))
+    r = v2.read_quantiles([0.5]).collect()
+    assert len(r) == 1 and r[0]["q_0_5"] is None
+
+
 def test_windowed_distinct_with_retention(spark, tmp_path):
     """The daily-uniques shape: distinct users per (day, segment) with
     CDC exactness, expired days dropped by retention while later days
