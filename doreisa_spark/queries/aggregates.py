@@ -1338,6 +1338,54 @@ def agg_join_retract_distinct(spark: SparkSession,
 
 
 @register(
+    "agg_join_retract_quantile_exact",
+    extended=True,
+    oracle="""
+SELECT source,
+       quantile_disc(value, 0.5) AS q_0_5,
+       quantile_disc(value, 0.9) AS q_0_9
+FROM (SELECT d.source, e.value
+      FROM events e JOIN documents d ON (e.event_id % 700) = d.doc_id
+      WHERE e.event_id % 3 != 1)
+GROUP BY source
+""",
+)
+def agg_join_retract_quantile_exact(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """EXACT quantile_disc ACROSS the join re-group under fact-side
+    CDC — completing the exact across-join family (distinct, top-k,
+    quantiles) from one pair-grain arrangement: per-(doc_fk, value)
+    signed counts SUM through the FK → source re-group and the
+    crossing order statistic is read off the re-grouped cumulative
+    counts — hash-exact vs DuckDB over the post-delete join, where
+    the hist-sketch ride (agg_join_incremental_quantile) can only
+    band-match within its bin width."""
+    from doreisa_spark.queries.dedup import _fresh_store_dir
+    from doreisa_spark.streaming.incremental_distinct import (
+        read_joined_quantiles,
+    )
+    from doreisa_spark.streaming.incremental_join import JoinedAggregateView
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "doc_fk", F.expr("event_id % 700")
+    )
+    d = table(spark, sf_dir, "documents")
+    view = JoinedAggregateView(
+        spark, _fresh_store_dir("incjoinq"),
+        fk="doc_fk", fact_keys=["value"],
+        fact_aggs={"n": ("count", None)},
+        dim_key="doc_id", dim_cols=["source"], dim_order_by="doc_id",
+        retractable=True,
+    )
+    view.process_fact_batch(e.where("event_id % 2 = 1"))
+    view.process_dim_batch(d.where("doc_id % 2 = 0"))
+    view.process_fact_retract_batch(e.where("event_id % 3 = 1"))
+    view.process_fact_batch(e.where("event_id % 2 = 0"))
+    view.process_dim_batch(d.where("doc_id % 2 = 1"))
+    return read_joined_quantiles(view, "value", ["source"], [0.5, 0.9])
+
+
+@register(
     "agg_join_incremental_topk",
     extended=True,
     oracle="""

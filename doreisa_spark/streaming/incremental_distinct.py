@@ -66,6 +66,40 @@ from doreisa_spark.streaming.incremental_agg import AggregateStore
 from doreisa_spark.streaming.vector_store import read_marker, write_marker_once
 
 
+def _disc_quantiles(pairs: DataFrame, key_cols: list, value_col: str,
+                    count_col: str, qs) -> DataFrame:
+    """``quantile_disc`` from per-(group, value) counts: smallest value
+    whose cumulative count reaches ``ceil(q · total)`` (bit-matching
+    DuckDB's index rule, doubles on both sides) — one per-group running
+    sum over the value-distinct pairs, then ONE conditional-MIN
+    aggregate serves every requested q; the groupBy reuses the window's
+    partitioning, so no exchange is added. NULL-valued pairs ride along
+    weightless so an all-NULL group still yields a row (with NULL
+    quantiles, exactly like SQL); they sort first under asc NULLS FIRST
+    and can never satisfy cum >= 1. Shared by
+    ``DistinctView.read_quantiles`` and ``read_joined_quantiles``."""
+    from pyspark.sql import Window as W
+
+    qs = list(qs)
+    if not qs or not all(0 < float(q) <= 1 for q in qs):
+        raise ValueError(f"quantiles must lie in (0, 1], got {qs}")
+    v = F.col(value_col)
+    n = F.when(v.isNotNull(), F.col(count_col)).otherwise(F.lit(0))
+    cum = pairs.select(
+        *key_cols, value_col,
+        F.sum(n).over(
+            W.partitionBy(*key_cols).orderBy(value_col)).alias("__cum"),
+        F.sum(n).over(W.partitionBy(*key_cols)).alias("__tot"),
+    )
+    aggs = []
+    for q in qs:
+        tgt = F.ceil(F.lit(float(q)) * F.col("__tot"))
+        aggs.append(F.min(F.when(
+            (F.col("__cum") >= tgt) & v.isNotNull(), v
+        )).alias(f"q_{str(q).replace('.', '_')}"))
+    return cum.groupBy(*key_cols).agg(*aggs)
+
+
 class DistinctView:
     """Exact distinct-count / heavy-hitter view under row-level CDC.
 
@@ -229,31 +263,9 @@ class DistinctView:
         all-NULL group keeps its row with NULL estimates, exactly like
         SQL. Output: key columns + one ``q_<q>`` column per quantile,
         named like the sketch twin for oracle parity."""
-        from pyspark.sql import Window as W
-
-        qs = list(qs)
-        if not qs or not all(0 < float(q) <= 1 for q in qs):
-            raise ValueError(f"quantiles must lie in (0, 1], got {qs}")
         pairs = self.read_counts(snapshot=snapshot, prune_in=prune_in)
-        v = F.col(self.value_col)
-        # NULL-valued pairs ride along weightless so an all-NULL group
-        # still yields a row (with NULL quantiles); they sort first
-        # under asc NULLS FIRST and can never satisfy cum >= 1
-        n = F.when(v.isNotNull(), F.col("n")).otherwise(F.lit(0))
-        cum = pairs.select(
-            *self.key_cols, self.value_col,
-            F.sum(n).over(
-                W.partitionBy(*self.key_cols).orderBy(self.value_col)
-            ).alias("__cum"),
-            F.sum(n).over(W.partitionBy(*self.key_cols)).alias("__tot"),
-        )
-        aggs = []
-        for q in qs:
-            tgt = F.ceil(F.lit(float(q)) * F.col("__tot"))
-            aggs.append(F.min(F.when(
-                (F.col("__cum") >= tgt) & v.isNotNull(), v
-            )).alias(f"q_{str(q).replace('.', '_')}"))
-        return cum.groupBy(*self.key_cols).agg(*aggs)
+        return _disc_quantiles(pairs, self.key_cols, self.value_col,
+                               "n", qs)
 
     # convenience parity with the store surface
     def read(self, **kw) -> DataFrame:
@@ -303,6 +315,31 @@ def read_joined_distinct(view, value_col: str, group_by: list, *,
             )
         aggs.append(F.sum(cnt[0]).cast("bigint").alias("cnt"))
     return pairs.groupBy(*group_by).agg(*aggs)
+
+
+def read_joined_quantiles(view, value_col: str, group_by: list, qs, *,
+                          count_col: "str | None" = None,
+                          how: str = "inner", **read_kw) -> DataFrame:
+    """EXACT discrete quantiles (``quantile_disc``) ACROSS a join
+    re-group, from the pair-grain arrangement — completing the exact
+    across-join family (distinct: ``read_joined_distinct``, top-k:
+    ``read_joined_topk``): per-pair counts SUM through the FK →
+    dim-attribute re-group, and the q-quantile at the joined grain is
+    the smallest value whose re-grouped cumulative count reaches
+    ``ceil(q · total)`` — no band, unlike the hist sketch ride
+    (JoinedAggregateView.read_quantiles, error = bin width). NULL
+    values never count; an all-NULL group keeps its row."""
+    if count_col is None:
+        cnt = [o for o, (fn, _, _x) in view.fact.aggs.items()
+               if fn == "count"]
+        if not cnt:
+            raise ValueError("fact_aggs carries no count column; name "
+                             "one via count_col")
+        count_col = cnt[0]
+    pairs = view.read(group_by=list(group_by) + [value_col],
+                      how=how, **read_kw)
+    return _disc_quantiles(pairs, list(group_by), value_col,
+                           count_col, qs)
 
 
 def read_joined_topk(view, value_col: str, group_by: list, k: int, *,

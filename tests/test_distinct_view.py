@@ -253,6 +253,23 @@ def test_joined_distinct_and_topk_exact(spark, tmp_path):
         read_joined_topk(view, "u", ["grp"], 2).collect())
     assert got_tk == exp_tk
 
+    # exact quantile_disc at the joined grain, vs DuckDB
+    import duckdb
+
+    from doreisa_spark.streaming.incremental_distinct import (
+        read_joined_quantiles,
+    )
+
+    con = duckdb.connect()
+    con.register("s", surviving.select("grp", "u").toPandas())
+    exp_q = {r[0]: (r[1], r[2]) for r in con.execute(
+        "SELECT grp, quantile_disc(u, 0.5), quantile_disc(u, 0.9) "
+        "FROM s GROUP BY grp").fetchall()}
+    got_q = {r["grp"]: (r["q_0_5"], r["q_0_9"]) for r in
+             read_joined_quantiles(view, "u", ["grp"],
+                                   [0.5, 0.9]).collect()}
+    assert got_q == exp_q
+
 
 def test_exact_quantiles_match_duckdb_disc(spark, tmp_path):
     """read_quantiles implements SQL quantile_disc exactly: smallest
