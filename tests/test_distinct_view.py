@@ -443,3 +443,33 @@ def test_seeded_random_differential(spark, tmp_path):
     else:
         expect = {}
     assert _got_distinct(v) == expect
+
+
+def test_distinct_view_rides_pipeline_txn(spark, tmp_path):
+    """A DistinctView is a valid pipeline-txn sink (duck-typed on
+    next_batch_id/process_batch): one logical batch feeds an aggregate
+    store AND the exact-distinct arrangement atomically — a crash
+    between the two heals from the staged payload and the counts
+    agree; redelivery no-ops both."""
+    from doreisa_spark.streaming import pipeline_commit as PC
+    from doreisa_spark.streaming.incremental_agg import AggregateStore
+    from doreisa_spark.streaming.pipeline_commit import PipelineIngest
+
+    root = str(tmp_path / "pipe")
+    agg = AggregateStore(spark, f"{root}/agg", key_cols=["k"],
+                         aggs={"cnt": ("count", None)})
+    dv = DistinctView(spark, f"{root}/dv", key_cols=["k"],
+                      value_col="v")
+    pipe = PipelineIngest(spark, root, {
+        "agg": (agg, lambda df: df.select("k", "v")),
+        "distinct": (dv, lambda df: df.select("k", "v")),
+    })
+    batch = spark.createDataFrame(
+        [(i % 3, i % 4) for i in range(24)], "k bigint, v bigint")
+    assert pipe.commit(batch, 0)
+    assert not pipe.commit(batch, 0)  # redelivery no-ops atomically
+    assert PC.pipeline_pending(root) == {}
+    assert {r["k"]: r["cnt"] for r in agg.read().collect()} \
+        == {0: 8, 1: 8, 2: 8}
+    assert {r["k"]: r["distinct_v"]
+            for r in dv.read_distinct().collect()} == {0: 4, 1: 4, 2: 4}
