@@ -1471,7 +1471,11 @@ class AggregateStore:
                                               lambda v: v == 0)))
             else:  # unknown/future fn: never assume identity
                 cond = F.lit(False)
-            zero = zero & cond
+            # NULL-safe: a NULL predicate (e.g. a NULL element inside a
+            # sketch map making forall three-valued) must read as "not
+            # provably identity" — without the coalesce, where(~NULL)
+            # would DROP the row, the exact opposite of conservative
+            zero = zero & F.coalesce(cond, F.lit(False))
         return m.where(~zero)
 
     def _roll_up(self, fold: DataFrame) -> DataFrame:
