@@ -22,7 +22,12 @@ the literature is explicit about: state is O(distinct pairs), not
 O(groups × sketch). That price is the honest one for exact answers
 under updates; insert-only pipelines should keep the O(groups)-state
 ``hll``/``topk`` sketch columns instead, and this module's docstrings
-say so rather than pretending to beat the lower bound.
+say so rather than pretending to beat the lower bound. Measured both
+ways (BASELINE.md "Exact retractable distinct"): in the saturating
+regime (rows ≫ pairs — the DAU shape) the view read sits at its
+O(pairs × tiers) floor while the rebuild grows with raw history and
+crosses over ~40M rows on the local box; in the dense regime
+(pairs ≈ rows) the arrangement LOSES to a rescan — use the sketch.
 
 ``DistinctView`` is a thin composition: an inner
 ``AggregateStore(key_cols + [value_col], retractable=True)`` holds the
