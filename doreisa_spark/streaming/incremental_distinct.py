@@ -74,15 +74,24 @@ from doreisa_spark.streaming.vector_store import read_marker, write_marker_once
 def _disc_quantiles(pairs: DataFrame, key_cols: list, value_col: str,
                     count_col: str, qs) -> DataFrame:
     """``quantile_disc`` from per-(group, value) counts: smallest value
-    whose cumulative count reaches ``ceil(q · total)`` (bit-matching
-    DuckDB's index rule, doubles on both sides) — one per-group running
-    sum over the value-distinct pairs, then ONE conditional-MIN
-    aggregate serves every requested q; the groupBy reuses the window's
-    partitioning, so no exchange is added. NULL-valued pairs ride along
-    weightless so an all-NULL group still yields a row (with NULL
-    quantiles, exactly like SQL); they sort first under asc NULLS FIRST
-    and can never satisfy cum >= 1. Shared by
-    ``DistinctView.read_quantiles`` and ``read_joined_quantiles``."""
+    whose cumulative count reaches ``ceil(q · total)`` — with the
+    target index computed in EXACT integer arithmetic,
+    ``(num·total + den − 1) div den`` over q's decimal fraction,
+    because that is what the oracle does: DuckDB parses a quantile
+    literal as DECIMAL and derives the index exactly, so a
+    double-multiply ``ceil(0.55 × 100) = ceil(55.000000000000007) =
+    56`` picks the WRONG neighboring order statistic at every exact-
+    integer q·n boundary (caught by the q-grid differential,
+    tests/test_distinct_view.py). One per-group running sum over the
+    value-distinct pairs, then ONE conditional-MIN aggregate serves
+    every requested q; the groupBy reuses the window's partitioning,
+    so no exchange is added. NULL-valued pairs ride along weightless
+    so an all-NULL group still yields a row (with NULL quantiles,
+    exactly like SQL); they sort first under asc NULLS FIRST and can
+    never satisfy cum >= 1. Shared by ``DistinctView.read_quantiles``
+    and ``read_joined_quantiles``."""
+    from fractions import Fraction
+
     from pyspark.sql import Window as W
 
     qs = list(qs)
@@ -98,7 +107,12 @@ def _disc_quantiles(pairs: DataFrame, key_cols: list, value_col: str,
     )
     aggs = []
     for q in qs:
-        tgt = F.ceil(F.lit(float(q)) * F.col("__tot"))
+        # exact rational target from q's DECIMAL rendering (str(q) is
+        # the shortest round-trip decimal — the same literal the SQL
+        # side parses), never a double multiply
+        frac = Fraction(str(q))
+        num, den = frac.numerator, frac.denominator
+        tgt = F.expr(f"({num} * __tot + {den - 1}) div {den}")
         aggs.append(F.min(F.when(
             (F.col("__cum") >= tgt) & v.isNotNull(), v
         )).alias(f"q_{str(q).replace('.', '_')}"))

@@ -473,3 +473,30 @@ def test_distinct_view_rides_pipeline_txn(spark, tmp_path):
         == {0: 8, 1: 8, 2: 8}
     assert {r["k"]: r["distinct_v"]
             for r in dv.read_distinct().collect()} == {0: 4, 1: 4, 2: 4}
+
+
+def test_quantile_disc_index_rule_grid(spark, tmp_path):
+    """The ceil(q * total) double-arithmetic index rule must bit-match
+    DuckDB across a dense q grid INCLUDING every exact-integer q*n
+    boundary (where a one-ulp disagreement would pick the neighboring
+    order statistic), over group sizes that exercise those boundaries
+    and duplicated values (weighted cumulative counts)."""
+    import duckdb
+
+    rows = ([(0, float(v)) for v in range(10)]            # n=10 unique
+            + [(1, float(v)) for v in range(100)]         # n=100 unique
+            + [(2, float(v // 3)) for v in range(60)])    # n=60, dup x3
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    v = DistinctView(spark, str(tmp_path / "grid"),
+                     key_cols=["k"], value_col="v")
+    v.process_batch(df.withColumn("id", F.monotonically_increasing_id()))
+    qs = [round(0.05 * i, 2) for i in range(1, 21)]  # 0.05 .. 1.00
+    got_rows = v.read_quantiles(qs).collect()
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    sel = ", ".join(f"quantile_disc(v, {q})" for q in qs)
+    exp = {r[0]: r[1:] for r in con.execute(
+        f"SELECT k, {sel} FROM t GROUP BY k").fetchall()}
+    names = [f"q_{str(q).replace('.', '_')}" for q in qs]
+    for r in got_rows:
+        assert tuple(r[n] for n in names) == exp[r["k"]], r["k"]
