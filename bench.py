@@ -120,6 +120,10 @@ def main() -> None:
         # r13: the incremental JOIN view — fact partials at FK grain +
         # dim latest-state, joined GRAINS re-grouped at read
         "agg_join_incremental",
+        # r15: the support-count arrangement — EXACT distinct under
+        # row-level CDC (ingest incl. a retract batch + the 2-exchange
+        # pair-fold read; BASELINE.md "Exact retractable distinct")
+        "agg_retract_distinct",
     ):
         best = None
         for _pass in range(2):
