@@ -443,6 +443,29 @@ def test_seeded_random_differential(spark, tmp_path):
     else:
         expect = {}
     assert _got_distinct(v) == expect
+    # the same end state must agree on ALL THREE read surfaces: top-k
+    # (count desc, value asc) and quantile_disc (exact index rule) vs
+    # the model
+    if live:
+        cnt = model.groupby(["k", "v"]).size().reset_index(name="n")
+        exp_tk = sorted(
+            (r.k, r.v, r.n) for _, g in cnt.groupby("k")
+            for r in g.sort_values(["n", "v"], ascending=[False, True])
+            .head(2).itertuples())
+        got_tk = sorted((r["k"], r["v"], r["n"])
+                        for r in v.read_topk(2).collect())
+        assert got_tk == exp_tk
+        import math
+
+        def disc(g, q):
+            s = sorted(g)
+            return s[math.ceil(q * len(s)) - 1]  # q exact in halves
+
+        exp_q = {k: disc(list(g["v"]), 0.5)
+                 for k, g in model.groupby("k")}
+        got_q = {r["k"]: r["q_0_5"]
+                 for r in v.read_quantiles([0.5]).collect()}
+        assert got_q == exp_q
 
 
 def test_distinct_view_rides_pipeline_txn(spark, tmp_path):
