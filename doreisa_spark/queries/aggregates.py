@@ -1474,7 +1474,8 @@ def agg_retract_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_retract_distinct",
-    extended=True,
+    # PRIMARY (r15 rotation, setop_union_all demoted): the driver
+    # hash-gates the round's flagship — exact distinct under CDC
     oracle="""
 SELECT event_type,
        count(DISTINCT user_id) AS distinct_user_id,

@@ -28,6 +28,9 @@ def _supp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "setop_union_all",
+    extended=True,  # rotated out of the 50-entry primary budget in r15
+    # to admit agg_retract_distinct (the round's flagship); the setop
+    # family stays fully verified in the extended tier
     oracle="""
 SELECT nationkey, count(*) AS n
 FROM (
