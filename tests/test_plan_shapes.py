@@ -387,3 +387,34 @@ def test_snapshot_probe_keeps_pruned_scan_shape(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "LeftAnti" in live_plan  # the live read DOES mask it
+
+
+def test_distinct_arrangement_reads_two_exchanges(spark, tmp_path):
+    """The support-count arrangement's scale posture (r15): the
+    distinct read is exactly pair-fold + re-group — 2 exchanges, no
+    window, no join — and the exact top-k/quantile reads add their
+    per-group window WITHOUT a third exchange (the window's
+    hashpartitioning on the group keys is reused by the final
+    aggregate). A third exchange here means the re-group stopped
+    riding the window's shuffle — invisible at test scale, a whole
+    extra pass over O(pairs) at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from doreisa_spark.streaming.incremental_distinct import DistinctView
+
+    v = DistinctView(spark, str(tmp_path / "planshape"),
+                     key_cols=["k"], value_col="v")
+    v.process_batch(spark.range(200).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") % 11).alias("v")))
+
+    def plan(df):
+        df.write.mode("overwrite").format("noop").save()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = plan(v.read_distinct())
+    assert p.count("Exchange") == 2, p
+    assert "Window" not in p and "Join" not in p
+    for df in (v.read_topk(3), v.read_quantiles([0.5, 0.9])):
+        p = plan(df)
+        assert p.count("Exchange") == 2, p
+        assert "SinglePartition" not in p  # the window is partitioned
