@@ -46,6 +46,8 @@ store's own 1-exchange fold:
   that ranks pairs inside each group — O(V log V) per group, the
   standard exact-top-k cost; the insert-only ``topk`` sketch remains
   the O(groups)-state alternative when approximation is acceptable).
+- ``read_quantiles(qs)`` — exact ``quantile_disc`` (medians under CDC,
+  no band) from the same counts; 2 exchanges, same sort cost as topk.
 
 100 TB posture: every micro-batch commits one partial groupBy at pair
 grain (map-side combinable, 1 exchange); reads never touch raw
@@ -300,6 +302,19 @@ class DistinctView:
         return self.store.unmatched_retractions(**kw)
 
 
+def _fact_count_col(view) -> str:
+    """The fact store's count column — the pair weight every joined
+    read re-groups by."""
+    cnt = [o for o, (fn, _, _x) in view.fact.aggs.items()
+           if fn == "count"]
+    if not cnt:
+        raise ValueError(
+            "the view's fact_aggs carries no count column — the "
+            "pair-grain arrangement needs one (name it via count_col)"
+        )
+    return cnt[0]
+
+
 def read_joined_distinct(view, value_col: str, group_by: list, *,
                          out: "str | None" = None,
                          include_total: bool = False,
@@ -326,13 +341,8 @@ def read_joined_distinct(view, value_col: str, group_by: list, *,
               .otherwise(0)).cast("bigint").alias(out),
     ]
     if include_total:
-        cnt = [o for o, (fn, _, _x) in view.fact.aggs.items()
-               if fn == "count"]
-        if not cnt:
-            raise ValueError(
-                "include_total needs a count column in fact_aggs"
-            )
-        aggs.append(F.sum(cnt[0]).cast("bigint").alias("cnt"))
+        aggs.append(F.sum(_fact_count_col(view)).cast("bigint")
+                    .alias("cnt"))
     return pairs.groupBy(*group_by).agg(*aggs)
 
 
@@ -349,12 +359,7 @@ def read_joined_quantiles(view, value_col: str, group_by: list, qs, *,
     (JoinedAggregateView.read_quantiles, error = bin width). NULL
     values never count; an all-NULL group keeps its row."""
     if count_col is None:
-        cnt = [o for o, (fn, _, _x) in view.fact.aggs.items()
-               if fn == "count"]
-        if not cnt:
-            raise ValueError("fact_aggs carries no count column; name "
-                             "one via count_col")
-        count_col = cnt[0]
+        count_col = _fact_count_col(view)
     pairs = view.read(group_by=list(group_by) + [value_col],
                       how=how, **read_kw)
     return _disc_quantiles(pairs, list(group_by), value_col,
@@ -376,12 +381,7 @@ def read_joined_topk(view, value_col: str, group_by: list, k: int, *,
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if count_col is None:
-        cnt = [o for o, (fn, _, _x) in view.fact.aggs.items()
-               if fn == "count"]
-        if not cnt:
-            raise ValueError("fact_aggs carries no count column; name "
-                             "one via count_col")
-        count_col = cnt[0]
+        count_col = _fact_count_col(view)
     pairs = view.read(group_by=list(group_by) + [value_col],
                       how=how, **read_kw) \
         .where(F.col(value_col).isNotNull())
