@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import table
 from doreisa_spark.operators.broadcast import bcast
+from doreisa_spark.operators.literal import literal_frame
 from doreisa_spark.operators.asof import asof_join
 from doreisa_spark.registry import register
 
@@ -206,7 +207,11 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is no shuffle at all before the final 4-group aggregate.
     """
     o = table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    # literal_frame: a LocalRelation, not a 32-slice pickled Python RDD —
+    # the old createDataFrame scanned 32 Python-worker tasks to produce 4
+    # rows, ~0.4 s of overhead per run (OPTIMIZATION_r15.md)
+    bands = literal_frame(
+        spark,
         [(1, 0.0, 50000.0), (2, 50000.0, 150000.0), (3, 150000.0, 300000.0), (4, 300000.0, 1e9)],
         "band_id int, lo double, hi double",
     )

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import table
+from doreisa_spark.operators.literal import literal_frame
 from doreisa_spark.registry import register
 
 _DIM = 64
@@ -209,8 +210,8 @@ def pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(cum, 6),
             )
         )
-    return spark.createDataFrame(
-        out,
+    return literal_frame(
+        spark, out,
         "component string, eigenvalue double, projected_variance double, "
         "explained_ratio double, cum_explained double",
     )
@@ -267,7 +268,8 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = np.argsort(w)[::-1]
     V = v[:, order].T  # complete basis, rows = eigenvectors
     proj_var = _projection_moments(e, mu.tolist(), V.tolist())
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [
             (
                 "summary",

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import table
 from doreisa_spark.operators.broadcast import bcast
+from doreisa_spark.operators.literal import literal_frame
 from doreisa_spark.operators import vectors as V
 from doreisa_spark.registry import EXTENDED, REGISTRY, register
 
@@ -1100,7 +1101,7 @@ def _ivf_pq_topk(spark: SparkSession, sf_dir: str, shortlist: int) -> DataFrame:
             for m in range(_PQ_M)
         ]
         lut_rows.append((r["qid"], lut))
-    lut_df = spark.createDataFrame(lut_rows, "qid bigint, lut array<array<double>>")
+    lut_df = literal_frame(spark, lut_rows, "qid bigint, lut array<array<double>>")
     cands = (
         assigned.join(bcast(probes, bounded=True), "cell")
         .where(F.col("cid") != F.col("qid"))

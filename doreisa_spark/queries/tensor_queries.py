@@ -38,6 +38,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from doreisa_spark.operators.literal import literal_frame
 from doreisa_spark.plans.chunked import (
     ChunkedArray,
     GridMeta,
@@ -932,8 +933,8 @@ def tensor_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     with cost O(rounds) scans and O(bin) driver memory."""
     arr = ChunkedArray.from_function(spark, _META, ramp_chunk)
     p25, p50, p95 = arr.percentiles([25.0, 50.0, 95.0])
-    return spark.createDataFrame(
-        [(p25, p50, p95)], "p25 double, p50 double, p95 double"
+    return literal_frame(
+        spark, [(p25, p50, p95)], "p25 double, p50 double, p95 double"
     )
 
 
@@ -1090,7 +1091,7 @@ def tensor_staged_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # force the scan NOW (the staging dir is reclaimed in finally; a
         # lazily-returned plan would read deleted files at driver-collect)
         total = arr.sum().first()["total"]
-        return spark.createDataFrame([(float(total),)], "total double")
+        return literal_frame(spark, [(float(total),)], "total double")
     finally:
         shutil.rmtree(d, ignore_errors=True)
 

@@ -165,6 +165,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from doreisa_spark.operators.literal import literal_frame
+
 _BATCH_RE = re.compile(r"^b(\d{12})$")
 _DATA_RE = re.compile(r"^d(\d{12})_[0-9a-f]{8}$")
 _MERGED_RE = re.compile(r"^m(\d{12})_[0-9a-f]{8}$")
@@ -895,8 +897,8 @@ def delete_keys(
     # anything committed after this delete is NOT (recorded in the rows
     # themselves, so the index heals crash-consistently from them)
     covers = max([_horizon(root)] + committed_ids(root, mode=resolved))
-    df = spark.createDataFrame(
-        [(k, int(batch_id), int(covers)) for k in keys], _tomb_ddl(meta)
+    df = literal_frame(
+        spark, [(k, int(batch_id), int(covers)) for k in keys], _tomb_ddl(meta)
     ).coalesce(1)
     if epoch is None:
         # commit in the SUB-LOG's namespace (pre_mode), like the check
@@ -1197,7 +1199,7 @@ def read_committed(
     if prune_in or prune_between:
         entries = _prune_entries(entries, prune_in, prune_between)
     if not entries:
-        return spark.createDataFrame([], ddl)
+        return literal_frame(spark, [], ddl)
     return _read_scoped(spark, root, ddl, entries, mode=mode)
 
 
@@ -1400,7 +1402,7 @@ def read_snapshot(
     if prune_in or prune_between:
         entries = _prune_entries(entries, prune_in, prune_between)
     if not entries:
-        return spark.createDataFrame([], ddl)
+        return literal_frame(spark, [], ddl)
     pinned = rec.get("tomb") or {"index": {}, "dirs": [], "cols": [], "type": ""}
     return _read_scoped(spark, root, ddl, entries, mode=None, pinned=pinned)
 

@@ -49,6 +49,7 @@ from pyspark.sql import Window as W
 
 from doreisa_spark.operators import vectors as V
 from doreisa_spark.operators.broadcast import bcast
+from doreisa_spark.operators.literal import literal_frame
 from doreisa_spark.streaming import batch_commit as BC
 from doreisa_spark.streaming.vector_store import SortedVectorLog
 
@@ -257,9 +258,10 @@ class IVFVectorStore(SortedVectorLog):
         self._on_drift(verdict)
 
     def _centroid_frame(self) -> DataFrame:
-        return self.spark.createDataFrame(
+        return literal_frame(
+            self.spark,
             [(c, emb) for c, emb in self.centroids],
-            schema="cell int, cemb array<float>",
+            "cell int, cemb array<float>",
         )
 
     # ------------------------------------------------------------- ingest

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from doreisa_spark.operators.broadcast import bcast
+from doreisa_spark.operators.literal import literal_frame
 from doreisa_spark.streaming import batch_commit as BC
 
 
@@ -290,8 +291,9 @@ class SortedVectorLog:
 
         pc = self._PROBE_COL
         probed = sorted({r[pc] for r in qrows})
-        q = self.spark.createDataFrame(
-            qrows, schema=f"qid bigint, qe array<float>, {pc} {self._PROBE_TYPE}"
+        q = literal_frame(
+            self.spark, qrows,
+            f"qid bigint, qe array<float>, {pc} {self._PROBE_TYPE}",
         )
         c = self._pruned_candidates(probed, snapshot=snapshot).select(
             F.col("vec_id").alias("cid"),
