@@ -59,9 +59,14 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     from doreisa_spark.plans.chunked import ChunkedArray, GridMeta, ramp_chunk
 
+    # pin the warm grid to full cluster width (chunk splits are normally
+    # sized by data volume): the point of the warm-up is to spawn the
+    # whole Python-worker pool once, outside the measurement
+    spark.conf.set("spark.doreisa.chunkSplitBytes", "1")
     warm_meta = GridMeta("warm", (64,), (256,))
     for _ in range(3):
         ChunkedArray.from_function(spark, warm_meta, ramp_chunk).sum().collect()
+    spark.conf.unset("spark.doreisa.chunkSplitBytes")
 
     # Best-of-3 per query: this container's virtualization layer charges
     # erratic kernel-side overhead to thread-heavy stages (system time ≈ 3×

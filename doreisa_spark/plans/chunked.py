@@ -367,9 +367,27 @@ class ChunkedArray:
         """Chunk-position rows generated ENTIRELY on the executors:
         ``spark.range`` (already split into numPartitions, no shuffle) +
         a JVM row-major id→pos decode. No driver-held list, so a
-        billion-chunk grid costs the driver nothing."""
+        billion-chunk grid costs the driver nothing.
+
+        Split count is SCALE-ADAPTIVE (optimization guide §2.2/§6:
+        fewer, larger map tasks): sized so each task generates
+        ~``spark.doreisa.chunkSplitBytes`` (default 64 MB) of chunk
+        data, capped at cluster width. Every task of the fused
+        generate→reduce Python stage pays a fixed JVM↔worker round-trip
+        (measured ~0.3–1.5 s of summed overhead for 32 tasks over a
+        0.5 GB grid vs 8 tasks for the identical result); at large
+        grids the cap binds and the stage uses full cluster width, so
+        the rule costs nothing at scale. Results are split-count
+        independent (the driver re-runs this suite at several core
+        counts already)."""
         n = meta.n_chunks
-        parts = max(1, min(n, spark.sparkContext.defaultParallelism))
+        target = int(spark.conf.get("spark.doreisa.chunkSplitBytes",
+                                    str(64 << 20)))
+        total_bytes = (reduce(mul, meta.global_shape, 1)
+                       * np.dtype(meta.dtype).itemsize)
+        by_bytes = -(-total_bytes // max(1, target))
+        parts = max(1, min(n, spark.sparkContext.defaultParallelism,
+                           by_bytes))
         dims = meta.nb_chunks_per_dim
         strides = [reduce(mul, dims[d + 1 :], 1) for d in range(len(dims))]
         pos = ", ".join(

@@ -91,9 +91,11 @@ def main() -> None:
     # warm like bench.py does
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
     from doreisa_spark.plans.chunked import ChunkedArray, GridMeta, ramp_chunk
+    spark.conf.set("spark.doreisa.chunkSplitBytes", "1")  # full-width warm
     warm_meta = GridMeta("warm", (64,), (256,))
     for _ in range(3):
         ChunkedArray.from_function(spark, warm_meta, ramp_chunk).sum().collect()
+    spark.conf.unset("spark.doreisa.chunkSplitBytes")
 
     walls: dict[str, list[float]] = {}
     for p in range(passes):
