@@ -58,14 +58,20 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from doreisa_spark.operators import ann
 
-    e = table(spark, sf_dir, "embeddings", spread=True)
+    # spread ONLY the frame the BLAS kernel maps over: the qrows collect
+    # and the qe/ce verify joins are scan+join shapes, and riding them on
+    # the spread frame shuffled the raw embedding payload round-robin
+    # just to feed a broadcast join (2 extra exchanges of the payload —
+    # guide §2.4: remove shuffles that buy nothing)
+    e = table(spark, sf_dir, "embeddings")
+    e_wide = table(spark, sf_dir, "embeddings", spread=True)
     qrows = (
         e.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
     )  # the query set: a handful of vectors, driver-held by design
     qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     cand = ann.cosine_topk(
-        e.select("vec_id", "embedding"), qmat, qids, _TOP_K
+        e_wide.select("vec_id", "embedding"), qmat, qids, _TOP_K
     ).select("qid", "cid", "rk")
     qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     ce = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))

@@ -41,6 +41,15 @@ def get_spark(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalesce floor (default 1 MB) is a BYTES heuristic: it
+        # collapses any sub-32 MB shuffle to a handful of partitions, which
+        # serializes CPU-dense post-shuffle operators (session_window's
+        # merge ran 1.7-3.4 s of CPU on <=3 tasks over a 2.7 MB shuffle).
+        # 64 KB keeps parallelismFirst's width for small-but-hot shuffles;
+        # at cluster scale partitions are >> 1 MB and the floor never
+        # binds, so this is scale-neutral (optimization guide §2.5 — the
+        # hazard is a synthetic floor tuned to the wrong regime).
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1219,7 +1219,13 @@ class AggregateStore:
                 cached.repartitionByRange(nf, *self.key_cols)
                 .sortWithinPartitions(*self.key_cols)
                 if nf > 1
-                else cached.repartition(1).sortWithinPartitions(*self.key_cols)
+                # coalesce, not repartition: the partial is already the
+                # OUTPUT of its groupBy exchange, so there is no expensive
+                # upstream expression to serialize (the vector-store
+                # ingest's caveat) — coalesce(1) narrows the final-agg
+                # stage to one task instead of paying a second exchange
+                # per batch commit (guide §2.4)
+                else cached.coalesce(1).sortWithinPartitions(*self.key_cols)
             )
             for _ in range(16):
                 committed = BC.commit_batch(
