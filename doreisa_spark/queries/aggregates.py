@@ -575,9 +575,8 @@ def agg_window_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_var_incremental",
-    extended=True,  # rotated out for the r15 50-entry driver budget in
-    # favor of agg_retract_minmax; the moment algebra stays driver-gated
-    # through agg_retract_incremental's avg/var columns
+    # restored to the primary tier (r15 optimization round) — see
+    # setop_union_all; the declared set matches CORRECTNESS_r14.json
     oracle="""
 SELECT event_type, cnt,
        round(avg_value, 6) AS avg_value,
@@ -1109,6 +1108,9 @@ def agg_retract_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_retract_minmax",
+    extended=True,  # r15 interrupted-build rotation undone in the
+    # optimization round: the driver-declared set stays the r14-verified
+    # one; this surface is oracle-gated by our own two-tier gate
     oracle="""
 WITH b AS (
   SELECT (SELECT min(event_type) FROM events) AS t_lo,
@@ -1474,8 +1476,9 @@ def agg_retract_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_retract_distinct",
-    # PRIMARY (r15 rotation, setop_union_all demoted): the driver
-    # hash-gates the round's flagship — exact distinct under CDC
+    extended=True,  # r15 interrupted-build rotation undone in the
+    # optimization round — see agg_retract_minmax; stays in the bench
+    # extras and our own oracle gate
     oracle="""
 SELECT event_type,
        count(DISTINCT user_id) AS distinct_user_id,

@@ -28,9 +28,10 @@ def _supp_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "setop_union_all",
-    extended=True,  # rotated out of the 50-entry primary budget in r15
-    # to admit agg_retract_distinct (the round's flagship); the setop
-    # family stays fully verified in the extended tier
+    # restored to the primary tier (r15 optimization round): the interrupted
+    # build rotated this out for agg_retract_distinct, which left the
+    # family-coverage test red and the declared set diverging from the
+    # driver-verified r14 one; the r15 surfaces stay verified as extended
     oracle="""
 SELECT nationkey, count(*) AS n
 FROM (
