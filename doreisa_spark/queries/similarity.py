@@ -436,14 +436,23 @@ def _ivf_assign_expr(cent: DataFrame, corpus: DataFrame) -> DataFrame:
 def _ivf_query(
     spark: SparkSession, sf_dir: str, assign: str, cent: DataFrame | None = None
 ) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings", spread=True)
+    # spread ONLY the assignment input (the crossJoin+fold / GEMM is the
+    # CPU-dense pass); the centroid seed, query set, and the per-cell
+    # scoring join are scan/join shapes, and riding them on the spread
+    # frame paid a round-robin exchange of the embedding payload each —
+    # including one INSIDE the centroid broadcast build (guide §2.4)
+    e = table(spark, sf_dir, "embeddings")
+    e_wide = table(spark, sf_dir, "embeddings", spread=True)
     if cent is None:
         cent = _seed_centroids(e)
     corpus = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    corpus_wide = e_wide.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
     if assign == "blas":
-        assigned = _ivf_assign_blas(cent.collect(), corpus)
+        assigned = _ivf_assign_blas(cent.collect(), corpus_wide)
     else:
-        assigned = _ivf_assign_expr(cent, corpus)
+        assigned = _ivf_assign_expr(cent, corpus_wide)
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
