@@ -1310,6 +1310,10 @@ def sim_ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doreisa_spark.streaming.incremental_ann import LSHVectorStore
 
     e = table(spark, sf_dir, "embeddings")
+    # ingest reads are spread: the per-row bucket fold is the CPU-dense
+    # pass and a 1-split corpus would run it single-threaded (the
+    # sorted-commit repartition(1) assumes the fold already ran wide)
+    e_in = table(spark, sf_dir, "embeddings", spread=True)
     lo, hi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     store = LSHVectorStore(spark, _fresh_store_dir("incann"))
@@ -1318,7 +1322,7 @@ def sim_ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2),
         F.col("vec_id") > cut2,
     ):
-        store.process_batch(e.where(cond))
+        store.process_batch(e_in.where(cond))
     return store.query_topk(_N_QUERIES, _TOP_K)
 
 
@@ -1342,7 +1346,8 @@ def sim_ann_store_query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     store = LSHVectorStore(spark, _fresh_store_dir("incannq"))
-    store.process_batch(e, 0)
+    # spread ingest: parallelize the bucket fold (see sim_ann_lsh_incremental)
+    store.process_batch(table(spark, sf_dir, "embeddings", spread=True), 0)
     queries = [
         (r["vec_id"], r["embedding"])
         for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
@@ -1371,7 +1376,7 @@ def sim_ann_store_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     store = LSHVectorStore(spark, _fresh_store_dir("incannmp"))
-    store.process_batch(e, 0)
+    store.process_batch(table(spark, sf_dir, "embeddings", spread=True), 0)
     queries = [
         (r["vec_id"], r["embedding"])
         for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
@@ -1416,7 +1421,7 @@ def sim_ann_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     store = LSHVectorStore(spark, _fresh_store_dir("incanndel"))
-    store.process_batch(e, 0)
+    store.process_batch(table(spark, sf_dir, "embeddings", spread=True), 0)
     store.delete_vectors(range(_N_QUERIES, 301), 1)
     queries = [
         (r["vec_id"], r["embedding"])
@@ -1469,13 +1474,14 @@ def sim_ann_store_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     lo, hi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    e_in = table(spark, sf_dir, "embeddings", spread=True)
     store = LSHVectorStore(spark, _fresh_store_dir("incannsnap"))
-    store.process_batch(e.where(F.col("vec_id") <= cut1), 0)
+    store.process_batch(e_in.where(F.col("vec_id") <= cut1), 0)
     store.process_batch(
-        e.where((F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2)), 1
+        e_in.where((F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2)), 1
     )
     sid = store.snapshot()
-    store.process_batch(e.where(F.col("vec_id") > cut2), 2)
+    store.process_batch(e_in.where(F.col("vec_id") > cut2), 2)
     store.delete_vectors(range(_N_QUERIES, 301), 3)
     queries = [
         (r["vec_id"], r["embedding"])
@@ -1530,7 +1536,7 @@ def sim_ivf_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     cent = [(r["cell"], r["cemb"]) for r in _seed_centroids(e).collect()]
     store = IVFVectorStore(spark, _fresh_store_dir("incivffit"), centroids=cent)
-    store.process_batch(e, 0)
+    store.process_batch(table(spark, sf_dir, "embeddings", spread=True), 0)
     return assignment_fit(store).select("cell", "n_members", "min_cos", "max_cos")
 
 
@@ -1552,6 +1558,8 @@ def sim_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     cent = [(r["cell"], r["cemb"]) for r in _seed_centroids(e).collect()]
     store = IVFVectorStore(spark, _fresh_store_dir("incivf"), centroids=cent)
+    # spread ingest: the per-row assignment fold is the CPU-dense pass
+    e_in = table(spark, sf_dir, "embeddings", spread=True)
     lo, hi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     for cond in (
@@ -1559,7 +1567,7 @@ def sim_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") > cut1) & (F.col("vec_id") <= cut2),
         F.col("vec_id") > cut2,
     ):
-        store.process_batch(e.where(cond))
+        store.process_batch(e_in.where(cond))
     queries = [
         (r["vec_id"], r["embedding"])
         for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
@@ -1586,7 +1594,8 @@ def sim_ann_store_blas_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     store = LSHVectorStore(spark, _fresh_store_dir("incannbb"))
-    store.process_batch(e, 0, bucketing="blas")
+    store.process_batch(table(spark, sf_dir, "embeddings", spread=True), 0,
+                        bucketing="blas")
     queries = [
         (r["vec_id"], r["embedding"])
         for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
@@ -1614,7 +1623,8 @@ def sim_ann_ivf_store_blas_select(spark: SparkSession, sf_dir: str) -> DataFrame
     e = table(spark, sf_dir, "embeddings")
     cent = [(r["cell"], r["cemb"]) for r in _seed_centroids(e).collect()]
     store = IVFVectorStore(spark, _fresh_store_dir("incivfbs"), centroids=cent)
-    store.process_batch(e, 0, assign="blas")
+    store.process_batch(table(spark, sf_dir, "embeddings", spread=True), 0,
+                        assign="blas")
     queries = [
         (r["vec_id"], r["embedding"])
         for r in e.where(F.col("vec_id") < _N_QUERIES).collect()
