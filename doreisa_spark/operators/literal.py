@@ -40,8 +40,16 @@ def literal_frame(spark: SparkSession, rows, schema) -> DataFrame:
         st = (schema if isinstance(schema, StructType)
               else _parse_datatype_string(schema))
         names = [f.name for f in st.fields]
+
+        def as_dict(r):
+            if isinstance(r, dict):
+                return r
+            if hasattr(r, "asDict"):  # pyspark Row
+                return r.asDict()
+            return dict(zip(names, r))
+
         tbl = pa.Table.from_pylist(
-            [dict(zip(names, r)) for r in rows], schema=to_arrow_schema(st)
+            [as_dict(r) for r in rows], schema=to_arrow_schema(st)
         )
         return spark.createDataFrame(tbl)
     except Exception:
