@@ -89,6 +89,21 @@ def main() -> None:
         assert s > 0
         return round(time.perf_counter() - t0, 4)
 
+    # One UNTIMED warm pass over the headline list before the timed loop
+    # (r15 measurement fix, guide §1: time the engine, not JVM C2
+    # compilation). Each query's first-ever execution carries the one-time
+    # codegen+JIT compile of its unique WholeStageCodegen units — a
+    # long-lived cluster pays that once per deployment, not per query —
+    # and the decay was still visible at pass 3 of 3 (entry run r15:
+    # q3 passes [3.94, 1.09, 0.58] vs its measured warm floor ~0.47 s),
+    # so min-of-3 was reporting compile tails, not engine capability.
+    # Same posture as the Python-worker-pool warm-up above: strictly
+    # outside the measured region, nothing is cached (clearCache after
+    # every query; each timed pass still plans and computes from parquet).
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
+
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     probes: list[float] = []
     for _pass in range(3):

@@ -58,20 +58,22 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from doreisa_spark.operators import ann
 
-    # spread ONLY the frame the BLAS kernel maps over: the qrows collect
-    # and the qe/ce verify joins are scan+join shapes, and riding them on
-    # the spread frame shuffled the raw embedding payload round-robin
-    # just to feed a broadcast join (2 extra exchanges of the payload —
-    # guide §2.4: remove shuffles that buy nothing)
+    # No spread anywhere: the BLAS kernel's per-row cost is sub-µs (one
+    # GEMM per Arrow batch), so an up-front repartition to cluster width
+    # is pure overhead — measured 0.53 s vs 0.36 s for the kernel+topk
+    # subtree at sf0.1 (round-robin exchange of the embedding payload plus
+    # a 32-task Python wave over 2000 rows). At scale the scan arrives as
+    # many natural splits (maxPartitionBytes) and the kernel parallelizes
+    # with the data — parallelism should come from input size, not a
+    # forced width (guide §2.2/§6: don't schedule tasks that have no work).
     e = table(spark, sf_dir, "embeddings")
-    e_wide = table(spark, sf_dir, "embeddings", spread=True)
     qrows = (
         e.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding").collect()
     )  # the query set: a handful of vectors, driver-held by design
     qmat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     cand = ann.cosine_topk(
-        e_wide.select("vec_id", "embedding"), qmat, qids, _TOP_K
+        e.select("vec_id", "embedding"), qmat, qids, _TOP_K
     ).select("qid", "cid", "rk")
     qe = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
     ce = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
@@ -436,22 +438,26 @@ def _ivf_assign_expr(cent: DataFrame, corpus: DataFrame) -> DataFrame:
 def _ivf_query(
     spark: SparkSession, sf_dir: str, assign: str, cent: DataFrame | None = None
 ) -> DataFrame:
-    # spread ONLY the assignment input (the crossJoin+fold / GEMM is the
-    # CPU-dense pass); the centroid seed, query set, and the per-cell
-    # scoring join are scan/join shapes, and riding them on the spread
-    # frame paid a round-robin exchange of the embedding payload each —
-    # including one INSIDE the centroid broadcast build (guide §2.4)
+    # spread ONLY the EXPR assignment input (the crossJoin + interpreted
+    # fold is ~ms/row — width is the point); the centroid seed, query set,
+    # and the per-cell scoring join are scan/join shapes, and riding them
+    # on the spread frame paid a round-robin exchange of the embedding
+    # payload each — including one INSIDE the centroid broadcast build
+    # (guide §2.4). The BLAS assignment is one GEMM per Arrow batch
+    # (sub-µs/row), so it reads plain too: a forced 32-way spread is pure
+    # exchange + Python-wave overhead there, and at scale the scan's
+    # natural splits parallelize the kernel with the data (guide §2.2).
     e = table(spark, sf_dir, "embeddings")
-    e_wide = table(spark, sf_dir, "embeddings", spread=True)
     if cent is None:
         cent = _seed_centroids(e)
     corpus = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    corpus_wide = e_wide.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
     if assign == "blas":
-        assigned = _ivf_assign_blas(cent.collect(), corpus_wide)
+        assigned = _ivf_assign_blas(cent.collect(), corpus)
     else:
+        e_wide = table(spark, sf_dir, "embeddings", spread=True)
+        corpus_wide = e_wide.select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
         assigned = _ivf_assign_expr(cent, corpus_wide)
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
