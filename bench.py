@@ -100,9 +100,10 @@ def main() -> None:
     # Same posture as the Python-worker-pool warm-up above: strictly
     # outside the measured region, nothing is cached (clearCache after
     # every query; each timed pass still plans and computes from parquet).
-    for name in HEADLINE:
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        spark.catalog.clearCache()
+    for _warm in range(2):
+        for name in HEADLINE:
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            spark.catalog.clearCache()
 
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
     probes: list[float] = []
