@@ -478,7 +478,22 @@ class ChunkedArray:
             (name, timestep, list(p), list(a.shape), np.ascontiguousarray(a).tobytes())
             for p, a in chunks.items()
         ]
-        return cls(spark.createDataFrame(rows, CHUNK_SCHEMA), meta, timestep)
+        # LocalRelation, not a pickled Python RDD: createDataFrame(rows)
+        # planned every scan of the chunk frame as default.parallelism
+        # Python-worker tasks deserializing a handful of rows (guide §4 —
+        # the same waste operators/literal.py removes for dims/LUTs).
+        # A LocalRelation is single-partition, which would serialize the
+        # downstream per-chunk Python compute, so re-spread the chunk ROWS
+        # (driver-held and small by this constructor's contract) across at
+        # most one task per chunk — the exchange moves exactly the bytes
+        # that must reach the workers anyway.
+        from doreisa_spark.operators.literal import literal_frame
+
+        df = literal_frame(spark, rows, CHUNK_SCHEMA)
+        width = min(len(rows), spark.sparkContext.defaultParallelism)
+        if width > 1:
+            df = df.repartition(width)
+        return cls(df, meta, timestep)
 
     # -------------------------------------------------------- materialization
     def materialize(self) -> "ChunkedArray":

@@ -247,8 +247,13 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = sim_ann_lsh(spark, sf_dir).select(
         F.col("qid").alias("lq"), F.col("cid").alias("lc")
     )
+    # both sides are ≤ n_queries × k rows BY CONSTRUCTION (each pipeline
+    # ends in a rank-k filter), but the planner can't see that through the
+    # window subtrees and was sort-merge-joining them (2 exchanges + sorts
+    # of two tiny frames at every scale) — broadcast the probe side
     return (
-        bf.join(lsh, (bf["qid"] == lsh["lq"]) & (bf["cid"] == lsh["lc"]), "left")
+        bf.join(bcast(lsh, bounded=True),
+                (bf["qid"] == lsh["lq"]) & (bf["cid"] == lsh["lc"]), "left")
         .groupBy("qid")
         .agg(
             F.count("lc").alias("n_hits"),
@@ -1201,8 +1206,12 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = sim_ann_ivf_pq(spark, sf_dir).select(
         F.col("qid").alias("pq_q"), F.col("cid").alias("pq_c")
     )
+    # ≤ n_queries × k rows per side by construction (rank-k filters) —
+    # broadcast the PQ side instead of the planner's sort-merge join
+    # (same reasoning as sim_ann_recall above)
     return (
-        bf.join(pq, (bf["qid"] == pq["pq_q"]) & (bf["cid"] == pq["pq_c"]), "left")
+        bf.join(bcast(pq, bounded=True),
+                (bf["qid"] == pq["pq_q"]) & (bf["cid"] == pq["pq_c"]), "left")
         .groupBy("qid")
         .agg(
             F.count("pq_c").alias("n_hits"),
