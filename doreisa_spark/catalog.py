@@ -46,6 +46,25 @@ _SPLITS_CACHE: dict[tuple[str, str, str], int] = {}
 # re-infers; this caches session planning metadata, never data or results.
 _SCHEMA_CACHE: dict[tuple[str, str, str], "object"] = {}
 
+# Memoized BASE DataFrame handles (post ts-normalization, pre-spread).
+# Re-deriving the relation per call costs ~15-20 ms of py4j round-trips
+# (reader construction + schema transfer + the events normalization
+# chain) per table per query — a 6-table join pays ~0.1 s of pure driver
+# chatter per invocation. A DataFrame is an immutable query-plan handle:
+# handing the same one back is exactly what a catalog/metastore client
+# does with a resolved table, and it caches planning metadata only —
+# every action on it still scans parquet. Keyed by the SESSION OBJECT
+# (weakly), not just app_id: ``spark.newSession()`` shares the
+# application but carries its own SQLConf/state, and a DataFrame must
+# only ever be served back to the session that built it. The events
+# branch's session-TZ check therefore runs once per session (on the
+# first build), which is also when it can still matter.
+import weakref as _weakref
+
+_DF_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    _weakref.WeakKeyDictionary()
+)
+
 
 def _input_splits(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> int:
     key = (spark.sparkContext.applicationId, sf_dir, name)
@@ -79,12 +98,20 @@ def table(
     own), so they are applied at runtime, not only in session.py; the TZ is
     pinned UTC so the NTZ→TZ reinterpretation is the identity and matches
     what DuckDB's oracle sees."""
+    skey = (spark.sparkContext.applicationId, sf_dir, name)
+    session_dfs = _DF_CACHE.setdefault(spark, {})
+    cached_df = session_dfs.get((sf_dir, name))
+    if cached_df is not None:
+        if spread:
+            target = spark.sparkContext.defaultParallelism
+            if _input_splits(spark, sf_dir, name, cached_df) < target:
+                return cached_df.repartition(target)
+        return cached_df
     if name == "events":
         # Narrow legacy flag: lets Spark 4.x read TIMESTAMP(NANOS) parquet at
         # all (it errors without it). Must be set before the read.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    skey = (spark.sparkContext.applicationId, sf_dir, name)
     cached_schema = _SCHEMA_CACHE.get(skey)
     if cached_schema is not None:
         df = spark.read.schema(cached_schema).parquet(f"{sf_dir}/{name}.parquet")
@@ -126,6 +153,7 @@ def table(
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    session_dfs[(sf_dir, name)] = df
     if spread:
         target = spark.sparkContext.defaultParallelism
         if _input_splits(spark, sf_dir, name, df) < target:
