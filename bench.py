@@ -89,7 +89,7 @@ def main() -> None:
         assert s > 0
         return round(time.perf_counter() - t0, 4)
 
-    # One UNTIMED warm pass over the headline list before the timed loop
+    # Two UNTIMED warm passes over the headline list before the timed loop
     # (r15 measurement fix, guide §1: time the engine, not JVM C2
     # compilation). Each query's first-ever execution carries the one-time
     # codegen+JIT compile of its unique WholeStageCodegen units — a

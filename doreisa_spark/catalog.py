@@ -56,14 +56,39 @@ _SCHEMA_CACHE: dict[tuple[str, str, str], "object"] = {}
 # every action on it still scans parquet. Keyed by the SESSION OBJECT
 # (weakly), not just app_id: ``spark.newSession()`` shares the
 # application but carries its own SQLConf/state, and a DataFrame must
-# only ever be served back to the session that built it. The events
-# branch's session-TZ check therefore runs once per session (on the
-# first build), which is also when it can still matter.
+# only ever be served back to the session that built it. Each cached
+# entry is (df, needs_conf_pins): for ``events`` under a normalized
+# encoding the correctness of every downstream truncation/rendering
+# depends on two session confs (nanosAsLong + UTC session TZ), so the
+# hit path re-runs the same cheap driver-only conf checks the build
+# path does (ADVICE r15: a caller who restored their TZ after a
+# catalog query must get the pin — and the warning — again).
 import weakref as _weakref
 
-_DF_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+_DF_CACHE: "_weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], tuple[DataFrame, bool]]]" = (
     _weakref.WeakKeyDictionary()
 )
+
+
+def _pin_events_confs(spark: SparkSession) -> None:
+    """Re-assert the two runtime confs the normalized events table needs.
+
+    Driver-only conf gets (~µs); safe to run on every cache hit."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        import warnings
+
+        warnings.warn(
+            "doreisa_spark.catalog: normalizing events.ts requires "
+            "spark.sql.session.timeZone=UTC (both for the NTZ "
+            "reinterpretation and for truncation/rendering of the "
+            "rebuilt timestamps); pinning it for this session. Set "
+            "the TZ back after running catalog queries if your "
+            "application needs another zone.",
+            stacklevel=3,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def _input_splits(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> int:
@@ -100,8 +125,11 @@ def table(
     what DuckDB's oracle sees."""
     skey = (spark.sparkContext.applicationId, sf_dir, name)
     session_dfs = _DF_CACHE.setdefault(spark, {})
-    cached_df = session_dfs.get((sf_dir, name))
-    if cached_df is not None:
+    cached = session_dfs.get((sf_dir, name))
+    if cached is not None:
+        cached_df, needs_pins = cached
+        if needs_pins:
+            _pin_events_confs(spark)
         if spread:
             target = spark.sparkContext.defaultParallelism
             if _input_splits(spark, sf_dir, name, cached_df) < target:
@@ -118,6 +146,7 @@ def table(
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _SCHEMA_CACHE[skey] = df.schema
+    needs_pins = False
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -151,9 +180,11 @@ def table(
         if ts_type == "bigint":
             # integer division — double division drifts ±1µs at 1e18 magnitudes
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            needs_pins = True
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    session_dfs[(sf_dir, name)] = df
+            needs_pins = True
+    session_dfs[(sf_dir, name)] = (df, needs_pins)
     if spread:
         target = spark.sparkContext.defaultParallelism
         if _input_splits(spark, sf_dir, name, df) < target:

@@ -94,6 +94,11 @@ CHUNK_SCHEMA = (
 # Arrow's 2 GiB binary-cell limit, big enough that BLAS dominates per block
 _TD_MAX_ELEMS = 1 << 24
 
+# from_numpy_chunks: driver-held payloads up to this many bytes plan as a
+# LocalRelation (plan-embedded, zero Python-worker scans); larger ones fall
+# back to createDataFrame so the plan tree stays small (ADVICE r15)
+_LITERAL_PLAN_MAX_BYTES = 64 << 20
+
 # take(): above this many indices the gather plan ships as a joined
 # DataFrame instead of a closure-captured dict (ADVICE r5) — ~64k (row,
 # slot) int pairs is where per-task closure serialization starts to matter
@@ -489,7 +494,18 @@ class ChunkedArray:
         # that must reach the workers anyway.
         from doreisa_spark.operators.literal import literal_frame
 
-        df = literal_frame(spark, rows, CHUNK_SCHEMA)
+        # Size guard (ADVICE r15): a LocalRelation embeds the raw chunk
+        # bytes IN the logical plan, which the optimizer copies and
+        # stringifies on every action — fine for the small driver-held
+        # grids this constructor is for, pathological for a caller who
+        # hands it 100s of MB. Above the cap, take the classic
+        # createDataFrame path (pickled rows; heavier per scan but the
+        # payload stays out of the plan tree).
+        payload_bytes = sum(len(r[4]) for r in rows)
+        if payload_bytes <= _LITERAL_PLAN_MAX_BYTES:
+            df = literal_frame(spark, rows, CHUNK_SCHEMA)
+        else:
+            df = spark.createDataFrame(rows, CHUNK_SCHEMA)
         width = min(len(rows), spark.sparkContext.defaultParallelism)
         if width > 1:
             df = df.repartition(width)

@@ -58,3 +58,32 @@ def test_events_query_on_default_conf_session(spark, name):
     fresh = spark.newSession()
     df = _lookup(name).fn(fresh, SF)
     assert df.count() >= 0
+
+
+def test_events_cache_hit_repins_session_confs(spark):
+    """ADVICE r15: the _DF_CACHE hit path must re-assert the events confs.
+
+    A caller who follows the catalog warning — restoring their session TZ
+    after running catalog queries — and then asks for ``events`` again gets
+    the memoized handle; the pin (and the warning) must fire again or every
+    downstream date_trunc/rendering silently runs in the wrong zone."""
+    import warnings
+
+    from doreisa_spark import catalog
+
+    fresh = spark.newSession()
+    d1 = catalog.table(fresh, SF, "events")
+    d2 = catalog.table(fresh, SF, "events")
+    assert d1 is d2, "expected the memoized handle on the second call"
+    fresh.conf.set("spark.sql.session.timeZone", "America/New_York")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        catalog.table(fresh, SF, "events")
+    assert fresh.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert any("timeZone" in str(w.message) for w in caught)
+    # Non-events tables must not mutate session confs on hit or build.
+    fresh.conf.set("spark.sql.session.timeZone", "America/New_York")
+    catalog.table(fresh, SF, "lineitem")
+    catalog.table(fresh, SF, "lineitem")
+    assert fresh.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    fresh.conf.set("spark.sql.session.timeZone", "UTC")
