@@ -255,7 +255,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify-b) read this cache, and AQE launches them concurrently — on a
     # lazy persist their ~3×32 tasks convoy on the same uncomputed cache
     # partitions (measured 20-45 s vs ~3 s; block-lock waits, not compute).
-    sig.count()
+    # The count runs on a DRIVER THREAD so the materialization job overlaps
+    # the ~0.2 s of py4j plan construction below (guide §2.6 — actions are
+    # only sequential because the driver calls them sequentially); the join
+    # before return keeps the eager contract: the cache is fully built
+    # before any consumer can execute.
+    from threading import Thread
+
+    count_err: list[BaseException] = []
+
+    def _materialize() -> None:
+        try:
+            sig.count()
+        except BaseException as e:  # re-raised on the caller below
+            count_err.append(e)
+
+    count_thread = Thread(target=_materialize, name="sig-materialize")
+    count_thread.start()
     # candidate generation: explode to (band_id, sig), bucket by groupBy,
     # emit ordered in-bucket pairs — one shuffle of (long, int, string)
     # rows, never a self-join (no O(n²) and no pipeline re-execution).
@@ -289,12 +305,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = F.expr(TX.jaccard_expr("sh_a", "sh_b"))
-    return (
+    out = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .where(jac >= _NGRAM_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+    count_thread.join()
+    if count_err:
+        raise count_err[0]
+    return out
 
 
 @register(
