@@ -192,6 +192,78 @@ def table(
     return df
 
 
+# Memoized exact column min/max from parquet FOOTER statistics, keyed by
+# (sf_dir, table, column). The ingest-split queries (aggregates.py) need
+# a table's integer-key range only to derive deterministic micro-batch
+# cut points; running a Spark aggregate job for that is two jobs + a
+# driver gap per invocation, while the footers already carry exact
+# min/max for plain integer columns (guide §6 — manifest metadata over
+# scans; DuckDB/Iceberg answer this from metadata too). Planning
+# metadata only, same memo posture as _SCHEMA_CACHE.
+_MINMAX_CACHE: dict[tuple[str, str, str], tuple] = {}
+
+
+def column_minmax(spark: SparkSession, sf_dir: str, name: str, col: str):
+    """Exact (min, max) of a top-level integer column, from parquet row-
+    group statistics when every row group carries them (exact for
+    physical INT32/INT64 — never truncated like string stats), else from
+    a Spark aggregate. NULL handling matches Spark MIN/MAX (stats ignore
+    nulls; an all-null/empty table falls through to the Spark path and
+    returns (None, None) exactly as before)."""
+    key = (sf_dir, name, col)
+    if key in _MINMAX_CACHE:
+        return _MINMAX_CACHE[key]
+    lo = hi = None
+    ok = True
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        path = f"{sf_dir}/{name}.parquet"
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(_glob.glob(f"{path}/*.parquet"))
+        )
+        if not files:
+            ok = False
+        for p in files:
+            md = _pq.ParquetFile(p).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col) if col in names else -1
+            if ci < 0:
+                ok = False
+                break
+            for rg in range(md.num_row_groups):
+                cc = md.row_group(rg).column(ci)
+                st = cc.statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or st.physical_type not in ("INT32", "INT64")
+                ):
+                    ok = False
+                    break
+                if st.num_values > 0:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            if not ok:
+                break
+    except Exception:
+        ok = False
+    if not ok or lo is None:
+        from pyspark.sql import functions as F
+
+        lo, hi = (
+            table(spark, sf_dir, name)
+            .agg(F.min(col), F.max(col))
+            .first()
+        )
+    _MINMAX_CACHE[key] = (lo, hi)
+    return (lo, hi)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: table(spark, sf_dir, name) for name in TABLES}
 

@@ -13,7 +13,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from doreisa_spark.catalog import table
+from doreisa_spark.catalog import column_minmax, table
 from doreisa_spark.registry import register
 
 
@@ -401,7 +401,7 @@ def agg_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doreisa_spark.streaming.incremental_agg import AggregateStore
 
     e = table(spark, sf_dir, "events")
-    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "events", "event_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     store = AggregateStore(
         spark, _fresh_store_dir("incagg"), key_cols=["event_type"],
@@ -439,7 +439,7 @@ def agg_rollup_incremental_lookup(spark: SparkSession, sf_dir: str) -> DataFrame
     from doreisa_spark.streaming.incremental_agg import AggregateStore
 
     e = table(spark, sf_dir, "events")
-    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "events", "event_id")
     cut = lo + (hi - lo) // 2
     store = AggregateStore(
         spark, _fresh_store_dir("incagglk"), key_cols=["user_id"],
@@ -479,7 +479,7 @@ def agg_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doreisa_spark.streaming.incremental_agg import AggregateStore
 
     e = table(spark, sf_dir, "events")
-    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "events", "event_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     store = AggregateStore(
         spark, _fresh_store_dir("incdist"), key_cols=["event_type"],
@@ -519,7 +519,7 @@ def agg_quantile_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doreisa_spark.streaming.incremental_agg import AggregateStore
 
     e = table(spark, sf_dir, "events")
-    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "events", "event_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     store = AggregateStore(
         spark, _fresh_store_dir("incq"), key_cols=["event_type"],
@@ -560,7 +560,7 @@ def agg_window_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events").withColumn(
         "hour", F.date_trunc("hour", "ts")
     )
-    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "events", "event_id")
     cut = lo + (hi - lo) // 2
     store = AggregateStore(
         spark, _fresh_store_dir("incwin"), key_cols=["hour", "event_type"],
@@ -603,7 +603,7 @@ def agg_var_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doreisa_spark.streaming.incremental_agg import AggregateStore
 
     e = table(spark, sf_dir, "events")
-    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "events", "event_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     store = AggregateStore(
         spark, _fresh_store_dir("incvar"), key_cols=["event_type"],
@@ -703,7 +703,7 @@ def agg_join_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         fact_aggs={"cnt": ("count", None), "sum_value": ("sum", "value")},
         dim_key="doc_id", dim_cols=["source"], dim_order_by="doc_id",
     )
-    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "events", "event_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     # out-of-order on BOTH inputs: middle fact batch first, odd dim rows
     # before even ones. The two streams land on INDEPENDENT logs (fact
@@ -921,7 +921,7 @@ def agg_evolve_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doreisa_spark.streaming.incremental_agg import AggregateStore
 
     e = table(spark, sf_dir, "events")
-    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "events", "event_id")
     cut = lo + (hi - lo) // 3
     store = AggregateStore(
         spark, _fresh_store_dir("incevo"), key_cols=["event_type"],
@@ -1001,7 +1001,7 @@ def agg_rollup_incremental_lookup2(spark: SparkSession,
     from doreisa_spark.streaming.incremental_agg import AggregateStore
 
     e = table(spark, sf_dir, "events")
-    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "events", "event_id")
     cut = lo + (hi - lo) // 2
     store = AggregateStore(
         spark, _fresh_store_dir("incagglk2"),
@@ -1090,7 +1090,7 @@ def agg_retract_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doreisa_spark.streaming.incremental_agg import AggregateStore
 
     e = table(spark, sf_dir, "events")
-    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "events", "event_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     gone_type = e.agg(F.min("event_type")).first()[0]
     store = AggregateStore(
@@ -1174,7 +1174,7 @@ def agg_retract_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doreisa_spark.streaming.incremental_agg import AggregateStore
 
     e = table(spark, sf_dir, "events")
-    lo, hi = e.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "events", "event_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     t_lo, t_hi = e.agg(F.min("event_type"), F.max("event_type")).first()
     c_lo = e.where(F.col("event_type") == t_lo).agg(
