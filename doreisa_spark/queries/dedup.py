@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from doreisa_spark.catalog import table
+from doreisa_spark.catalog import column_minmax, table
 from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.lifecycle import checkpoint, scoped_persist
 from doreisa_spark.operators import text as TX
@@ -760,7 +760,7 @@ def dedup_minhash_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     from doreisa_spark.streaming.incremental_dedup import LSHSignatureStore
 
     d = table(spark, sf_dir, "documents", spread=True)
-    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "documents", "doc_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     # the store must outlive this call (the returned frame reads it
     # lazily); a session-temp dir is the price of simulating a persistent
@@ -801,7 +801,7 @@ def dedup_pairs_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doreisa_spark.streaming.incremental_dedup import LSHSignatureStore
 
     d = table(spark, sf_dir, "documents", spread=True)
-    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "documents", "doc_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     store = LSHSignatureStore(spark, _fresh_store_dir("incdedupsnap"))
     store.process_batch(d.where(F.col("doc_id") <= cut1))
@@ -832,7 +832,7 @@ def dedup_minhash_lsh_incremental_pruned(spark: SparkSession, sf_dir: str) -> Da
     from doreisa_spark.streaming.incremental_dedup import PrunedLSHSignatureStore
 
     d = table(spark, sf_dir, "documents", spread=True)
-    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "documents", "doc_id")
     cuts = [lo + i * (hi - lo) // 4 for i in (1, 2, 3)]
     store = PrunedLSHSignatureStore(
         spark,

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from doreisa_spark.catalog import table
+from doreisa_spark.catalog import column_minmax, table
 from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.queries.textops import _STOPWORDS
 from doreisa_spark.registry import register
@@ -120,7 +120,7 @@ def pipeline_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     d = table(spark, sf_dir, "documents", spread=True)
-    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "documents", "doc_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     ranges = (
         F.col("doc_id") <= cut1,
@@ -201,7 +201,7 @@ def pipeline_curation_incremental_delete(
     from doreisa_spark.streaming.incremental_curation import CurationStore
 
     d = table(spark, sf_dir, "documents", spread=True)
-    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "documents", "doc_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     store = CurationStore(spark, _fresh_store_dir("inccurdel"))
     for cond in (
@@ -238,7 +238,7 @@ def pipeline_curation_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doreisa_spark.streaming.incremental_curation import CurationStore
 
     d = table(spark, sf_dir, "documents", spread=True)
-    lo, hi = d.agg(F.min("doc_id"), F.max("doc_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "documents", "doc_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     store = CurationStore(spark, _fresh_store_dir("inccursnap"))
     store.process_batch(d.where(F.col("doc_id") <= cut1))

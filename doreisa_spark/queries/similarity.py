@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from doreisa_spark.catalog import table
+from doreisa_spark.catalog import column_minmax, table
 from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.operators.literal import literal_frame
 from doreisa_spark.operators import vectors as V
@@ -1329,7 +1329,7 @@ def sim_ann_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass and a 1-split corpus would run it single-threaded (the
     # sorted-commit repartition(1) assumes the fold already ran wide)
     e_in = table(spark, sf_dir, "embeddings", spread=True)
-    lo, hi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "embeddings", "vec_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     store = LSHVectorStore(spark, _fresh_store_dir("incann"))
     for cond in (
@@ -1487,7 +1487,7 @@ def sim_ann_store_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doreisa_spark.streaming.incremental_ann import LSHVectorStore
 
     e = table(spark, sf_dir, "embeddings")
-    lo, hi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "embeddings", "vec_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     e_in = table(spark, sf_dir, "embeddings", spread=True)
     store = LSHVectorStore(spark, _fresh_store_dir("incannsnap"))
@@ -1575,7 +1575,7 @@ def sim_ann_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = IVFVectorStore(spark, _fresh_store_dir("incivf"), centroids=cent)
     # spread ingest: the per-row assignment fold is the CPU-dense pass
     e_in = table(spark, sf_dir, "embeddings", spread=True)
-    lo, hi = e.agg(F.min("vec_id"), F.max("vec_id")).first()
+    lo, hi = column_minmax(spark, sf_dir, "embeddings", "vec_id")
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     for cond in (
         F.col("vec_id") <= cut1,
