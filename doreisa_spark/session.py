@@ -61,6 +61,14 @@ def get_spark(
         # classes — deterministic compiler memoization, never data. Memory
         # is bounded by the code cache (pre-sized to 512 MB below).
         .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # PySpark call-site capture (default on) wraps EVERY DataFrame/
+        # Column op in a Python stack walk plus two extra py4j calls
+        # (PySparkCurrentOrigin set/clear) purely to enrich error
+        # messages with the user's line number. That is ~2× the py4j
+        # round-trips per plan construction — measured 0.94 → 0.67 s of
+        # summed build time across the 14 headline queries. Production
+        # posture: off; flip on via extra_conf when chasing an error.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
