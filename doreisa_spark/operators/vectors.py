@@ -55,6 +55,46 @@ def cosine_expr(a: str, b: str) -> str:
     return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
 
 
+def ivf_argmax_cell_expr(
+    cent_rows, emb_col: str, *, float32: bool, cell_type: str = "int"
+) -> str:
+    """MAP-ONLY IVF cell assignment: one expression computing, per row,
+    the argmax-cosine cell over a driver-held centroid list — the same
+    sequential-fold arithmetic and (cosine DESC, cell ASC) tie-break as
+    the crossJoin + row_number formulation, with ZERO shuffle (guide
+    §2.4: the window variant exchanged the whole corpus by vector id
+    just to rank 16 fold values per row). array_max over
+    (a_cos, -cell, cell) structs is the lexicographic argmax; NaN
+    cosines sort greatest in both formulations.
+
+    ``float32=True`` truncates centroid elements to float32 before
+    emitting them, reproducing exactly what the fold saw when the
+    centroids rode an array<float> column (the store marker / seed
+    path); pass False for computed double centroids. Literals use the
+    ``D`` suffix so Spark parses them with Double.parseDouble —
+    verified exact round-trip, never DECIMAL-intermediated.
+    ``cell_type`` pins the output column type to the source centroid
+    frame's cell dtype (seed frames derive cell from a bigint vec_id;
+    the persisted store records int cells) so downstream schemas are
+    byte-identical to the crossJoin formulation."""
+    import numpy as _np
+
+    def _elem(x: float) -> str:
+        v = float(_np.float32(x)) if float32 else float(x)
+        return f"{v!r}D"
+
+    cents = ",".join(
+        f"named_struct('cell', CAST({int(c)} AS {cell_type}), "
+        f"'cemb', array({','.join(_elem(x) for x in emb)}))"
+        for c, emb in sorted((int(c), list(e)) for c, e in cent_rows)
+    )
+    cos = cosine_expr(emb_col, "c.cemb")
+    return (
+        f"array_max(transform(array({cents}), c -> named_struct("
+        f"'a_cos', {cos}, 'nc', -c.cell, 'cell', c.cell))).cell"
+    )
+
+
 def lsh_bucket_expr(a: str, planes: int = LSH_PLANES) -> str:
     """Sign-LSH bucket id: bit k = (w_k · a > 0), integer hyperplane
     weights w_k[i] = ((A_k*(i+1) + B_k) % MOD) - MOD//2 (Spark SQL)."""

@@ -427,16 +427,28 @@ def _ivf_blas_assigner(cent_rows):
 
 
 def _ivf_assign_expr(cent: DataFrame, corpus: DataFrame) -> DataFrame:
-    """Oracle-exact IVF cell assignment: broadcast centroid cross join,
-    sequential-fold cosine, row_number argmax with deterministic cell
-    tie-break — the fold keeps Spark and DuckDB bit-identical."""
-    aw = W.partitionBy("cid").orderBy(F.col("a_cos").desc(), F.col("cell"))
-    return (
-        corpus.crossJoin(bcast(cent, bounded=True))
-        .select("cid", "cell", F.expr(V.cosine_expr("ce", "cemb")).alias("a_cos"))
-        .withColumn("arnk", F.row_number().over(aw))
-        .where(F.col("arnk") == 1)
-        .select("cid", "cell")
+    """Oracle-exact IVF cell assignment, MAP-ONLY (r16): the centroid
+    set is collected once (it is KB-sized by contract — the same rows
+    the old shape broadcast) and the per-row argmax runs as ONE
+    expression with the identical sequential-fold cosine and
+    (cos DESC, cell ASC) tie-break the crossJoin + row_number shape
+    had — but zero shuffle: the window variant exchanged the whole
+    corpus by cid just to rank ~cells fold values per row (guide
+    §2.4). Literal emission reproduces the source frame's element
+    type (float32 truncation for array<float> seeds, exact doubles
+    for computed centroids) and its cell dtype, so values AND schema
+    are byte-identical; agreement is pinned by
+    tests/test_incremental_ivf.py and the unchanged DuckDB oracles."""
+    cemb_elem = cent.schema["cemb"].dataType.elementType.simpleString()
+    cell_type = cent.schema["cell"].dataType.simpleString()
+    rows = [(int(r["cell"]), list(r["cemb"])) for r in cent.collect()]
+    return corpus.select(
+        "cid",
+        F.expr(
+            V.ivf_argmax_cell_expr(
+                rows, "ce", float32=(cemb_elem == "float"), cell_type=cell_type
+            )
+        ).alias("cell"),
     )
 
 
@@ -455,21 +467,42 @@ def _ivf_query(
     e = table(spark, sf_dir, "embeddings")
     if cent is None:
         cent = _seed_centroids(e)
+    # Collect the KB-sized quantizer ONCE and serve every consumer from
+    # the driver-held rows: assignment is map-only (argmax expression or
+    # GEMM) and probe selection rides a LocalRelation rebuilt from the
+    # same rows. Before r16 the cent SUBTREE fed two separate broadcast
+    # builds (assignment + probes) — for the trained path that re-ran
+    # the whole kmeans aggregate wherever ReuseExchange missed.
+    cemb_elem = cent.schema["cemb"].dataType.elementType.simpleString()
+    cell_type = cent.schema["cell"].dataType.simpleString()
+    cent_rows = cent.collect()
+    cent_pairs = [(int(r["cell"]), list(r["cemb"])) for r in cent_rows]
+    cent_lit = literal_frame(
+        spark, sorted(cent_pairs), f"cell {cell_type}, cemb array<{cemb_elem}>"
+    )
     corpus = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
     if assign == "blas":
-        assigned = _ivf_assign_blas(cent.collect(), corpus)
+        assigned = _ivf_assign_blas(cent_rows, corpus)
     else:
         e_wide = table(spark, sf_dir, "embeddings", spread=True)
         corpus_wide = e_wide.select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
         )
-        assigned = _ivf_assign_expr(cent, corpus_wide)
+        assigned = corpus_wide.select(
+            "cid",
+            F.expr(
+                V.ivf_argmax_cell_expr(
+                    cent_pairs, "ce",
+                    float32=(cemb_elem == "float"), cell_type=cell_type,
+                )
+            ).alias("cell"),
+        )
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     pw = W.partitionBy("qid").orderBy(F.col("p_cos").desc(), F.col("cell"))
     probes = (
-        q.crossJoin(bcast(cent, bounded=True))
+        q.crossJoin(bcast(cent_lit, bounded=True))
         .select("qid", "cell", F.expr(V.cosine_expr("qe", "cemb")).alias("p_cos"))
         .withColumn("prnk", F.row_number().over(pw))
         .where(F.col("prnk") <= _IVF_NPROBE)

@@ -14,9 +14,11 @@ this module contributes the IVF index FAMILY:
   write-once ``_centroids.json`` marker (the `_planes.json` pattern) —
   a reopened store self-configures, a writer with different centroids
   fails loudly (two quantizers must never share one inverted file);
-- **map-only ingest**: cell assignment is the oracle-exact broadcast
-  cross-join + argmax fold over the BATCH only (`sim_ann_ivf`'s
-  assignment semantics, queries/similarity.py) — history is never read
+- **map-only ingest**: cell assignment is the oracle-exact per-row
+  argmax EXPRESSION over the driver-held quantizer (`sim_ann_ivf`'s
+  assignment semantics — same fold arithmetic and tie-break as the
+  crossJoin + row_number formulation, with zero shuffle of the batch;
+  operators/vectors.ivf_argmax_cell_expr) — history is never read
   on the write path, exactly like the LSH store (the difference from
   LSH: the quantizer is trained state, which is why it lives in the
   marker; LSH's hyperplanes are stateless constants);
@@ -45,10 +47,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from doreisa_spark.operators import vectors as V
-from doreisa_spark.operators.broadcast import bcast
 from doreisa_spark.operators.literal import literal_frame
 from doreisa_spark.streaming import batch_commit as BC
 from doreisa_spark.streaming.vector_store import SortedVectorLog
@@ -288,17 +288,22 @@ class IVFVectorStore(SortedVectorLog):
         if assign == "blas":
             assigned = self._assign_blas(vectors)
         elif assign == "expr":
-            aw = W.partitionBy("vec_id").orderBy(F.col("a_cos").desc(), F.col("cell"))
-            assigned = (
-                vectors.select("vec_id", "embedding")
-                .crossJoin(bcast(self._centroid_frame(), bounded=True))
-                .select(
-                    "cell", "vec_id", "embedding",
-                    F.expr(V.cosine_expr("embedding", "cemb")).alias("a_cos"),
-                )
-                .withColumn("arnk", F.row_number().over(aw))
-                .where(F.col("arnk") == 1)
-                .select("cell", "vec_id", "embedding")
+            # map-only argmax expression over the driver-held quantizer:
+            # same fold arithmetic and (cos DESC, cell ASC) tie-break as
+            # the former crossJoin + row_number shape, but ZERO shuffle —
+            # the window variant exchanged every batch by vec_id just to
+            # rank the per-centroid fold values (guide §2.4). float32=True
+            # reproduces the array<float> centroid-column truncation the
+            # old broadcast frame applied. Exact agreement pinned by
+            # tests/test_incremental_ivf.py::test_expr_assignment_matches_crossjoin_argmax.
+            assigned = vectors.select(
+                F.expr(
+                    V.ivf_argmax_cell_expr(
+                        self.centroids, "embedding", float32=True
+                    )
+                ).alias("cell"),
+                "vec_id",
+                "embedding",
             )
         else:
             raise ValueError(f"assign must be 'expr' or 'blas', got {assign!r}")

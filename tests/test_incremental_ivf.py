@@ -254,3 +254,48 @@ def test_real_stream_equals_batch(spark, tmp_path):
         k=_TOP_K, nprobe=_IVF_NPROBE,
     )
     assert _rows(got) == _rows(sim_ann_ivf(spark, SF_SMALL))
+
+
+def test_expr_assignment_matches_crossjoin_argmax(spark, tmp_path):
+    """The map-only argmax expression (r16) must assign every vector to
+    exactly the cell the former crossJoin + row_number shape chose —
+    same fold arithmetic, same (cos DESC, cell ASC) tie-break, float32
+    centroid truncation included. Verified over the real corpus plus a
+    planted exact tie (duplicate centroid under two cells: lowest cell
+    must win in both formulations)."""
+    from pyspark.sql import Window as W
+
+    from doreisa_spark.catalog import table
+    from doreisa_spark.operators import vectors as V
+    from doreisa_spark.operators.broadcast import bcast
+    from doreisa_spark.operators.literal import literal_frame
+    from doreisa_spark.queries.similarity import _seed_centroids
+
+    e = table(spark, SF_SMALL, "embeddings")
+    cent = [
+        (int(r["cell"]), [float(x) for x in r["cemb"]])
+        for r in _seed_centroids(e).collect()
+    ]
+    # planted exact tie: cell 99 duplicates cell 0's centroid — every
+    # vector whose argmax is cell 0 must still land on 0, never 99
+    cent.append((99, list(cent[0][1])))
+    vecs = e.select("vec_id", "embedding")
+    maponly = vecs.select(
+        "vec_id",
+        F.expr(V.ivf_argmax_cell_expr(cent, "embedding", float32=True)).alias("cell"),
+    )
+    cent_df = literal_frame(spark, sorted(cent), "cell int, cemb array<float>")
+    aw = W.partitionBy("vec_id").orderBy(F.col("a_cos").desc(), F.col("cell"))
+    ref = (
+        vecs.crossJoin(bcast(cent_df, bounded=True))
+        .select(
+            "vec_id", "cell",
+            F.expr(V.cosine_expr("embedding", "cemb")).alias("a_cos"),
+        )
+        .withColumn("arnk", F.row_number().over(aw))
+        .where("arnk = 1")
+        .select("vec_id", "cell")
+    )
+    assert maponly.exceptAll(ref).count() == 0
+    assert ref.exceptAll(maponly).count() == 0
+    assert not any(r["cell"] == 99 for r in maponly.collect())
