@@ -56,3 +56,24 @@ def literal_frame(spark: SparkSession, rows, schema) -> DataFrame:
         # conversion edge (exotic type, malformed row): the classic
         # pickled-RDD path is slower but always correct
         return spark.createDataFrame(list(rows), schema)
+
+
+def centroid_arg_frame(
+    spark: SparkSession, cent_pairs, *, cell_type: str = "int",
+    elem_type: str = "float",
+) -> DataFrame:
+    """ONE-ROW frame carrying the whole (KB-sized) centroid list as an
+    ``array<struct<cell, cemb>>`` column named ``cents`` — the broadcast
+    operand of the map-only IVF argmax assignment
+    (operators/vectors.ivf_argmax_cell_expr): cross-joining this single
+    row is a BroadcastNestedLoopJoin, i.e. a map over the corpus, never
+    a shuffle. ``cell_type``/``elem_type`` pin the column dtypes to the
+    source centroid frame's so the fold arithmetic (element CASTs) and
+    the served cell dtype are byte-identical to the former per-cell
+    broadcast frame."""
+    rows = sorted((int(c), list(e)) for c, e in cent_pairs)
+    return literal_frame(
+        spark,
+        [(rows,)],
+        f"cents array<struct<cell:{cell_type},cemb:array<{elem_type}>>>",
+    )

@@ -55,43 +55,24 @@ def cosine_expr(a: str, b: str) -> str:
     return f"({dot_expr(a, b)} / ({norm_expr(a)} * {norm_expr(b)}))"
 
 
-def ivf_argmax_cell_expr(
-    cent_rows, emb_col: str, *, float32: bool, cell_type: str = "int"
-) -> str:
-    """MAP-ONLY IVF cell assignment: one expression computing, per row,
-    the argmax-cosine cell over a driver-held centroid list — the same
+def ivf_argmax_cell_expr(cents_col: str, emb_col: str) -> str:
+    """MAP-ONLY IVF cell assignment: per row, the argmax-cosine cell
+    over ``cents_col`` — an ``array<struct<cell, cemb>>`` column
+    (typically a 1-row broadcast centroid frame cross-joined in, see
+    operators/literal.centroid_arg_frame) — with the same
     sequential-fold arithmetic and (cosine DESC, cell ASC) tie-break as
-    the crossJoin + row_number formulation, with ZERO shuffle (guide
-    §2.4: the window variant exchanged the whole corpus by vector id
-    just to rank 16 fold values per row). array_max over
+    the crossJoin + row_number formulation, and ZERO shuffle: the
+    window variant exchanged the whole corpus by vector id just to
+    rank ~cells fold values per row (guide §2.4). ``array_max`` over
     (a_cos, -cell, cell) structs is the lexicographic argmax; NaN
-    cosines sort greatest in both formulations.
-
-    ``float32=True`` truncates centroid elements to float32 before
-    emitting them, reproducing exactly what the fold saw when the
-    centroids rode an array<float> column (the store marker / seed
-    path); pass False for computed double centroids. Literals use the
-    ``D`` suffix so Spark parses them with Double.parseDouble —
-    verified exact round-trip, never DECIMAL-intermediated.
-    ``cell_type`` pins the output column type to the source centroid
-    frame's cell dtype (seed frames derive cell from a bigint vec_id;
-    the persisted store records int cells) so downstream schemas are
-    byte-identical to the crossJoin formulation."""
-    import numpy as _np
-
-    def _elem(x: float) -> str:
-        v = float(_np.float32(x)) if float32 else float(x)
-        return f"{v!r}D"
-
-    cents = ",".join(
-        f"named_struct('cell', CAST({int(c)} AS {cell_type}), "
-        f"'cemb', array({','.join(_elem(x) for x in emb)}))"
-        for c, emb in sorted((int(c), list(e)) for c, e in cent_rows)
-    )
+    cosines sort greatest in both formulations; the served cell keeps
+    the column's dtype. The centroids ride as DATA (a KB broadcast),
+    not expression literals — a literal-embedded variant was measured
+    to cost ~1 s of parse/analysis per invocation at 16×64 floats."""
     cos = cosine_expr(emb_col, "c.cemb")
     return (
-        f"array_max(transform(array({cents}), c -> named_struct("
-        f"'a_cos', {cos}, 'nc', -c.cell, 'cell', c.cell))).cell"
+        f"array_max(transform({cents_col}, c -> named_struct("
+        f"'a_cos', {cos}, 'nc', -CAST(c.cell AS BIGINT), 'cell', c.cell))).cell"
     )
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from doreisa_spark.catalog import column_minmax, table
 from doreisa_spark.operators.broadcast import bcast
-from doreisa_spark.operators.literal import literal_frame
+from doreisa_spark.operators.literal import centroid_arg_frame, literal_frame
 from doreisa_spark.operators import vectors as V
 from doreisa_spark.registry import EXTENDED, REGISTRY, register
 
@@ -429,26 +429,31 @@ def _ivf_blas_assigner(cent_rows):
 def _ivf_assign_expr(cent: DataFrame, corpus: DataFrame) -> DataFrame:
     """Oracle-exact IVF cell assignment, MAP-ONLY (r16): the centroid
     set is collected once (it is KB-sized by contract — the same rows
-    the old shape broadcast) and the per-row argmax runs as ONE
-    expression with the identical sequential-fold cosine and
-    (cos DESC, cell ASC) tie-break the crossJoin + row_number shape
-    had — but zero shuffle: the window variant exchanged the whole
-    corpus by cid just to rank ~cells fold values per row (guide
-    §2.4). Literal emission reproduces the source frame's element
-    type (float32 truncation for array<float> seeds, exact doubles
-    for computed centroids) and its cell dtype, so values AND schema
-    are byte-identical; agreement is pinned by
+    the old shape broadcast) and rides back in as a ONE-ROW broadcast
+    array column; the per-row argmax expression keeps the identical
+    sequential-fold cosine and (cos DESC, cell ASC) tie-break the
+    crossJoin + row_number shape had — but zero shuffle: the window
+    variant exchanged the whole corpus by cid just to rank ~cells fold
+    values per row (guide §2.4). The rebuilt column carries the source
+    frame's cemb element type and cell dtype, so values AND schema are
+    byte-identical; agreement is pinned by
     tests/test_incremental_ivf.py and the unchanged DuckDB oracles."""
-    cemb_elem = cent.schema["cemb"].dataType.elementType.simpleString()
-    cell_type = cent.schema["cell"].dataType.simpleString()
     rows = [(int(r["cell"]), list(r["cemb"])) for r in cent.collect()]
-    return corpus.select(
-        "cid",
-        F.expr(
-            V.ivf_argmax_cell_expr(
-                rows, "ce", float32=(cemb_elem == "float"), cell_type=cell_type
-            )
-        ).alias("cell"),
+    return _ivf_assign_expr_rows(cent.sparkSession, rows, corpus, cent.schema)
+
+
+def _ivf_assign_expr_rows(spark, cent_pairs, corpus: DataFrame, cent_schema) -> DataFrame:
+    """The map-only assignment from already-collected centroid rows —
+    shared by `_ivf_assign_expr` and `_ivf_query` (which collects the
+    quantizer once for assignment + probe selection + the GEMM path)."""
+    cents = centroid_arg_frame(
+        spark, cent_pairs,
+        cell_type=cent_schema["cell"].dataType.simpleString(),
+        elem_type=cent_schema["cemb"].dataType.elementType.simpleString(),
+    )
+    return (
+        corpus.crossJoin(bcast(cents, bounded=True))
+        .select("cid", F.expr(V.ivf_argmax_cell_expr("cents", "ce")).alias("cell"))
     )
 
 
@@ -488,15 +493,7 @@ def _ivf_query(
         corpus_wide = e_wide.select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
         )
-        assigned = corpus_wide.select(
-            "cid",
-            F.expr(
-                V.ivf_argmax_cell_expr(
-                    cent_pairs, "ce",
-                    float32=(cemb_elem == "float"), cell_type=cell_type,
-                )
-            ).alias("cell"),
-        )
+        assigned = _ivf_assign_expr_rows(spark, cent_pairs, corpus_wide, cent.schema)
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )

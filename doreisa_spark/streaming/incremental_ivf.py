@@ -288,22 +288,27 @@ class IVFVectorStore(SortedVectorLog):
         if assign == "blas":
             assigned = self._assign_blas(vectors)
         elif assign == "expr":
-            # map-only argmax expression over the driver-held quantizer:
-            # same fold arithmetic and (cos DESC, cell ASC) tie-break as
-            # the former crossJoin + row_number shape, but ZERO shuffle —
-            # the window variant exchanged every batch by vec_id just to
-            # rank the per-centroid fold values (guide §2.4). float32=True
-            # reproduces the array<float> centroid-column truncation the
-            # old broadcast frame applied. Exact agreement pinned by
+            # map-only argmax over the quantizer riding as a ONE-ROW
+            # broadcast column: same fold arithmetic and (cos DESC,
+            # cell ASC) tie-break as the former crossJoin + row_number
+            # shape, but ZERO shuffle — the window variant exchanged
+            # every batch by vec_id just to rank the per-centroid fold
+            # values (guide §2.4). Exact agreement pinned by
             # tests/test_incremental_ivf.py::test_expr_assignment_matches_crossjoin_argmax.
-            assigned = vectors.select(
-                F.expr(
-                    V.ivf_argmax_cell_expr(
-                        self.centroids, "embedding", float32=True
-                    )
-                ).alias("cell"),
-                "vec_id",
-                "embedding",
+            from doreisa_spark.operators.broadcast import bcast
+            from doreisa_spark.operators.literal import centroid_arg_frame
+
+            cents = centroid_arg_frame(self.spark, self.centroids)
+            assigned = (
+                vectors.select("vec_id", "embedding")
+                .crossJoin(bcast(cents, bounded=True))
+                .select(
+                    F.expr(
+                        V.ivf_argmax_cell_expr("cents", "embedding")
+                    ).alias("cell"),
+                    "vec_id",
+                    "embedding",
+                )
             )
         else:
             raise ValueError(f"assign must be 'expr' or 'blas', got {assign!r}")

@@ -280,9 +280,15 @@ def test_expr_assignment_matches_crossjoin_argmax(spark, tmp_path):
     # vector whose argmax is cell 0 must still land on 0, never 99
     cent.append((99, list(cent[0][1])))
     vecs = e.select("vec_id", "embedding")
-    maponly = vecs.select(
-        "vec_id",
-        F.expr(V.ivf_argmax_cell_expr(cent, "embedding", float32=True)).alias("cell"),
+    from doreisa_spark.operators.literal import centroid_arg_frame
+
+    cents1 = centroid_arg_frame(spark, cent, cell_type="int")
+    maponly = (
+        vecs.crossJoin(bcast(cents1, bounded=True))
+        .select(
+            "vec_id",
+            F.expr(V.ivf_argmax_cell_expr("cents", "embedding")).alias("cell"),
+        )
     )
     cent_df = literal_frame(spark, sorted(cent), "cell int, cemb array<float>")
     aw = W.partitionBy("vec_id").orderBy(F.col("a_cos").desc(), F.col("cell"))
